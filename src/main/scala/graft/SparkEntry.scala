@@ -1,13 +1,604 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for every
+  * SQL-expressible one. Column names and ordering are aligned on both
+  * sides; numeric aggregates go through exact decimal arithmetic and cast
+  * to double at the end so Spark and DuckDB hash identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Table reader. The synthetic `events` table carries parquet
+    * TIMESTAMP(NANOS) which Spark has no native type for; it is read as
+    * nanos-long (`nanosAsLong`) and converted to a microsecond timestamp
+    * (the data is µs-aligned, so the conversion is exact and matches the
+    * DuckDB oracle's view of the column).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** Literal cast to the column's own (possibly NTZ) timestamp type. */
+  private def tsLit(df: DataFrame, colName: String, v: String): Column =
+    lit(v).cast(df.schema(colName).dataType)
+
+  private def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  private val dec18_2 = DecimalType(18, 2)
+  private val dec18_4 = DecimalType(18, 4)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_multi_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/§2.3 scan + predicate/projection pushdown + aggregation (the
+    // GA/Matomo report-recompute shape, SURVEY §2.6 last row)
+    "q_pushdown_scan_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1999-01-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec18_2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec18_2)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // broadcast dim join (small side broadcast, no shuffle of the fact side)
+    "q_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    }),
+
+    // multi-join star query (TPC-H Q5 shape): fact shuffles once per key,
+    // all dims broadcast
+    "q_multi_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec18_4))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("n_name")
+    }),
+
+    // §2.5 incremental cursor: filter beyond last value + new high-water mark
+    "q_incremental_cursor" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val inc = Incremental(Seq("ts"), initialValue = Some("2024-01-15 00:00:00"))
+      inc.filterWith(ev, None)
+        .agg(
+          count(lit(1)).as("n_new"),
+          tsMicros(max(col("ts"))).as("new_cursor_us"),
+          tsMicros(min(col("ts"))).as("first_ts_us"),
+        )
+    }),
+
+    // §2.5 coalesced cursor paths `a|b` + §2.9 JSON extraction
+    "q_cursor_coalesce" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cur = coalesce(
+        get_json_object(col("props"), "$.v"),
+        get_json_object(col("props"), "$.k"),
+      ).cast("long")
+      ev.groupBy("event_type")
+        .agg(max(cur).as("max_cursor"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // §2.4 merge+pk upsert with dedup_sort (last-write-wins)
+    "q_merge_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id")))
+      val hints = TableHints(
+        "events_merged",
+        disposition = Disposition.Merge,
+        primaryKey = Seq("user_id", "event_type"),
+        dedupSort = Some(("__ord", true)),
+      )
+      val base = MergeEngine.dedupeBatch(
+        ev.filter(col("event_id") < 5000), hints.primaryKey, hints.dedupSort)
+      val updates = ev.filter(col("event_id") >= 5000)
+      MergeEngine.mergePlan(Some(base), updates, hints)
+        .select(
+          col("user_id"), col("event_type"), col("event_id"),
+          tsMicros(col("ts")).as("ts_us"), col("value"),
+        )
+        .orderBy("user_id", "event_type")
+    }),
+
+    // §2.4 dedup_sort window dedup: latest row per pk
+    "q_merge_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id")))
+      MergeEngine.dedupeBatch(ev, Seq("user_id"), Some(("__ord", true)))
+        .select(col("user_id"), col("event_id"), col("event_type"), tsMicros(col("ts")).as("ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // §2.4 hard_delete: non-null marker deletes the key on merge
+    "q_hard_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+        .withColumn("deleted_ts", when(col("event_type") === "error", col("ts")))
+      val hints = TableHints(
+        "events_hd",
+        disposition = Disposition.Merge,
+        primaryKey = Seq("user_id"),
+        dedupSort = Some(("__ord", true)),
+        hardDeleteCol = Some("deleted_ts"),
+      )
+      MergeEngine.mergePlan(None, ev, hints)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // core.normalize: struct flattening with __ paths
+    "q_normalize_flatten" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val nested = ev.select(
+        col("event_id"),
+        struct(
+          col("user_id"),
+          struct(col("event_type"), col("value")).as("detail"),
+        ).as("payload"),
+      )
+      Normalize.flattenStructs(nested, TableHints("events"))
+        .orderBy("event_id")
+    }),
+
+    // core.normalize: array explode → child table with list idx
+    "q_normalize_explode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tables = Normalize.normalize(emb, TableHints("embeddings", primaryKey = Seq("vec_id")))
+      val parent = tables("embeddings").select(col("vec_id"), col(Normalize.DltId))
+      val child = tables("embeddings__embedding")
+      parent
+        .join(child, parent(Normalize.DltId) === child(Normalize.DltParentId))
+        .filter(col("vec_id") < 50)
+        .select(
+          col("vec_id"),
+          col(Normalize.DltListIdx).cast("long").as("idx"),
+          col("value").as("val"),
+        )
+        .orderBy("vec_id", "idx")
+    }),
+
+    // §2.6 wide→long melt (hubspot pivot_stages_properties)
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // §2.6 long→wide pivot (zendesk custom-field pivot)
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events").groupBy("user_id").pivot("event_type", types).count()
+      p.select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
+    // §2.8 dynamic table routing: one stream → N tables via routing column
+    "q_table_routing" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("_table", concat(lit("events_"), col("event_type")))
+        .groupBy("_table").agg(count(lit(1)).as("n"))
+        .orderBy("_table")
+    }),
+
+    // §2.9 timestamp scalar kit: truncation + exact decimal agg per day
+    "q_scalar_ts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          tsMicros(max(col("ts"))).as("max_us"),
+          sum(col("value").cast(dec18_2)).cast("double").as("sum_value"),
+        )
+        .orderBy("day")
+    }),
+
+    // §2.9 epoch sec/ms heuristic (slack) + serial date (google_sheets)
+    "q_epoch_heuristic" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .withColumn("raw", floor(col("value") * 1000000000L).cast("long"))
+        .select(
+          col("event_id"),
+          when(col("raw") > 100000000000L, floor(col("raw") / 1000).cast("long"))
+            .otherwise(col("raw")).as("epoch_s"),
+          date_add(lit("1899-12-30").cast(DateType), col("user_id").cast("int")).as("serial_date"),
+        )
+        .orderBy("event_id")
+    }),
+
+    // §2.9 digest128-style stable ids (kafka/kinesis msg ids)
+    "q_digest_ids" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          sha2(concat_ws("|", col("event_id").cast("string"), col("event_type")), 256).as("msg_id"),
+        )
+        .orderBy("event_id")
+    }),
+
+    // §2.9 enum/label decode via broadcast map (pipedrive/zendesk)
+    "q_enum_decode" -> ((s, dir) => {
+      val labels = typedlit(Map(
+        "click" -> "Clicked", "view" -> "Seen", "purchase" -> "Bought",
+        "signup" -> "Joined", "error" -> "Failed",
+      ))
+      t(s, dir, "events")
+        .select(col("event_type"), coalesce(element_at(labels, col("event_type")), lit("unknown")).as("label"))
+        .groupBy("event_type", "label").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // §2.6 session-close filter (matomo remove_active_visits)
+    "q_session_filter" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = ev.groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"), min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
+      val mx = ev.agg(max(col("ts")).as("m"))
+      sessions.crossJoin(mx)
+        .filter(!(
+          col("last_ts") > col("m") - expr("INTERVAL 30 MINUTES") &&
+            (tsMicros(col("last_ts")) - tsMicros(col("first_ts"))).cast("double") / 1e6 < 3600.0
+        ))
+        .select(col("user_id"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // ---- LLM-pipeline operators (BASELINE north star) ----
+
+    // exact dedup: hash-groupBy, only (digest, id, count) survives map side
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // n-gram (word-set) Jaccard near-dup pairs on a bucketed pair space
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jac", Dedup.jaccard(col("text_a"), col("text_b")))
+        .filter(col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash + LSH banding: near-dup candidate buckets
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.lshCandidateGroups(t(s, dir, "documents"), "doc_id", "text", numHashes = 4, rowsPerBand = 1)
+        .orderBy("band", "bucket_hash")
+    }),
+
+    // SimHash 64-bit fingerprints (no SQL oracle: bit-level aggregate)
+    "q_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-k ANN baseline
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; no SQL oracle: hyperplane hashes)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      Similarity.lshTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", dim = 64, nBits = 4, k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // text quality features
+    "q_text_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      val cols = col("doc_id") +: feats.map { case (n, c) =>
+        (if (n == "n_chars" || n == "n_words" || n == "punct_count") c.cast("long") else c).as(n)
+      }
+      t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+    }),
+
+    // language-ID heuristic: marker scores + argmax
+    "q_langid" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+      val cols = col("doc_id") +:
+        (scores.map { case (n, c) => c.cast("long").as(n) } :+
+          TextAnalysis.predictLang(col("text")).as("predicted"))
+      t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "q_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          length(col("text")).cast("long").as("n_chars"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: binary column + typed metadata struct
+    "q_multimodal_meta" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
+      Multimodal.withMediaMeta(withBin, "content", "text", "utf8")
+        .select(
+          col("doc_id"),
+          col("content_meta.n_bytes").as("n_bytes"),
+          col("content_meta.sha").as("sha"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // multimodal decode plumbing: mapPartitions feature extraction over
+    // binary blobs (kernel is a deterministic stub; no SQL oracle)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
+      Multimodal.decodeFeatures(withBin, "doc_id", "content")
+        .toDF()
+        .select(col("id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
+        .orderBy("id")
+    }),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def minhashBandSql: String = {
+    val bands = (0 until 4).map { i =>
+      s"SELECT $i AS band, md5(list_min(list_transform(list_distinct(string_split(text, ' ')), w -> md5('$i:' || w)))) AS bucket_hash, doc_id FROM documents"
+    }.mkString(" UNION ALL ")
+    s"SELECT band, bucket_hash, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id FROM ($bands) GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2"
+  }
+
+  private def langidSql: String = {
+    val markers = TextAnalysis.langMarkers
+    def hit(ws: Seq[String]) =
+      ws.map(w => s"x = '$w'").mkString(" OR ")
+    val scoreCols = markers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> ${hit(ws)})) AS score_$l"
+    }.mkString(", ")
+    val best = s"greatest(${markers.map(m => "score_" + m._1).mkString(", ")})"
+    val caseExpr = markers.map { case (l, _) =>
+      s"WHEN score_$l = __best AND __best > 0 THEN '$l'"
+    }.mkString(" ")
+    val names = markers.map(m => "score_" + m._1).mkString(", ")
+    s"""SELECT doc_id, $names,
+       | CASE $caseExpr ELSE 'und' END AS predicted
+       | FROM (SELECT doc_id, $names, $best AS __best
+       |       FROM (SELECT doc_id, $scoreCols FROM documents))
+       | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pushdown_scan_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_multi_join_agg" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_incremental_cursor" ->
+      """SELECT count(*) AS n_new,
+        | CAST(epoch_us(max(ts)) AS BIGINT) AS new_cursor_us,
+        | CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin.replaceAll("\n", " "),
+
+    "q_cursor_coalesce" ->
+      """SELECT event_type,
+        | max(CAST(coalesce(json_extract_string(props, '$.v'), json_extract_string(props, '$.k')) AS BIGINT)) AS max_cursor,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events WHERE event_id < 5000) WHERE rn = 1),
+        |upd AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events WHERE event_id >= 5000) WHERE rn = 1),
+        |merged AS (
+        | SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value FROM base b ANTI JOIN upd u USING (user_id, event_type)
+        | UNION ALL SELECT user_id, event_type, event_id, ts, value FROM upd)
+        |SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |FROM merged ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", " "),
+
+    "q_merge_dedup" ->
+      """SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_hard_delete" ->
+      """SELECT user_id, event_id, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_normalize_flatten" ->
+      """SELECT event_id, user_id AS payload__user_id, event_type AS payload__detail__event_type,
+        | value AS payload__detail__value
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_normalize_explode" ->
+      """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx, unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, idx""".stripMargin.replaceAll("\n", " "),
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin.replaceAll("\n", " "),
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_table_routing" ->
+      "SELECT 'events_' || event_type AS _table, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_scalar_ts" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        | CAST(epoch_us(max(ts)) AS BIGINT) AS max_us,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_epoch_heuristic" ->
+      """SELECT event_id,
+        | CASE WHEN raw > 100000000000 THEN CAST(floor(raw / 1000) AS BIGINT) ELSE raw END AS epoch_s,
+        | DATE '1899-12-30' + CAST(user_id AS INTEGER) AS serial_date
+        |FROM (SELECT event_id, user_id, CAST(floor(value * 1000000000) AS BIGINT) AS raw FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_digest_ids" ->
+      """SELECT event_id, sha256(CAST(event_id AS VARCHAR) || '|' || event_type) AS msg_id
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_enum_decode" ->
+      """SELECT event_type,
+        | CASE event_type WHEN 'click' THEN 'Clicked' WHEN 'view' THEN 'Seen' WHEN 'purchase' THEN 'Bought'
+        |   WHEN 'signup' THEN 'Joined' WHEN 'error' THEN 'Failed' ELSE 'unknown' END AS label,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_session_filter" ->
+      """WITH s AS (SELECT user_id, max(ts) AS last_ts, min(ts) AS first_ts, count(*) AS n FROM events GROUP BY 1),
+        | mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT user_id, n FROM s, mx
+        |WHERE NOT (last_ts > m - INTERVAL '30 minutes'
+        |  AND (CAST(epoch_us(last_ts) AS BIGINT) - CAST(epoch_us(first_ts) AS BIGINT)) / 1000000.0 < 3600.0)
+        |ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 13 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_minhash" -> minhashBandSql,
+
+    "q_ann_cosine" ->
+      """SELECT q_id, rank, n_id FROM (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,
+        | (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        | len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        | len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct_count
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_langid" -> langidSql,
+
+    "q_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+  )
 }

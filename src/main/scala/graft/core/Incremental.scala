@@ -1,0 +1,89 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Incremental cursor — the framework's "MAX aggregate + filter" operator
+  * (SURVEY §2.5), used by ~20 reference connectors
+  * (sources/github/__init__.py:91-93 default max cursor;
+  * sources/zendesk/__init__.py:178 coalesced paths `a|b`;
+  * sources/zendesk/__init__.py:141-143 end_value early stop).
+  *
+  * The cursor column may be a `|`-coalesced list of paths: the first
+  * non-null field wins (sources/pipedrive/helpers/pages.py:44-46).
+  *
+  * Usage per run: `apply` filters the batch to (lastValue, endValue];
+  * `nextCursor` computes the new high-water mark as ONE distributed
+  * aggregate (no collect of data rows); the caller commits it to the
+  * StateStore after a successful write.
+  */
+final case class Incremental(
+    cursorPaths: Seq[String],
+    initialValue: Option[String] = None,
+    endValue: Option[String] = None,
+    descending: Boolean = false, // last_value_func=min when true
+) {
+  require(cursorPaths.nonEmpty, "at least one cursor path")
+
+  /** `coalesce(a, b)` over the configured paths. */
+  def cursorCol: Column =
+    if (cursorPaths.sizeIs == 1) col(cursorPaths.head)
+    else coalesce(cursorPaths.map(col): _*)
+
+  /** Rows strictly beyond the committed cursor, bounded by endValue.
+    * Open/closed bounds follow the reference: last_value excluded on the
+    * start side for max-cursors (dedup against re-reads is the pk's job),
+    * endValue exclusive (sources/zendesk/__init__.py:277-278).
+    */
+  def apply(df: DataFrame, state: StateStore, stateKey: String): DataFrame =
+    filterWith(df, state.getString(stateKey))
+
+  /** Filter with an explicit last-committed value (state-free form). */
+  def filterWith(df: DataFrame, lastCommitted: Option[String]): DataFrame = {
+    val c = cursorCol
+    val last = lastCommitted.orElse(initialValue)
+    val afterStart = last match {
+      case Some(v) => if (descending) c < lit(v).cast(dtOf(df)) else c > lit(v).cast(dtOf(df))
+      case None    => lit(true)
+    }
+    val beforeEnd = endValue match {
+      case Some(v) => if (descending) c >= lit(v).cast(dtOf(df)) else c < lit(v).cast(dtOf(df))
+      case None    => lit(true)
+    }
+    df.filter(afterStart && beforeEnd)
+  }
+
+  private def dtOf(df: DataFrame) =
+    df.select(cursorCol.as("c")).schema.head.dataType
+
+  /** New high-water mark of an already-filtered batch (max, or min when
+    * descending). One row to the driver — the aggregate itself is
+    * distributed and partial-aggregated map-side.
+    */
+  def nextCursor(df: DataFrame): Option[String] = {
+    val agg = if (descending) min(cursorCol) else max(cursorCol)
+    val r: Row = df.agg(agg.cast("string").as("v")).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  /** Map-valued cursor: per-group high-water marks in one grouped aggregate
+    * (Kinesis shard→max-seq, sources/kinesis/helpers.py:46-63). Result size
+    * = number of groups (shards), safe to collect.
+    */
+  def nextCursorBy(df: DataFrame, groupCol: String): Map[String, String] = {
+    val agg = if (descending) min(cursorCol) else max(cursorCol)
+    df.groupBy(col(groupCol).cast("string").as("k"))
+      .agg(agg.cast("string").as("v"))
+      .collect()
+      .iterator
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+
+  /** True when a newest-first page's minimum falls at/under the committed
+    * cursor — the page loop can stop fetching
+    * (sources/github/__init__.py:102-108 start_out_of_range).
+    */
+  def startOutOfRange(pageMin: String, lastValue: Option[String]): Boolean =
+    lastValue.exists(lv => pageMin <= lv)
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * declarative plans so Catalyst handles partial aggregation and AQE
+  * handles skew:
+  *
+  *  - exact: hash-groupBy on a content digest (map-side combine → one
+  *    shuffle on the digest; at 100 TB the digest groupBy is the minimal
+  *    possible shuffle since only (digest, min_id, count) survives the map
+  *    side);
+  *  - MinHash + LSH banding: shingle → k min-hashes → band buckets →
+  *    candidate pairs only within buckets (avoids the O(n²) cross join);
+  *  - SimHash: 64-bit sign-aggregated fingerprint, near-dups = equal
+  *    fingerprints (or equal bands of it);
+  *  - n-gram Jaccard verification on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Keep one row per exact content hash — the materializing variant. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word-set column (unigram shingles). */
+  def wordSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** One MinHash value: min over md5(i ':' word) — a deterministic,
+    * oracle-reproducible permutation family. Lexicographic min over hex
+    * digests ≡ min over a 128-bit hash.
+    */
+  def minhash(wordsCol: Column, seed: Int): Column =
+    array_min(transform(wordsCol, w => md5(concat(lit(s"$seed:"), w))))
+
+  /** MinHash signature columns sig_0..sig_{k-1}. */
+  def minhashSignature(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = wordSet(col(textCol))
+    (0 until k).foldLeft(df)((acc, i) => acc.withColumn(s"sig_$i", minhash(ws, i)))
+  }
+
+  /** LSH band buckets: documents sharing a band hash are near-dup
+    * candidates. rowsPerBand signatures are concatenated per band; the
+    * groupBy shuffles only (band, hash, id) triples.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignature(df, textCol, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+      sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol))
+    }
+    bands.reduce(_.unionByName(_))
+  }
+
+  /** Candidate near-dup groups: buckets holding >1 document. */
+  def lshCandidateGroups(df: DataFrame, idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshBuckets(df, idCol, textCol, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Jaccard similarity of the distinct word sets of two text columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(split(a, " "))
+    val sb = array_distinct(split(b, " "))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
+    * bit of xxhash64(word), sign of the sum becomes the bit. Built from
+    * higher-order functions only (aggregate over the words array), so it
+    * stays inside whole-stage codegen.
+    */
+  def simhash(wordsCol: Column): Column = {
+    // acc: array of 64 counters; per word w: counters += bit(hash(w), i) ? 1 : -1
+    val zero = array_repeat(lit(0L), 64)
+    val summed = aggregate(
+      wordsCol,
+      zero,
+      (acc, w) => {
+        val h = xxhash64(w)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+          a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      },
+    )
+    // fold sign bits into one BIGINT fingerprint
+    aggregate(
+      zip_with(summed, sequence(lit(0), lit(63)), (s, i) =>
+        when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b),
+    )
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs within LSH-ish id buckets —
+    * see Similarity.cosine for the expression; caller restricts the pair
+    * space (bucketing) before invoking.
+    */
+  def cosineNearDups(pairs: DataFrame, vecA: String, vecB: String, threshold: Double): DataFrame =
+    pairs
+      .withColumn("cosine", Similarity.cosine(col(vecA), col(vecB)))
+      .filter(col("cosine") >= threshold)
+}

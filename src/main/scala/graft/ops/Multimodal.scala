@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with a typed metadata struct, plus the Spark-side plumbing for
+  * decode / feature-extract stages.
+  *
+  * The actual media codecs are NOT in this container, so the decode kernel
+  * is a clearly-marked deterministic fake (`fakeDecodeKernel`); everything
+  * around it — schema, batch iteration via mapPartitions, partition sizing
+  * — is real and is what matters at 100 TB: media blobs must never be
+  * shuffled (decode before any wide op, project metadata early, keep blobs
+  * out of join keys).
+  *
+  * Reference pattern: FileItem attachments as binary + metadata
+  * (sources/inbox/__init__.py:99-173) and per-document model calls batched
+  * in an executor-side loop (sources/unstructured_data/helpers.py:20-91).
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to each blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image|audio|video
+    StructField("format", StringType),       // png|wav|mp4|...
+    StructField("n_bytes", LongType),
+    StructField("sha", StringType),
+  ))
+
+  /** Wrap a binary column into the canonical (content, meta) pair. */
+  def withMediaMeta(df: DataFrame, binCol: String, mediaType: String, format: String): DataFrame =
+    df.withColumn(
+      s"${binCol}_meta",
+      struct(
+        lit(mediaType).as("media_type"),
+        lit(format).as("format"),
+        length(col(binCol)).cast(LongType).as("n_bytes"),
+        sha2(col(binCol), 256).as("sha"),
+      ),
+    )
+
+  /** Feature row produced by the decode/extract stage. */
+  case class MediaFeatures(
+      id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float],
+  )
+
+  /** STUB decode kernel. In production this calls the image/audio codec on
+    * a batch of blobs (the libs are not in this container). The fake is
+    * deterministic in the blob bytes so tests are stable; the signature —
+    * Iterator[batch of blobs] -> Iterator[features] — is the real contract
+    * a codec UDF must satisfy (vectorized, per-partition, no driver data).
+    */
+  def fakeDecodeKernel(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length
+    val h = java.util.Arrays.hashCode(bytes)
+    val feat = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xf).toFloat / 15.0f)
+    MediaFeatures(id, n.toLong, width = 1 + (h & 0x3ff), height = 1 + ((h >>> 10) & 0x3ff),
+      n_frames = 1 + (n % 16), feature = feat)
+  }
+
+  /** Decode stage: batch-iterates each partition through the kernel.
+    * Executors see blobs exactly once; output is small typed rows, so
+    * everything downstream shuffles features, never media bytes.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map(r => fakeDecodeKernel(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+  }
+
+  /** Frame sampling plan for video blobs: every `stride`-th frame index up
+    * to n_frames — pure expression, the decode kernel receives the index
+    * list. Demonstrates explode-based fan-out without duplicating blobs:
+    * sample indices first, join back to blobs by id at decode time.
+    */
+  def frameSampleIndices(nFrames: Column, stride: Int): Column =
+    sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the (huge) corpus: the corpus never shuffles; each task
+  * scores its split and a single top-k-per-query window reduces the
+  * (n_queries × corpus_partition) partial results.
+  *
+  * Scale path: random-hyperplane LSH bucketing — corpus and queries hash
+  * to sign-pattern buckets; only same-bucket pairs are scored. At 100 TB
+  * the bucket join is a shuffle on the (short) signature key instead of a
+  * cross join.
+  *
+  * All arithmetic is double, sequential left-fold over the vector — the
+  * deterministic order keeps results bit-identical across runs and
+  * engines (oracle parity).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. `queries` must be small (it is broadcast).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(v, plane_i)), planes
+    * derived deterministically from xxhash64(i, j) — no stored model.
+    * nBits buckets the space into 2^nBits cells.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      // pseudo-random plane component j: map hash to {-1, +1}
+      val d = dot(
+        vec,
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          when(xxhash64(lit(i), j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+      )
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: score only same-signature pairs. Recall depends on
+    * nBits; callers union multiple signature tables for multi-probe.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      nBits: Int,
+      k: Int,
+  ): DataFrame = {
+    val cSig = corpus.withColumn("__sig", hyperplaneSignature(col(corpusVec), dim, nBits))
+    val qSig = queries.withColumn("__sig", hyperplaneSignature(col(queryVec), dim, nBits))
+    val scored = cSig
+      .join(broadcast(qSig), "__sig")
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+}

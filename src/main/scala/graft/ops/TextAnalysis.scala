@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  * All are single-pass narrow transformations built from codegen'd
+  * `functions._` expressions — no UDFs, no shuffles; they scale linearly
+  * with input splits. Pattern source: the reference's per-document
+  * enrichment step (sources/unstructured_data/helpers.py:20-91) re-expressed
+  * as columnar expressions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space split — matches the synthetic corpus
+    * and the oracle's `string_split`).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, or single
+    * other non-space chars.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Quality-score feature columns (length / punctuation / stopword
+    * ratios) — the standard pre-training quality filters.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val nw = size(w)
+    Seq(
+      "n_chars" -> length(text),
+      "n_words" -> nw,
+      "avg_word_len" -> (length(text) - (nw - lit(1))).cast("double") / nw.cast("double"),
+      "stopword_ratio" ->
+        size(filter(w, t => t.isin("the", "a", "of", "and"))).cast("double") / nw.cast("double"),
+      "punct_count" -> regexp_count(text, lit("[\\.,;:!\\?]")),
+    )
+  }
+
+  /** Marker-word language-ID: score each language by marker hits, pick argmax
+    * (first language wins ties). A real system swaps the marker table for
+    * char-n-gram profiles; the operator shape (broadcast marker map,
+    * argmax over per-language scores) is what matters at scale.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "fr" -> Seq("le", "la", "vite"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "la", "rapido"),
+    "zh" -> Seq("kuai", "man", "biao"),
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    langMarkers.map { case (lang, markers) =>
+      s"score_$lang" -> size(filter(w, t => t.isin(markers: _*)))
+    }
+  }
+
+  /** argmax over language scores with first-wins tie-break. */
+  def predictLang(text: Column): Column = {
+    val w = words(text)
+    val scored = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, t => t.isin(markers: _*)))
+    }
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: hash of the normalized head of the document —
+    * cheap near-duplicate prefilter (rolling-hash analog as a single md5
+    * over the first 64 normalized chars).
+    */
+  def fingerprint(text: Column): Column = md5(substring(lower(text), 1, 64))
+}
