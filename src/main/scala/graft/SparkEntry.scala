@@ -301,10 +301,11 @@ object SparkEntry {
     // n-gram (word-set) Jaccard near-dup pairs on a bucketed pair space
     "q_dedup_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        .select(col("doc_id"), Dedup.wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jac", Dedup.jaccard(col("text_a"), col("text_b")))
+        .withColumn("jac", Dedup.jaccardSets(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.5)
         .select("id_a", "id_b", "jac")
         .orderBy("id_a", "id_b")

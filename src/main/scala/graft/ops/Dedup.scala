@@ -70,14 +70,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
       .filter(col("n_docs") > 1)
 
-  /** Jaccard similarity of the distinct word sets of two text columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val sa = array_distinct(split(a, " "))
-    val sb = array_distinct(split(b, " "))
+  /** Jaccard similarity of two precomputed distinct-element arrays.
+    * Callers should project `wordSet` BEFORE any pairwise join so the
+    * split+distinct runs once per document, not once per pair.
+    */
+  def jaccardSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_union(sa, sb)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
+
+  /** Jaccard similarity of the distinct word sets of two text columns. */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardSets(array_distinct(split(a, " ")), array_distinct(split(b, " ")))
 
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from

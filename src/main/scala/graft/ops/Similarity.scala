@@ -55,18 +55,30 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
-  /** Random-hyperplane signature: bit i = sign(dot(v, plane_i)), planes
-    * derived deterministically from xxhash64(i, j) — no stored model.
+  /** Deterministic ±1 hyperplanes from a splitmix64 stream — no stored
+    * model, same planes on every run/executor. Materialized driver-side
+    * once and embedded as array literals so each row's signature is
+    * nBits dot products against constants (instead of re-generating the
+    * planes per row inside the expression tree).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nBits)(Array.fill(dim)(if ((next() & 1L) == 1L) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(v, plane_i)).
     * nBits buckets the space into 2^nBits cells.
     */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { i =>
-      // pseudo-random plane component j: map hash to {-1, +1}
-      val d = dot(
-        vec,
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          when(xxhash64(lit(i), j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-      )
+    val bits = hyperplanes(dim, nBits).zipWithIndex.map { case (plane, i) =>
+      val d = dot(vec, typedlit(plane.toSeq))
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -1,0 +1,54 @@
+package graft.core
+
+import graft.SparkTestBase
+
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "2024-01-01", "s1"),
+    (2L, "2024-01-05", "s1"),
+    (3L, "2024-01-10", "s2"),
+    (4L, "2024-01-20", "s2"),
+  ).toDF("id", "ts", "shard")
+
+  test("filterWith applies (last, end) bounds") {
+    val inc = Incremental(Seq("ts"), initialValue = Some("2024-01-01"), endValue = Some("2024-01-20"))
+    val ids = inc.filterWith(df, None).select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L)) // start exclusive, end exclusive
+    val ids2 = inc.filterWith(df, Some("2024-01-05")).select("id").as[Long].collect().toSet
+    assert(ids2 == Set(3L))
+  }
+
+  test("no initial value passes everything under end bound") {
+    val inc = Incremental(Seq("ts"))
+    assert(inc.filterWith(df, None).count() == 4)
+  }
+
+  test("coalesced cursor paths pick first non-null") {
+    val d = Seq((1L, Some("2024-02-01"), "2024-01-01"), (2L, None, "2024-01-09"))
+      .toDF("id", "a", "b")
+    val inc = Incremental(Seq("a", "b"), initialValue = Some("2024-01-05"))
+    val ids = inc.filterWith(d, None).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+  }
+
+  test("nextCursor is the max (min when descending)") {
+    val inc = Incremental(Seq("ts"))
+    assert(inc.nextCursor(df).contains("2024-01-20"))
+    assert(Incremental(Seq("ts"), descending = true).nextCursor(df).contains("2024-01-01"))
+    assert(inc.nextCursor(df.limit(0)).isEmpty)
+  }
+
+  test("map-valued cursor: per-shard high-water marks") {
+    val inc = Incremental(Seq("ts"))
+    assert(inc.nextCursorBy(df, "shard") == Map("s1" -> "2024-01-05", "s2" -> "2024-01-20"))
+  }
+
+  test("startOutOfRange stops newest-first paging") {
+    val inc = Incremental(Seq("ts"))
+    assert(inc.startOutOfRange("2024-01-03", Some("2024-01-05")))
+    assert(!inc.startOutOfRange("2024-01-07", Some("2024-01-05")))
+    assert(!inc.startOutOfRange("2024-01-07", None))
+  }
+}

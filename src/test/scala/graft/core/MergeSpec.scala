@@ -1,0 +1,88 @@
+package graft.core
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hints = TableHints(
+    "t", disposition = Disposition.Merge,
+    primaryKey = Seq("id"), dedupSort = Some(("v", true)))
+
+  test("dedupeBatch keeps the max dedup_sort row per key") {
+    val updates = Seq((1L, 1L, "old"), (1L, 5L, "new"), (2L, 3L, "only")).toDF("id", "v", "s")
+    val out = MergeEngine.dedupeBatch(updates, Seq("id"), Some(("v", true)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == Map(1L -> "new", 2L -> "only"))
+  }
+
+  test("upsert: updates replace, inserts append, untouched rows survive") {
+    val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "v", "s")
+    val updates = Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("id", "v", "s")
+    val out = MergeEngine.mergePlan(Some(base), updates, hints)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("hard delete removes the key entirely") {
+    val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "v", "s")
+    val updates = Seq((2L, 2L, "dead"), (3L, 1L, "c")).toDF("id", "v", "s")
+      .withColumn("deleted_ts", when($"s" === "dead", current_timestamp()))
+    val out = MergeEngine.mergePlan(Some(base), updates, hints.copy(hardDeleteCol = Some("deleted_ts")))
+    assert(!out.columns.contains("deleted_ts"))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("delete marker wins only when it is the latest row for the key") {
+    val updates = Seq((1L, 5L, "live", false), (1L, 9L, "dead", true)).toDF("id", "v", "s", "dead")
+      .withColumn("deleted_ts", when($"dead", current_timestamp())).drop("dead")
+    val out = MergeEngine.mergePlan(None, updates, hints.copy(hardDeleteCol = Some("deleted_ts")))
+    assert(out.count() == 0)
+  }
+
+  test("schema evolution: new columns appear null-backfilled, types widen") {
+    val base = Seq((1L, 1L, 10)).toDF("id", "v", "n")          // n: int
+    val updates = Seq((2L, 1L, 99999999999L, "x")).toDF("id", "v", "n", "extra") // n: long
+    val out = MergeEngine.mergePlan(Some(base), updates, hints)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.schema("extra").dataType == StringType)
+    val row1 = out.where($"id" === 1).head()
+    assert(row1.isNullAt(out.columns.indexOf("extra")))
+  }
+
+  test("widen lattice") {
+    assert(MergeEngine.widen(IntegerType, LongType) == LongType)
+    assert(MergeEngine.widen(LongType, DoubleType) == DoubleType)
+    assert(MergeEngine.widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
+    assert(MergeEngine.widen(DecimalType(10, 8), DecimalType(12, 2)) == DecimalType(18, 8))
+    assert(MergeEngine.widen(DateType, TimestampType) == TimestampType)
+    assert(MergeEngine.widen(StringType, LongType) == StringType)
+  }
+
+  test("pk-less merge degrades to append") {
+    val base = Seq((1L, 1L, "a")).toDF("id", "v", "s")
+    val updates = Seq((1L, 2L, "a2")).toDF("id", "v", "s")
+    val out = MergeEngine.mergePlan(Some(base), updates, hints.copy(primaryKey = Nil, mergeKey = Nil))
+    assert(out.count() == 2)
+  }
+
+  test("TableWriter round-trips all three dispositions") {
+    val root = tmpDir("graft-writer")
+    val df1 = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "v", "s")
+    val df2 = Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("id", "v", "s")
+
+    TableWriter.write(spark, df1, root, hints.copy(disposition = Disposition.Append))
+    TableWriter.write(spark, df2, root, hints.copy(disposition = Disposition.Append))
+    assert(spark.read.parquet(s"$root/t").count() == 4)
+
+    TableWriter.write(spark, df1, root, hints.copy(disposition = Disposition.Replace))
+    assert(spark.read.parquet(s"$root/t").count() == 2)
+
+    TableWriter.write(spark, df2, root, hints)
+    val merged = spark.read.parquet(s"$root/t")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(merged == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the quick brown fox"),   // exact dup of 1
+    (3L, "the quick brown wolf"),  // near dup
+    (4L, "completely different words here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates and keeps min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("jaccard: identical=1, near-dup high, disjoint=0") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.jaccard($"a.text", $"b.text").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.6) // 3 shared / 5 union
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("minhash LSH: exact dups always share every band bucket") {
+    val buckets = Dedup.lshBuckets(docs, "doc_id", "text", numHashes = 4, rowsPerBand = 2)
+    val byDoc = buckets.collect().groupBy(_.getLong(2)).view
+      .mapValues(_.map(r => (r.getInt(0), r.getString(1))).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    val cands = Dedup.lshCandidateGroups(docs, "doc_id", "text", 4, 2)
+    assert(cands.where($"min_id" === 1 && $"max_id" >= 2 && $"n_docs" >= 2).count() > 0)
+  }
+
+  test("simhash: identical texts identical, hamming sane") {
+    val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val d14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(d13 < d14) // near-dup closer than unrelated
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)),
+    ).toDF("id", "v")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"), Similarity.cosine($"a.v", $"b.v").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine") {
+    val corpus = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(0.1f, 1.0f))).toDF("n_id", "n_vec")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val top = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(10L, 11L))
+  }
+
+  test("hyperplane signatures are deterministic and bucket-compatible") {
+    val vecs = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
+    val s1 = vecs.select(Similarity.hyperplaneSignature($"v", 8, 4)).head().getLong(0)
+    val s2 = vecs.select(Similarity.hyperplaneSignature($"v", 8, 4)).head().getLong(0)
+    assert(s1 == s2)
+    assert(s1 >= 0 && s1 < 16)
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint") {
+    val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val q = d.select(
+      TextAnalysis.wordCount($"text").as("w"),
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.predictLang($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+    ).head()
+    assert(q.getAs[Int]("w") == 3)
+    assert(q.getAs[Int]("t") == 3)
+    assert(q.getAs[String]("lang") == "en")
+    assert(q.getAs[String]("fp").length == 32)
+  }
+
+  test("multimodal decode plumbing produces one feature row per blob") {
+    val d = Seq((1L, "abc"), (2L, "defg")).toDF("id", "text")
+      .withColumn("content", $"text".cast("binary"))
+    val feats = Multimodal.decodeFeatures(d, "id", "content").collect()
+    assert(feats.length == 2)
+    assert(feats.find(_.id == 2L).get.n_bytes == 4L)
+    // deterministic: same bytes → same features
+    val again = Multimodal.decodeFeatures(d, "id", "content").collect()
+    assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
+  }
+}
