@@ -405,6 +405,119 @@ object SparkEntry {
         .select(col("id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
         .orderBy("id")
     }),
+
+    // ---- connector-layer end-to-end (SURVEY §2.1/§3) ----
+
+    // CDC: events → pgoutput binary frames → decode → consume (txn
+    // boundaries) → typed rows → merge with lsn-dedup + hard delete.
+    // 'error' events are emitted as key-only Deletes; latest lsn wins.
+    "q_cdc_pipeline" -> ((s, dir) => {
+      import graft.connectors.cdc.{ChangeBatch, PgOutput}
+      import PgOutput._
+      val rel = RelationMeta(1, "public", "accounts", 'd', Seq(
+        ColumnMeta("user_id", 20, -1, isKey = true),
+        ColumnMeta("event_id", 20, -1, isKey = false),
+        ColumnMeta("value", 701, -1, isKey = false),
+      ))
+      val ev = t(s, dir, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value").orderBy("event_id").collect()
+      val ts0 = 1700000000000000L
+      val frames: Seq[(Long, Array[Byte])] =
+        Seq((0L, Encode.relation(rel))) ++ ev.toSeq.zipWithIndex.flatMap { case (r, i) =>
+          val lsn = r.getLong(0)
+          val base = 10L * lsn
+          val payload =
+            if (r.getString(2) == "error")
+              Encode.delete(1, Seq(Some(r.getLong(1).toString), None, None))
+            else
+              Encode.insert(1, Seq(Some(r.getLong(1).toString), Some(lsn.toString), Some(r.getDouble(3).toString)))
+          Seq(
+            (base, Encode.begin(base + 2, ts0, i)),
+            (lsn, payload),
+            (base + 2, Encode.commit(base + 2, base + 3, ts0)),
+          )
+        }
+      val consumed = ChangeBatch.consume(frames.iterator, targetBatchSize = Int.MaxValue)
+      val changes = consumed.batch.byRelation("accounts")
+      val typed = ChangeBatch.toTypedDf(ChangeBatch.changeRows(s, rel, changes), rel)
+      MergeEngine.mergePlan(None, typed, ChangeBatch.mergeHints(rel))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
+    // queue micro-batch reader: events routed to partitions by user_id%4,
+    // payload = props JSON; envelope + offset plan verified via aggregates
+    "q_queue_pipeline" -> ((s, dir) => {
+      import graft.connectors.streams.{InMemoryBroker, QueueReader}
+      val ev = t(s, dir, "events").filter(col("event_id") < 3000)
+        .select("event_id", "user_id", "props").orderBy("event_id").collect()
+      val byPart: Map[Int, Seq[String]] = ev.toSeq
+        .groupBy(r => (r.getLong(1) % 4).toInt)
+        .map { case (p, rows) => p -> rows.map(_.getString(2)) }
+      val state = new StateStore(java.nio.file.Files.createTempDirectory("graft_q").resolve("s.json"))
+      val (df, _) = QueueReader.readBatch(s, InMemoryBroker(byPart), "events", state, maxPerPartition = Int.MaxValue)
+      df.groupBy(col("_queue_partition"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(get_json_object(col("data"), "$.k").cast("long")).as("max_k"),
+        )
+        .orderBy("_queue_partition")
+    }),
+
+    // declarative REST engine: documents served as offset-paginated JSON
+    // pages through the page loop + schema inference, then aggregated
+    "q_rest_pipeline" -> ((s, dir) => {
+      import graft.connectors.rest.{RestEngine, StaticPagesTransport}
+      import RestEngine._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      val pageSize = 25
+      def item(r: org.apache.spark.sql.Row) =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      val chunks = docs.toSeq.grouped(pageSize).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        val key = if (i == 0) "docs" else s"docs?limit=$pageSize&offset=${i * pageSize}"
+        key -> s"""{"data":[${chunk.map(item).mkString(",")}]}"""
+      }.toMap + (s"docs?limit=$pageSize&offset=${chunks.size * pageSize}" -> """{"data":[]}""")
+      val ep = EndpointConfig("docs", dataSelector = "data",
+        paginator = Paginator.Offset(pageSize = pageSize))
+      val items = fetchPages(ClientConfig("https://fixture.test"), ep, StaticPagesTransport(pages))
+      jsonToDf(s, items)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // pipeline driver: two incremental merge runs (split on ts) produce
+    // exactly the full deduplicated table; cursor prunes the re-run
+    "q_pipeline_incremental" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val dest = java.nio.file.Files.createTempDirectory("graft_dest").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_pstate").toString
+      val pipe = new Pipeline(s, "verify", dest, stateDir)
+      var cut: Option[String] = Some("2024-01-20 00:00:00")
+      val res = ResourceDef(
+        name = "events_loaded",
+        hints = TableHints("events_loaded", Disposition.Merge, primaryKey = Seq("event_id")),
+        build = ctx => {
+          val ev = t(ctx.spark, dir, "events")
+          cut match {
+            case Some(c) => ev.filter(col("ts") < tsLit(ev, "ts", c))
+            case None    => ev
+          }
+        },
+        incremental = Some((Incremental(Seq("ts")), "ts")),
+      )
+      pipe.run(SourceDef("src", Seq(res)))  // run 1: ts < cut
+      cut = None
+      pipe.run(SourceDef("src", Seq(res)))  // run 2: cursor loads the rest
+      s.read.parquet(s"$dest/events_loaded")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          tsMicros(max(col("ts"))).as("max_ts_us"),
+        )
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -601,5 +714,25 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_cdc_pipeline" ->
+      """SELECT user_id, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id < 2000)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_queue_pipeline" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS _queue_partition, count(*) AS n,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events WHERE event_id < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_rest_pipeline" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_incremental" ->
+      """SELECT count(*) AS n, count(DISTINCT event_id) AS n_distinct,
+        | CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+        |FROM events""".stripMargin.replaceAll("\n", " "),
   )
 }

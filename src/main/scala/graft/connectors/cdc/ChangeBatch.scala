@@ -1,0 +1,154 @@
+package graft.connectors.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Disposition, TableHints}
+import PgOutput._
+
+/** Assembles decoded pgoutput messages into per-relation change
+  * DataFrames carrying the CDC framework columns:
+  * `_lsn BIGINT` (dedup_sort desc) and `_deleted_ts TIMESTAMP`
+  * (hard_delete marker) — the contract the merge writer consumes
+  * (sources/pg_replication/helpers.py:764-773).
+  *
+  * Batching rules mirrored from the reference:
+  *  - transactions are never split across batches
+  *    (sources/pg_replication/__init__.py:62-67): `consume` only emits
+  *    completed transactions; an open transaction at the cut stays pending;
+  *  - a Relation re-definition mid-stream forces a batch flush so each
+  *    batch has a single schema per table
+  *    (sources/pg_replication/helpers.py:725-736 StopReplication).
+  */
+object ChangeBatch {
+
+  /** Postgres type OID → Spark type (text output format), the public
+    * subset of the reference's OID map
+    * (sources/pg_replication/schema_types.py:31-110).
+    */
+  def oidToSpark(oid: Int): DataType = oid match {
+    case 16           => BooleanType       // bool
+    case 21           => ShortType         // int2
+    case 23           => IntegerType       // int4
+    case 20           => LongType          // int8
+    case 700          => FloatType         // float4
+    case 701          => DoubleType        // float8
+    case 1700         => DecimalType(38, 9) // numeric (no typmod → generous)
+    case 1082         => DateType          // date
+    case 1114 | 1184  => TimestampType     // timestamp / timestamptz
+    case 17           => BinaryType        // bytea (hex text '\x...')
+    case 114 | 3802   => StringType        // json / jsonb kept as json text
+    case _            => StringType        // text, varchar, uuid, time, ...
+  }
+
+  final case class Change(
+      relation: RelationMeta,
+      lsn: Long,
+      commitTsMicros: Long,
+      deleted: Boolean,
+      values: Seq[TupleValue],
+  )
+
+  final case class Batch(changes: Seq[Change]) {
+    def byRelation: Map[String, Seq[Change]] =
+      changes.groupBy(c => c.relation.name)
+  }
+
+  /** Result of consuming a frame stream: completed batches plus the LSN to
+    * resume from (the last committed transaction's end).
+    */
+  final case class ConsumeResult(batch: Batch, lastCommitLsn: Option[Long], schemaChanged: Boolean)
+
+  /** Consume (lsn, frame) pairs up to `targetBatchSize` items, honoring
+    * transaction boundaries (may exceed the target to finish a
+    * transaction — reference target_batch_size semantics,
+    * sources/pg_replication/__init__.py:26,60-67).
+    */
+  def consume(
+      frames: Iterator[(Long, Array[Byte])],
+      targetBatchSize: Int = 1000,
+  ): ConsumeResult = {
+    val relations = scala.collection.mutable.Map.empty[Int, RelationMeta]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Change]
+    val pendingTxn = scala.collection.mutable.ArrayBuffer.empty[Change]
+    var commitTs = 0L
+    var lastCommitLsn: Option[Long] = None
+    var schemaChanged = false
+    var done = false
+
+    while (frames.hasNext && !done) {
+      val (lsn, frame) = frames.next()
+      PgOutput.decode(frame) match {
+        case Begin(_, ts, _) =>
+          commitTs = ts
+        case Relation(meta) =>
+          if (relations.get(meta.relationId).exists(_ != meta) && emitted.nonEmpty) {
+            // schema changed mid-stream: flush what we have, caller starts
+            // a new batch with the evolved schema
+            schemaChanged = true
+            done = true
+          }
+          relations(meta.relationId) = meta
+        case Insert(relId, row) =>
+          pendingTxn += Change(relations(relId), lsn, commitTs, deleted = false, row)
+        case Update(relId, _, newRow) =>
+          pendingTxn += Change(relations(relId), lsn, commitTs, deleted = false, newRow)
+        case Delete(relId, keyRow) =>
+          pendingTxn += Change(relations(relId), lsn, commitTs, deleted = true, keyRow)
+        case Commit(_, endLsn, _) =>
+          emitted ++= pendingTxn
+          pendingTxn.clear()
+          lastCommitLsn = Some(endLsn)
+          if (emitted.size >= targetBatchSize) done = true
+        case _ => ()
+      }
+    }
+    ConsumeResult(Batch(emitted.toSeq), lastCommitLsn, schemaChanged)
+  }
+
+  /** Spark schema for a relation's change rows: data columns as strings
+    * (text output format) + framework columns; `toTypedDf` applies OID
+    * casts.
+    */
+  def changeRows(spark: SparkSession, relation: RelationMeta, changes: Seq[Change]): DataFrame = {
+    val fields = relation.columns.map(c => StructField(c.name, StringType)) ++
+      Seq(StructField("_lsn", LongType), StructField("_deleted_ts", TimestampType))
+    val rows = changes.map { ch =>
+      val vals = ch.values.map(_.value.orNull)
+      val deletedTs =
+        if (ch.deleted) new java.sql.Timestamp(ch.commitTsMicros / 1000) else null
+      Row.fromSeq(vals ++ Seq(ch.lsn, deletedTs))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000 + 1)),
+      StructType(fields))
+  }
+
+  /** Text-format → typed columns per the OID map. Postgres booleans arrive
+    * as 't'/'f'; bytea as '\x<hex>'.
+    */
+  def toTypedDf(df: DataFrame, relation: RelationMeta): DataFrame = {
+    val cols: Seq[Column] = relation.columns.map { c =>
+      val raw = col(c.name)
+      val typed = oidToSpark(c.typeOid) match {
+        case BooleanType => raw === "t"
+        case BinaryType  => unhex(regexp_replace(raw, "^\\\\x", ""))
+        case dt          => raw.cast(dt)
+      }
+      typed.as(c.name)
+    } ++ Seq(col("_lsn"), col("_deleted_ts"))
+    df.select(cols: _*)
+  }
+
+  /** Merge hints for a relation's change stream: pk from the replica
+    * identity, latest-lsn-wins, hard delete on `_deleted_ts`
+    * (sources/pg_replication/helpers.py:764-778).
+    */
+  def mergeHints(relation: RelationMeta): TableHints = TableHints(
+    tableName = relation.name,
+    disposition = Disposition.Merge,
+    primaryKey = relation.columns.filter(_.isKey).map(_.name),
+    dedupSort = Some(("_lsn", true)),
+    hardDeleteCol = Some("_deleted_ts"),
+  )
+}

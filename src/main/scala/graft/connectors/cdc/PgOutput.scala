@@ -1,0 +1,161 @@
+package graft.connectors.cdc
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Decoder for the pgoutput logical-replication binary format (grammar from
+  * the public PostgreSQL docs, "Logical Streaming Replication Protocol",
+  * message formats §55.5 / protocol 3.x; the reference implements the same
+  * frame grammar in sources/pg_replication/decoders.py:62-428).
+  *
+  * Scope: Begin/Commit transaction framing, Relation schema frames, and
+  * Insert/Update/Delete tuples with 'n'/'u'/'t' tuple-data kinds. Column
+  * values arrive in the text output format; typed conversion happens at
+  * the DataFrame layer (ChangeBatch) so the decode stays allocation-lean.
+  */
+object PgOutput {
+
+  /** Microseconds between 2000-01-01 (postgres epoch) and 1970-01-01. */
+  val PgEpochOffsetMicros: Long = 946684800000000L
+
+  final case class ColumnMeta(name: String, typeOid: Int, typeMod: Int, isKey: Boolean)
+  final case class RelationMeta(relationId: Int, namespace: String, name: String,
+      replicaIdentity: Char, columns: Seq[ColumnMeta])
+
+  /** One decoded column value: None = SQL NULL; `unchangedToast` marks 'u'
+    * kinds (value not sent — key-only deletes and untouched TOAST columns,
+    * reference handling at sources/pg_replication/schema_types.py:123-140).
+    */
+  final case class TupleValue(value: Option[String], unchangedToast: Boolean = false)
+
+  sealed trait Message
+  final case class Begin(finalLsn: Long, commitTsMicros: Long, xid: Int) extends Message
+  final case class Commit(commitLsn: Long, endLsn: Long, commitTsMicros: Long) extends Message
+  final case class Relation(meta: RelationMeta) extends Message
+  final case class Insert(relationId: Int, row: Seq[TupleValue]) extends Message
+  final case class Update(relationId: Int, oldRow: Option[Seq[TupleValue]], newRow: Seq[TupleValue]) extends Message
+  final case class Delete(relationId: Int, keyRow: Seq[TupleValue]) extends Message
+  final case class Truncate(relationIds: Seq[Int]) extends Message
+  final case class Unknown(tag: Char) extends Message
+
+  def decode(frame: Array[Byte]): Message = {
+    val buf = ByteBuffer.wrap(frame)
+    (buf.get().toChar: @unchecked) match {
+      case 'B' => Begin(buf.getLong, buf.getLong + PgEpochOffsetMicros, buf.getInt)
+      case 'C' =>
+        buf.get() // flags (unused, must be 0)
+        Commit(buf.getLong, buf.getLong, buf.getLong + PgEpochOffsetMicros)
+      case 'R' =>
+        val relId = buf.getInt
+        val ns = cstring(buf)
+        val name = cstring(buf)
+        val ident = buf.get().toChar
+        val ncols = buf.getShort.toInt
+        val cols = (0 until ncols).map { _ =>
+          val flags = buf.get()
+          ColumnMeta(cstring(buf), buf.getInt, buf.getInt, (flags & 1) == 1)
+        }
+        Relation(RelationMeta(relId, ns, name, ident, cols))
+      case 'I' =>
+        val relId = buf.getInt
+        require(buf.get().toChar == 'N', "insert must carry a new tuple")
+        Insert(relId, tupleData(buf))
+      case 'U' =>
+        val relId = buf.getInt
+        var marker = buf.get().toChar
+        val old = if (marker == 'K' || marker == 'O') {
+          val t = tupleData(buf); marker = buf.get().toChar; Some(t)
+        } else None
+        require(marker == 'N', s"update missing new tuple (got $marker)")
+        Update(relId, old, tupleData(buf))
+      case 'D' =>
+        val relId = buf.getInt
+        val kind = buf.get().toChar
+        require(kind == 'K' || kind == 'O', s"delete tuple kind $kind")
+        Delete(relId, tupleData(buf))
+      case 'T' =>
+        val n = buf.getInt
+        buf.get() // options
+        Truncate((0 until n).map(_ => buf.getInt))
+      case other => Unknown(other)
+    }
+  }
+
+  private def tupleData(buf: ByteBuffer): Seq[TupleValue] = {
+    val n = buf.getShort.toInt
+    (0 until n).map { _ =>
+      buf.get().toChar match {
+        case 'n' => TupleValue(None)
+        case 'u' => TupleValue(None, unchangedToast = true)
+        case 't' =>
+          val len = buf.getInt
+          val bytes = new Array[Byte](len)
+          buf.get(bytes)
+          TupleValue(Some(new String(bytes, StandardCharsets.UTF_8)))
+        case other => throw new IllegalArgumentException(s"tuple kind $other")
+      }
+    }
+  }
+
+  private def cstring(buf: ByteBuffer): String = {
+    val sb = new java.lang.StringBuilder()
+    var b = buf.get()
+    while (b != 0) { sb.append(b.toChar); b = buf.get() }
+    sb.toString
+  }
+
+  // -------------------------------------------------------- encode (tests)
+
+  /** Frame encoders — used by specs and the synthetic-CDC harness to build
+    * protocol-exact batches without a live postgres.
+    */
+  object Encode {
+    private def buffer(size: Int = 8192) = ByteBuffer.allocate(size)
+    private def finish(b: ByteBuffer): Array[Byte] = {
+      val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+    }
+    private def putCString(b: ByteBuffer, s: String): Unit = {
+      b.put(s.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+    }
+    private def putTuple(b: ByteBuffer, row: Seq[Option[String]]): Unit = {
+      b.putShort(row.size.toShort)
+      row.foreach {
+        case None => b.put('n'.toByte)
+        case Some(v) =>
+          val bytes = v.getBytes(StandardCharsets.UTF_8)
+          b.put('t'.toByte); b.putInt(bytes.length); b.put(bytes)
+      }
+    }
+
+    def begin(finalLsn: Long, commitTsMicros: Long, xid: Int): Array[Byte] = {
+      val b = buffer(); b.put('B'.toByte); b.putLong(finalLsn)
+      b.putLong(commitTsMicros - PgEpochOffsetMicros); b.putInt(xid); finish(b)
+    }
+    def commit(commitLsn: Long, endLsn: Long, commitTsMicros: Long): Array[Byte] = {
+      val b = buffer(); b.put('C'.toByte); b.put(0.toByte); b.putLong(commitLsn)
+      b.putLong(endLsn); b.putLong(commitTsMicros - PgEpochOffsetMicros); finish(b)
+    }
+    def relation(meta: RelationMeta): Array[Byte] = {
+      val b = buffer(); b.put('R'.toByte); b.putInt(meta.relationId)
+      putCString(b, meta.namespace); putCString(b, meta.name)
+      b.put(meta.replicaIdentity.toByte); b.putShort(meta.columns.size.toShort)
+      meta.columns.foreach { c =>
+        b.put((if (c.isKey) 1 else 0).toByte); putCString(b, c.name)
+        b.putInt(c.typeOid); b.putInt(c.typeMod)
+      }
+      finish(b)
+    }
+    def insert(relId: Int, row: Seq[Option[String]]): Array[Byte] = {
+      val b = buffer(); b.put('I'.toByte); b.putInt(relId); b.put('N'.toByte)
+      putTuple(b, row); finish(b)
+    }
+    def update(relId: Int, row: Seq[Option[String]]): Array[Byte] = {
+      val b = buffer(); b.put('U'.toByte); b.putInt(relId); b.put('N'.toByte)
+      putTuple(b, row); finish(b)
+    }
+    def delete(relId: Int, keyRow: Seq[Option[String]]): Array[Byte] = {
+      val b = buffer(); b.put('D'.toByte); b.putInt(relId); b.put('K'.toByte)
+      putTuple(b, keyRow); finish(b)
+    }
+  }
+}

@@ -1,0 +1,256 @@
+package graft.connectors.rest
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core.{Incremental, StateStore, TableHints}
+
+import scala.collection.mutable
+
+/** The declarative REST engine — re-expression of dlt-core's `rest_api`
+  * (full config shape at sources/pipedrive/rest_v2/__init__.py:96-168:
+  * client 138-145, cursor paginator 158-162, incremental binding 102-107,
+  * parent-child interpolation 116-136). ~70% of the reference's connector
+  * fleet (SURVEY §2.1 rows 8-35) is this engine plus per-source config and
+  * a few scalar transforms.
+  *
+  * Execution model (SURVEY §3.1): pagination over an unknown-length cursor
+  * chain is inherently sequential, so the page LOOP runs on the driver, but
+  * page fetch is I/O-bound metadata work — the heavy lifting (JSON→rows,
+  * normalization, writes) happens on executors via `spark.read.json` over
+  * the fetched page bodies. Parent-child fan-out (`deals/{id}/participants`)
+  * is executor-side: `mapPartitions` over parent keys with one transport
+  * per partition — Spark's replacement for the reference thread pool
+  * (`@dlt.defer`, sources/chess/__init__.py:54-60). At 100 TB the REST
+  * surface is never the data plane; these APIs bound at page-size × pages
+  * (SURVEY §6 knobs), while bulk data enters via parquet/JDBC scans.
+  */
+object RestEngine {
+
+  /** Pagination protocols — the four-protocol model is lifted from the
+    * cleanest reference enumeration (sources/zendesk/helpers/talk_api.py:14-18:
+    * OFFSET/CURSOR/STREAM/START_TIME) plus next-URL (hubspot paging
+    * helpers.py:129-200).
+    */
+  sealed trait Paginator extends Serializable
+  object Paginator {
+    /** `?offset=N&limit=P` until a short page. */
+    final case class Offset(offsetParam: String = "offset", limitParam: String = "limit", pageSize: Int = 100)
+        extends Paginator
+    /** `?page=N` 1-based until a short page. */
+    final case class PageNumber(pageParam: String = "page", sizeParam: String = "per_page", pageSize: Int = 100)
+        extends Paginator
+    /** Cursor read from the body (`next_cursor` JSONPath) echoed as a param. */
+    final case class Cursor(cursorPath: String, cursorParam: String, pageSize: Int = 100,
+        sizeParam: String = "limit") extends Paginator
+    /** Full next-page URL in the body. */
+    final case class NextUrl(nextUrlPath: String) extends Paginator
+    /** One request, no paging. */
+    case object Single extends Paginator
+  }
+
+  /** Incremental binding: cursor column in the items + request param
+    * carrying the last committed value (sources/pipedrive/rest_v2/__init__.py:102-107).
+    */
+  final case class IncrementalBinding(
+      cursorPath: String,
+      startParam: String,
+      initialValue: Option[String] = None,
+      endParam: Option[String] = None,
+      endValue: Option[String] = None,
+  )
+
+  /** Parent-child binding: `pathTemplate` with `{field}` placeholders
+    * resolved per parent row (reference `{resources.parent.id}`
+    * interpolation, sources/pipedrive/rest_v2/__init__.py:116-136).
+    */
+  final case class ParentBinding(parentName: String, keyFields: Seq[String])
+
+  final case class EndpointConfig(
+      path: String, // may contain {field} placeholders when parent-bound
+      params: Map[String, String] = Map.empty,
+      dataSelector: String = "$",
+      paginator: Paginator = Paginator.Single,
+      incremental: Option[IncrementalBinding] = None,
+      parent: Option[ParentBinding] = None,
+      maxPages: Int = 10000,
+  )
+
+  final case class ClientConfig(
+      baseUrl: String,
+      auth: Option[Auth] = None,
+      headers: Map[String, String] = Map.empty,
+  )
+
+  final case class RestResource(
+      name: String,
+      endpoint: EndpointConfig,
+      hints: TableHints,
+  )
+
+  final case class RestSource(
+      name: String,
+      client: ClientConfig,
+      resources: Seq[RestResource],
+  )
+
+  // ------------------------------------------------------------ page loop
+
+  /** Fetch all pages of one endpoint (driver-side loop), returning raw item
+    * JSON strings. Stops on: empty page, short page (offset/page-number),
+    * missing cursor/next-url, maxPages.
+    */
+  def fetchPages(
+      client: ClientConfig,
+      endpoint: EndpointConfig,
+      transport: HttpTransport,
+      extraParams: Map[String, String] = Map.empty,
+      pathVars: Map[String, String] = Map.empty,
+  ): Seq[String] = {
+    val url0 = client.baseUrl.stripSuffix("/") + "/" + interpolate(endpoint.path, pathVars).stripPrefix("/")
+    val (authParams, authHeaders) = client.auth
+      .map(_.applyTo(endpoint.params ++ extraParams, client.headers))
+      .getOrElse((endpoint.params ++ extraParams, client.headers))
+
+    val out = mutable.ArrayBuffer.empty[String]
+    var page = 0
+    var done = false
+    var url = url0
+    var pageParams: Map[String, String] = authParams
+
+    while (!done && page < endpoint.maxPages) {
+      val resp = transport.get(url, pageParams, authHeaders)
+      if (resp.status < 200 || resp.status >= 300)
+        throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
+      val root = Json.parse(resp.body)
+      val items = Json.items(root, endpoint.dataSelector)
+      out ++= items.map(_.toString)
+      page += 1
+
+      endpoint.paginator match {
+        case Paginator.Single => done = true
+        case p: Paginator.Offset =>
+          if (items.size < p.pageSize) done = true
+          else pageParams = pageParams +
+            (p.offsetParam -> (page * p.pageSize).toString, p.limitParam -> p.pageSize.toString)
+        case p: Paginator.PageNumber =>
+          if (items.size < p.pageSize) done = true
+          else pageParams = pageParams +
+            (p.pageParam -> (page + 1).toString, p.sizeParam -> p.pageSize.toString)
+        case p: Paginator.Cursor =>
+          Json.selectString(root, p.cursorPath) match {
+            case Some(cur) if items.nonEmpty =>
+              pageParams = pageParams + (p.cursorParam -> cur, p.sizeParam -> p.pageSize.toString)
+            case _ => done = true
+          }
+        case p: Paginator.NextUrl =>
+          Json.selectString(root, p.nextUrlPath) match {
+            case Some(next) if next.nonEmpty =>
+              url = next
+              pageParams = Map.empty // next-url carries its own query
+            case _ => done = true
+          }
+      }
+      if (items.isEmpty) done = true
+    }
+    out.toSeq
+  }
+
+  private def interpolate(path: String, vars: Map[String, String]): String =
+    vars.foldLeft(path) { case (p, (k, v)) => p.replace(s"{$k}", v) }
+
+  // ------------------------------------------------------------- readers
+
+  /** Read one root (non-parent-bound) resource into a DataFrame. Applies
+    * the incremental binding from state: last committed value is sent as
+    * the start param AND re-filtered engine-side (APIs are start-inclusive;
+    * the filter enforces the strict bound).
+    */
+  def readResource(
+      spark: SparkSession,
+      source: RestSource,
+      resource: RestResource,
+      transport: HttpTransport,
+      state: Option[StateStore] = None,
+  ): DataFrame = {
+    val stateKey = s"${source.name}.${resource.name}.cursor"
+    val incParams: Map[String, String] = resource.endpoint.incremental.toSeq.flatMap { b =>
+      val last = state.flatMap(_.getString(stateKey)).orElse(b.initialValue)
+      last.map(b.startParam -> _).toSeq ++
+        (for (ep <- b.endParam; ev <- b.endValue) yield ep -> ev).toSeq
+    }.toMap
+
+    val items = fetchPages(source.client, resource.endpoint, transport, incParams)
+    val df = jsonToDf(spark, items)
+
+    resource.endpoint.incremental match {
+      case Some(b) if df.columns.contains(leafField(b.cursorPath)) =>
+        val inc = Incremental(Seq(leafField(b.cursorPath)), b.initialValue, b.endValue)
+        inc.filterWith(df, state.flatMap(_.getString(stateKey)))
+      case _ => df
+    }
+  }
+
+  /** Executor-side parent-child fan-out: one transport per partition, one
+    * child page-loop per distinct parent key tuple. The parent DataFrame
+    * never leaves the cluster; only its key columns are scanned.
+    */
+  def readChildResource(
+      spark: SparkSession,
+      source: RestSource,
+      resource: RestResource,
+      parentDf: DataFrame,
+      transportFactory: () => HttpTransport,
+  ): DataFrame = {
+    val binding = resource.parentBindingOrFail
+    val keyFields = binding.keyFields
+    val client = source.client
+    val endpoint = resource.endpoint
+    import spark.implicits._
+
+    val keys: Dataset[Seq[String]] = parentDf
+      .selectExpr(keyFields.map(f => s"cast(`$f` as string)"): _*)
+      .distinct()
+      .map(r => (0 until r.length).map(i => r.getString(i)))
+
+    val items: Dataset[String] = keys.mapPartitions { it =>
+      val transport = transportFactory()
+      it.flatMap { keyVals =>
+        val vars = keyFields.zip(keyVals).toMap
+        fetchPages(client, endpoint, transport, pathVars = vars)
+          // carry the parent key(s) into each child row for joins
+          .map(body => attachParentKeys(body, vars))
+      }
+    }
+    // schema inference + row conversion stay distributed — the fetched
+    // bodies never funnel through the driver
+    spark.read.json(items)
+  }
+
+  private def attachParentKeys(body: String, vars: Map[String, String]): String = {
+    val node = Json.parse(body)
+    node match {
+      case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+        vars.foreach { case (k, v) => obj.put(s"_parent_$k", v) }
+        obj.toString
+      case other => other.toString
+    }
+  }
+
+  /** Page bodies → DataFrame with inferred schema (the normalizer applies
+    * hints downstream).
+    */
+  def jsonToDf(spark: SparkSession, items: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (items.isEmpty) spark.emptyDataFrame
+    else spark.read.json(spark.createDataset(items))
+  }
+
+  private def leafField(path: String): String =
+    path.stripPrefix("$").stripPrefix(".").split('.').last
+
+  implicit final class ResourceOps(private val r: RestResource) extends AnyVal {
+    def parentBindingOrFail: ParentBinding =
+      r.endpoint.parent.getOrElse(
+        throw new IllegalArgumentException(s"resource ${r.name} has no parent binding"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Resource: a named lazy DataFrame builder with table hints — the Spark
+  * equivalent of `@dlt.resource` (SURVEY §1.1). `parentName` marks a
+  * transformer fed by another resource's output
+  * (`@dlt.transformer`, sources/pipedrive/__init__.py:95-101).
+  * `selected=false` resources run (e.g. to build state) but do not load
+  * (sources/pipedrive/__init__.py:70-72 create_state).
+  * `routingColumn` splits one extracted stream into N tables by value
+  * (SURVEY §2.8).
+  */
+final case class ResourceDef(
+    name: String,
+    hints: TableHints,
+    build: PipelineContext => DataFrame,
+    parentName: Option[String] = None,
+    selected: Boolean = true,
+    routingColumn: Option[String] = None,
+    incremental: Option[(Incremental, String)] = None, // (cursor, cursor column for state)
+)
+
+/** Source: a group of resources sharing config and state — `@dlt.source`. */
+final case class SourceDef(name: String, resources: Seq[ResourceDef])
+
+/** What each resource sees while building: the session, committed state,
+  * and the DataFrames of already-built parent resources.
+  */
+final class PipelineContext(
+    val spark: SparkSession,
+    val state: StateStore,
+    val parents: Map[String, DataFrame],
+)
+
+final case class LoadResult(table: String, rows: Long)
+
+/** The pipeline driver: extract → normalize → write → state commit
+  * (SURVEY §3.1). Resources run parents-first; cursors and custom state
+  * commit only after every write succeeded (crash before commit = clean
+  * re-run from the previous cursor, mirroring the reference's
+  * commit-on-success contract, sources/chess/__init__.py:96-97).
+  */
+final class Pipeline(
+    spark: SparkSession,
+    pipelineName: String,
+    destRoot: String,
+    stateDir: String,
+) {
+
+  def run(source: SourceDef): Seq[LoadResult] = {
+    val state = StateStore(stateDir, s"$pipelineName.${source.name}")
+    val ordered = topoOrder(source.resources)
+    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    val results = scala.collection.mutable.ArrayBuffer.empty[LoadResult]
+    val pendingCursor = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+    ordered.foreach { res =>
+      val ctx = new PipelineContext(spark, state, built.toMap)
+      var df = res.build(ctx)
+
+      res.incremental.foreach { case (inc, _) =>
+        df = inc.apply(df, state, cursorKey(source, res))
+      }
+      built(res.name) = df
+
+      if (res.selected) {
+        // incremental high-water mark, computed on the filtered batch but
+        // committed only after all writes succeed
+        res.incremental.foreach { case (inc, _) =>
+          inc.nextCursor(df).foreach(v => pendingCursor += (cursorKey(source, res) -> v))
+        }
+        results ++= writeRouted(df, res)
+      }
+    }
+
+    pendingCursor.foreach { case (k, v) => state.put(k, v) }
+    state.commit()
+    results.toSeq
+  }
+
+  private def cursorKey(source: SourceDef, res: ResourceDef): String =
+    s"${source.name}.${res.name}.cursor"
+
+  /** Parents before children (transformer DAG ordering — state producers
+    * must run before consumers, SURVEY §3.3).
+    */
+  private def topoOrder(resources: Seq[ResourceDef]): Seq[ResourceDef] = {
+    val byName = resources.map(r => r.name -> r).toMap
+    val visiting = scala.collection.mutable.Set.empty[String]
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(r: ResourceDef): Unit = {
+      if (done.contains(r.name)) return
+      if (!visiting.add(r.name))
+        throw new IllegalArgumentException(s"resource cycle at ${r.name}")
+      r.parentName.foreach { p =>
+        visit(byName.getOrElse(p,
+          throw new IllegalArgumentException(s"resource ${r.name} references unknown parent $p")))
+      }
+      visiting.remove(r.name)
+      done += r.name
+    }
+    resources.foreach(visit)
+    done.toSeq.map(byName)
+  }
+
+  /** One write per routed table; no routing column = single table. The
+    * routed loop filters by value — each filtered write prunes on the
+    * routing predicate, so a partitioned source scans once per table but
+    * only its own rows survive the scan filter.
+    */
+  private def writeRouted(df: DataFrame, res: ResourceDef): Seq[LoadResult] = {
+    res.routingColumn match {
+      case None =>
+        writeNormalized(df, res.hints)
+      case Some(rc) =>
+        val values = df.select(col(rc).cast("string")).distinct().collect().map(_.getString(0))
+        values.toSeq.flatMap { v =>
+          val sub = df.filter(col(rc) === v).drop(rc)
+          val name = Naming.normalize(s"${res.hints.tableName}_$v")
+          writeNormalized(sub, res.hints.copy(tableName = name))
+        }
+    }
+  }
+
+  /** Normalize (parent + child tables), then apply the disposition to each
+    * produced table. Child tables always merge on `_dlt_id` when the root
+    * merges (re-runs replace children deterministically since ids are
+    * content-derived).
+    */
+  private def writeNormalized(df: DataFrame, hints: TableHints): Seq[LoadResult] = {
+    val tables = Normalize.normalize(df, hints)
+    tables.toSeq.map { case (name, tdf) =>
+      val childHints =
+        if (name == Naming.normalize(hints.tableName)) hints.copy(tableName = name)
+        else hints.copy(tableName = name, primaryKey = Seq(Normalize.DltId), dedupSort = None, hardDeleteCol = None)
+      TableWriter.write(spark, tdf, destRoot, childHints)
+      val rows = spark.read.parquet(s"$destRoot/$name").count()
+      LoadResult(name, rows)
+    }
+  }
+}

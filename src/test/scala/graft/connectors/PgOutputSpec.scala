@@ -1,0 +1,107 @@
+package graft.connectors.cdc
+
+import graft.SparkTestBase
+import graft.core.MergeEngine
+import PgOutput._
+
+class PgOutputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rel = RelationMeta(1001, "public", "accounts", 'd', Seq(
+    ColumnMeta("id", 20, -1, isKey = true),
+    ColumnMeta("name", 25, -1, isKey = false),
+    ColumnMeta("balance", 701, -1, isKey = false),
+    ColumnMeta("active", 16, -1, isKey = false),
+  ))
+
+  private val ts0 = 1700000000000000L // µs
+
+  test("frame round-trip: relation, insert, update, delete, begin/commit") {
+    assert(decode(Encode.relation(rel)) == Relation(rel))
+    assert(decode(Encode.insert(1001, Seq(Some("1"), Some("alice"), Some("10.5"), Some("t"))))
+      == Insert(1001, Seq(TupleValue(Some("1")), TupleValue(Some("alice")), TupleValue(Some("10.5")), TupleValue(Some("t")))))
+    assert(decode(Encode.delete(1001, Seq(Some("1"), None, None, None)))
+      == Delete(1001, Seq(TupleValue(Some("1")), TupleValue(None), TupleValue(None), TupleValue(None))))
+    decode(Encode.begin(500L, ts0, 42)) match {
+      case Begin(lsn, ts, xid) => assert(lsn == 500L && ts == ts0 && xid == 42)
+      case other               => fail(s"$other")
+    }
+    decode(Encode.commit(500L, 501L, ts0)) match {
+      case Commit(c, e, ts) => assert(c == 500L && e == 501L && ts == ts0)
+      case other            => fail(s"$other")
+    }
+  }
+
+  private def txn(lsnStart: Long, frames: (Long, Array[Byte])*): Seq[(Long, Array[Byte])] =
+    Seq((lsnStart, Encode.begin(lsnStart + frames.size + 1, ts0, 1))) ++ frames ++
+      Seq((lsnStart + frames.size + 1, Encode.commit(lsnStart + frames.size + 1, lsnStart + frames.size + 2, ts0)))
+
+  test("consume honors transaction boundaries and batch size") {
+    val frames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L, (11L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t"))))) ++
+        txn(20L,
+          (21L, Encode.insert(1001, Seq(Some("2"), Some("b"), Some("2.0"), Some("t")))),
+          (22L, Encode.insert(1001, Seq(Some("3"), Some("c"), Some("3.0"), Some("t")))))
+
+    // target 2 is hit mid-second-txn: the whole txn is still included
+    val res = ChangeBatch.consume(frames.iterator, targetBatchSize = 2)
+    assert(res.batch.changes.size == 3)
+    assert(res.lastCommitLsn.contains(24L))
+
+    // an open (uncommitted) transaction is not emitted
+    val open = Seq((1L, Encode.relation(rel)), (2L, Encode.begin(9L, ts0, 7)),
+      (3L, Encode.insert(1001, Seq(Some("9"), Some("z"), Some("0"), Some("f")))))
+    val res2 = ChangeBatch.consume(open.iterator)
+    assert(res2.batch.changes.isEmpty && res2.lastCommitLsn.isEmpty)
+  }
+
+  test("relation redefinition flushes the batch (schema change)") {
+    val rel2 = rel.copy(columns = rel.columns :+ ColumnMeta("extra", 25, -1, isKey = false))
+    val frames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L, (11L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t"))))) ++
+        Seq((15L, Encode.relation(rel2))) ++
+        txn(20L, (21L, Encode.insert(1001, Seq(Some("2"), Some("b"), Some("2.0"), Some("t"), Some("x")))))
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.schemaChanged)
+    assert(res.batch.changes.size == 1) // only the pre-change txn
+  }
+
+  test("CDC end-to-end: decode → typed rows → merge applies upsert + hard delete") {
+    val frames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L,
+          (11L, Encode.insert(1001, Seq(Some("1"), Some("alice"), Some("10.5"), Some("t")))),
+          (12L, Encode.insert(1001, Seq(Some("2"), Some("bob"), Some("7.25"), Some("f"))))) ++
+        txn(20L,
+          (21L, Encode.update(1001, Seq(Some("1"), Some("alice2"), Some("11.0"), Some("t")))),
+          (22L, Encode.delete(1001, Seq(Some("2"), None, None, None))))
+
+    val res = ChangeBatch.consume(frames.iterator)
+    val changes = res.batch.byRelation("accounts")
+    val raw = ChangeBatch.changeRows(spark, rel, changes)
+    val typed = ChangeBatch.toTypedDf(raw, rel)
+    assert(typed.schema("id").dataType.typeName == "long")
+    assert(typed.schema("active").dataType.typeName == "boolean")
+
+    val merged = MergeEngine.mergePlan(None, typed, ChangeBatch.mergeHints(rel))
+    val rows = merged.select("id", "name", "balance").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "alice2" && rows.head.getDouble(2) == 11.0)
+  }
+
+  test("bytea and numeric text formats convert") {
+    val r = RelationMeta(7, "public", "blobs", 'd', Seq(
+      ColumnMeta("id", 20, -1, isKey = true),
+      ColumnMeta("payload", 17, -1, isKey = false),
+      ColumnMeta("amount", 1700, -1, isKey = false),
+    ))
+    val ch = Seq(ChangeBatch.Change(r, 1L, ts0, deleted = false,
+      Seq(TupleValue(Some("5")), TupleValue(Some("\\x68690a")), TupleValue(Some("12.345")))))
+    val typed = ChangeBatch.toTypedDf(ChangeBatch.changeRows(spark, r, ch), r)
+    val row = typed.head()
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hi\n")
+    assert(row.getDecimal(2).compareTo(new java.math.BigDecimal("12.345")) == 0)
+  }
+}

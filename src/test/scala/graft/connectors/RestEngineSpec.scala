@@ -1,0 +1,140 @@
+package graft.connectors.rest
+
+import graft.SparkTestBase
+import graft.core.{Disposition, StateStore, TableHints}
+import RestEngine._
+
+/** Canned-response transport: routes on path suffix + selected params.
+  * Serializable so parent-child fan-out can run it on executors.
+  */
+class FakeTransport(pages: Map[String, String]) extends HttpTransport {
+  var calls: List[(String, Map[String, String])] = Nil
+  override def get(url: String, params: Map[String, String], headers: Map[String, String]): HttpResponse = {
+    calls = (url, params) :: calls
+    val path = url.replaceFirst("^https?://[^/]+/", "")
+    val keyWithParams = path + "?" + params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+    pages.get(keyWithParams).orElse(pages.get(path)) match {
+      case Some(body) => HttpResponse(200, body)
+      case None       => HttpResponse(404, s"""{"error":"no fixture for $keyWithParams"}""")
+    }
+  }
+}
+
+class RestEngineSpec extends SparkTestBase {
+
+  private val client = ClientConfig("https://api.example.test")
+
+  test("Json.select navigates dot paths and [*]") {
+    val n = Json.parse("""{"a":{"b":[{"x":1},{"x":2}]},"next":"tok"}""")
+    assert(Json.selectString(n, "next").contains("tok"))
+    assert(Json.select(n, "$.a.b[*].x").map(_.asInt()) == Seq(1, 2))
+    assert(Json.items(n, "a.b").size == 2)
+    assert(Json.selectString(n, "missing.deep").isEmpty)
+  }
+
+  test("offset pagination stops on short page") {
+    val t = new FakeTransport(Map(
+      "items?" -> """{"data":[{"id":1},{"id":2}]}""",
+      "items?limit=2&offset=2" -> """{"data":[{"id":3}]}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Offset(pageSize = 2))
+    val items = fetchPages(client, ep, t)
+    assert(items.size == 3)
+  }
+
+  test("cursor pagination follows body cursor until absent") {
+    val t = new FakeTransport(Map(
+      "items?" -> """{"data":[{"id":1}],"meta":{"next":"c2"}}""",
+      "items?cursor=c2&limit=100" -> """{"data":[{"id":2}],"meta":{"next":null}}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Cursor(cursorPath = "meta.next", cursorParam = "cursor"))
+    assert(fetchPages(client, ep, t).size == 2)
+  }
+
+  test("next-url pagination follows absolute links") {
+    val t = new FakeTransport(Map(
+      "items?" -> """{"data":[{"id":1}],"links":{"next":"https://api.example.test/items2"}}""",
+      "items2?" -> """{"data":[{"id":2}],"links":{"next":null}}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.NextUrl("links.next"))
+    assert(fetchPages(client, ep, t).size == 2)
+  }
+
+  test("single-object data selector unwraps to one item") {
+    val t = new FakeTransport(Map("me?" -> """{"profile":{"id":7,"name":"x"}}"""))
+    val items = fetchPages(client, EndpointConfig("me", dataSelector = "profile"), t)
+    assert(items == Seq("""{"id":7,"name":"x"}"""))
+  }
+
+  test("incremental binding sends start param and filters strictly") {
+    val t = new FakeTransport(Map(
+      "events?since=5" -> """{"data":[{"id":5,"seq":5},{"id":6,"seq":6}]}""",
+    ))
+    val res = RestResource("events",
+      EndpointConfig("events", dataSelector = "data",
+        incremental = Some(IncrementalBinding(cursorPath = "seq", startParam = "since", initialValue = Some("5")))),
+      TableHints("events", Disposition.Append))
+    val src = RestSource("s", client, Seq(res))
+    val df = readResource(spark, src, res, t)
+    // API is start-inclusive; engine re-filters to strict >
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("incremental binding reads last value from state") {
+    val dir = tmpDir("rest-state")
+    val state = StateStore(dir, "p")
+    state.put("s.events.cursor", "8"); state.commit()
+    val t = new FakeTransport(Map(
+      "events?since=8" -> """{"data":[{"id":9,"seq":9}]}""",
+    ))
+    val res = RestResource("events",
+      EndpointConfig("events", dataSelector = "data",
+        incremental = Some(IncrementalBinding("seq", "since", initialValue = Some("0")))),
+      TableHints("events", Disposition.Append))
+    val df = readResource(spark, RestSource("s", client, Seq(res)), res, t, Some(state))
+    assert(df.count() == 1)
+  }
+
+  test("parent-child fan-out interpolates path per parent key on executors") {
+    import spark.implicits._
+    val t = new FakeTransport(Map(
+      "deals/1/participants?" -> """{"data":[{"pid":10},{"pid":11}]}""",
+      "deals/2/participants?" -> """{"data":[{"pid":20}]}""",
+    ))
+    val parents = Seq((1L, "d1"), (2L, "d2")).toDF("id", "title")
+    val res = RestResource("participants",
+      EndpointConfig("deals/{id}/participants", dataSelector = "data",
+        parent = Some(ParentBinding("deals", Seq("id")))),
+      TableHints("participants", Disposition.Append))
+    val df = readChildResource(spark, RestSource("s", client, Seq(res)), res, parents, () => t)
+    assert(df.count() == 3)
+    assert(df.columns.contains("_parent_id"))
+    assert(df.where($"_parent_id" === "1").count() == 2)
+  }
+
+  test("retrying transport backs off on 5xx then succeeds") {
+    var n = 0
+    val flaky = new HttpTransport {
+      override def get(u: String, p: Map[String, String], h: Map[String, String]) = {
+        n += 1
+        if (n < 3) HttpResponse(503, "busy") else HttpResponse(200, """{"ok":true}""")
+      }
+    }
+    var slept = List.empty[Long]
+    val t = new RetryingTransport(flaky, maxRetries = 5, initialBackoffMs = 10, sleeper = ms => slept ::= ms)
+    val resp = t.get("x", Map.empty, Map.empty)
+    assert(resp.status == 200 && n == 3)
+    assert(slept.reverse == List(10L, 20L))
+  }
+
+  test("auth strategies land in headers or params") {
+    val (p1, h1) = Auth.Bearer("tok").applyTo(Map.empty, Map.empty)
+    assert(h1("Authorization") == "Bearer tok" && p1.isEmpty)
+    val (p2, _) = Auth.QueryParam("api_key", "k").applyTo(Map.empty, Map.empty)
+    assert(p2("api_key") == "k")
+    val (_, h3) = Auth.Basic("u", "p").applyTo(Map.empty, Map.empty)
+    assert(h3("Authorization").startsWith("Basic "))
+  }
+}

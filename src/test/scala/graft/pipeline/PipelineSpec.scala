@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.core._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsDf(upTo: Int) =
+    (1 to upTo).map(i => (i.toLong, i.toLong % 3, s"2024-01-${"%02d".format(i)}", s"t${i % 2}"))
+      .toDF("id", "user", "day", "kind")
+
+  test("extract → normalize → write → cursor commit; second run loads only the delta") {
+    val dest = tmpDir("pipe-dest")
+    val stateDir = tmpDir("pipe-state")
+    val pipe = new Pipeline(spark, "p", dest, stateDir)
+
+    var visible = 5
+    val res = ResourceDef(
+      name = "events",
+      hints = TableHints("events", Disposition.Merge, primaryKey = Seq("id")),
+      build = _ => eventsDf(visible),
+      incremental = Some((Incremental(Seq("day")), "day")),
+    )
+    val src = SourceDef("demo", Seq(res))
+
+    val r1 = pipe.run(src)
+    assert(r1 == Seq(LoadResult("events", 5)))
+    val state = StateStore(stateDir, "p.demo")
+    assert(state.getString("demo.events.cursor").contains("2024-01-05"))
+
+    // next run: three new rows arrive; cursor prunes the old five
+    visible = 8
+    val r2 = pipe.run(src)
+    assert(r2 == Seq(LoadResult("events", 8)))
+    assert(StateStore(stateDir, "p.demo").getString("demo.events.cursor").contains("2024-01-08"))
+
+    // no-op run: nothing beyond cursor → table unchanged
+    val r3 = pipe.run(src)
+    assert(r3 == Seq(LoadResult("events", 8)))
+  }
+
+  test("transformer DAG: parent builds before child; child sees parent rows") {
+    val dest = tmpDir("pipe-dest2")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state2"))
+    val parent = ResourceDef("deals", TableHints("deals", Disposition.Replace),
+      _ => Seq((1L, "d1"), (2L, "d2")).toDF("id", "title"))
+    val child = ResourceDef("participants", TableHints("participants", Disposition.Replace),
+      ctx => ctx.parents("deals").select(col("id").as("deal_id"), lit("p").as("who")),
+      parentName = Some("deals"))
+    // declared child-first: topo order must fix it
+    val results = pipe.run(SourceDef("s", Seq(child, parent)))
+    assert(results.toSet == Set(LoadResult("deals", 2), LoadResult("participants", 2)))
+  }
+
+  test("selected=false resources run but do not load") {
+    val dest = tmpDir("pipe-dest3")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state3"))
+    val stateRes = ResourceDef("state_builder", TableHints("state_builder"),
+      _ => Seq(1).toDF("x"), selected = false)
+    val consumer = ResourceDef("consumer", TableHints("consumer", Disposition.Replace),
+      ctx => ctx.parents("state_builder").withColumn("y", col("x") * 2),
+      parentName = Some("state_builder"))
+    val results = pipe.run(SourceDef("s", Seq(stateRes, consumer)))
+    assert(results == Seq(LoadResult("consumer", 1)))
+    assert(!new java.io.File(s"$dest/state_builder").exists())
+  }
+
+  test("routing column fans one stream into N tables") {
+    val dest = tmpDir("pipe-dest4")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state4"))
+    val res = ResourceDef("ev", TableHints("ev", Disposition.Replace),
+      _ => eventsDf(6), routingColumn = Some("kind"))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    assert(results.map(_.table).toSet == Set("ev_t0", "ev_t1"))
+    assert(spark.read.parquet(s"$dest/ev_t0").count() == 3)
+    assert(spark.read.parquet(s"$dest/ev_t1").count() == 3)
+  }
+
+  test("nested resources write child tables alongside the root") {
+    val dest = tmpDir("pipe-dest5")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state5"))
+    val res = ResourceDef("orders", TableHints("orders", Disposition.Replace, primaryKey = Seq("id")),
+      _ => Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("id", "items"))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    assert(results.map(_.table).toSet == Set("orders", "orders__items"))
+    assert(spark.read.parquet(s"$dest/orders__items").count() == 3)
+  }
+
+  test("cycles and unknown parents are rejected") {
+    val pipe = new Pipeline(spark, "p", tmpDir("d"), tmpDir("s"))
+    val a = ResourceDef("a", TableHints("a"), _ => Seq(1).toDF("x"), parentName = Some("b"))
+    val b = ResourceDef("b", TableHints("b"), _ => Seq(1).toDF("x"), parentName = Some("a"))
+    intercept[IllegalArgumentException](pipe.run(SourceDef("s", Seq(a, b))))
+    val orphan = ResourceDef("o", TableHints("o"), _ => Seq(1).toDF("x"), parentName = Some("ghost"))
+    intercept[IllegalArgumentException](pipe.run(SourceDef("s", Seq(orphan))))
+  }
+}
