@@ -1,0 +1,48 @@
+package graft.connectors.sources
+
+import graft.SparkTestBase
+import graft.connectors.rest.{RestEngine, StaticPagesTransport}
+import graft.core.Disposition
+
+class FleetSpec extends SparkTestBase {
+
+  test("fleet configs carry the reference's dispositions, keys and page sizes") {
+    val gh = Fleet.github("o", "r", None)
+    assert(gh.resources.map(_.name) == Seq("repo_events", "issues", "stargazers"))
+    assert(gh.resources.find(_.name == "issues").get.hints.primaryKey == Seq("id"))
+    assert(gh.resources.find(_.name == "repo_events").get.hints.disposition == Disposition.Append)
+
+    val pd = Fleet.pipedrive("tok")
+    val deals = pd.resources.find(_.name == "deals").get
+    assert(deals.endpoint.incremental.get.startParam == "updated_since")
+    val parts = pd.resources.find(_.name == "deal_participants").get
+    assert(parts.endpoint.parent.get.keyFields == Seq("id"))
+
+    val bing = Fleet.bingWebmaster("k", Nil)
+    assert(bing.resources.head.hints.mergeKey == Seq("date", "page", "site_url"))
+
+    // every fleet source must have ≥1 resource and a usable base url
+    val all = Seq(gh, pd, bing, Fleet.stripe("k"), Fleet.hubspot("k"), Fleet.zendesk("s", "e", "t"),
+      Fleet.slack("t"), Fleet.shopify("s", "t"), Fleet.jira("d", "e", "t"), Fleet.freshdesk("d", "k"),
+      Fleet.notion("k"), Fleet.workable("s", "t"), Fleet.airtable("k", "b", Seq("t1")),
+      Fleet.strapi("h", "t", Seq("e1")), Fleet.mux("i", "s"), Fleet.pokemon(), Fleet.chess(Seq("p")))
+    all.foreach { s =>
+      assert(s.resources.nonEmpty, s.name)
+      assert(s.client.baseUrl.startsWith("https://"), s.name)
+    }
+  }
+
+  test("a fleet source runs end-to-end against canned pages (github issues)") {
+    import spark.implicits._
+    val src = Fleet.github("octo", "repo", None)
+    val issues = src.resources.find(_.name == "issues").get
+    val t = StaticPagesTransport(Map(
+      "repos/octo/repo/issues?direction=asc&sort=updated&state=all" ->
+        """[{"id":1,"updated_at":"2024-01-01T00:00:00Z","title":"a"},
+          | {"id":2,"updated_at":"2024-01-02T00:00:00Z","title":"b"}]""".stripMargin,
+    ))
+    val df = RestEngine.readResource(spark, src, issues, t)
+    assert(df.count() == 2)
+    assert(df.select("title").as[String].collect().toSet == Set("a", "b"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkTestBase {
+  import EventStreams._
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed counts aggregate per tumbling window and event type") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(7), 1, "view", 5.0),
+    )
+    val agg = windowedCounts(input.toDF(), window = "5 minutes", watermark = "10 minutes")
+    runAvailableNow(agg, "win_counts", outputMode = "complete")
+    val out = spark.table("win_counts")
+      .select("event_type", "n", "total_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two events 5 min apart (one session), then 60 min silence,
+    // then another event → first session closes in-batch
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(65), 1, "view", 4.0),
+      Event(4, ts(2), 2, "click", 8.0),
+    )
+    val sessions = sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    runAvailableNow(sessions.toDF(), "sessions_out")
+    val out = spark.table("sessions_out")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // only user 1's first session has closed (user 2 and the second
+    // session are still open in state)
+    assert(out == Set((1L, 2L, 3.0)))
+  }
+}
