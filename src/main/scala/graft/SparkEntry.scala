@@ -406,6 +406,53 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // §2.7 custom-field rename + enum decode via the stateful mapping op
+    "q_custom_fields" -> ((s, dir) => {
+      import graft.connectors.transforms.CustomFields
+      val mapping = Map("hash_abc" -> CustomFields.FieldDef(
+        "hash_abc", "Event Label", "enum",
+        Map("click" -> "Clicked", "view" -> "Seen", "error" -> "Failed")))
+      val df = t(s, dir, "events").select(col("event_type").as("hash_abc"))
+      CustomFields.applyMapping(df, mapping)
+        .groupBy("event_label").agg(count(lit(1)).as("n"))
+        .orderBy("event_label")
+    }),
+
+    // §2.6 hubspot stage pivot: wide date_entered_* columns melted long
+    "q_stage_pivot" -> ((s, dir) => {
+      import graft.connectors.transforms.RowShapes
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", types).agg(min(col("ts")))
+      val prefixed = types.foldLeft(wide)((acc, c) => acc.withColumnRenamed(c, s"date_entered_$c"))
+      RowShapes.pivotStages(prefixed, "user_id", "date_entered_")
+        .select(col("user_id"), col("stage"), tsMicros(col("entered_at")).as("entered_us"))
+        .orderBy("user_id", "stage")
+    }),
+
+    // §2.6 hubspot property-history explode: map<prop → entries[]> → rows
+    "q_property_history" -> ((s, dir) => {
+      import graft.connectors.transforms.RowShapes
+      val entries = t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(sort_array(collect_list(struct(col("event_id").as("event_id"), tsMicros(col("ts")).as("ts_us")))).as("entries"))
+      val hist = entries.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("entries")))).as("hist"))
+      RowShapes.explodePropertyHistory(hist, "user_id", "hist")
+        .orderBy("object_id", "property_name", "event_id")
+    }),
+
+    // embedding-cosine near-duplicate pairs on a bucketed pair space
+    "q_dedup_cosine" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      graft.ops.Dedup.cosineNearDups(
+        a.join(b, col("id_a") < col("id_b")), "v_a", "v_b", threshold = 0.2)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- connector-layer end-to-end (SURVEY §2.1/§3) ----
 
     // CDC: events → pgoutput binary frames → decode → consume (txn
@@ -714,6 +761,27 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_custom_fields" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'Clicked' WHEN 'view' THEN 'Seen'
+        |   WHEN 'error' THEN 'Failed' ELSE event_type END AS event_label, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_stage_pivot" ->
+      """SELECT user_id, event_type AS stage, CAST(epoch_us(min(ts)) AS BIGINT) AS entered_us
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    "q_property_history" ->
+      """SELECT user_id AS object_id, event_type AS property_name, event_id,
+        | CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events ORDER BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_cosine" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 
     "q_cdc_pipeline" ->
       """SELECT user_id, event_id, value

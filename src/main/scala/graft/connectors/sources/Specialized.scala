@@ -1,0 +1,155 @@
+package graft.connectors.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Connector-specific planning/typing logic that is NOT expressible as
+  * generic REST config (SURVEY §2.1 rows 12-15, §2.2, §2.9) — pure
+  * functions (driver-side request planning) and Column expressions
+  * (executor-side typing), mirroring the reference per-connector helpers.
+  */
+object Specialized {
+
+  // ----------------------------------------------------------- salesforce
+
+  /** SOQL generation — field-list build with compound-field pruning and
+    * cursor WHERE/ORDER BY pushdown
+    * (sources/salesforce/helpers/records.py:55-134: field list 69-87,
+    * cursor predicate 89-94). The generated query IS the pushdown: the
+    * remote engine scans, we stream results.
+    */
+  object Soql {
+    /** Compound types the Bulk API cannot fetch — pruned like records.py:76-82. */
+    val compoundTypes = Set("address", "location")
+
+    def fieldList(fields: Seq[(String, String)]): Seq[String] =
+      fields.collect { case (name, tpe) if !compoundTypes(tpe.toLowerCase) => name }
+
+    def query(
+        sobject: String,
+        fields: Seq[(String, String)],
+        cursorField: Option[String],
+        lastValue: Option[String],
+    ): String = {
+      val cols = fieldList(fields).mkString(", ")
+      val where = (for (cf <- cursorField; lv <- lastValue)
+        yield s" WHERE $cf > $lv").getOrElse("")
+      val order = cursorField.map(cf => s" ORDER BY $cf ASC").getOrElse("")
+      s"SELECT $cols FROM $sobject$where$order"
+    }
+
+    /** Bulk-API date normalization: bulk returns epoch millis for
+      * datetime fields, REST returns ISO strings — unify to timestamp
+      * (sources/salesforce/helpers/records.py:16-52).
+      */
+    def normalizeDatetime(c: Column): Column =
+      when(c.rlike("^[0-9]+$"), timestamp_millis(c.cast("long")))
+        .otherwise(to_timestamp(c))
+  }
+
+  // -------------------------------------------------------- google sheets
+
+  /** Sheets data processing (sources/google_sheets/helpers/data_processing.py):
+    * A1-notation range arithmetic (21-77), Lotus serial-date conversion
+    * (180-230), header mapping with positional fallback (129-177).
+    */
+  object Sheets {
+    /** Serial number → date: days since the Lotus epoch 1899-12-30
+      * (data_processing.py:19,208-230).
+      */
+    def serialToDate(c: Column): Column =
+      date_add(lit("1899-12-30").cast(DateType), c.cast(IntegerType))
+
+    /** Fractional serial → timestamp (days.fraction-of-day). */
+    def serialToTimestamp(c: Column): Column =
+      timestamp_micros(
+        ((c.cast(DoubleType) - lit(25569.0)) * lit(86400000000.0)).cast(LongType))
+
+    private val A1 = "^([A-Z]+)([0-9]+)$".r
+
+    /** Parse an A1 cell ref to (colIndex 1-based, rowIndex). */
+    def parseA1(cell: String): (Int, Int) = cell match {
+      case A1(colS, rowS) =>
+        val col = colS.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1))
+        (col, rowS.toInt)
+      case _ => throw new IllegalArgumentException(s"bad A1 ref: $cell")
+    }
+
+    /** (colIndex 1-based, rowIndex) → A1 ref (range shifting,
+      * data_processing.py:51-77).
+      */
+    def toA1(col: Int, row: Int): String = {
+      var c = col
+      val sb = new StringBuilder
+      while (c > 0) { val r = (c - 1) % 26; sb.insert(0, ('A' + r).toChar); c = (c - 1) / 26 }
+      sb.append(row).toString
+    }
+
+    /** Header names for a sheet row: non-empty trimmed headers win, empty
+      * positions fall back to col_N (warning-on-collision behavior in
+      * data_processing.py:163-175 resolved by suffixing).
+      */
+    def headerNames(headers: Seq[String]): Seq[String] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      headers.zipWithIndex.map { case (h, i) =>
+        val base = if (h == null || h.trim.isEmpty) s"col_${i + 1}" else graft.core.Naming.normalize(h)
+        seen.get(base) match {
+          case Some(n) => seen(base) = n + 1; s"${base}_$n"
+          case None    => seen(base) = 1; base
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- matomo
+
+  /** Live-visits session-close filter (sources/matomo/helpers/
+    * data_processing.py:46-75; params sources/matomo/__init__.py:101-102):
+    * drop visits still considered active — last action within
+    * `visitTimeoutSeconds` of now AND total duration under
+    * `visitMaxDurationSeconds`.
+    */
+  object Matomo {
+    def removeActiveVisits(
+        df: DataFrame,
+        lastActionCol: String,
+        firstActionCol: String,
+        nowEpochS: Long,
+        visitTimeoutSeconds: Long = 1800,
+        visitMaxDurationSeconds: Long = 3600,
+    ): DataFrame = {
+      val lastS = unix_timestamp(col(lastActionCol))
+      val firstS = unix_timestamp(col(firstActionCol))
+      df.filter(!(
+        lastS > lit(nowEpochS - visitTimeoutSeconds) &&
+          (lastS - firstS) < lit(visitMaxDurationSeconds)
+      ))
+    }
+  }
+
+  // ----------------------------------------------------- google analytics
+
+  /** GA4 report value typing: metric type → Spark cast
+    * (sources/google_analytics/helpers/data_processing.py:139-158) and the
+    * dimension-format parsers incl. ISO-week and yyyyMMdd dates (161-189).
+    */
+  object GA {
+    def metricColumn(c: Column, metricType: String): Column = metricType match {
+      case "TYPE_INTEGER"                  => c.cast(LongType)
+      case "TYPE_FLOAT" | "TYPE_CURRENCY" |
+           "TYPE_SECONDS" | "TYPE_MILLISECONDS" => c.cast(DoubleType)
+      case _                               => c.cast(StringType)
+    }
+
+    def dimensionColumn(c: Column, dimensionName: String): Column = dimensionName match {
+      case "date"          => to_date(c, "yyyyMMdd")
+      case "dateHour"      => to_timestamp(c, "yyyyMMddHH")
+      case "dateHourMinute" => to_timestamp(c, "yyyyMMddHHmm")
+      case "isoYearIsoWeek" =>
+        // yyyyww ISO week → monday of that week
+        to_date(concat(substring(c, 1, 4), lit("-W"), substring(c, 5, 2), lit("-1")), "YYYY-'W'ww-u")
+      case _ => c
+    }
+  }
+}
