@@ -142,6 +142,30 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // §2.4 at scale: hash-bucketed merge — only buckets touched by the
+    // update batch are rewritten; result must equal the logical merge
+    "q_merge_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id")))
+      val hints = TableHints(
+        "events_bucketed",
+        disposition = Disposition.Merge,
+        primaryKey = Seq("user_id", "event_type"),
+        dedupSort = Some(("__ord", true)),
+        bucketCount = Some(16),
+      )
+      val dest = java.nio.file.Files.createTempDirectory("graft_bm").toString
+      val base = MergeEngine.dedupeBatch(
+        ev.filter(col("event_id") < 5000), hints.primaryKey, hints.dedupSort)
+      BucketedMerge.replace(s, base, s"$dest/t", hints, 16)
+      BucketedMerge.merge(s, ev.filter(col("event_id") >= 5000), s"$dest/t", hints, 16)
+      BucketedMerge.read(s, s"$dest/t")
+        .select(
+          col("user_id"), col("event_type"), col("event_id"),
+          tsMicros(col("ts")).as("ts_us"), col("value"),
+        )
+        .orderBy("user_id", "event_type")
+    }),
+
     // §2.4 dedup_sort window dedup: latest row per pk
     "q_merge_dedup" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id")))
@@ -636,6 +660,19 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_merge_upsert" ->
+      """WITH base AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events WHERE event_id < 5000) WHERE rn = 1),
+        |upd AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events WHERE event_id >= 5000) WHERE rn = 1),
+        |merged AS (
+        | SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value FROM base b ANTI JOIN upd u USING (user_id, event_type)
+        | UNION ALL SELECT user_id, event_type, event_id, ts, value FROM upd)
+        |SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |FROM merged ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", " "),
+
+    "q_merge_bucketed" ->
       """WITH base AS (
         | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |                FROM events WHERE event_id < 5000) WHERE rn = 1),

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed merge writer — the 100 TB path for `merge` dispositions.
+  *
+  * `TableWriter.stagedOverwrite` rewrites the WHOLE table per merge; fine
+  * for small dimension tables, fatal at scale (a 1 TB table with a 100 MB
+  * CDC batch would rewrite 1 TB per batch). Here the destination is laid
+  * out as `_bucket=<i>/` partitions keyed by a stable hash of the pk, and
+  * a merge:
+  *
+  *   1. computes the distinct buckets present in the update batch;
+  *   2. reads ONLY those partitions of the base table (partition pruning
+  *      on `_bucket` — untouched buckets are never scanned);
+  *   3. merges per bucket (dedup_sort, upsert anti-join, hard delete — the
+  *      same MergeEngine plan) and overwrites only those partition dirs
+  *      (dynamic partition overwrite).
+  *
+  * Rewrite cost per batch is O(touched buckets × bucket size), not
+  * O(table). With uniformly-hashed pks and B buckets, a batch touching K
+  * distinct keys rewrites ≤ min(K, B)/B of the table. The bucket column
+  * doubles as a co-location key: two tables bucketed the same way join
+  * bucket-to-bucket without a full shuffle of the big side.
+  */
+object BucketedMerge {
+
+  val BucketCol = "_bucket"
+
+  def bucketExpr(keys: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keys.map(c => col(c).cast("string")): _*), lit(numBuckets)).cast("int")
+
+  /** Initialize or fully replace a bucketed table. */
+  def replace(spark: SparkSession, df: DataFrame, path: String, hints: TableHints, numBuckets: Int): Unit = {
+    val keys = hints.keyColumns
+    require(keys.nonEmpty, "bucketed layout requires a key")
+    df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(path)
+  }
+
+  /** Merge an update batch, rewriting only the touched buckets. */
+  def merge(spark: SparkSession, updates: DataFrame, path: String, hints: TableHints, numBuckets: Int): Unit = {
+    val keys = hints.keyColumns
+    require(keys.nonEmpty, "bucketed merge requires a key")
+    val exists = TableWriter.readIfExists(spark, path).isDefined
+    if (!exists) { replace(spark, updates, path, hints, numBuckets); return }
+
+    val bucketed = updates.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    // distinct buckets in this batch: tiny driver-side list (≤ numBuckets)
+    val touched = bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
+    val base = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
+    val merged = MergeEngine.mergePlan(Some(base.drop(BucketCol)), bucketed.drop(BucketCol), hints)
+      .withColumn(BucketCol, bucketExpr(keys, numBuckets))
+
+    // stage the merged buckets, then swap each touched bucket dir. A
+    // bucket emptied by hard deletes has no staged dir and is removed —
+    // dynamic partition overwrite alone would silently leave it behind.
+    val stagePath = path + "__stage"
+    merged
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(stagePath)
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
+      val staged = new org.apache.hadoop.fs.Path(s"$stagePath/$BucketCol=$b")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (fs.exists(staged)) fs.rename(staged, dest)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+}

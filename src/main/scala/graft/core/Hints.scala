@@ -76,6 +76,11 @@ final case class TableHints(
     hardDeleteCol: Option[String] = None,
     columns: Map[String, ColumnHint] = Map.empty,
     maxTableNesting: Int = Int.MaxValue,
+    /** When set, merge tables use the hash-bucketed layout (BucketedMerge):
+      * only buckets touched by a batch are rewritten — the 100 TB merge
+      * path. None = whole-table staged overwrite (small tables).
+      */
+    bucketCount: Option[Int] = None,
 ) {
   def keyColumns: Seq[String] = if (primaryKey.nonEmpty) primaryKey else mergeKey
 }

@@ -139,9 +139,14 @@ object TableWriter {
       case Disposition.Replace =>
         stagedOverwrite(spark, updates, path)
       case Disposition.Merge =>
-        val existing = readIfExists(spark, path)
-        val merged = MergeEngine.mergePlan(existing, updates, hints)
-        stagedOverwrite(spark, merged, path)
+        hints.bucketCount match {
+          case Some(n) if hints.keyColumns.nonEmpty =>
+            BucketedMerge.merge(spark, updates, path, hints, n)
+          case _ =>
+            val existing = readIfExists(spark, path)
+            val merged = MergeEngine.mergePlan(existing, updates, hints)
+            stagedOverwrite(spark, merged, path)
+        }
     }
   }
 

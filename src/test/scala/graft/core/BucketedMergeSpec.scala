@@ -1,0 +1,62 @@
+package graft.core
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class BucketedMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val hints = TableHints("t", Disposition.Merge,
+    primaryKey = Seq("id"), dedupSort = Some(("v", true)))
+
+  test("merge rewrites only touched buckets; values match full merge") {
+    val root = tmpDir("bucketed")
+    val path = s"$root/t"
+    val base = (1L to 1000L).map(i => (i, 1L, s"s$i")).toDF("id", "v", "s")
+    BucketedMerge.replace(spark, base, path, hints, numBuckets = 16)
+
+    // record per-bucket file mtimes
+    def bucketDirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.contains("_bucket=")).sorted
+    val before = bucketDirs.map(d => d -> Files.getLastModifiedTime(Paths.get(d)).toMillis).toMap
+
+    // update batch touching few keys → few buckets
+    val updates = Seq((5L, 2L, "s5-new"), (6L, 2L, "s6-new"), (2000L, 1L, "inserted")).toDF("id", "v", "s")
+    val touched = updates.select(BucketedMerge.bucketExpr(Seq("id"), 16).as("b"))
+      .distinct().as[Int].collect().toSet
+    Thread.sleep(20)
+    BucketedMerge.merge(spark, updates, path, hints, numBuckets = 16)
+
+    val out = BucketedMerge.read(spark, path)
+    assert(out.count() == 1001)
+    assert(out.where($"id" === 5L).head().getString(2) == "s5-new")
+    assert(out.where($"id" === 2000L).head().getString(2) == "inserted")
+    assert(out.where($"id" === 7L).head().getString(2) == "s7")
+
+    val after = bucketDirs.map(d => d -> Files.getLastModifiedTime(Paths.get(d)).toMillis).toMap
+    val rewritten = after.filter { case (d, t) => before.get(d).exists(_ != t) }.keySet
+      .map(d => d.split("_bucket=")(1).toInt)
+    assert(rewritten == touched, "only the buckets present in the batch may be rewritten")
+    assert(touched.size < 16)
+  }
+
+  test("hard delete and dedup_sort survive the bucketed path") {
+    val root = tmpDir("bucketed-hd")
+    val path = s"$root/t"
+    BucketedMerge.replace(spark, Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "v", "s"), path, hints, 4)
+    val updates = Seq((2L, 2L, "dead"), (2L, 3L, "deader"), (3L, 1L, "c")).toDF("id", "v", "s")
+      .withColumn("deleted_ts", when($"s".startsWith("dead"), current_timestamp()))
+    BucketedMerge.merge(spark, updates, path, hints.copy(hardDeleteCol = Some("deleted_ts")), 4)
+    val out = BucketedMerge.read(spark, path)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("first merge on a missing table bootstraps the layout") {
+    val root = tmpDir("bucketed-boot")
+    val path = s"$root/t"
+    BucketedMerge.merge(spark, Seq((1L, 1L, "a")).toDF("id", "v", "s"), path, hints, 8)
+    assert(BucketedMerge.read(spark, path).count() == 1)
+    assert(spark.read.parquet(path).columns.contains(BucketedMerge.BucketCol))
+  }
+}
