@@ -314,6 +314,26 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // full-load path (BASELINE.md metric): scan → normalize → append →
+    // read-back; the count verifies the load, the bench times it
+    "q_full_load" -> ((s, dir) => {
+      val dest = java.nio.file.Files.createTempDirectory("graft_load").toString
+      val hints = TableHints("lineitem_loaded", Disposition.Append)
+      val tables = Normalize.normalize(t(s, dir, "lineitem"), hints)
+      TableWriter.write(s, tables("lineitem_loaded"), dest, hints)
+      s.read.parquet(s"$dest/lineitem_loaded").agg(count(lit(1)).as("n"))
+    }),
+
+    // skew-safe aggregation: salted two-stage result must equal the plain
+    // group-by (oracle computes the plain one)
+    "q_skew_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedSumCount(
+        t(s, dir, "events").withColumn("v", col("value").cast(dec18_2)),
+        Seq("event_type"), "v", factor = 8, saltSource = Seq("event_id"))
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_v"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- LLM-pipeline operators (BASELINE north star) ----
 
     // exact dedup: hash-groupBy, only (digest, id, count) survives map side
@@ -753,6 +773,14 @@ object SparkEntry {
         |WHERE NOT (last_ts > m - INTERVAL '30 minutes'
         |  AND (CAST(epoch_us(last_ts) AS BIGINT) - CAST(epoch_us(first_ts) AS BIGINT)) / 1000000.0 < 3600.0)
         |ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_full_load" ->
+      "SELECT count(*) AS n FROM lineitem",
+
+    "q_skew_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
