@@ -14,11 +14,34 @@ final case class HttpResponse(status: Int, body: String)
   */
 trait HttpTransport extends Serializable {
   def get(url: String, params: Map[String, String], headers: Map[String, String]): HttpResponse
+  /** JSON POST — needed by GraphQL sources; default unsupported so
+    * GET-only fixtures stay untouched.
+    */
+  def post(url: String, body: String, headers: Map[String, String]): HttpResponse =
+    throw new UnsupportedOperationException("transport does not support POST")
 }
 
 /** Stock JDK transport (no extra deps). */
 final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
     extends HttpTransport {
+
+  override def post(url: String, body: String, headers: Map[String, String]): HttpResponse = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    try {
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val respBody = if (stream == null) "" else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      HttpResponse(status, respBody)
+    } finally conn.disconnect()
+  }
+
   override def get(url: String, params: Map[String, String], headers: Map[String, String]): HttpResponse = {
     val query = params.map { case (k, v) =>
       URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
