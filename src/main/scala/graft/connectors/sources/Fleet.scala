@@ -338,6 +338,137 @@ object Fleet {
     ),
   )
 
+  /** asana (sources/asana_dlt/__init__.py:30-260): workspaces fan out to
+    * projects/tags/users/teams, projects to tasks (`modified_since`
+    * incremental), tasks to stories — the transformer DAG as parent-bound
+    * resources.
+    */
+  def asana(token: String): RestSource = RestSource(
+    name = "asana",
+    client = ClientConfig("https://app.asana.com/api/1.0", Some(Auth.Bearer(token))),
+    resources = Seq(
+      RestResource("workspaces",
+        EndpointConfig("workspaces", dataSelector = "data",
+          paginator = Paginator.Cursor("next_page.offset", "offset", pageSize = 100)),
+        replace("workspaces")),
+      RestResource("projects",
+        EndpointConfig("workspaces/{gid}/projects", dataSelector = "data",
+          paginator = Paginator.Cursor("next_page.offset", "offset", pageSize = 100),
+          parent = Some(ParentBinding("workspaces", Seq("gid")))),
+        replace("projects")),
+      RestResource("tasks",
+        EndpointConfig("projects/{gid}/tasks", dataSelector = "data",
+          paginator = Paginator.Cursor("next_page.offset", "offset", pageSize = 100),
+          incremental = Some(IncrementalBinding("modified_at", "modified_since")),
+          parent = Some(ParentBinding("projects", Seq("gid")))),
+        merge("tasks", "gid")),
+      RestResource("stories",
+        EndpointConfig("tasks/{gid}/stories", dataSelector = "data",
+          paginator = Paginator.Cursor("next_page.offset", "offset", pageSize = 100),
+          parent = Some(ParentBinding("tasks", Seq("gid")))),
+        append("stories")),
+    ),
+  )
+
+  /** personio (sources/personio/__init__.py:15-310): page-number paging
+    * (200/page, __init__.py:19,27), `updated_since` incremental, per-
+    * employee transformers.
+    */
+  def personio(clientId: String, clientSecret: String): RestSource = RestSource(
+    name = "personio",
+    client = ClientConfig("https://api.personio.de/v1", Some(Auth.Bearer(s"$clientId:$clientSecret"))),
+    resources = Seq(
+      RestResource("employees",
+        EndpointConfig("company/employees", dataSelector = "data",
+          paginator = Paginator.Offset("offset", "limit", pageSize = 200),
+          incremental = Some(IncrementalBinding("last_modified_at", "updated_since"))),
+        merge("employees", "id")),
+      RestResource("absences",
+        EndpointConfig("company/time-offs", dataSelector = "data",
+          paginator = Paginator.Offset("offset", "limit", pageSize = 200)),
+        merge("absences", "id")),
+      RestResource("attendances",
+        EndpointConfig("company/attendances", dataSelector = "data",
+          paginator = Paginator.Offset("offset", "limit", pageSize = 200),
+          incremental = Some(IncrementalBinding("updated_at", "updated_from"))),
+        merge("attendances", "id")),
+    ),
+  )
+
+  /** matomo (sources/matomo/__init__.py:15-228): one Reports API with
+    * `method` params (table per method, §2.8) and the Live visits API with
+    * 2000/page (168) — the session-close filter is
+    * `Specialized.Matomo.removeActiveVisits`.
+    */
+  def matomo(baseUrl: String, apiToken: String, siteId: Int, methods: Seq[String]): RestSource = RestSource(
+    name = "matomo",
+    client = ClientConfig(baseUrl, Some(Auth.QueryParam("token_auth", apiToken))),
+    resources = methods.map { m =>
+      RestResource(m.replace('.', '_').toLowerCase,
+        EndpointConfig("index.php",
+          params = Map("module" -> "API", "method" -> m, "idSite" -> siteId.toString,
+            "format" -> "JSON", "period" -> "day"),
+          dataSelector = "$"),
+        replace(m.replace('.', '_').toLowerCase))
+    } :+ RestResource("visits",
+      EndpointConfig("index.php",
+        params = Map("module" -> "API", "method" -> "Live.getLastVisitsDetails",
+          "idSite" -> siteId.toString, "format" -> "JSON"),
+        dataSelector = "$",
+        paginator = Paginator.Offset("filter_offset", "filter_limit", pageSize = 2000),
+        incremental = Some(IncrementalBinding("lastActionTimestamp", "minTimestamp"))),
+      TableHints("visits", Disposition.Append)),
+  )
+
+  /** google_analytics (sources/google_analytics/__init__.py:27-153): GA4
+    * runReport pages of 1000 (35,51); rows come back pre-aggregated,
+    * typing applied via `Specialized.GA`.
+    */
+  def googleAnalytics(propertyId: String, token: String, reports: Seq[String]): RestSource = RestSource(
+    name = "google_analytics",
+    client = ClientConfig("https://analyticsdata.googleapis.com/v1beta", Some(Auth.Bearer(token))),
+    resources = reports.map { r =>
+      RestResource(r,
+        EndpointConfig(s"properties/$propertyId:runReport",
+          params = Map("limit" -> "1000"), dataSelector = "rows",
+          paginator = Paginator.Offset("offset", "limit", pageSize = 1000)),
+        append(r))
+    } :+ RestResource("metadata",
+      EndpointConfig(s"properties/$propertyId/metadata", dataSelector = "$"),
+      replace("metadata")),
+  )
+
+  /** facebook_ads (sources/facebook_ads/__init__.py:52-220): marketing
+    * objects cursor-paged 50/page (57,132); insights are async report jobs
+    * (AsyncJobPoller) fanned per day then unioned.
+    */
+  def facebookAds(accountId: String, accessToken: String): RestSource = RestSource(
+    name = "facebook_ads",
+    client = ClientConfig("https://graph.facebook.com/v19.0",
+      Some(Auth.QueryParam("access_token", accessToken))),
+    resources = Seq("campaigns", "adsets", "ads", "adcreatives", "leads").map { obj =>
+      RestResource(obj,
+        EndpointConfig(s"act_$accountId/$obj", params = Map("limit" -> "50"),
+          dataSelector = "data",
+          paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 50)),
+        replace(obj))
+    },
+  )
+
+  /** google_ads (sources/google_ads/__init__.py:67-238): GAQL queries via
+    * searchStream — SQL-pushdown reader; the GAQL string is the plan.
+    */
+  def googleAds(customerId: String, token: String, queries: Map[String, String]): RestSource = RestSource(
+    name = "google_ads",
+    client = ClientConfig("https://googleads.googleapis.com/v16", Some(Auth.Bearer(token))),
+    resources = queries.map { case (name, gaql) =>
+      RestResource(name,
+        EndpointConfig(s"customers/$customerId/googleAds:searchStream",
+          params = Map("query" -> gaql), dataSelector = "results"),
+        append(name))
+    }.toSeq,
+  )
+
   /** bing webmaster (sources/bing_webmaster/__init__.py:19-100): single-page
     * JSON responses, composite merge key (38-43).
     */

@@ -25,7 +25,11 @@ class FleetSpec extends SparkTestBase {
     val all = Seq(gh, pd, bing, Fleet.stripe("k"), Fleet.hubspot("k"), Fleet.zendesk("s", "e", "t"),
       Fleet.slack("t"), Fleet.shopify("s", "t"), Fleet.jira("d", "e", "t"), Fleet.freshdesk("d", "k"),
       Fleet.notion("k"), Fleet.workable("s", "t"), Fleet.airtable("k", "b", Seq("t1")),
-      Fleet.strapi("h", "t", Seq("e1")), Fleet.mux("i", "s"), Fleet.pokemon(), Fleet.chess(Seq("p")))
+      Fleet.strapi("h", "t", Seq("e1")), Fleet.mux("i", "s"), Fleet.pokemon(), Fleet.chess(Seq("p")),
+      Fleet.asana("t"), Fleet.personio("i", "s"),
+      Fleet.matomo("https://m.example.test", "t", 1, Seq("VisitsSummary.get")),
+      Fleet.googleAnalytics("123", "t", Seq("daily_users")),
+      Fleet.facebookAds("42", "t"), Fleet.googleAds("c1", "t", Map("ads" -> "SELECT x FROM campaign")))
     all.foreach { s =>
       assert(s.resources.nonEmpty, s.name)
       assert(s.client.baseUrl.startsWith("https://"), s.name)
