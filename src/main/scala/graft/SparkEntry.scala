@@ -388,6 +388,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF ANN (scale path: corpus shuffles once by cell; queries probe
+    // nProbe cells; no SQL oracle — centroid assignment)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect().zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        }.toSeq
+      val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 13)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      graft.ops.Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        centroids, nProbe = 2, k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))

@@ -84,6 +84,51 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: assign corpus vectors to their nearest
+    * coarse centroid once; at query time score only the `nProbe` closest
+    * cells. Centroids here are a deterministic sample of the corpus
+    * (first-k by id) — a production build would k-means them; the
+    * partition/probe mechanics are identical. At 100 TB the cell
+    * assignment is a narrow map and the probe is a semi-join on cell id,
+    * so the corpus shuffles once (by cell) ever, not per query.
+    */
+  def ivfAssign(corpus: DataFrame, corpusVec: String, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(dot(col(corpusVec), typedlit(cvec.toSeq)).as("sim"), lit(cid).as("cell"))
+    }
+    corpus.withColumn("__cell", greatest(scored: _*).getField("cell"))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      nProbe: Int,
+      k: Int,
+  ): DataFrame = {
+    val assigned = ivfAssign(corpus, corpusVec, centroids)
+    // per query: the nProbe best cells (driver-free — computed as array expr)
+    val cellScores = array(centroids.map { case (cid, cvec) =>
+      struct(dot(col(queryVec), typedlit(cvec.toSeq)).as("sim"), lit(cid).as("cell"))
+    }: _*)
+    val qCells = queries
+      .withColumn("__cells", slice(reverse(array_sort(cellScores)), 1, nProbe))
+      .withColumn("__cell", explode(expr("transform(__cells, c -> c.cell)")))
+      .drop("__cells")
+    val scored = assigned
+      .join(broadcast(qCells), "__cell")
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: score only same-signature pairs. Recall depends on
     * nBits; callers union multiple signature tables for multi-probe.
     */

@@ -51,7 +51,12 @@ final class Pipeline(
 ) {
 
   def run(source: SourceDef): Seq[LoadResult] = {
+    // load id stamped on every row of this run (dlt's _dlt_load_id):
+    // monotonically increasing, recorded in state for lineage
+    val loadId = java.util.UUID.randomUUID().toString.take(8) + "-" + System.currentTimeMillis()
+    currentLoadId = Some(loadId)
     val state = StateStore(stateDir, s"$pipelineName.${source.name}")
+    state.put("last_load_id", loadId)
     val ordered = topoOrder(source.resources)
     val built = scala.collection.mutable.Map.empty[String, DataFrame]
     val results = scala.collection.mutable.ArrayBuffer.empty[LoadResult]
@@ -125,12 +130,20 @@ final class Pipeline(
     }
   }
 
+  private var currentLoadId: Option[String] = None
+
   /** Normalize (parent + child tables), then apply the disposition to each
     * produced table. Child tables always merge on `_dlt_id` when the root
     * merges (re-runs replace children deterministically since ids are
-    * content-derived).
+    * content-derived). Every row carries `_dlt_load_id` for run lineage
+    * (the dlt framework column).
     */
-  private def writeNormalized(df: DataFrame, hints: TableHints): Seq[LoadResult] = {
+  private def writeNormalized(df0: DataFrame, hints: TableHints): Seq[LoadResult] = {
+    val df = currentLoadId match {
+      case Some(id) if !df0.columns.contains("_dlt_load_id") =>
+        df0.withColumn("_dlt_load_id", lit(id))
+      case _ => df0
+    }
     val tables = Normalize.normalize(df, hints)
     tables.toSeq.map { case (name, tdf) =>
       val childHints =

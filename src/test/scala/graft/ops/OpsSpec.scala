@@ -67,6 +67,24 @@ class OpsSpec extends SparkTestBase {
     assert(top == Seq(10L, 11L))
   }
 
+  test("ivfTopK probing every cell equals brute force") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (10L to 40L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("n_id", "n_vec")
+    val queries = (1L to 3L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("q_id", "q_vec")
+    val centroids = (0 until 4).map(c => c -> Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    val brute = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 5)
+      .select("q_id", "rank", "n_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+      centroids, nProbe = 4, k = 5)
+      .select("q_id", "rank", "n_id").collect().map(_.toSeq).toSet
+    assert(ivf == brute)
+
+    // partial probe returns a subset ranked consistently
+    val partial = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+      centroids, nProbe = 1, k = 5).collect()
+    assert(partial.nonEmpty && partial.length <= 15)
+  }
+
   test("hyperplane signatures are deterministic and bucket-compatible") {
     val vecs = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
     val s1 = vecs.select(Similarity.hyperplaneSignature($"v", 8, 4)).head().getLong(0)
