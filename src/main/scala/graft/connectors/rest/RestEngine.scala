@@ -44,6 +44,13 @@ object RestEngine {
         sizeParam: String = "limit") extends Paginator
     /** Full next-page URL in the body. */
     final case class NextUrl(nextUrlPath: String) extends Paginator
+    /** Incremental-export/stream protocol: the response carries the next
+      * window's start (`end_time`) plus an end-of-stream flag — zendesk's
+      * STREAM/START_TIME protocols (sources/zendesk/helpers/talk_api.py:14-18,
+      * 63-116; incremental export page 1000, settings.py:7).
+      */
+    final case class StartTime(nextStartPath: String, startParam: String,
+        endOfStreamPath: String = "end_of_stream") extends Paginator
     /** One request, no paging. */
     case object Single extends Paginator
   }
@@ -57,6 +64,13 @@ object RestEngine {
       initialValue: Option[String] = None,
       endParam: Option[String] = None,
       endValue: Option[String] = None,
+      /** Endpoint pages newest-first: once a page's minimum cursor value
+        * falls at/under the committed cursor, STOP issuing requests — the
+        * reader-loop early termination a filter can't express
+        * (sources/github/__init__.py:102-108,
+        * sources/pipedrive/__init__.py:196-206; SURVEY §7.4.7).
+        */
+      newestFirst: Boolean = false,
   )
 
   /** Parent-child binding: `pathTemplate` with `{field}` placeholders
@@ -105,6 +119,10 @@ object RestEngine {
       transport: HttpTransport,
       extraParams: Map[String, String] = Map.empty,
       pathVars: Map[String, String] = Map.empty,
+      /** Early-termination hook: called with each page's items; true stops
+        * the loop AFTER keeping that page (newest-first cursor cutoffs).
+        */
+      pageStop: Seq[com.fasterxml.jackson.databind.JsonNode] => Boolean = _ => false,
   ): Seq[String] = {
     val url0 = client.baseUrl.stripSuffix("/") + "/" + interpolate(endpoint.path, pathVars).stripPrefix("/")
     val (authParams, authHeaders) = client.auth
@@ -125,8 +143,10 @@ object RestEngine {
       val items = Json.items(root, endpoint.dataSelector)
       out ++= items.map(_.toString)
       page += 1
+      if (items.nonEmpty && pageStop(items)) done = true
 
       endpoint.paginator match {
+        case _ if done        => ()
         case Paginator.Single => done = true
         case p: Paginator.Offset =>
           if (items.size < p.pageSize) done = true
@@ -148,6 +168,12 @@ object RestEngine {
               url = next
               pageParams = Map.empty // next-url carries its own query
             case _ => done = true
+          }
+        case p: Paginator.StartTime =>
+          val eos = Json.select(root, p.endOfStreamPath).headOption.exists(_.asBoolean(false))
+          Json.selectString(root, p.nextStartPath) match {
+            case Some(next) if !eos => pageParams = pageParams + (p.startParam -> next)
+            case _                  => done = true
           }
       }
       if (items.isEmpty) done = true
@@ -173,13 +199,26 @@ object RestEngine {
       state: Option[StateStore] = None,
   ): DataFrame = {
     val stateKey = s"${source.name}.${resource.name}.cursor"
+    val lastValue = resource.endpoint.incremental.flatMap(b =>
+      state.flatMap(_.getString(stateKey)).orElse(b.initialValue))
     val incParams: Map[String, String] = resource.endpoint.incremental.toSeq.flatMap { b =>
-      val last = state.flatMap(_.getString(stateKey)).orElse(b.initialValue)
-      last.map(b.startParam -> _).toSeq ++
+      lastValue.map(b.startParam -> _).toSeq ++
         (for (ep <- b.endParam; ev <- b.endValue) yield ep -> ev).toSeq
     }.toMap
 
-    val items = fetchPages(source.client, resource.endpoint, transport, incParams)
+    // newest-first feeds stop the page loop once a page dips at/under the
+    // committed cursor (start_out_of_range)
+    val pageStop: Seq[com.fasterxml.jackson.databind.JsonNode] => Boolean =
+      resource.endpoint.incremental match {
+        case Some(b) if b.newestFirst && lastValue.isDefined =>
+          items => {
+            val vals = items.flatMap(n => Json.selectString(n, b.cursorPath))
+            vals.nonEmpty && vals.min <= lastValue.get
+          }
+        case _ => _ => false
+      }
+
+    val items = fetchPages(source.client, resource.endpoint, transport, incParams, pageStop = pageStop)
     val df = jsonToDf(spark, items)
 
     resource.endpoint.incremental match {

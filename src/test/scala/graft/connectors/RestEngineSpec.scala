@@ -114,6 +114,33 @@ class RestEngineSpec extends SparkTestBase {
     assert(df.where($"_parent_id" === "1").count() == 2)
   }
 
+  test("start-time/stream protocol follows next start until end_of_stream") {
+    val t = new FakeTransport(Map(
+      "exports?" -> """{"data":[{"id":1}],"end_time":"1000","end_of_stream":false}""",
+      "exports?start_time=1000" -> """{"data":[{"id":2}],"end_time":"2000","end_of_stream":true}""",
+    ))
+    val ep = EndpointConfig("exports", dataSelector = "data",
+      paginator = Paginator.StartTime(nextStartPath = "end_time", startParam = "start_time"))
+    assert(fetchPages(client, ep, t).size == 2)
+  }
+
+  test("newest-first early stop: page loop halts once cursor dips under last value") {
+    val t = new FakeTransport(Map(
+      "feed?since=50" -> """{"data":[{"id":9,"seq":90},{"id":8,"seq":80}],"meta":{"next":"p2"}}""",
+      "feed?cursor=p2&limit=2&since=50" -> """{"data":[{"id":7,"seq":60},{"id":6,"seq":40}],"meta":{"next":"p3"}}""",
+      // p3 must never be requested: page 2 dipped to 40 <= 50
+    ))
+    val res = RestResource("feed",
+      EndpointConfig("feed", dataSelector = "data",
+        paginator = Paginator.Cursor("meta.next", "cursor", pageSize = 2),
+        incremental = Some(IncrementalBinding("seq", "since", initialValue = Some("50"), newestFirst = true))),
+      TableHints("feed", Disposition.Append))
+    val df = readResource(spark, RestSource("s", client, Seq(res)), res, t)
+    // page 2 was kept but loop stopped; engine-side filter then drops 40
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(9L, 8L, 7L))
+    assert(!t.calls.exists(_._2.get("cursor").contains("p3")))
+  }
+
   test("retrying transport backs off on 5xx then succeeds") {
     var n = 0
     val flaky = new HttpTransport {
