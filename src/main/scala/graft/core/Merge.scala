@@ -62,10 +62,14 @@ object MergeEngine {
       case None => liveUpdates
       case Some(base) if keys.isEmpty => unionEvolved(base, liveUpdates)
       case Some(base) =>
-        // survivors: base rows whose key is in neither the update set nor the delete set
+        // survivors: base rows whose key is in neither the update set nor
+        // the delete set. No broadcast hint on purpose: update batches are
+        // usually small (AQE converts the anti-join to broadcast at
+        // runtime from observed sizes), but a full-reload batch can be as
+        // large as the table — a forced broadcast would OOM at scale.
         val updKeys = deduped.select(keys.map(col): _*).distinct()
         val survivors = alignTo(base, mergedSchema(base.schema, liveUpdates.schema))
-          .join(broadcastIfSmall(updKeys), keys, "left_anti")
+          .join(updKeys, keys, "left_anti")
         unionEvolved(survivors, liveUpdates)
     }
   }
@@ -121,7 +125,6 @@ object MergeEngine {
     alignTo(a, target).unionByName(alignTo(b, target))
   }
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }
 
 /** Disposition engine over parquet tables with staged, swap-on-success
