@@ -492,6 +492,41 @@ object SparkEntry {
         .orderBy("user_id", "stage")
     }),
 
+    // §2.6 zendesk process_ticket: {id,value} field array → named columns
+    "q_field_pivot" -> ((s, dir) => {
+      import graft.connectors.transforms.RowShapes
+      val withFields = t(s, dir, "events").select(
+        col("event_id"),
+        array(
+          struct(lit("val").as("id"), col("value").cast("string").as("value")),
+          struct(lit("type").as("id"), col("event_type").as("value")),
+        ).as("fields"),
+      )
+      RowShapes.pivotCustomFields(withFields, "fields", Map("val" -> "value_s", "type" -> "etype"))
+        .orderBy("event_id")
+    }),
+
+    // §2.6 pipedrive group_deal_flows: heterogeneous flow rows routed by
+    // object type with flattened data + timestamp
+    "q_deal_flows" -> ((s, dir) => {
+      import graft.connectors.transforms.RowShapes
+      val flows = t(s, dir, "events").select(
+        col("event_type").as("object"),
+        struct(col("event_id"), col("value")).as("data"),
+        col("ts"),
+      )
+      RowShapes.groupDealFlows(flows, "object", "data", "ts")
+        .select(col("_table"), col("event_id"), col("value"), tsMicros(col("timestamp")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // §2.6 hubspot association dedup
+    "q_assoc_dedup" -> ((s, dir) => {
+      import graft.connectors.transforms.RowShapes
+      RowShapes.dedupAssociations(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
     // §2.6 hubspot property-history explode: map<prop → entries[]> → rows
     "q_property_history" -> ((s, dir) => {
       import graft.connectors.transforms.RowShapes
@@ -505,12 +540,14 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-duplicate pairs on a bucketed pair space
+    // (norms precomputed per side: O(n) norms + O(n²) dots, not O(n²) both)
     "q_dedup_cosine" -> ((s, dir) => {
       val d = t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-      graft.ops.Dedup.cosineNearDups(
-        a.join(b, col("id_a") < col("id_b")), "v_a", "v_b", threshold = 0.2)
+        .select(col("vec_id"), col("embedding"), graft.ops.Similarity.norm(col("embedding")).as("nrm"))
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("n_a"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("nrm").as("n_b"))
+      graft.ops.Dedup.cosineNearDupsPrenormed(
+        a.join(b, col("id_a") < col("id_b")), "v_a", "v_b", "n_a", "n_b", threshold = 0.2)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -853,6 +890,18 @@ object SparkEntry {
     "q_stage_pivot" ->
       """SELECT user_id, event_type AS stage, CAST(epoch_us(min(ts)) AS BIGINT) AS entered_us
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    "q_field_pivot" ->
+      """SELECT event_id, CAST(value AS VARCHAR) AS value_s, event_type AS etype
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_deal_flows" ->
+      """SELECT 'deals_flow_' || event_type AS _table, event_id, value,
+        | CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_assoc_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""".stripMargin,
 
     "q_property_history" ->
       """SELECT user_id AS object_id, event_type AS property_name, event_id,

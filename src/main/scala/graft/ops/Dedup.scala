@@ -75,8 +75,10 @@ object Dedup {
     * split+distinct runs once per document, not once per pair.
     */
   def jaccardSets(sa: Column, sb: Column): Column = {
+    // |A∪B| = |A| + |B| − |A∩B|: one array pass instead of two (inputs are
+    // already distinct sets)
     val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
+    val uni = size(sa).cast("double") + size(sb).cast("double") - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
@@ -115,10 +117,19 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs within LSH-ish id buckets —
     * see Similarity.cosine for the expression; caller restricts the pair
-    * space (bucketing) before invoking.
+    * space (bucketing) before invoking. When the same vectors appear in
+    * many pairs, pre-compute norms per side (`Similarity.norm`) and use
+    * `cosinePrenormed` — norms are O(n), pair dots are O(n²).
     */
   def cosineNearDups(pairs: DataFrame, vecA: String, vecB: String, threshold: Double): DataFrame =
     pairs
       .withColumn("cosine", Similarity.cosine(col(vecA), col(vecB)))
+      .filter(col("cosine") >= threshold)
+
+  /** As above with per-side norm columns already materialized. */
+  def cosineNearDupsPrenormed(pairs: DataFrame, vecA: String, vecB: String,
+      normA: String, normB: String, threshold: Double): DataFrame =
+    pairs
+      .withColumn("cosine", Similarity.dot(col(vecA), col(vecB)) / (col(normA) * col(normB)))
       .filter(col("cosine") >= threshold)
 }

@@ -1,0 +1,40 @@
+import duckdb, json, sys, glob, os
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+con = duckdb.connect()
+for p in glob.glob(f'{sf}/*.parquet'):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+ok, bad = [], []
+for q in sorted(os.listdir(out)):
+    d = f'{out}/{q}'
+    if not os.path.isdir(d): continue
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    if q not in oracle:
+        ok.append(f'{q} (rows-only: {len(got)})' if len(got) > 0 else f'{q} ROWS-ONLY EMPTY!')
+        continue
+    try:
+        exp = con.execute(oracle[q]).df()
+    except Exception as e:
+        bad.append(f'{q}: ORACLE ERROR {e}'); continue
+    gs = got.reindex(sorted(got.columns), axis=1)
+    es = exp.reindex(sorted(exp.columns), axis=1)
+    if list(gs.columns) != list(es.columns):
+        bad.append(f'{q}: COLS got={list(gs.columns)} exp={list(es.columns)}'); continue
+    if len(gs) != len(es):
+        bad.append(f'{q}: ROWS got={len(gs)} exp={len(es)}'); continue
+    gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+    es = es.sort_values(list(es.columns)).reset_index(drop=True)
+    import pandas as pd
+    diff = (gs.astype(str) != es.astype(str))
+    if diff.any().any():
+        idx = diff.any(axis=1)
+        bad.append(f'{q}: VALUES differ in {idx.sum()} rows; first:\nGOT {gs[idx].head(2)}\nEXP {es[idx].head(2)}')
+        # dtype detail
+        bad.append(f'  dtypes got={dict(gs.dtypes.astype(str))} exp={dict(es.dtypes.astype(str))}')
+    else:
+        dt_g, dt_e = dict(gs.dtypes.astype(str)), dict(es.dtypes.astype(str))
+        ok.append(q if dt_g == dt_e else f'{q} (dtype diff: {[(k, dt_g[k], dt_e[k]) for k in dt_g if dt_g[k]!=dt_e[k]]})')
+print('OK:', len(ok)); [print(' ', x) for x in ok]
+print('BAD:', len(bad)); [print(' ', x) for x in bad]
