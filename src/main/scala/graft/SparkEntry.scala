@@ -205,6 +205,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // core.normalize: dynamic JSON inference — a JSON-string column is
+    // sampled, schema-inferred, parsed, and flattened to __ paths
+    "q_normalize_json" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "props")
+      val parsed = Normalize.parseJsonColumn(ev, "props")
+      Normalize.flattenStructs(parsed, TableHints("events"))
+        .orderBy("event_id")
+    }),
+
     // core.normalize: array explode → child table with list idx
     "q_normalize_explode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -773,6 +782,10 @@ object SparkEntry {
     "q_normalize_flatten" ->
       """SELECT event_id, user_id AS payload__user_id, event_type AS payload__detail__event_type,
         | value AS payload__detail__value
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_normalize_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props__k
         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     "q_normalize_explode" ->

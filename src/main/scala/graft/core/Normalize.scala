@@ -98,6 +98,22 @@ object Normalize {
     Map(tableName -> parent) ++ children
   }
 
+  /** Dynamic schema inference for a JSON-string column (SURVEY §1.2:
+    * "schema is dynamic + inferred, refined by hints"): sample the column,
+    * infer a struct schema, parse in place. The parsed struct then flows
+    * through `normalize` like any nested payload; hints still win where
+    * declared (a `json` hint keeps the raw string instead).
+    */
+  def parseJsonColumn(df: DataFrame, colName: String, sampleLimit: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(colName)).filter(col(colName).isNotNull)
+      .limit(sampleLimit).as[String]
+    val inferred = spark.read.json(sample).schema
+    if (inferred.isEmpty) df
+    else df.withColumn(colName, from_json(col(colName), inferred))
+  }
+
   /** Flatten all struct columns into `parent__child` leaves (iterates until
     * no struct columns remain; arrays inside structs surface for the child
     * pass above). JSON-hinted structs serialize instead.

@@ -59,6 +59,22 @@ class NormalizeSpec extends SparkTestBase {
     assert(itemsJson.contains("\"x\":1"))
   }
 
+  test("parseJsonColumn infers schema from data and parses in place") {
+    val df = Seq(
+      (1L, """{"k": 5, "tags": ["a","b"], "meta": {"x": 1.5}}"""),
+      (2L, """{"k": 7, "tags": [], "meta": {"x": 2.0}}"""),
+      (3L, null),
+    ).toDF("id", "props")
+    val parsed = Normalize.parseJsonColumn(df, "props")
+    assert(parsed.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val tables = Normalize.normalize(parsed, TableHints("ev", primaryKey = Seq("id")))
+    val parent = tables("ev")
+    assert(parent.columns.contains("props__k") && parent.columns.contains("props__meta__x"))
+    assert(parent.where($"id" === 1).select("props__k").head().getLong(0) == 5L)
+    assert(parent.where($"id" === 3).select("props__k").head().isNullAt(0))
+    assert(tables("ev__props__tags").count() == 2)
+  }
+
   test("maxTableNesting serializes deeper levels to JSON") {
     val hints = TableHints("docs", primaryKey = Seq("id"), maxTableNesting = 0)
     val tables = Normalize.normalize(sample, hints)
