@@ -102,6 +102,76 @@ object Specialized {
     }
   }
 
+  // ------------------------------------------------------------ hubspot
+
+  /** HubSpot dynamic property discovery → column hints: the remote
+    * property catalog's types map to engine types
+    * (HS_TO_DLT_TYPE, sources/hubspot/settings.py:124-130; hints computed
+    * at sources/hubspot/__init__.py:128-141, helpers.py:241-251), and
+    * requested property lists are validated against the catalog with
+    * custom properties unioned in (__init__.py:442-481).
+    */
+  object Hubspot {
+    import graft.core.{ColumnHint, DltType}
+
+    def propertyTypeToHint(hsType: String): ColumnHint = ColumnHint(dltType = Some(hsType match {
+      case "number"              => DltType.TDouble
+      case "bool" | "boolean"    => DltType.TBool
+      case "datetime"            => DltType.TTimestamp
+      case "date"                => DltType.TDate
+      case "enumeration"         => DltType.TText
+      case _                     => DltType.TText
+    }))
+
+    /** Column hints for a discovered property catalog (name → hs type). */
+    def hintsFor(catalog: Map[String, String]): Map[String, ColumnHint] =
+      catalog.map { case (name, t) => graft.core.Naming.normalize(name) -> propertyTypeToHint(t) }
+
+    /** Validate requested props against the catalog; unknown props raise,
+      * custom props (catalog entries beyond the default set) are unioned
+      * in when `includeCustom`.
+      */
+    def selectProperties(
+        requested: Seq[String],
+        catalog: Map[String, String],
+        defaults: Set[String],
+        includeCustom: Boolean,
+    ): Seq[String] = {
+      val unknown = requested.filterNot(catalog.contains)
+      require(unknown.isEmpty, s"unknown properties: ${unknown.mkString(", ")}")
+      val custom = if (includeCustom) catalog.keys.filterNot(defaults).toSeq else Nil
+      (requested ++ custom).distinct
+    }
+  }
+
+  // ----------------------------------------------------------- facebook
+
+  /** Insights request planning (sources/facebook_ads/__init__.py:120-220,
+    * helpers.py:33-61): the incremental start is rewritten back by the
+    * attribution window (conversions attribute late), and the range fans
+    * out into per-day report jobs whose results union.
+    */
+  object Facebook {
+    import java.time.LocalDate
+
+    /** Start date minus attribution lag — re-reads the attribution window
+      * every run; merge-on-pk dedups the overlap (helpers.py:33-61).
+      */
+    def attributionWindowStart(lastValue: LocalDate, attributionWindowDays: Int): LocalDate =
+      lastValue.minusDays(attributionWindowDays.toLong)
+
+    /** Inclusive day range → per-day job specs. */
+    def dayRange(start: LocalDate, endExclusive: LocalDate): Seq[LocalDate] =
+      Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(endExclusive)).toSeq
+
+    /** Fan out day jobs and union results — each job is an async report
+      * awaited via AsyncJobPoller by the caller; the union keeps per-day
+      * frames independent (a failed day retries alone).
+      */
+    def unionDays(frames: Seq[org.apache.spark.sql.DataFrame]): Option[org.apache.spark.sql.DataFrame] =
+      frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
   // ------------------------------------------------------------- matomo
 
   /** Live-visits session-close filter (sources/matomo/helpers/

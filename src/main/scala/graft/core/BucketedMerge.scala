@@ -31,9 +31,20 @@ object BucketedMerge {
   def bucketExpr(keys: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keys.map(c => col(c).cast("string")): _*), lit(numBuckets)).cast("int")
 
+  /** Bucket key choice matters more than bucket count: hash the columns
+    * update batches CLUSTER by (the entity id a CDC stream keys on), not
+    * the full pk — a batch of N distinct full-pk rows touches ~min(N, B)
+    * buckets, while the same batch clustered on K entities bucketed by
+    * entity id touches ≤ K. Must be a subset of (or functionally
+    * determined by) the merge key so a key's rows never migrate buckets.
+    */
+  private def bucketKeysOf(hints: TableHints, bucketKeys: Seq[String]): Seq[String] =
+    if (bucketKeys.nonEmpty) bucketKeys else hints.keyColumns
+
   /** Initialize or fully replace a bucketed table. */
-  def replace(spark: SparkSession, df: DataFrame, path: String, hints: TableHints, numBuckets: Int): Unit = {
-    val keys = hints.keyColumns
+  def replace(spark: SparkSession, df: DataFrame, path: String, hints: TableHints, numBuckets: Int,
+      bucketKeys: Seq[String] = Nil): Unit = {
+    val keys = bucketKeysOf(hints, bucketKeys)
     require(keys.nonEmpty, "bucketed layout requires a key")
     df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
       .repartition(col(BucketCol))
@@ -43,11 +54,12 @@ object BucketedMerge {
   }
 
   /** Merge an update batch, rewriting only the touched buckets. */
-  def merge(spark: SparkSession, updates: DataFrame, path: String, hints: TableHints, numBuckets: Int): Unit = {
-    val keys = hints.keyColumns
-    require(keys.nonEmpty, "bucketed merge requires a key")
+  def merge(spark: SparkSession, updates: DataFrame, path: String, hints: TableHints, numBuckets: Int,
+      bucketKeys: Seq[String] = Nil): Unit = {
+    val keys = bucketKeysOf(hints, bucketKeys)
+    require(hints.keyColumns.nonEmpty, "bucketed merge requires a key")
     val exists = TableWriter.readIfExists(spark, path).isDefined
-    if (!exists) { replace(spark, updates, path, hints, numBuckets); return }
+    if (!exists) { replace(spark, updates, path, hints, numBuckets, bucketKeys); return }
 
     val bucketed = updates.withColumn(BucketCol, bucketExpr(keys, numBuckets))
     // distinct buckets in this batch: tiny driver-side list (≤ numBuckets)
