@@ -370,6 +370,17 @@ object SparkEntry {
         .orderBy("band", "bucket_hash")
     }),
 
+    // composed near-dup pipeline: LSH candidates → exact Jaccard verify
+    // (the O(n²)-free shape; oracle recomputes both stages in SQL)
+    // (the synthetic corpus shares one tiny vocabulary, so nearly every
+    // pair is an LSH candidate — a worst case for banding; the subset
+    // keeps the demo pair space honest without changing the semantics)
+    "q_dedup_pipeline" -> ((s, dir) => {
+      Dedup.nearDupPairs(t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash 64-bit fingerprints (no SQL oracle: bit-level aggregate)
     "q_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -863,6 +874,20 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_minhash" -> minhashBandSql,
+
+    "q_dedup_pipeline" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, ws,
+        |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
+        |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 3 = 0)),
+        |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT id_a, id_b,
+        |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+        |  FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
+        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (

@@ -86,6 +86,38 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     jaccardSets(array_distinct(split(a, " ")), array_distinct(split(b, " ")))
 
+  /** The composed near-dup pipeline — the shape that holds at 100 TB:
+    * MinHash-LSH generates candidate pairs (shuffle on short band keys,
+    * never a cross join), then exact Jaccard verifies ONLY candidates.
+    * Pair space is O(Σ bucket²) instead of O(n²); threshold recall is
+    * tuned by (numHashes, rowsPerBand).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket_hash"), col(idCol).as("__id"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket_hash") === col("y.bucket_hash") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol), wordSet(col(textCol)).as("__ws"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("__ws").as("ws_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ws").as("ws_b")), "id_b")
+      .withColumn("jac", jaccardSets(col("ws_a"), col("ws_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it

@@ -60,6 +60,32 @@ class SpecializedSpec extends SparkTestBase {
     assert(d == "2024-01-15")
   }
 
+  test("hubspot property catalog → hints; selection validates + unions custom props") {
+    val catalog = Map("amount" -> "number", "closedate" -> "datetime", "active" -> "bool",
+      "stage" -> "enumeration", "my_custom" -> "string")
+    val hints = Hubspot.hintsFor(catalog)
+    assert(hints("amount").dltType.contains(graft.core.DltType.TDouble))
+    assert(hints("closedate").dltType.contains(graft.core.DltType.TTimestamp))
+
+    val defaults = Set("amount", "closedate", "active", "stage")
+    val sel = Hubspot.selectProperties(Seq("amount", "stage"), catalog, defaults, includeCustom = true)
+    assert(sel.toSet == Set("amount", "stage", "my_custom"))
+    intercept[IllegalArgumentException](
+      Hubspot.selectProperties(Seq("nope"), catalog, defaults, includeCustom = false))
+  }
+
+  test("facebook insights planning: attribution rewind, day fan-out, union") {
+    import java.time.LocalDate
+    assert(Facebook.attributionWindowStart(LocalDate.of(2024, 1, 10), 7) == LocalDate.of(2024, 1, 3))
+    val days = Facebook.dayRange(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 4))
+    assert(days.map(_.getDayOfMonth) == Seq(1, 2, 3))
+    val f1 = Seq((1L, "a")).toDF("id", "x")
+    val f2 = Seq((2L, "b", 5.0)).toDF("id", "x", "extra")
+    val u = Facebook.unionDays(Seq(f1, f2)).get
+    assert(u.count() == 2 && u.columns.contains("extra"))
+    assert(Facebook.unionDays(Nil).isEmpty)
+  }
+
   test("async job poller: backoff, start timeout, completion") {
     // completes on third poll
     var polls = 0
