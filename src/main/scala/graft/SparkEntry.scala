@@ -370,6 +370,15 @@ object SparkEntry {
         .orderBy("band", "bucket_hash")
     }),
 
+    // native one-pass MinHash (custom codegen Expression) — same banding
+    // shape as q_dedup_minhash but k long lanes per row instead of k md5
+    // string traversals (no SQL oracle: xxhash64 family)
+    "q_dedup_minhash_fast" -> ((s, dir) => {
+      Dedup.lshCandidateGroupsFast(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4)
+        .orderBy("band", "bucket_hash")
+    }),
+
     // composed near-dup pipeline: LSH candidates → exact Jaccard verify
     // (the O(n²)-free shape; oracle recomputes both stages in SQL)
     // (the synthetic corpus shares one tiny vocabulary, so nearly every

@@ -49,6 +49,33 @@ object Dedup {
     (0 until k).foldLeft(df)((acc, i) => acc.withColumn(s"sig_$i", minhash(ws, i)))
   }
 
+  /** One-pass native MinHash signature (custom Catalyst expression with
+    * codegen — graft.functions.MinHashSignature): k long lanes from a
+    * single traversal. Use for scale paths where the oracle-replicable
+    * md5 variant is too slow.
+    */
+  def minhashSignatureFast(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("sig",
+      graft.functions.MinHashSignature.minhashSignature(wordSet(col(textCol)), k))
+
+  /** LSH candidate groups over the native signature: band key = xxhash64
+    * of the band's signature slice (long-array hashing, no strings).
+    */
+  def lshCandidateGroupsFast(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatureFast(df, textCol, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      sigs.select(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket_hash"),
+        col(idCol))
+    }
+    bands.reduce(_.unionByName(_))
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** LSH band buckets: documents sharing a band hash are near-dup
     * candidates. rowsPerBand signatures are concatenated per band; the
     * groupBy shuffles only (band, hash, id) triples.
