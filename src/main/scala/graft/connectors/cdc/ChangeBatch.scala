@@ -57,7 +57,16 @@ object ChangeBatch {
   /** Result of consuming a frame stream: completed batches plus the LSN to
     * resume from (the last committed transaction's end).
     */
-  final case class ConsumeResult(batch: Batch, lastCommitLsn: Option[Long], schemaChanged: Boolean)
+  final case class ConsumeResult(
+      batch: Batch,
+      lastCommitLsn: Option[Long],
+      schemaChanged: Boolean,
+      /** Relations truncated in this batch: the loader must clear those
+        * tables BEFORE applying the batch's changes (postgres TRUNCATE
+        * replicates as a Truncate frame, not per-row deletes).
+        */
+      truncatedRelations: Seq[String] = Nil,
+  )
 
   /** Consume (lsn, frame) pairs up to `targetBatchSize` items, honoring
     * transaction boundaries (may exceed the target to finish a
@@ -71,6 +80,8 @@ object ChangeBatch {
     val relations = scala.collection.mutable.Map.empty[Int, RelationMeta]
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Change]
     val pendingTxn = scala.collection.mutable.ArrayBuffer.empty[Change]
+    val pendingTruncates = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val truncated = scala.collection.mutable.LinkedHashSet.empty[String]
     var commitTs = 0L
     var lastCommitLsn: Option[Long] = None
     var schemaChanged = false
@@ -95,15 +106,19 @@ object ChangeBatch {
           pendingTxn += Change(relations(relId), lsn, commitTs, deleted = false, newRow)
         case Delete(relId, keyRow) =>
           pendingTxn += Change(relations(relId), lsn, commitTs, deleted = true, keyRow)
+        case Truncate(relIds) =>
+          pendingTruncates ++= relIds
         case Commit(_, endLsn, _) =>
           emitted ++= pendingTxn
           pendingTxn.clear()
+          pendingTruncates.foreach(id => relations.get(id).foreach(m => truncated += m.name))
+          pendingTruncates.clear()
           lastCommitLsn = Some(endLsn)
           if (emitted.size >= targetBatchSize) done = true
         case _ => ()
       }
     }
-    ConsumeResult(Batch(emitted.toSeq), lastCommitLsn, schemaChanged)
+    ConsumeResult(Batch(emitted.toSeq), lastCommitLsn, schemaChanged, truncated.toSeq)
   }
 
   /** Spark schema for a relation's change rows: data columns as strings

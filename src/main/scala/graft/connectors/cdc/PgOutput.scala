@@ -157,5 +157,9 @@ object PgOutput {
       val b = buffer(); b.put('D'.toByte); b.putInt(relId); b.put('K'.toByte)
       putTuple(b, keyRow); finish(b)
     }
+    def truncate(relIds: Seq[Int]): Array[Byte] = {
+      val b = buffer(); b.put('T'.toByte); b.putInt(relIds.size); b.put(0.toByte)
+      relIds.foreach(b.putInt); finish(b)
+    }
   }
 }

@@ -91,6 +91,24 @@ class PgOutputSpec extends SparkTestBase {
     assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "alice2" && rows.head.getDouble(2) == 11.0)
   }
 
+  test("truncate frames surface the relations to clear, txn-aligned") {
+    val frames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L, (11L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t"))))) ++
+        Seq((20L, Encode.begin(23L, ts0, 9)),
+          (21L, Encode.truncate(Seq(1001))),
+          (22L, Encode.insert(1001, Seq(Some("2"), Some("b"), Some("2.0"), Some("t")))),
+          (23L, Encode.commit(23L, 24L, ts0)))
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.truncatedRelations == Seq("accounts"))
+    assert(res.batch.changes.size == 2) // both inserts survive; loader clears first
+
+    // an uncommitted truncate is NOT surfaced
+    val open = Seq((1L, Encode.relation(rel)), (2L, Encode.begin(9L, ts0, 7)),
+      (3L, Encode.truncate(Seq(1001))))
+    assert(ChangeBatch.consume(open.iterator).truncatedRelations.isEmpty)
+  }
+
   test("bytea and numeric text formats convert") {
     val r = RelationMeta(7, "public", "blobs", 'd', Seq(
       ColumnMeta("id", 20, -1, isKey = true),
