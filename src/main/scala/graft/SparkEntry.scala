@@ -166,6 +166,26 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // §2.4 merge_key delete-insert: whole key-groups (days) in the batch
+    // replace the base's groups; untouched groups survive (bing webmaster
+    // composite merge key shape)
+    "q_merge_key_replace" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(
+        date_trunc("day", col("ts")).cast(DateType).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val base = daily.filter(col("day") < lit("2024-01-16").cast(DateType))
+      // the "recomputed" partitions: days 10..20 with a marker shift
+      val updates = ev
+        .filter(col("ts") >= tsLit(ev, "ts", "2024-01-10 00:00:00") &&
+          col("ts") < tsLit(ev, "ts", "2024-01-21 00:00:00"))
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"), col("event_type"))
+        .agg((count(lit(1)) + 1000000L).as("n"))
+      val hints = TableHints("daily", Disposition.Merge, mergeKey = Seq("day"))
+      MergeEngine.mergePlan(Some(base), updates, hints)
+        .orderBy("day", "event_type")
+    }),
+
     // §2.4 dedup_sort window dedup: latest row per pk
     "q_merge_dedup" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id")))
@@ -788,6 +808,21 @@ object SparkEntry {
         | UNION ALL SELECT user_id, event_type, event_id, ts, value FROM upd)
         |SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
         |FROM merged ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", " "),
+
+    "q_merge_key_replace" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |base AS (SELECT * FROM daily WHERE day < DATE '2024-01-16'),
+        |upd AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) + 1000000 AS n
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        | GROUP BY 1, 2)
+        |SELECT day, event_type, n FROM (
+        | SELECT b.day, b.event_type, b.n FROM base b ANTI JOIN upd u USING (day)
+        | UNION ALL SELECT day, event_type, n FROM upd)
+        |ORDER BY day, event_type""".stripMargin.replaceAll("\n", " "),
 
     "q_merge_dedup" ->
       """SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
