@@ -410,10 +410,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash 64-bit fingerprints (no SQL oracle: bit-level aggregate)
+    // SimHash 64-bit fingerprints via the native codegen expression
+    // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
+    // at one counter array per row instead of per word; no SQL oracle)
     "q_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("simhash"))
+      d.select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -37,6 +37,19 @@ class MinHashExpressionSpec extends SparkTestBase {
     assert(s1.zip(s2).forall { case (x, y) => y <= x })
   }
 
+  test("native SimHash64 is bit-identical to the HOF simhash") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown wolf"),
+      (3L, "completely different content"), (4L, ""),
+    ).toDF("id", "text")
+    val both = docs.select(
+      $"id",
+      SimHash64.simhash64(split($"text", " ")).as("native"),
+      Dedup.simhash(split($"text", " ")).as("hof"),
+    ).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
   test("fast LSH candidate groups cluster exact duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
