@@ -110,7 +110,40 @@ object Fleet {
         EndpointConfig("ticket_fields.json", dataSelector = "ticket_fields",
           paginator = Paginator.Single),
         replace("ticket_fields")),
+      // talk API: STREAM/START_TIME incremental-export protocol
+      // (sources/zendesk/helpers/talk_api.py:14-18,63-116)
+      RestResource("calls_incremental",
+        EndpointConfig("channels/voice/stats/incremental/calls.json",
+          dataSelector = "calls",
+          paginator = Paginator.StartTime(nextStartPath = "next_start_time", startParam = "start_time"),
+          incremental = Some(IncrementalBinding("updated_at", "start_time"))),
+        merge("calls_incremental", "id")),
+      RestResource("legs_incremental",
+        EndpointConfig("channels/voice/stats/incremental/legs.json",
+          dataSelector = "legs",
+          paginator = Paginator.StartTime(nextStartPath = "next_start_time", startParam = "start_time"),
+          incremental = Some(IncrementalBinding("updated_at", "start_time"))),
+        merge("legs_incremental", "id")),
     ),
+  )
+
+  /** shopify Partner GraphQL generic query resource
+    * (sources/shopify_dlt/__init__.py:168-228): a parameterized (query,
+    * items path, cursor path) reader — runs through GraphQlReader.
+    */
+  def shopifyPartnerQuery(
+      organizationId: String,
+      accessToken: String,
+      query: String,
+      itemsPath: String,
+      pageInfoPath: String,
+  ): (graft.connectors.rest.GraphQlReader.GraphQlConfig, Map[String, String]) = (
+    graft.connectors.rest.GraphQlReader.GraphQlConfig(
+      url = s"https://partners.shopify.com/$organizationId/api/2024-01/graphql.json",
+      query = query,
+      itemsPath = itemsPath,
+      pageInfoPath = pageInfoPath),
+    Map("X-Shopify-Access-Token" -> accessToken),
   )
 
   /** pipedrive v2 (sources/pipedrive/rest_v2/__init__.py:96-168): cursor

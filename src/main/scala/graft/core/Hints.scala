@@ -99,9 +99,11 @@ object Naming {
       .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
     val s2 = s1.map(c => if (c.isLetterOrDigit) c.toLower else '_')
     // runs of 3+ underscores collapse to the 2-underscore path separator;
-    // single and double underscores are preserved (`__` separates nesting
-    // levels, mirroring dlt's naming convention)
-    val s3 = s2.replaceAll("_{3,}", "__").stripPrefix("_").stripSuffix("_")
+    // single and double INTERIOR underscores are preserved (`__` separates
+    // nesting levels, mirroring dlt's naming convention). Edge underscores
+    // strip entirely — removing only one per pass would make normalization
+    // non-idempotent ("__b" → "_b" → "b").
+    val s3 = s2.replaceAll("_{3,}", "__").replaceAll("^_+|_+$", "")
     val s4 = if (s3.isEmpty) "_" else s3
     if (s4.head.isDigit) "_" + s4 else s4
   }

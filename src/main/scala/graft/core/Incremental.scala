@@ -47,7 +47,9 @@ final case class Incremental(
       case None    => lit(true)
     }
     val beforeEnd = endValue match {
-      case Some(v) => if (descending) c >= lit(v).cast(dtOf(df)) else c < lit(v).cast(dtOf(df))
+      // end bound exclusive in both directions (mirrors the reference's
+      // end_value semantics, sources/zendesk/__init__.py:277-278)
+      case Some(v) => if (descending) c > lit(v).cast(dtOf(df)) else c < lit(v).cast(dtOf(df))
       case None    => lit(true)
     }
     df.filter(afterStart && beforeEnd)
