@@ -91,6 +91,30 @@ class PgOutputSpec extends SparkTestBase {
     assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "alice2" && rows.head.getDouble(2) == 11.0)
   }
 
+  test("one stream routes to N relations, each with its own schema and merge hints") {
+    val rel2 = RelationMeta(1002, "public", "audit_log", 'd', Seq(
+      ColumnMeta("log_id", 20, -1, isKey = true),
+      ColumnMeta("note", 25, -1, isKey = false),
+    ))
+    val frames =
+      Seq((1L, Encode.relation(rel)), (2L, Encode.relation(rel2))) ++
+        txn(10L,
+          (11L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t")))),
+          (12L, Encode.insert(1002, Seq(Some("100"), Some("created")))),
+          (13L, Encode.insert(1002, Seq(Some("101"), Some("updated")))))
+    val res = ChangeBatch.consume(frames.iterator)
+    val byRel = res.batch.byRelation
+    assert(byRel.keySet == Set("accounts", "audit_log"))
+    assert(byRel("audit_log").size == 2)
+
+    // each relation gets typed rows under its own schema + hints
+    val audit = ChangeBatch.toTypedDf(
+      ChangeBatch.changeRows(spark, rel2, byRel("audit_log")), rel2)
+    assert(audit.schema("log_id").dataType.typeName == "long")
+    assert(ChangeBatch.mergeHints(rel2).primaryKey == Seq("log_id"))
+    assert(audit.count() == 2)
+  }
+
   test("truncate frames surface the relations to clear, txn-aligned") {
     val frames =
       Seq((1L, Encode.relation(rel))) ++
