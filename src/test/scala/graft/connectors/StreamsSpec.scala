@@ -56,6 +56,32 @@ class StreamsSpec extends SparkTestBase {
     assert(off(0) == 4L)
   }
 
+  test("crash before offset commit is idempotent: merge on msg id absorbs the re-read") {
+    import graft.core.{Disposition, MergeEngine, TableHints}
+    val dir = tmpDir("queue-retry")
+    val state = StateStore(dir, "q")
+    val broker = new FakeBroker(Map(0 -> Seq("a", "b", "c")))
+    val hints = TableHints("msgs", Disposition.Merge, primaryKey = Seq("_queue_msg_id"))
+
+    // run 1: read + load, then CRASH before commitOffsets
+    val (batch1, off1) = QueueReader.readBatch(spark, broker, "t", state)
+    val table1 = MergeEngine.mergePlan(None, batch1, hints)
+    assert(table1.count() == 3)
+    // (no commit — offsets in state still empty)
+
+    // run 2 after restart: same messages come back; merge dedups on msg id
+    val (batch2, off2) = QueueReader.readBatch(spark, broker, "t", StateStore(dir, "q"))
+    assert(batch2.count() == 3) // re-read happened
+    val table2 = MergeEngine.mergePlan(Some(table1), batch2, hints)
+    assert(table2.count() == 3) // no duplicates
+    QueueReader.commitOffsets(state, "t", off2)
+    assert(off1 == off2)
+
+    // run 3: offsets committed → empty batch
+    val (batch3, _) = QueueReader.readBatch(spark, broker, "t", StateStore(dir, "q"))
+    assert(batch3.count() == 0)
+  }
+
   test("shard reader: map-valued cursor advances per shard") {
     val dir = tmpDir("shard-state")
     val state = StateStore(dir, "s")
