@@ -502,6 +502,30 @@ object Fleet {
     }.toSeq,
   )
 
+  /** salesforce (sources/salesforce/__init__.py:23-148): sObjects through
+    * the query endpoint — the generated SOQL (Specialized.Soql: field list
+    * with compound pruning, cursor WHERE/ORDER BY) IS the pushdown; paging
+    * follows `nextRecordsUrl` (helpers/records.py:99-134).
+    */
+  def salesforce(
+      instanceUrl: String,
+      accessToken: String,
+      sobjects: Map[String, Seq[(String, String)]], // name → (field, type) catalog
+      cursorField: String = "SystemModstamp",
+  ): RestSource = RestSource(
+    name = "salesforce",
+    client = ClientConfig(s"$instanceUrl/services/data/v59.0", Some(Auth.Bearer(accessToken))),
+    resources = sobjects.map { case (obj, fields) =>
+      RestResource(obj.toLowerCase,
+        EndpointConfig("query",
+          params = Map("q" -> Specialized.Soql.query(obj, fields, Some(cursorField), None)),
+          dataSelector = "records",
+          paginator = Paginator.NextUrl("nextRecordsUrl"),
+          incremental = Some(IncrementalBinding(cursorField, "q_cursor"))),
+        merge(obj.toLowerCase, "Id"))
+    }.toSeq,
+  )
+
   /** bing webmaster (sources/bing_webmaster/__init__.py:19-100): single-page
     * JSON responses, composite merge key (38-43).
     */

@@ -29,7 +29,9 @@ class FleetSpec extends SparkTestBase {
       Fleet.asana("t"), Fleet.personio("i", "s"),
       Fleet.matomo("https://m.example.test", "t", 1, Seq("VisitsSummary.get")),
       Fleet.googleAnalytics("123", "t", Seq("daily_users")),
-      Fleet.facebookAds("42", "t"), Fleet.googleAds("c1", "t", Map("ads" -> "SELECT x FROM campaign")))
+      Fleet.facebookAds("42", "t"), Fleet.googleAds("c1", "t", Map("ads" -> "SELECT x FROM campaign")),
+      Fleet.salesforce("https://x.my.salesforce.com", "t",
+        Map("Account" -> Seq("Id" -> "id", "Name" -> "string", "BillingAddress" -> "address"))))
     all.foreach { s =>
       assert(s.resources.nonEmpty, s.name)
       assert(s.client.baseUrl.startsWith("https://"), s.name)
