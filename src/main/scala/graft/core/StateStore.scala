@@ -44,22 +44,24 @@ final class StateStore(path: Path) {
       case _                    => Nil
     }
 
-  def put(key: String, value: String): Unit = root.put(key, value)
-  def put(key: String, value: Long): Unit = root.put(key, value)
+  // mutators synchronized: parallel pipeline levels may update custom
+  // state (e.g. rename maps) from concurrent driver threads
+  def put(key: String, value: String): Unit = synchronized { root.put(key, value) }
+  def put(key: String, value: Long): Unit = synchronized { root.put(key, value) }
 
-  def putMap(key: String, value: Map[String, String]): Unit = {
+  def putMap(key: String, value: Map[String, String]): Unit = synchronized {
     val o = mapper.createObjectNode()
     value.foreach { case (k, v) => o.put(k, v) }
     root.set[JsonNode](key, o)
   }
 
-  def putList(key: String, value: Seq[String]): Unit = {
+  def putList(key: String, value: Seq[String]): Unit = synchronized {
     val a = mapper.createArrayNode()
     value.foreach(a.add)
     root.set[JsonNode](key, a)
   }
 
-  def remove(key: String): Unit = root.remove(key)
+  def remove(key: String): Unit = synchronized { root.remove(key) }
 
   def keys: Seq[String] = root.fieldNames().asScala.toSeq
 

@@ -48,6 +48,12 @@ final class Pipeline(
     pipelineName: String,
     destRoot: String,
     stateDir: String,
+    /** >1 loads independent resources of the same dependency level
+      * concurrently (Spark schedules the jobs in parallel; tables are
+      * independent paths so writes don't conflict). Transformer ordering
+      * still holds: a level only starts after its parents' level finished.
+      */
+    parallelism: Int = 1,
 ) {
 
   def run(source: SourceDef): Seq[LoadResult] = {
@@ -58,32 +64,59 @@ final class Pipeline(
     val state = StateStore(stateDir, s"$pipelineName.${source.name}")
     state.put("last_load_id", loadId)
     val ordered = topoOrder(source.resources)
-    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    val built = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     val results = scala.collection.mutable.ArrayBuffer.empty[LoadResult]
     val pendingCursor = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
-    ordered.foreach { res =>
-      val ctx = new PipelineContext(spark, state, built.toMap)
+    def process(res: ResourceDef): Seq[LoadResult] = {
+      val ctx = new PipelineContext(spark, state,
+        scala.jdk.CollectionConverters.MapHasAsScala(built).asScala.toMap)
       var df = res.build(ctx)
-
       res.incremental.foreach { case (inc, _) =>
         df = inc.apply(df, state, cursorKey(source, res))
       }
-      built(res.name) = df
-
-      if (res.selected) {
+      built.put(res.name, df)
+      if (!res.selected) Nil
+      else {
         // incremental high-water mark, computed on the filtered batch but
         // committed only after all writes succeed
         res.incremental.foreach { case (inc, _) =>
-          inc.nextCursor(df).foreach(v => pendingCursor += (cursorKey(source, res) -> v))
+          inc.nextCursor(df).foreach { v =>
+            pendingCursor.synchronized { pendingCursor += (cursorKey(source, res) -> v) }
+          }
         }
-        results ++= writeRouted(df, res)
+        writeRouted(df, res)
       }
+    }
+
+    if (parallelism <= 1) {
+      ordered.foreach(res => results ++= process(res))
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        dependencyLevels(ordered).foreach { level =>
+          val futures = level.map(res => pool.submit(new java.util.concurrent.Callable[Seq[LoadResult]] {
+            override def call(): Seq[LoadResult] = process(res)
+          }))
+          futures.foreach(f => results ++= f.get()) // propagate failures, barrier per level
+        }
+      } finally pool.shutdown()
     }
 
     pendingCursor.foreach { case (k, v) => state.put(k, v) }
     state.commit()
     results.toSeq
+  }
+
+  /** Group the topo order into levels: level n contains resources whose
+    * parents all sit in levels < n.
+    */
+  private def dependencyLevels(ordered: Seq[ResourceDef]): Seq[Seq[ResourceDef]] = {
+    val level = scala.collection.mutable.Map.empty[String, Int]
+    ordered.foreach { r =>
+      level(r.name) = r.parentName.map(p => level(p) + 1).getOrElse(0)
+    }
+    ordered.groupBy(r => level(r.name)).toSeq.sortBy(_._1).map(_._2)
   }
 
   private def cursorKey(source: SourceDef, res: ResourceDef): String =
