@@ -3,7 +3,7 @@ package graft.connectors.cdc
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{Disposition, TableHints}
+import graft.core.{Disposition, MergeEngine, TableHints}
 import PgOutput._
 
 /** Assembles decoded pgoutput messages into per-relation change
@@ -123,16 +123,20 @@ object ChangeBatch {
 
   /** Spark schema for a relation's change rows: data columns as strings
     * (text output format) + framework columns; `toTypedDf` applies OID
-    * casts.
+    * casts. `_toast_unchanged` records which columns arrived as 'u'
+    * (unchanged TOAST — the value was NOT sent and must be taken from the
+    * base row, sources/pg_replication/schema_types.py:123-140).
     */
   def changeRows(spark: SparkSession, relation: RelationMeta, changes: Seq[Change]): DataFrame = {
     val fields = relation.columns.map(c => StructField(c.name, StringType)) ++
-      Seq(StructField("_lsn", LongType), StructField("_deleted_ts", TimestampType))
+      Seq(StructField("_lsn", LongType), StructField("_deleted_ts", TimestampType),
+        StructField("_toast_unchanged", ArrayType(BooleanType, containsNull = false)))
     val rows = changes.map { ch =>
       val vals = ch.values.map(_.value.orNull)
+      val mask = ch.values.map(_.unchangedToast)
       val deletedTs =
         if (ch.deleted) new java.sql.Timestamp(ch.commitTsMicros / 1000) else null
-      Row.fromSeq(vals ++ Seq(ch.lsn, deletedTs))
+      Row.fromSeq(vals ++ Seq(ch.lsn, deletedTs, mask))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000 + 1)),
@@ -151,8 +155,39 @@ object ChangeBatch {
         case dt          => raw.cast(dt)
       }
       typed.as(c.name)
-    } ++ Seq(col("_lsn"), col("_deleted_ts"))
+    } ++ Seq(col("_lsn"), col("_deleted_ts")) ++
+      (if (df.columns.contains("_toast_unchanged")) Seq(col("_toast_unchanged")) else Nil)
     df.select(cols: _*)
+  }
+
+  /** Apply a typed change batch to the base table, resolving unchanged-
+    * TOAST columns from the base row BEFORE the merge: an Update whose
+    * column arrived as 'u' keeps the base value instead of nulling it —
+    * replacing the whole row from the wire image alone would lose data.
+    * One left join on the pk (only rows with a toast marker need it; the
+    * join prunes via the mask filter), then the standard merge plan.
+    */
+  def applyChanges(base: Option[DataFrame], typed: DataFrame, relation: RelationMeta): DataFrame = {
+    val hints = mergeHints(relation)
+    val hasMask = typed.columns.contains("_toast_unchanged")
+    val anyToast = hasMask &&
+      typed.filter(exists(col("_toast_unchanged"), m => m)).limit(1).count() > 0
+    val resolved = (base, anyToast) match {
+      case (Some(b), true) =>
+        val pk = hints.primaryKey
+        val baseCols = relation.columns.map(_.name).filterNot(pk.contains)
+        val bPrefixed = b.select(
+          pk.map(col) ++ baseCols.map(c => col(c).as(s"__base_$c")): _*)
+        val joined = typed.join(bPrefixed, pk, "left")
+        val cols: Seq[Column] = relation.columns.zipWithIndex.map { case (c, i) =>
+          if (pk.contains(c.name)) col(c.name)
+          else when(element_at(col("_toast_unchanged"), i + 1), col(s"__base_${c.name}"))
+            .otherwise(col(c.name)).as(c.name)
+        } ++ Seq(col("_lsn"), col("_deleted_ts"))
+        joined.select(cols: _*)
+      case _ => typed.drop("_toast_unchanged")
+    }
+    MergeEngine.mergePlan(base, resolved.drop("_toast_unchanged"), hints)
   }
 
   /** Merge hints for a relation's change stream: pk from the replica

@@ -117,11 +117,15 @@ object PgOutput {
     private def putCString(b: ByteBuffer, s: String): Unit = {
       b.put(s.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
     }
-    private def putTuple(b: ByteBuffer, row: Seq[Option[String]]): Unit = {
+    private def putTuple(b: ByteBuffer, row: Seq[Option[String]]): Unit =
+      putTupleFull(b, row.map(v => TupleValue(v)))
+
+    private def putTupleFull(b: ByteBuffer, row: Seq[TupleValue]): Unit = {
       b.putShort(row.size.toShort)
       row.foreach {
-        case None => b.put('n'.toByte)
-        case Some(v) =>
+        case TupleValue(_, true) => b.put('u'.toByte)
+        case TupleValue(None, _) => b.put('n'.toByte)
+        case TupleValue(Some(v), _) =>
           val bytes = v.getBytes(StandardCharsets.UTF_8)
           b.put('t'.toByte); b.putInt(bytes.length); b.put(bytes)
       }
@@ -152,6 +156,11 @@ object PgOutput {
     def update(relId: Int, row: Seq[Option[String]]): Array[Byte] = {
       val b = buffer(); b.put('U'.toByte); b.putInt(relId); b.put('N'.toByte)
       putTuple(b, row); finish(b)
+    }
+    /** Update with explicit tuple kinds — 'u' marks unchanged TOAST. */
+    def updateToast(relId: Int, row: Seq[TupleValue]): Array[Byte] = {
+      val b = buffer(); b.put('U'.toByte); b.putInt(relId); b.put('N'.toByte)
+      putTupleFull(b, row); finish(b)
     }
     def delete(relId: Int, keyRow: Seq[Option[String]]): Array[Byte] = {
       val b = buffer(); b.put('D'.toByte); b.putInt(relId); b.put('K'.toByte)

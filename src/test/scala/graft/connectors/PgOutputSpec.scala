@@ -133,6 +133,33 @@ class PgOutputSpec extends SparkTestBase {
     assert(ChangeBatch.consume(open.iterator).truncatedRelations.isEmpty)
   }
 
+  test("unchanged-TOAST columns keep the base value through applyChanges") {
+    // base: account 1 with a name; update arrives with name as 'u'
+    val baseFrames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L, (11L, Encode.insert(1001, Seq(Some("1"), Some("big-toasty-name"), Some("5.0"), Some("t")))))
+    val baseRes = ChangeBatch.consume(baseFrames.iterator)
+    val base = ChangeBatch.toTypedDf(
+      ChangeBatch.changeRows(spark, rel, baseRes.batch.byRelation("accounts")), rel)
+      .drop("_toast_unchanged")
+    val baseTable = ChangeBatch.applyChanges(None, base.withColumn("_toast_unchanged",
+      org.apache.spark.sql.functions.array()), rel)
+
+    val updFrames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(20L, (21L, Encode.updateToast(1001, Seq(
+          TupleValue(Some("1")), TupleValue(None, unchangedToast = true),
+          TupleValue(Some("9.9")), TupleValue(Some("f"))))))
+    val updRes = ChangeBatch.consume(updFrames.iterator)
+    val typed = ChangeBatch.toTypedDf(
+      ChangeBatch.changeRows(spark, rel, updRes.batch.byRelation("accounts")), rel)
+    val merged = ChangeBatch.applyChanges(Some(baseTable), typed, rel)
+
+    val row = merged.select("id", "name", "balance", "active").head()
+    assert(row.getString(1) == "big-toasty-name") // kept from base, not nulled
+    assert(row.getDouble(2) == 9.9 && !row.getBoolean(3))
+  }
+
   test("bytea and numeric text formats convert") {
     val r = RelationMeta(7, "public", "blobs", 'd', Seq(
       ColumnMeta("id", 20, -1, isKey = true),
