@@ -52,6 +52,28 @@ class BucketedMergeSpec extends SparkTestBase {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("bucketing by an entity-key subset confines a clustered batch to its entities' buckets") {
+    val root = tmpDir("bucketed-entity")
+    val path = s"$root/t"
+    // pk = (order, line); bucket by order only — a batch touching one
+    // order touches exactly one bucket however many lines it updates
+    val hints2 = TableHints("t", Disposition.Merge, primaryKey = Seq("ord", "line"))
+    val base = (1L to 200L).flatMap(o => (1 to 3).map(l => (o, l.toLong, s"v$o-$l")))
+      .toDF("ord", "line", "s")
+    BucketedMerge.replace(spark, base, path, hints2, numBuckets = 32, bucketKeys = Seq("ord"))
+
+    val updates = Seq((7L, 1L, "upd"), (7L, 2L, "upd"), (7L, 3L, "upd")).toDF("ord", "line", "s")
+    val touched = updates.select(BucketedMerge.bucketExpr(Seq("ord"), 32).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(touched.size == 1) // the whole point: one entity → one bucket
+
+    BucketedMerge.merge(spark, updates, path, hints2, 32, bucketKeys = Seq("ord"))
+    val out = BucketedMerge.read(spark, path)
+    assert(out.count() == 600)
+    assert(out.where($"ord" === 7L && $"s" === "upd").count() == 3)
+    assert(out.where($"ord" === 8L).head().getString(2).startsWith("v8"))
+  }
+
   test("first merge on a missing table bootstraps the layout") {
     val root = tmpDir("bucketed-boot")
     val path = s"$root/t"
