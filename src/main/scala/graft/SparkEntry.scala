@@ -949,7 +949,8 @@ object SparkEntry {
         | (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
         | len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
-        | len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct_count
+        | len(regexp_extract_all(text, '[\.,;:!\?]')) AS punct_count,
+        | 1.0 - len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS repetition_ratio
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_langid" -> langidSql,

@@ -39,6 +39,10 @@ object TextAnalysis {
       "stopword_ratio" ->
         size(filter(w, t => t.isin("the", "a", "of", "and"))).cast("double") / nw.cast("double"),
       "punct_count" -> regexp_count(text, lit("[\\.,;:!\\?]")),
+      // repetition: 1 − |distinct words| / |words| — high values flag
+      // boilerplate/spam documents in pre-training quality filters
+      "repetition_ratio" ->
+        (lit(1.0) - size(array_distinct(w)).cast("double") / nw.cast("double")),
     )
   }
 
