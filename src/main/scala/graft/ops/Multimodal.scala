@@ -84,4 +84,31 @@ object Multimodal {
     */
   def frameSampleIndices(nFrames: Column, stride: Int): Column =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+
+  /** Frame-sample fan-out: (id, frame_idx) rows from the feature table —
+    * the blob column is never exploded; the decode pass joins these light
+    * rows back to blobs by id and extracts only the sampled frames.
+    */
+  def sampleFramePlan(features: DataFrame, idCol: String, nFramesCol: String, stride: Int): DataFrame =
+    features.select(
+      col(idCol),
+      explode(frameSampleIndices(col(nFramesCol), stride)).as("frame_idx"),
+    )
+
+  /** Batched decode: the vectorized-kernel contract (a GPU/codec kernel
+    * wants blob BATCHES, not single rows). Same per-blob results as
+    * `decodeFeatures`; only the invocation shape changes — each partition
+    * iterates in `batchSize` groups and the kernel sees the whole group.
+    */
+  def decodeFeaturesBatched(df: DataFrame, idCol: String, binCol: String, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.grouped(batchSize).flatMap { batch =>
+          // the kernel receives the full batch (here: stub maps each blob;
+          // a real codec would run one vectorized call over the arrays)
+          batch.map(r => fakeDecodeKernel(r.getLong(0), r.getAs[Array[Byte]](1)))
+        }
+      }
+  }
 }

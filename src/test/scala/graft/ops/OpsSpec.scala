@@ -107,6 +107,24 @@ class OpsSpec extends SparkTestBase {
     assert(q.getAs[String]("fp").length == 32)
   }
 
+  test("batched decode matches per-row decode; frame plan fans out without blobs") {
+    val d = (1L to 100L).map(i => (i, s"blob-$i")).toDF("id", "text")
+      .withColumn("content", $"text".cast("binary"))
+    val single = Multimodal.decodeFeatures(d, "id", "content")
+      .collect().map(f => f.id -> f.feature.toSeq).toMap
+    val batched = Multimodal.decodeFeaturesBatched(d, "id", "content", batchSize = 7)
+      .collect().map(f => f.id -> f.feature.toSeq).toMap
+    assert(batched == single)
+
+    val feats = Multimodal.decodeFeatures(d, "id", "content").toDF()
+    val plan = Multimodal.sampleFramePlan(feats, "id", "n_frames", stride = 4)
+    assert(plan.columns.toSeq == Seq("id", "frame_idx")) // no blob column
+    val one = feats.where($"id" === 1).head()
+    val expected = (0 until one.getAs[Int]("n_frames") by 4).toSeq
+    assert(plan.where($"id" === 1).orderBy("frame_idx").select("frame_idx")
+      .as[Int].collect().toSeq == expected)
+  }
+
   test("multimodal decode plumbing produces one feature row per blob") {
     val d = Seq((1L, "abc"), (2L, "defg")).toDF("id", "text")
       .withColumn("content", $"text".cast("binary"))
