@@ -410,6 +410,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup clusters: verified pairs → connected components → canonical
+    // survivor per component (no SQL oracle: iterative label propagation)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.9)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)

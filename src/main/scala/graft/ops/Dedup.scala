@@ -97,6 +97,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
       .filter(col("n_docs") > 1)
 
+  /** Dedup clustering: connected components over verified near-dup PAIRS
+    * via iterative min-label propagation — each node repeatedly adopts the
+    * smallest label among itself and its neighbors; converges in graph-
+    * diameter iterations (near-dup clusters are shallow). Returns
+    * (id, cluster) where cluster = the component's minimum id, i.e. the
+    * canonical survivor. Lineage is cut per iteration (localCheckpoint) so
+    * the plan doesn't grow with iterations — the property that keeps this
+    * runnable on billion-edge graphs.
+    */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("n.nmin"), col("l.cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.as("u").join(labels.as("p"), col("u.id") === col("p.id"))
+        .filter(col("u.cluster") =!= col("p.cluster")).limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Survivors after clustering: one row per component (the minimum id)
+    * plus every unpaired document untouched.
+    */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("__drop"))
+    df.join(losers, df(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Jaccard similarity of two precomputed distinct-element arrays.
     * Callers should project `wordSet` BEFORE any pairwise join so the
     * split+distinct runs once per document, not once per pair.

@@ -39,6 +39,21 @@ class OpsSpec extends SparkTestBase {
     assert(cands.where($"min_id" === 1 && $"max_id" >= 2 && $"n_docs" >= 2).count() > 0)
   }
 
+  test("pair clustering: chains and stars collapse to min-id components; survivors kept") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),        // chain 1-2-3
+      (10L, 11L), (10L, 12L),    // star around 10
+    ).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", Dedup.clusterPairs(pairs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L)) // one per cluster + untouched singleton
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
