@@ -55,6 +55,24 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact baseline:
+    * |approx ∩ exact| / |exact| per query, and the mean across queries —
+    * THE tuning metric for nBits (LSH) and nProbe (IVF). Both inputs are
+    * (queryId, rank, corpusId) frames as produced by the top-k ops.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryId: String, corpusId: String): DataFrame = {
+    val hits = exact.select(col(queryId), col(corpusId))
+      .join(approx.select(col(queryId), col(corpusId)), Seq(queryId, corpusId), "left_semi")
+      .groupBy(queryId).agg(count(lit(1)).as("__hits"))
+    val totals = exact.groupBy(queryId).agg(count(lit(1)).as("__total"))
+    totals.join(hits, Seq(queryId), "left")
+      .select(col(queryId),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / col("__total")).as("recall"))
+  }
+
+  def meanRecall(recalls: DataFrame): Double =
+    recalls.agg(avg(col("recall"))).head().getDouble(0)
+
   /** Deterministic ±1 hyperplanes from a splitmix64 stream — no stored
     * model, same planes on every run/executor. Materialized driver-side
     * once and embedded as array literals so each row's signature is

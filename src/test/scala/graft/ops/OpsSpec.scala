@@ -100,6 +100,23 @@ class OpsSpec extends SparkTestBase {
     assert(partial.nonEmpty && partial.length <= 15)
   }
 
+  test("recall@k: exact vs itself is 1.0; degraded approx is proportional; IVF full-probe is 1.0") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (10L to 60L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("n_id", "n_vec")
+    val queries = (1L to 4L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 5)
+    assert(Similarity.meanRecall(Similarity.recallAtK(exact, exact, "q_id", "n_id")) == 1.0)
+
+    // drop 2 of 5 exact hits per query → recall 0.6
+    val degraded = exact.where($"rank" <= 3)
+    val r = Similarity.meanRecall(Similarity.recallAtK(degraded, exact, "q_id", "n_id"))
+    assert(math.abs(r - 0.6) < 1e-9)
+
+    val centroids = (0 until 4).map(c => c -> Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    val ivfFull = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", centroids, 4, 5)
+    assert(Similarity.meanRecall(Similarity.recallAtK(ivfFull, exact, "q_id", "n_id")) == 1.0)
+  }
+
   test("hyperplane signatures are deterministic and bucket-compatible") {
     val vecs = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
     val s1 = vecs.select(Similarity.hyperplaneSignature($"v", 8, 4)).head().getLong(0)
