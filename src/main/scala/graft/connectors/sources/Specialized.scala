@@ -172,6 +172,31 @@ object Specialized {
       frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
+  // -------------------------------------------------------------- chess
+
+  /** Month-archive planning (sources/chess/__init__.py:95-126): the games
+    * feed is one URL per (player, month); a run plans the month range,
+    * drops already-fetched archives via the seen-set, and fetches only the
+    * remainder (completed months never change, so the current month is the
+    * only re-fetch).
+    */
+  object Chess {
+    /** Inclusive yyyy/MM month range. */
+    def monthRange(startYm: String, endYm: String): Seq[String] = {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM")
+      val start = java.time.YearMonth.parse(startYm, fmt)
+      val end = java.time.YearMonth.parse(endYm, fmt)
+      Iterator.iterate(start)(_.plusMonths(1)).takeWhile(!_.isAfter(end))
+        .map(_.format(fmt)).toSeq
+    }
+
+    /** Archives to fetch this run: the planned range minus the seen set,
+      * with the current (incomplete) month always retried.
+      */
+    def plan(range: Seq[String], seen: Set[String], currentYm: String): Seq[String] =
+      range.filter(m => m == currentYm || !seen.contains(m))
+  }
+
   // ------------------------------------------------------------- matomo
 
   /** Live-visits session-close filter (sources/matomo/helpers/

@@ -78,6 +78,31 @@ object TextAnalysis {
     }
   }
 
+  /** Char-n-gram profile scoring — the real language-ID shape (marker
+    * words above are the demo form): each language carries a small profile
+    * of weighted character n-grams; a document's score per language is
+    * Σ weight × occurrences. Profiles are broadcast literals; scoring is
+    * regexp_count per n-gram, fully codegen'd.
+    */
+  def charNgramScores(text: Column, profiles: Map[String, Seq[(String, Double)]]): Seq[(String, Column)] =
+    profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map { case (g, w) =>
+        regexp_count(text, lit(java.util.regex.Pattern.quote(g))).cast("double") * lit(w)
+      }.reduce(_ + _)
+      s"score_$lang" -> score
+    }
+
+  /** argmax over profile scores, ties to the lexicographically first
+    * language, zero-score documents → "und".
+    */
+  def predictLangByProfile(text: Column, profiles: Map[String, Seq[(String, Double)]]): Column = {
+    val scored = charNgramScores(text, profiles)
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit("und")) { case ((name, s), acc) =>
+      when(s === best && best > 0, name.stripPrefix("score_")).otherwise(acc)
+    }
+  }
+
   /** Document fingerprint: hash of the normalized head of the document —
     * cheap near-duplicate prefilter (rolling-hash analog as a single md5
     * over the first 64 normalized chars).

@@ -125,6 +125,25 @@ class OpsSpec extends SparkTestBase {
     assert(s1 >= 0 && s1 < 16)
   }
 
+  test("char-ngram profiles distinguish languages; zero scores → und") {
+    val profiles = Map(
+      "aa" -> Seq(("th", 1.0), ("he", 0.5)),
+      "bb" -> Seq(("zz", 2.0)),
+    )
+    val d = Seq((1L, "the theory thereof"), (2L, "fizz buzz jazz zz"), (3L, "qqq")).toDF("id", "text")
+    val out = d.select($"id", TextAnalysis.predictLangByProfile($"text", profiles).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "aa", 2L -> "bb", 3L -> "und"))
+  }
+
+  test("chess archive planning: range minus seen, current month always retried") {
+    import graft.connectors.sources.Specialized.Chess
+    val range = Chess.monthRange("2023/11", "2024/02")
+    assert(range == Seq("2023/11", "2023/12", "2024/01", "2024/02"))
+    val todo = Chess.plan(range, seen = Set("2023/11", "2023/12", "2024/02"), currentYm = "2024/02")
+    assert(todo == Seq("2024/01", "2024/02")) // unseen + current month retry
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint") {
     val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
     val q = d.select(
