@@ -683,8 +683,7 @@ object SparkEntry {
         s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
       val chunks = docs.toSeq.grouped(pageSize).toSeq
       val pages = chunks.zipWithIndex.map { case (chunk, i) =>
-        val key = if (i == 0) "docs" else s"docs?limit=$pageSize&offset=${i * pageSize}"
-        key -> s"""{"data":[${chunk.map(item).mkString(",")}]}"""
+        s"docs?limit=$pageSize&offset=${i * pageSize}" -> s"""{"data":[${chunk.map(item).mkString(",")}]}"""
       }.toMap + (s"docs?limit=$pageSize&offset=${chunks.size * pageSize}" -> """{"data":[]}""")
       val ep = EndpointConfig("docs", dataSelector = "data",
         paginator = Paginator.Offset(pageSize = pageSize))

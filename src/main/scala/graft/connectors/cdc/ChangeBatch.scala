@@ -108,7 +108,19 @@ object ChangeBatch {
           pendingTxn += Change(relations(relId), lsn, commitTs, deleted = true, keyRow)
         case Truncate(relIds) =>
           pendingTruncates ++= relIds
+          // rows written EARLIER in this txn to a truncated relation are
+          // wiped by the truncate itself — drop them now (safe even if the
+          // txn never commits: an open txn's pendingTxn is discarded)
+          val ids = relIds.toSet
+          pendingTxn.filterInPlace(ch => !ids.contains(ch.relation.relationId))
         case Commit(_, endLsn, _) =>
+          // a committed truncate also wipes rows from earlier txns in this
+          // batch: the loader clears the table BEFORE applying the batch,
+          // so keeping them would resurrect truncated rows. Filter emitted
+          // before appending this txn — its post-truncate changes survive.
+          val truncIds = pendingTruncates.toSet
+          if (truncIds.nonEmpty)
+            emitted.filterInPlace(ch => !truncIds.contains(ch.relation.relationId))
           emitted ++= pendingTxn
           pendingTxn.clear()
           pendingTruncates.foreach(id => relations.get(id).foreach(m => truncated += m.name))

@@ -98,10 +98,14 @@ object PgOutput {
   }
 
   private def cstring(buf: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder()
-    var b = buf.get()
-    while (b != 0) { sb.append(b.toChar); b = buf.get() }
-    sb.toString
+    // collect raw bytes to the NUL, then decode as UTF-8: per-byte toChar
+    // would mangle multi-byte identifiers (and sign-extend bytes >= 0x80)
+    val start = buf.position()
+    while (buf.get() != 0) {}
+    val bytes = new Array[Byte](buf.position() - start - 1)
+    val end = buf.position()
+    buf.position(start); buf.get(bytes); buf.position(end)
+    new String(bytes, StandardCharsets.UTF_8)
   }
 
   // -------------------------------------------------------- encode (tests)

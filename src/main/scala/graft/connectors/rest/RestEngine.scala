@@ -133,7 +133,18 @@ object RestEngine {
     var page = 0
     var done = false
     var url = url0
-    var pageParams: Map[String, String] = authParams
+    // Seed the limit/size (and offset) params on the FIRST request too —
+    // if the server's default page size differs from the configured one,
+    // the short-page check would otherwise terminate after page 1 (silent
+    // data loss) or the offset stride would mismatch (dupes/gaps). The
+    // reference does the same (zendesk talk_api.py:83-89).
+    var pageParams: Map[String, String] = endpoint.paginator match {
+      case p: Paginator.Offset =>
+        authParams + (p.offsetParam -> "0") + (p.limitParam -> p.pageSize.toString)
+      case p: Paginator.PageNumber => authParams + (p.sizeParam -> p.pageSize.toString)
+      case p: Paginator.Cursor     => authParams + (p.sizeParam -> p.pageSize.toString)
+      case _                       => authParams
+    }
 
     while (!done && page < endpoint.maxPages) {
       val resp = transport.get(url, pageParams, authHeaders)
@@ -213,7 +224,9 @@ object RestEngine {
         case Some(b) if b.newestFirst && lastValue.isDefined =>
           items => {
             val vals = items.flatMap(n => Json.selectString(n, b.cursorPath))
-            vals.nonEmpty && vals.min <= lastValue.get
+            // typed comparison: "9" vs "100" must compare numerically, or
+            // the loop stops early and silently skips rows
+            vals.exists(v => Incremental.cursorLeq(v, lastValue.get))
           }
         case _ => _ => false
       }

@@ -83,13 +83,24 @@ object BucketedMerge {
 
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-bucket swap mirrors stagedOverwrite's guarantee: the old copy is
+    // RENAMED aside (outside the table dir, so partition discovery never
+    // sees it) before the staged dir moves in, and deleted only after —
+    // a crash mid-swap leaves either the old or the new bucket recoverable,
+    // never neither.
+    val oldRoot = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(oldRoot)) fs.delete(oldRoot, true) // leftover from a crash
+    fs.mkdirs(oldRoot)
     touched.foreach { b =>
       val dest = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
       val staged = new org.apache.hadoop.fs.Path(s"$stagePath/$BucketCol=$b")
-      if (fs.exists(dest)) fs.delete(dest, true)
+      val old = new org.apache.hadoop.fs.Path(s"${path}__old/$BucketCol=$b")
+      if (fs.exists(dest)) fs.rename(dest, old)
       if (fs.exists(staged)) fs.rename(staged, dest)
+      if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    fs.delete(oldRoot, true)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

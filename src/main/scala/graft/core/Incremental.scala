@@ -87,5 +87,21 @@ final case class Incremental(
     * (sources/github/__init__.py:102-108 start_out_of_range).
     */
   def startOutOfRange(pageMin: String, lastValue: Option[String]): Boolean =
-    lastValue.exists(lv => pageMin <= lv)
+    lastValue.exists(lv => Incremental.cursorLeq(pageMin, lv))
+}
+
+object Incremental {
+  /** Cursor-value `a <= b` with the typing the reference gets for free from
+    * Python's dynamic comparison: numeric when both sides parse as numbers
+    * (lexicographic "9" > "100" would stop pagination early and skip rows),
+    * string otherwise.
+    */
+  def cursorLeq(a: String, b: String): Boolean =
+    (parseNum(a), parseNum(b)) match {
+      case (Some(x), Some(y)) => x <= y
+      case _                  => a <= b
+    }
+
+  private def parseNum(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
 }

@@ -18,7 +18,7 @@ class FleetPipelineSpec extends SparkTestBase {
     val src = Fleet.github("octo", "repo", None)
     val issuesRes = src.resources.find(_.name == "issues").get
     val t = StaticPagesTransport(Map(
-      "repos/octo/repo/issues?direction=asc&sort=updated&state=all" ->
+      "repos/octo/repo/issues?direction=asc&per_page=100&sort=updated&state=all" ->
         """[{"id":1,"updated_at":"2024-01-01T00:00:00Z","title":"a","labels":[{"name":"bug"}]},
           | {"id":2,"updated_at":"2024-01-02T00:00:00Z","title":"b","labels":[]}]""".stripMargin,
     ))

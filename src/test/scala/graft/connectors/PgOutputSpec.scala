@@ -125,12 +125,35 @@ class PgOutputSpec extends SparkTestBase {
           (23L, Encode.commit(23L, 24L, ts0)))
     val res = ChangeBatch.consume(frames.iterator)
     assert(res.truncatedRelations == Seq("accounts"))
-    assert(res.batch.changes.size == 2) // both inserts survive; loader clears first
+    // the pre-truncate insert (id=1, earlier txn) must NOT survive: the
+    // loader clears the table then applies the batch, so re-applying it
+    // would resurrect a truncated row. Only the post-truncate insert stays.
+    assert(res.batch.changes.map(_.values.head.value.get) == Seq("2"))
 
     // an uncommitted truncate is NOT surfaced
     val open = Seq((1L, Encode.relation(rel)), (2L, Encode.begin(9L, ts0, 7)),
       (3L, Encode.truncate(Seq(1001))))
     assert(ChangeBatch.consume(open.iterator).truncatedRelations.isEmpty)
+  }
+
+  test("truncate mid-txn wipes that txn's earlier rows but keeps other relations") {
+    val rel2 = RelationMeta(1002, "public", "audit_log", 'd', Seq(
+      ColumnMeta("log_id", 20, -1, isKey = true),
+      ColumnMeta("note", 25, -1, isKey = false),
+    ))
+    val frames =
+      Seq((1L, Encode.relation(rel)), (2L, Encode.relation(rel2))) ++
+        Seq((20L, Encode.begin(26L, ts0, 9)),
+          (21L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t")))),
+          (22L, Encode.insert(1002, Seq(Some("100"), Some("kept")))),
+          (23L, Encode.truncate(Seq(1001))),
+          (24L, Encode.insert(1001, Seq(Some("2"), Some("b"), Some("2.0"), Some("t")))),
+          (26L, Encode.commit(26L, 27L, ts0)))
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.truncatedRelations == Seq("accounts"))
+    // accounts: only post-truncate id=2; audit_log untouched by the truncate
+    assert(res.batch.byRelation("accounts").map(_.values.head.value.get) == Seq("2"))
+    assert(res.batch.byRelation("audit_log").map(_.values.head.value.get) == Seq("100"))
   }
 
   test("unchanged-TOAST columns keep the base value through applyChanges") {
@@ -158,6 +181,14 @@ class PgOutputSpec extends SparkTestBase {
     val row = merged.select("id", "name", "balance", "active").head()
     assert(row.getString(1) == "big-toasty-name") // kept from base, not nulled
     assert(row.getDouble(2) == 9.9 && !row.getBoolean(3))
+  }
+
+  test("non-ASCII identifiers round-trip through relation frames") {
+    val intl = RelationMeta(8, "öffentlich", "ordres_commandés", 'd', Seq(
+      ColumnMeta("идентификатор", 20, -1, isKey = true),
+      ColumnMeta("名前", 25, -1, isKey = false),
+    ))
+    assert(decode(Encode.relation(intl)) == Relation(intl))
   }
 
   test("bytea and numeric text formats convert") {

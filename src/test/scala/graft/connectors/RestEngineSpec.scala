@@ -33,8 +33,10 @@ class RestEngineSpec extends SparkTestBase {
   }
 
   test("offset pagination stops on short page") {
+    // the limit/offset params are sent on the FIRST request too — a server
+    // whose default page size differs must not break the short-page check
     val t = new FakeTransport(Map(
-      "items?" -> """{"data":[{"id":1},{"id":2}]}""",
+      "items?limit=2&offset=0" -> """{"data":[{"id":1},{"id":2}]}""",
       "items?limit=2&offset=2" -> """{"data":[{"id":3}]}""",
     ))
     val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Offset(pageSize = 2))
@@ -44,7 +46,7 @@ class RestEngineSpec extends SparkTestBase {
 
   test("cursor pagination follows body cursor until absent") {
     val t = new FakeTransport(Map(
-      "items?" -> """{"data":[{"id":1}],"meta":{"next":"c2"}}""",
+      "items?limit=100" -> """{"data":[{"id":1}],"meta":{"next":"c2"}}""",
       "items?cursor=c2&limit=100" -> """{"data":[{"id":2}],"meta":{"next":null}}""",
     ))
     val ep = EndpointConfig("items", dataSelector = "data",
@@ -126,7 +128,7 @@ class RestEngineSpec extends SparkTestBase {
 
   test("newest-first early stop: page loop halts once cursor dips under last value") {
     val t = new FakeTransport(Map(
-      "feed?since=50" -> """{"data":[{"id":9,"seq":90},{"id":8,"seq":80}],"meta":{"next":"p2"}}""",
+      "feed?limit=2&since=50" -> """{"data":[{"id":9,"seq":90},{"id":8,"seq":80}],"meta":{"next":"p2"}}""",
       "feed?cursor=p2&limit=2&since=50" -> """{"data":[{"id":7,"seq":60},{"id":6,"seq":40}],"meta":{"next":"p3"}}""",
       // p3 must never be requested: page 2 dipped to 40 <= 50
     ))
@@ -139,6 +141,22 @@ class RestEngineSpec extends SparkTestBase {
     // page 2 was kept but loop stopped; engine-side filter then drops 40
     assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(9L, 8L, 7L))
     assert(!t.calls.exists(_._2.get("cursor").contains("p3")))
+  }
+
+  test("newest-first early stop compares numeric cursors numerically, not as strings") {
+    // lexicographically "100" <= "50", so a string compare would stop after
+    // page 1 and silently skip seq=70; numeric compare must keep paging
+    val t = new FakeTransport(Map(
+      "feed?limit=2&since=50" -> """{"data":[{"id":3,"seq":100},{"id":2,"seq":90}],"meta":{"next":"p2"}}""",
+      "feed?cursor=p2&limit=2&since=50" -> """{"data":[{"id":1,"seq":70},{"id":0,"seq":30}],"meta":{"next":null}}""",
+    ))
+    val res = RestResource("feed",
+      EndpointConfig("feed", dataSelector = "data",
+        paginator = Paginator.Cursor("meta.next", "cursor", pageSize = 2),
+        incremental = Some(IncrementalBinding("seq", "since", initialValue = Some("50"), newestFirst = true))),
+      TableHints("feed", Disposition.Append))
+    val df = readResource(spark, RestSource("s", client, Seq(res)), res, t)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 2L, 1L))
   }
 
   test("retrying transport backs off on 5xx then succeeds") {

@@ -74,6 +74,25 @@ class BucketedMergeSpec extends SparkTestBase {
     assert(out.where($"ord" === 8L).head().getString(2).startsWith("v8"))
   }
 
+  test("swap leaves no stage/old leftovers and recovers from a stale __old dir") {
+    val root = tmpDir("bucketed-swap")
+    val path = s"$root/t"
+    val base = (1L to 100L).map(i => (i, 1L, s"s$i")).toDF("id", "v", "s")
+    BucketedMerge.replace(spark, base, path, hints, numBuckets = 8)
+
+    // simulate a prior crash: a stale __old sibling with garbage content
+    val stale = Paths.get(path + "__old/_bucket=0")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk"), "x".getBytes)
+
+    BucketedMerge.merge(spark, Seq((5L, 2L, "upd")).toDF("id", "v", "s"), path, hints, 8)
+    assert(!Files.exists(Paths.get(path + "__old")), "old-copy dir must be cleaned up")
+    assert(!Files.exists(Paths.get(path + "__stage")), "stage dir must be cleaned up")
+    val out = BucketedMerge.read(spark, path)
+    assert(out.count() == 100)
+    assert(out.where($"id" === 5L).head().getString(2) == "upd")
+  }
+
   test("first merge on a missing table bootstraps the layout") {
     val root = tmpDir("bucketed-boot")
     val path = s"$root/t"

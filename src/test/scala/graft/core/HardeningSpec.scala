@@ -52,7 +52,7 @@ class HardeningSpec extends SparkTestBase {
   test("pagination maxPages caps a paginator that never terminates") {
     // every page returns a full page with a cursor → only maxPages requests
     val pages = (0 to 10).map { i =>
-      val key = if (i == 0) "loop" else s"loop?cursor=c$i&limit=1"
+      val key = if (i == 0) "loop?limit=1" else s"loop?cursor=c$i&limit=1"
       key -> s"""{"data":[{"n":$i}],"next":"c${i + 1}"}"""
     }.toMap
     val ep = RestEngine.EndpointConfig("loop", dataSelector = "data",

@@ -51,4 +51,15 @@ class IncrementalSpec extends SparkTestBase {
     assert(!inc.startOutOfRange("2024-01-07", Some("2024-01-05")))
     assert(!inc.startOutOfRange("2024-01-07", None))
   }
+
+  test("cursor comparison is numeric when both sides parse as numbers") {
+    val inc = Incremental(Seq("seq"))
+    // lexicographically "100" <= "9" — numerically it is NOT out of range
+    assert(!inc.startOutOfRange("100", Some("9")))
+    assert(inc.startOutOfRange("8", Some("9")))
+    assert(inc.startOutOfRange("9.5", Some("10")))
+    // mixed / non-numeric values fall back to string ordering
+    assert(Incremental.cursorLeq("abc", "abd"))
+    assert(!Incremental.cursorLeq("2024-01-07", "2024-01-05"))
+  }
 }

@@ -16,13 +16,13 @@ class RestPipelineSpec extends SparkTestBase {
       r.name == "deals" || r.name == "deal_participants"))
 
     val t = StaticPagesTransport(Map(
-      "api/v2/deals?api_token=tok&sort_by=update_time&sort_direction=desc" ->
+      "api/v2/deals?api_token=tok&limit=500&sort_by=update_time&sort_direction=desc" ->
         """{"data":[{"id":1,"title":"d1","update_time":"2024-01-01"},
           |         {"id":2,"title":"d2","update_time":"2024-01-02"}],
           | "additional_data":{"next_cursor":null}}""".stripMargin,
-      "api/v2/deals/1/participants?api_token=tok" ->
+      "api/v2/deals/1/participants?api_token=tok&limit=500" ->
         """{"data":[{"id":10,"person":"p10"}],"additional_data":{"next_cursor":null}}""",
-      "api/v2/deals/2/participants?api_token=tok" ->
+      "api/v2/deals/2/participants?api_token=tok&limit=500" ->
         """{"data":[{"id":20,"person":"p20"},{"id":21,"person":"p21"}],"additional_data":{"next_cursor":null}}""",
     ))
 
