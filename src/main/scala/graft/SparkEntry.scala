@@ -450,17 +450,15 @@ object SparkEntry {
     }),
 
     // IVF ANN (scale path: corpus shuffles once by cell; queries probe
-    // nProbe cells; no SQL oracle — centroid assignment)
+    // nProbe cells; no SQL oracle — centroid assignment). Centroids are
+    // k-means-trained on the corpus (spherical Lloyd's, deterministic).
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
-        .orderBy("vec_id").collect().zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
-        }.toSeq
       val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.filter(col("vec_id") >= 13)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val centroids = graft.ops.Similarity.kmeansCentroids(corpus, "n_id", "n_vec", k = 8, maxIter = 3)
       graft.ops.Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
         centroids, nProbe = 2, k = 5)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))

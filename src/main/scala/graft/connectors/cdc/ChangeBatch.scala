@@ -82,6 +82,14 @@ object ChangeBatch {
     val pendingTxn = scala.collection.mutable.ArrayBuffer.empty[Change]
     val pendingTruncates = scala.collection.mutable.ArrayBuffer.empty[Int]
     val truncated = scala.collection.mutable.LinkedHashSet.empty[String]
+    // v2 streamed transactions: ordered (subXid, change-or-truncate) per
+    // top-level xid, held until StreamCommit/StreamAbort. Each entry keeps
+    // the SUBtransaction xid from the wire so a subxact abort can drop
+    // exactly its changes.
+    val streamBuf = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Either[Seq[Int], Change])]]
+    var inStream = false
+    var curStreamXid = 0
     var commitTs = 0L
     var lastCommitLsn: Option[Long] = None
     var schemaChanged = false
@@ -89,7 +97,7 @@ object ChangeBatch {
 
     while (frames.hasNext && !done) {
       val (lsn, frame) = frames.next()
-      PgOutput.decode(frame) match {
+      PgOutput.decode(frame, inStream) match {
         case Begin(_, ts, _) =>
           commitTs = ts
         case Relation(meta) =>
@@ -127,6 +135,54 @@ object ChangeBatch {
           pendingTruncates.clear()
           lastCommitLsn = Some(endLsn)
           if (emitted.size >= targetBatchSize) done = true
+
+        // ---- v2 streamed transactions
+        case StreamStart(xid, _) =>
+          inStream = true
+          curStreamXid = xid
+          streamBuf.getOrElseUpdate(xid, scala.collection.mutable.ArrayBuffer.empty)
+        case StreamStop =>
+          inStream = false
+        case Streamed(subXid, inner) =>
+          val buf = streamBuf.getOrElseUpdate(curStreamXid, scala.collection.mutable.ArrayBuffer.empty)
+          inner match {
+            case Relation(meta) =>
+              if (relations.get(meta.relationId).exists(_ != meta) && emitted.nonEmpty) {
+                schemaChanged = true
+                done = true
+              }
+              relations(meta.relationId) = meta
+            case Insert(relId, row) =>
+              buf += subXid -> Right(Change(relations(relId), lsn, 0L, deleted = false, row))
+            case Update(relId, _, newRow) =>
+              buf += subXid -> Right(Change(relations(relId), lsn, 0L, deleted = false, newRow))
+            case Delete(relId, keyRow) =>
+              buf += subXid -> Right(Change(relations(relId), lsn, 0L, deleted = true, keyRow))
+            case Truncate(relIds) =>
+              buf += subXid -> Left(relIds)
+            case _ => ()
+          }
+        case StreamAbort(xid, subXid) =>
+          if (subXid == xid) streamBuf.remove(xid)
+          else streamBuf.get(xid).foreach(_.filterInPlace(_._1 != subXid))
+        case StreamCommit(xid, _, endLsn, ts) =>
+          // replay the surviving entries with the same ordering semantics a
+          // normal txn gets: a truncate wipes this txn's earlier rows and
+          // the batch's earlier txns for those relations
+          val entries = streamBuf.remove(xid).getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+          val txChanges = scala.collection.mutable.ArrayBuffer.empty[Change]
+          entries.foreach {
+            case (_, Right(ch)) => txChanges += ch.copy(commitTsMicros = ts)
+            case (_, Left(relIds)) =>
+              val ids = relIds.toSet
+              txChanges.filterInPlace(c => !ids.contains(c.relation.relationId))
+              emitted.filterInPlace(c => !ids.contains(c.relation.relationId))
+              relIds.foreach(id => relations.get(id).foreach(m => truncated += m.name))
+          }
+          emitted ++= txChanges
+          lastCommitLsn = Some(endLsn)
+          if (emitted.size >= targetBatchSize) done = true
+
         case _ => ()
       }
     }

@@ -36,11 +36,46 @@ object PgOutput {
   final case class Update(relationId: Int, oldRow: Option[Seq[TupleValue]], newRow: Seq[TupleValue]) extends Message
   final case class Delete(relationId: Int, keyRow: Seq[TupleValue]) extends Message
   final case class Truncate(relationIds: Seq[Int]) extends Message
+  /** Protocol v2 streamed-transaction framing: a large in-progress txn
+    * arrives as segments (StreamStart..StreamStop) and resolves with
+    * StreamCommit or StreamAbort ("Logical Streaming Replication Protocol",
+    * protocol version 2 message formats).
+    */
+  final case class StreamStart(xid: Int, firstSegment: Boolean) extends Message
+  case object StreamStop extends Message
+  final case class StreamCommit(xid: Int, commitLsn: Long, endLsn: Long, commitTsMicros: Long) extends Message
+  /** subXid == xid aborts the whole transaction; otherwise just that
+    * subtransaction's changes.
+    */
+  final case class StreamAbort(xid: Int, subXid: Int) extends Message
+  /** A DML/Relation message inside a streamed transaction: the wire format
+    * prefixes the body with the (sub)transaction xid that produced it.
+    */
+  final case class Streamed(xid: Int, inner: Message) extends Message
   final case class Unknown(tag: Char) extends Message
 
-  def decode(frame: Array[Byte]): Message = {
+  /** `inStream` = between StreamStart and StreamStop: v2 prefixes R/I/U/D/T
+    * bodies with an Int32 xid there (and only there).
+    */
+  def decode(frame: Array[Byte], inStream: Boolean = false): Message = {
     val buf = ByteBuffer.wrap(frame)
-    (buf.get().toChar: @unchecked) match {
+    val tag = buf.get().toChar
+    tag match {
+      case 'S' => StreamStart(buf.getInt, buf.get() == 1)
+      case 'E' => StreamStop
+      case 'c' =>
+        buf.get() // flags (unused, must be 0)
+        StreamCommit(buf.getInt, buf.getLong, buf.getLong, buf.getLong + PgEpochOffsetMicros)
+      case 'A' => StreamAbort(buf.getInt, buf.getInt)
+      case 'R' | 'I' | 'U' | 'D' | 'T' if inStream =>
+        val xid = buf.getInt
+        Streamed(xid, decodeBody(tag, buf))
+      case _ => decodeBody(tag, buf)
+    }
+  }
+
+  private def decodeBody(tag: Char, buf: ByteBuffer): Message =
+    (tag: @unchecked) match {
       case 'B' => Begin(buf.getLong, buf.getLong + PgEpochOffsetMicros, buf.getInt)
       case 'C' =>
         buf.get() // flags (unused, must be 0)
@@ -79,7 +114,6 @@ object PgOutput {
         Truncate((0 until n).map(_ => buf.getInt))
       case other => Unknown(other)
     }
-  }
 
   private def tupleData(buf: ByteBuffer): Seq[TupleValue] = {
     val n = buf.getShort.toInt
@@ -173,6 +207,31 @@ object PgOutput {
     def truncate(relIds: Seq[Int]): Array[Byte] = {
       val b = buffer(); b.put('T'.toByte); b.putInt(relIds.size); b.put(0.toByte)
       relIds.foreach(b.putInt); finish(b)
+    }
+
+    // ------------------------------------------- v2 streamed transactions
+
+    def streamStart(xid: Int, firstSegment: Boolean = true): Array[Byte] = {
+      val b = buffer(); b.put('S'.toByte); b.putInt(xid)
+      b.put((if (firstSegment) 1 else 0).toByte); finish(b)
+    }
+    def streamStop(): Array[Byte] = {
+      val b = buffer(); b.put('E'.toByte); finish(b)
+    }
+    def streamCommit(xid: Int, commitLsn: Long, endLsn: Long, commitTsMicros: Long): Array[Byte] = {
+      val b = buffer(); b.put('c'.toByte); b.put(0.toByte); b.putInt(xid)
+      b.putLong(commitLsn); b.putLong(endLsn)
+      b.putLong(commitTsMicros - PgEpochOffsetMicros); finish(b)
+    }
+    def streamAbort(xid: Int, subXid: Int): Array[Byte] = {
+      val b = buffer(); b.put('A'.toByte); b.putInt(xid); b.putInt(subXid); finish(b)
+    }
+    /** Wrap a non-stream DML/Relation frame in the in-stream form: tag,
+      * Int32 xid, then the original body.
+      */
+    def streamed(xid: Int, frame: Array[Byte]): Array[Byte] = {
+      val b = buffer(frame.length + 5)
+      b.put(frame(0)); b.putInt(xid); b.put(frame, 1, frame.length - 1); finish(b)
     }
   }
 }

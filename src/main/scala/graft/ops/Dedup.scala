@@ -98,40 +98,65 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** Dedup clustering: connected components over verified near-dup PAIRS
-    * via iterative min-label propagation — each node repeatedly adopts the
-    * smallest label among itself and its neighbors; converges in graph-
-    * diameter iterations (near-dup clusters are shallow). Returns
-    * (id, cluster) where cluster = the component's minimum id, i.e. the
-    * canonical survivor. Lineage is cut per iteration (localCheckpoint) so
-    * the plan doesn't grow with iterations — the property that keeps this
-    * runnable on billion-edge graphs.
+    * via alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — public algorithm).
+    * Each round is two groupBy+join passes and the component trees halve in
+    * height, so it converges in O(log n) rounds where min-label propagation
+    * needs O(diameter) — the difference between 4 and 40 shuffles on a
+    * chain-shaped duplicate cluster. Returns (id, cluster) where cluster =
+    * the component's minimum id, i.e. the canonical survivor. Lineage is
+    * cut per round (localCheckpoint) so the plan never grows — the property
+    * that keeps this runnable on billion-edge graphs.
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // canonical directed edges larger → smaller, no self-loops
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    var converged = false
+    // fixpoint signature: (edge count, hash sum) in ONE aggregate — no
+    // join-based change detection
+    def sig(df: DataFrame) =
+      df.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast("long"))).head()
+    var prevSig = sig(edges)
+    var stable = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      val updated = labels.as("l")
-        .join(neighborMin.as("n"), col("l.id") === col("n.src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.cluster"), coalesce(col("n.nmin"), col("l.cluster"))).as("cluster"))
+    while (!stable && i < maxIter) {
+      // large-star: every node hooks its LARGER neighbors to the minimum of
+      // its neighborhood (including itself)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("c"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(mins, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every node hooks itself and its smaller neighbors to
+      // its smallest neighbor (edges are directed larger → smaller here)
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mins2, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins2.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("p"), col("u.id") === col("p.id"))
-        .filter(col("u.cluster") =!= col("p.cluster")).limit(1).count() > 0
-      labels = updated
-      converged = !changed
+      val s = sig(small)
+      stable = s == prevSig
+      prevSig = s
+      edges = small
       i += 1
     }
-    labels
+    // at fixpoint components are stars around their min; min-agg also makes
+    // a maxIter cutoff safe
+    val roots = edges.groupBy("u").agg(min("v").as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    val nodes = pairs.select(col(idA).as("id")).union(pairs.select(col(idB).as("id"))).distinct()
+    nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Survivors after clustering: one row per component (the minimum id)

@@ -102,11 +102,57 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Coarse k-means centroid training for IVF (Lloyd's iterations, fully
+    * distributed): seed with the k lowest-id vectors (deterministic), then
+    * alternate (a) nearest-centroid assignment — a narrow map over the
+    * corpus against broadcast centroid literals — and (b) per-cell means
+    * via posexplode + groupBy(cell, dim): exactly k×dim rows come back to
+    * the driver per iteration, never data rows. The mean accumulates in
+    * DECIMAL so the aggregate is exact and therefore independent of
+    * partial-aggregation order — bit-identical centroids on every run,
+    * which keeps downstream assignment and top-k deterministic. An emptied
+    * cell keeps its previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 5,
+  ): Seq[(Int, Array[Double])] = {
+    var cents: Seq[(Int, Array[Double])] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().toSeq.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue()).toArray
+      }
+    var it = 0
+    var moved = true
+    while (moved && it < maxIter) {
+      val means = ivfAssign(corpus, vecCol, cents)
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col").cast("decimal(28,10)")).cast("double").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) => cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      // spherical k-means: assignment is by inner product, so project each
+      // mean back to the unit sphere — otherwise high-norm centroids would
+      // swallow neighboring cells
+      val next = cents.map { case (cid, old) =>
+        val m = means.getOrElse(cid, old)
+        val n = math.sqrt(m.map(x => x * x).sum)
+        cid -> (if (n > 0) m.map(_ / n) else old)
+      }
+      moved = next.zip(cents).exists { case ((_, a), (_, b)) => !a.sameElements(b) }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: assign corpus vectors to their nearest
     * coarse centroid once; at query time score only the `nProbe` closest
-    * cells. Centroids here are a deterministic sample of the corpus
-    * (first-k by id) — a production build would k-means them; the
-    * partition/probe mechanics are identical. At 100 TB the cell
+    * cells. Train centroids with `kmeansCentroids` (or pass any fixed
+    * seq — the partition/probe mechanics are the same). At 100 TB the cell
     * assignment is a narrow map and the probe is a semi-join on cell id,
     * so the corpus shuffles once (by cell) ever, not per query.
     */

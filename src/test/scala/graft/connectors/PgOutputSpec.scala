@@ -183,6 +183,89 @@ class PgOutputSpec extends SparkTestBase {
     assert(row.getDouble(2) == 9.9 && !row.getBoolean(3))
   }
 
+  test("v2 stream frames round-trip: start/stop/commit/abort and xid-prefixed DML") {
+    assert(decode(Encode.streamStart(42)) == StreamStart(42, firstSegment = true))
+    assert(decode(Encode.streamStop()) == StreamStop)
+    decode(Encode.streamCommit(42, 500L, 501L, ts0)) match {
+      case StreamCommit(xid, c, e, ts) => assert(xid == 42 && c == 500L && e == 501L && ts == ts0)
+      case other                       => fail(s"$other")
+    }
+    assert(decode(Encode.streamAbort(42, 43)) == StreamAbort(42, 43))
+    val ins = Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t")))
+    decode(Encode.streamed(42, ins), inStream = true) match {
+      case Streamed(42, Insert(1001, row)) => assert(row.head.value.contains("1"))
+      case other                           => fail(s"$other")
+    }
+    // outside a stream the same tag parses as plain DML (no xid prefix)
+    assert(decode(ins).isInstanceOf[Insert])
+  }
+
+  test("streamed txn: segments accumulate, only StreamCommit emits, abort discards") {
+    def ins(id: String) = Encode.insert(1001, Seq(Some(id), Some("x"), Some("1.0"), Some("t")))
+    val frames = Seq[(Long, Array[Byte])](
+      (1L, Encode.relation(rel)),
+      // txn 100 streams two segments interleaved with a normal txn
+      (10L, Encode.streamStart(100)),
+      (11L, Encode.streamed(100, ins("1"))),
+      (12L, Encode.streamStop()),
+    ) ++ txn(20L, (21L, ins("50"))) ++ Seq[(Long, Array[Byte])](
+      (30L, Encode.streamStart(100, firstSegment = false)),
+      (31L, Encode.streamed(100, ins("2"))),
+      (32L, Encode.streamStop()),
+      // txn 200 streams then ABORTS entirely — nothing may surface
+      (40L, Encode.streamStart(200)),
+      (41L, Encode.streamed(200, ins("99"))),
+      (42L, Encode.streamStop()),
+      (43L, Encode.streamAbort(200, 200)),
+      (50L, Encode.streamCommit(100, 50L, 51L, ts0)),
+    )
+    val res = ChangeBatch.consume(frames.iterator)
+    // normal txn emitted at its commit; streamed txn 100 at its StreamCommit
+    assert(res.batch.changes.map(_.values.head.value.get) == Seq("50", "1", "2"))
+    assert(res.batch.changes.filter(_.values.head.value.get != "50").forall(_.commitTsMicros == ts0))
+    assert(res.lastCommitLsn.contains(51L))
+
+    // an uncommitted stream at the cut stays pending
+    val open = Seq[(Long, Array[Byte])](
+      (1L, Encode.relation(rel)),
+      (10L, Encode.streamStart(300)), (11L, Encode.streamed(300, ins("7"))), (12L, Encode.streamStop()))
+    assert(ChangeBatch.consume(open.iterator).batch.changes.isEmpty)
+  }
+
+  test("streamed txn: subtransaction abort drops exactly its changes") {
+    def ins(id: String) = Encode.insert(1001, Seq(Some(id), Some("x"), Some("1.0"), Some("t")))
+    val frames = Seq[(Long, Array[Byte])](
+      (1L, Encode.relation(rel)),
+      (10L, Encode.streamStart(100)),
+      (11L, Encode.streamed(100, ins("1"))),  // top-level xid
+      (12L, Encode.streamed(150, ins("2"))),  // subxact 150 — will abort
+      (13L, Encode.streamed(100, ins("3"))),
+      (14L, Encode.streamStop()),
+      (15L, Encode.streamAbort(100, 150)),
+      (16L, Encode.streamCommit(100, 20L, 21L, ts0)),
+    )
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.batch.changes.map(_.values.head.value.get) == Seq("1", "3"))
+  }
+
+  test("streamed truncate wipes earlier rows in the txn and the batch") {
+    def ins(id: String) = Encode.insert(1001, Seq(Some(id), Some("x"), Some("1.0"), Some("t")))
+    val frames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(5L, (6L, ins("1"))) ++ // earlier committed txn — must be wiped
+        Seq[(Long, Array[Byte])](
+          (10L, Encode.streamStart(100)),
+          (11L, Encode.streamed(100, ins("2"))), // pre-truncate in-txn — wiped
+          (12L, Encode.streamed(100, Encode.truncate(Seq(1001)))),
+          (13L, Encode.streamed(100, ins("3"))), // post-truncate — survives
+          (14L, Encode.streamStop()),
+          (15L, Encode.streamCommit(100, 20L, 21L, ts0)),
+        )
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.truncatedRelations == Seq("accounts"))
+    assert(res.batch.changes.map(_.values.head.value.get) == Seq("3"))
+  }
+
   test("non-ASCII identifiers round-trip through relation frames") {
     val intl = RelationMeta(8, "öffentlich", "ordres_commandés", 'd', Seq(
       ColumnMeta("идентификатор", 20, -1, isKey = true),

@@ -54,6 +54,24 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 99L)) // one per cluster + untouched singleton
   }
 
+  test("pair clustering matches a union-find oracle on random graphs and long chains") {
+    val rnd = new scala.util.Random(42)
+    val randomEdges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val chain = (0L until 99L).map(i => (i + 1000L, i + 1001L)) // diameter 99 ≫ maxIter 25
+    val all = randomEdges ++ chain
+
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    all.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = all.flatMap(t => Seq(t._1, t._2)).distinct
+    val oracle = nodes.map(n => n -> find(n)).toMap
+
+    val got = Dedup.clusterPairs(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -98,6 +116,37 @@ class OpsSpec extends SparkTestBase {
     val partial = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
       centroids, nProbe = 1, k = 5).collect()
     assert(partial.nonEmpty && partial.length <= 15)
+  }
+
+  test("k-means centroids: deterministic across runs, unit-norm, and recall beats raw-sample seeds") {
+    val rnd = new scala.util.Random(13)
+    // three well-separated clusters on the unit sphere + noise
+    def unit(base: Array[Double]) = {
+      val v = base.map(_ + rnd.nextGaussian() * 0.1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = Seq(Array(1.0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0), Array(0, 0, 1.0, 0, 0, 0))
+    val corpus = (0L until 90L).map(i => (i, unit(bases((i % 3).toInt)))).toDF("n_id", "n_vec")
+
+    val c1 = Similarity.kmeansCentroids(corpus, "n_id", "n_vec", k = 3, maxIter = 10)
+    val c2 = Similarity.kmeansCentroids(corpus, "n_id", "n_vec", k = 3, maxIter = 10)
+    assert(c1.map(_._2.toSeq) == c2.map(_._2.toSeq), "training must be run-deterministic")
+    c1.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9, "spherical centroids")
+    }
+
+    // trained cells at nProbe=1 must dominate untrained first-k seeds
+    val queries = (100L until 106L).map(i => (i, unit(bases((i % 3).toInt)))).toDF("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 5)
+    val seeded = corpus.orderBy("n_id").limit(3).collect().zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toSeq
+    def recall(cents: Seq[(Int, Array[Double])]) = Similarity.meanRecall(Similarity.recallAtK(
+      Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", cents, 1, 5),
+      exact, "q_id", "n_id"))
+    assert(recall(c1) == 1.0, "trained cells align with the true clusters")
+    assert(recall(c1) >= recall(seeded))
   }
 
   test("recall@k: exact vs itself is 1.0; degraded approx is proportional; IVF full-probe is 1.0") {
