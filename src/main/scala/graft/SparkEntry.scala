@@ -458,7 +458,10 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.filter(col("vec_id") >= 13)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-      val centroids = graft.ops.Similarity.kmeansCentroids(corpus, "n_id", "n_vec", k = 8, maxIter = 3)
+      // FAISS-style: train the coarse quantizer on a deterministic sample,
+      // assign the full corpus — training cost stays O(sample), not O(corpus)
+      val sample = corpus.filter(pmod(col("n_id"), lit(3)) === 0)
+      val centroids = graft.ops.Similarity.kmeansCentroids(sample, "n_id", "n_vec", k = 8, maxIter = 2)
       graft.ops.Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
         centroids, nProbe = 2, k = 5)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))

@@ -106,16 +106,32 @@ object Dedup {
     * chain-shaped duplicate cluster. Returns (id, cluster) where cluster =
     * the component's minimum id, i.e. the canonical survivor. Lineage is
     * cut per round (localCheckpoint) so the plan never grows — the property
-    * that keeps this runnable on billion-edge graphs.
+    * that keeps this runnable on billion-edge graphs. Edge sets under
+    * `driverMaxEdges` short-circuit to a driver union-find (broadcast-join
+    * reasoning: don't pay log n shuffles for a set that fits in one task).
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
     // canonical directed edges larger → smaller, no self-loops
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Verified near-dup pairs are tiny relative to the corpus they came
+    // from (LSH + verification already reduced them). Below the threshold a
+    // driver union-find replaces log(n) shuffle rounds with one collect —
+    // the same small-side reasoning as a broadcast join. The distributed
+    // path below remains THE path for edge sets that don't fit.
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema(pairs.schema.fieldIndex(idA)).dataType
+    val driverable = idType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _                                                          => false
+    }
+    if (driverable && edges.count() <= driverMaxEdges)
+      return driverUnionFind(edges, idType)
     // fixpoint signature: (edge count, hash sum) in ONE aggregate — no
     // join-based change detection
     def sig(df: DataFrame) =
@@ -129,11 +145,12 @@ object Dedup {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u").as("c"), least(col("u"), col("mv")).as("m"))
+      // no distinct here: duplicates are bounded (≤2 per input edge) and
+      // the small-star phase deduplicates at the end — one less shuffle
       val large = sym.join(mins, col("u") === col("c"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: every node hooks itself and its smaller neighbors to
       // its smallest neighbor (edges are directed larger → smaller here)
       val mins2 = large.groupBy("u").agg(min("v").as("m"))
@@ -157,6 +174,38 @@ object Dedup {
     val nodes = pairs.select(col(idA).as("id")).union(pairs.select(col(idB).as("id"))).distinct()
     nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Small-edge-set path: path-compressed union-find over collected edges,
+    * always unioning the larger root under the smaller so the final root of
+    * every component is its minimum id (identical labels to the distributed
+    * path).
+    */
+  private def driverUnionFind(edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lt: (Any, Any) => Boolean = idType match {
+      case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _          => (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    val collected = edges.collect()
+    collected.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = collected.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    val rows = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    val spark = edges.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", idType), StructField("cluster", idType))))
   }
 
   /** Survivors after clustering: one row per component (the minimum id)

@@ -67,9 +67,14 @@ class OpsSpec extends SparkTestBase {
     val nodes = all.flatMap(t => Seq(t._1, t._2)).distinct
     val oracle = nodes.map(n => n -> find(n)).toMap
 
-    val got = Dedup.clusterPairs(all.toDF("id_a", "id_b"))
+    // small path (driver union-find) and scale path (alternating star)
+    // must produce identical labels
+    val gotDriver = Dedup.clusterPairs(all.toDF("id_a", "id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == oracle)
+    val gotDistributed = Dedup.clusterPairs(all.toDF("id_a", "id_b"), driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == oracle)
+    assert(gotDistributed == oracle)
   }
 
   test("simhash: identical texts identical, hamming sane") {
