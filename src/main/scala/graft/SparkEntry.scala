@@ -508,6 +508,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus construction: exact per-language quota sample. The order key
+    // is md5(id) so DuckDB computes the identical permutation (xxhash64 is
+    // the scale default but has no oracle twin)
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.ops.Corpus.stratifiedExact(
+        t(s, dir, "documents"), "lang", "doc_id", perStratum = 40,
+        orderBy = Some(md5(col("doc_id").cast("string"))))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // context-window packing: per-language offset packing into 4096-token
+    // bins via ONE window cumsum (documents never split)
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.ops.Corpus.packSequences(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", budget = 4096L, packKey = Some("lang"))
+        .select(col("doc_id"), col("lang"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
+    // train/eval decontamination: word-8-gram overlap against a held-out
+    // eval slice; md5 n-gram keys so the oracle joins identical hashes
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Corpus.contamination(train, ev, "doc_id", "text", n = 8, hashFn = md5)
+        .orderBy("doc_id")
+    }),
+
     // multimodal: binary column + typed metadata struct
     "q_multimodal_meta" -> ((s, dir) => {
       val withBin = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
@@ -972,6 +1003,36 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 40 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, CAST(floor((SUM(n_chars) OVER (
+        |  PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 4096.0) AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM ws),
+        |grams AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+        |  FROM pos WHERE i + 7 <= len(w)),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+        |agg AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(count(eg.g) AS BIGINT) AS n_contaminated
+        |  FROM tg LEFT JOIN eg ON tg.g = eg.g GROUP BY tg.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(a.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+        |       ELSE a.n_contaminated / CAST(a.n_ngrams AS DOUBLE) END AS contamination
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: the steps
+  * between "deduplicated documents" and "training mix" — stratified
+  * sampling, context-window sequence packing, and eval-set
+  * decontamination. All are declarative window/join plans: no driver
+  * loops, no UDFs, shuffles only on the natural keys (stratum, pack key,
+  * n-gram hash).
+  */
+object Corpus {
+
+  /** Exact-count stratified sample: the first `perStratum` rows of each
+    * stratum in a DETERMINISTIC pseudo-random order (xxhash64 of the id —
+    * stable across runs/cluster sizes, unlike `rand()`). One shuffle on
+    * the stratum key; at 100 TB strata are large so the window stays
+    * balanced. Use for per-language / per-source quotas in a training mix.
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String, perStratum: Int,
+      orderBy: Option[Column] = None): DataFrame = {
+    val ord = orderBy.getOrElse(xxhash64(col(idCol)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(ord, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Proportional deterministic sample: keep ~1/`mod` of rows chosen by id
+    * hash — a narrow map (no shuffle at all), the right shape for "10% of
+    * 100 TB" cuts.
+    */
+  def hashSample(df: DataFrame, idCol: String, mod: Int, keep: Int = 0): DataFrame =
+    df.filter(pmod(xxhash64(col(idCol)), lit(mod)) === keep)
+
+  /** Pack documents into fixed-budget context windows: documents are laid
+    * out in a deterministic order (`orderCol`, tiebroken by id) and the
+    * running token total assigns each doc to bin floor(tokens_before /
+    * budget). Documents never split; a bin may overflow by less than one
+    * document (offset packing — the streaming-friendly variant of
+    * next-fit, and expressible as ONE window cumsum, so it scales to any
+    * corpus). `packKey` partitions the packing (e.g. language) so each
+    * group packs independently — and the window shuffle is per-group, not
+    * global.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      packKey: Option[String] = None,
+  ): DataFrame = {
+    val part = packKey.map(k => Window.partitionBy(col(k))).getOrElse(Window.partitionBy())
+    val w = part.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id", floor((col("__cum") - col(tokenCol)) / budget))
+      .drop("__cum")
+  }
+
+  /** Word n-gram hashes of a text column: the join key for overlap
+    * detection. Hashing keeps the shuffled key 8 bytes instead of the
+    * n-gram string.
+    */
+  def ngramHashes(text: Column, n: Int, hashFn: Column => Column = xxhash64(_)): Column = {
+    val ws = split(text, " ")
+    // guard: sequence(0, negative) would generate a DESCENDING range in
+    // Spark — a doc shorter than n grams must yield an empty set instead
+    val idx = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => hashFn(concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Train/eval contamination: for each train document, how many of its
+    * distinct word n-grams appear in ANY eval document. The plan is
+    * explode → semi-ish aggregate join on the hash — the eval side is tiny
+    * (benchmarks), so after explode it broadcasts; the train side never
+    * shuffles more than its exploded n-grams. Returns (id, n_ngrams,
+    * n_contaminated, contamination = fraction of the doc's n-grams seen in
+    * eval). Filter `contamination > threshold` to drop leaked documents.
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashFn: Column => Column = xxhash64(_),
+  ): DataFrame = {
+    val evalGrams = eval
+      .select(explode(ngramHashes(col(textCol), n, hashFn)).as("__g"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("__g"))
+    val hits = trainGrams
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    train
+      .select(col(idCol), size(ngramHashes(col(textCol), n, hashFn)).cast("long").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("contamination"),
+      )
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stratifiedExact takes exactly n per stratum, deterministically, and all of small strata") {
+    val df = ((1L to 100L).map(i => (i, "en")) ++ (101L to 103L).map(i => (i, "fr")))
+      .toDF("id", "lang")
+    val s1 = Corpus.stratifiedExact(df, "lang", "id", 10)
+    assert(s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("en" -> 10L, "fr" -> 3L))
+    val s2 = Corpus.stratifiedExact(df, "lang", "id", 10)
+    assert(s1.select("id").as[Long].collect().sorted.toSeq == s2.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("hashSample is a narrow deterministic cut") {
+    val df = (1L to 1000L).toDF("id")
+    val a = Corpus.hashSample(df, "id", 10).select("id").as[Long].collect().toSet
+    val b = Corpus.hashSample(df, "id", 10).select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < 1000)
+    // no exchange in the plan: sampling must not shuffle
+    val plan = Corpus.hashSample(df, "id", 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("packSequences: docs never split, bins advance with the budget, oversize doc gets its own bin") {
+    val df = Seq(
+      (1L, "en", 3000L), (2L, "en", 2000L), (3L, "en", 9000L), (4L, "en", 100L),
+      (5L, "fr", 4000L),
+    ).toDF("doc_id", "lang", "toks")
+    val packed = Corpus.packSequences(df, "doc_id", "toks", 4096L, packKey = Some("lang"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // en: cum-before = 0, 3000, 5000, 14000 → bins 0, 0, 1, 3
+    assert(packed(1L) == 0L && packed(2L) == 0L)
+    assert(packed(3L) == 1L) // the 9000-token doc starts in bin 1 and owns 2+
+    assert(packed(4L) == 3L)
+    assert(packed(5L) == 0L) // fr packs independently
+  }
+
+  test("ngramHashes: distinct n-grams; shorter-than-n text yields empty, not a descending range") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val got = df.select(col("id"), Corpus.ngramHashes(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).length == 2) // "a b c", "b c d"
+    assert(got(2L).isEmpty)
+  }
+
+  test("contamination counts eval-overlapping n-grams per train doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" with eval
+      (2L, "completely different words here now"),
+      (3L, "ab"), // too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown cat sat")).toDF("doc_id", "text")
+    val got = Corpus.contamination(train, ev, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0))) // only "the quick brown" overlaps
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+}
