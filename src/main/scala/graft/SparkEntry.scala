@@ -684,6 +684,52 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // CDC protocol v2 streamed transactions: events delivered as large
+    // in-progress txns (two interleaved segments each, one txn in 7
+    // ABORTED) → decode → merge. The oracle recomputes the surviving set.
+    "q_cdc_stream" -> ((s, dir) => {
+      import graft.connectors.cdc.{ChangeBatch, PgOutput}
+      import PgOutput._
+      val rel = RelationMeta(1, "public", "accounts", 'd', Seq(
+        ColumnMeta("user_id", 20, -1, isKey = true),
+        ColumnMeta("event_id", 20, -1, isKey = false),
+        ColumnMeta("value", 701, -1, isKey = false),
+      ))
+      val ev = t(s, dir, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value").orderBy("event_id").collect()
+      val ts0 = 1700000000000000L
+      def dml(r: org.apache.spark.sql.Row, xid: Int): (Long, Array[Byte]) = {
+        val lsn = r.getLong(0)
+        val payload =
+          if (r.getString(2) == "error")
+            Encode.delete(1, Seq(Some(r.getLong(1).toString), None, None))
+          else
+            Encode.insert(1, Seq(Some(r.getLong(1).toString), Some(lsn.toString), Some(r.getDouble(3).toString)))
+        (lsn, Encode.streamed(xid, payload))
+      }
+      val groups = ev.toSeq.groupBy(_.getLong(0) / 50).toSeq.sortBy(_._1)
+      val frames: Seq[(Long, Array[Byte])] =
+        Seq((0L, Encode.relation(rel))) ++ groups.flatMap { case (g, rows) =>
+          val xid = (g + 1).toInt
+          val base = 100000L + g * 1000L
+          val (evens, odds) = rows.partition(_.getLong(0) % 2 == 0)
+          val seg1 = Seq((base, Encode.streamStart(xid))) ++
+            evens.map(dml(_, xid)) ++ Seq((base + 1, Encode.streamStop()))
+          val seg2 = Seq((base + 2, Encode.streamStart(xid, firstSegment = false))) ++
+            odds.map(dml(_, xid)) ++ Seq((base + 3, Encode.streamStop()))
+          val fin =
+            if (g % 7 == 3) Seq((base + 4, Encode.streamAbort(xid, xid)))
+            else Seq((base + 4, Encode.streamCommit(xid, base + 4, base + 5, ts0)))
+          seg1 ++ seg2 ++ fin
+        }
+      val consumed = ChangeBatch.consume(frames.iterator, targetBatchSize = Int.MaxValue)
+      val changes = consumed.batch.byRelation("accounts")
+      val typed = ChangeBatch.toTypedDf(ChangeBatch.changeRows(s, rel, changes), rel)
+      MergeEngine.mergePlan(None, typed, ChangeBatch.mergeHints(rel))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
     // queue micro-batch reader: events routed to partitions by user_id%4,
     // payload = props JSON; envelope + offset plan verified via aggregates
     "q_queue_pipeline" -> ((s, dir) => {
@@ -1075,6 +1121,13 @@ object SparkEntry {
       """SELECT user_id, event_id, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 2000)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_cdc_stream" ->
+      """SELECT user_id, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events
+        |      WHERE event_id < 2000 AND CAST(floor(event_id / 50.0) AS BIGINT) % 7 <> 3)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
 
     "q_queue_pipeline" ->
