@@ -92,6 +92,20 @@ object EventStreams {
       }
   }
 
+  /** Continuous exact dedup: keep the FIRST arrival per key and drop every
+    * later duplicate, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates are only meaningful
+    * within the replay window of the upstream queue, so state ages out
+    * instead of growing with history; the unbounded-state variant would
+    * OOM a year-old stream). This is the streaming face of
+    * `Dedup.exactDedup` and the msg-id dedup the queue reader does per
+    * batch — one semantic, three execution shapes.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Bounded "AvailableNow-style" run into a memory sink: process
     * everything currently in the source, then stop — the reference's
     * batch-pull semantics expressed on the streaming engine.

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the 100 TB design claims specific plan shapes
+  * (broadcast dims, pushed filters, pruned scans, bounded shuffles). These
+  * assertions run the REAL driver queries against the sf0.001 testdata and
+  * fail if a code change silently degrades the plan — e.g. a broadcast
+  * flipping to a sort-merge join or a filter detaching from the scan.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def ran(q: String): DataFrame = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // force AQE to finalize the plan before inspecting it
+    df
+  }
+  private def finalPlan(df: DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    // AQE prints the final plan followed by the initial one — audit the final
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("star join broadcasts every dimension (no sort-merge join)") {
+    val plan = finalPlan(ran("q_multi_join_agg"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not shuffle the fact table")
+  }
+
+  test("scan-agg pushes its filter into the parquet scan and prunes columns") {
+    val plan = finalPlan(ran("q_pushdown_scan_agg"))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+    // the scan's projected column list: the full lineitem table is 16
+    // columns; the query needs a handful
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && scanCols.split(",").length < 8,
+      s"scan must not read all columns: $scanCols")
+  }
+
+  test("decontamination broadcasts the eval n-gram side") {
+    val plan = finalPlan(ran("q_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("brute-force ANN broadcasts queries; the corpus is never exchanged") {
+    val plan = finalPlan(ran("q_ann_cosine"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("sequence packing is one window over one shuffle") {
+    val plan = finalPlan(ran("q_pack_sequences"))
+    // exchanges: one for the window partition key, one for the final
+    // orderBy the driver compare requires — nothing else
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(2000)}")
+  }
+}

@@ -26,6 +26,21 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streamingDedup keeps the first arrival per key within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 9.9), // duplicate event_id — dropped
+      Event(2, ts(2), 2, "view", 2.0),
+    )
+    val deduped = streamingDedup(input.toDF(), Seq("event_id"), watermark = "10 minutes")
+    runAvailableNow(deduped, "dedup_out")
+    val out = spark.table("dedup_out").select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
