@@ -508,6 +508,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // batch sessionization: 30-min inactivity gap per user, one keyed
+    // window shuffle (batch twin of EventStreams.sessionize)
+    "q_sessionize_batch" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id") < 5000)
+        .select("event_id", "user_id", "ts")
+      graft.ops.Temporal.sessionize(ev, "user_id", "ts", gapMs = 1800000L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
+    // as-of join: latest order at-or-before each event for that customer,
+    // via the union-sort trick (one shuffle on the key, no range probe)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").as("ots"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.Temporal.asofJoin(ev, ord, "user_id", "ts", "ots", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // corpus construction: exact per-language quota sample. The order key
     // is md5(id) so DuckDB computes the identical permutation (xxhash64 is
     // the scale default but has no oracle twin)
@@ -1049,6 +1072,25 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_sessionize_batch" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS session_id
+        |FROM (SELECT event_id, user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events WHERE event_id < 5000)
+        |ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |             max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000)
+        |SELECT l.event_id, l.user_id, r.o_orderkey
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.ts >= r.ots
+        |ORDER BY l.event_id""".stripMargin.replaceAll("\n", " "),
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
