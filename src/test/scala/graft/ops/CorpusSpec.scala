@@ -48,6 +48,30 @@ class CorpusSpec extends SparkTestBase {
     assert(got(2L).isEmpty)
   }
 
+  test("degenerate inputs: empty pair set, empty eval set, empty right side") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.clusterPairs(emptyPairs).count() == 0)
+    assert(Dedup.clusterPairs(emptyPairs, driverMaxEdges = 0L).count() == 0)
+
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val emptyEval = train.filter(lit(false))
+    val c = Corpus.contamination(train, emptyEval, "doc_id", "text", n = 2)
+      .collect().head
+    assert(c.getLong(2) == 0L && c.getDouble(3) == 0.0)
+
+    val left = Seq((1L, 10L, new java.sql.Timestamp(0L))).toDF("event_id", "user_id", "ts")
+    val emptyRight = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "rts", "v")
+    val a = Temporal.asofJoin(left, emptyRight, "user_id", "ts", "rts", Seq("v")).collect()
+    assert(a.length == 1 && a.head.isNullAt(a.head.fieldIndex("v")))
+
+    assert(Corpus.packSequences(Seq((1L, 10L)).toDF("doc_id", "toks"), "doc_id", "toks", 100L)
+      .select("pack_id").head().getLong(0) == 0L)
+  }
+
   test("contamination counts eval-overlapping n-grams per train doc") {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" with eval
