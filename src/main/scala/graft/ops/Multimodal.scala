@@ -95,6 +95,37 @@ object Multimodal {
       explode(frameSampleIndices(col(nFramesCol), stride)).as("frame_idx"),
     )
 
+  case class ResizedMedia(id: Long, content: Array[Byte], width: Int, height: Int)
+
+  /** STUB resize kernel: a real implementation hands the blob to the image
+    * codec and re-encodes at the target size. The stub derives the
+    * "original" dims the same way `fakeDecodeKernel` does, scales the long
+    * side down to `maxDim` preserving aspect, and truncates the bytes
+    * proportionally — deterministic in the input, so specs pin behavior.
+    */
+  def fakeResizeKernel(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val (w0, h0) = (1 + (h & 0x3ff), 1 + ((h >>> 10) & 0x3ff))
+    val long0 = math.max(w0, h0)
+    val scale = if (long0 <= maxDim) 1.0 else maxDim.toDouble / long0
+    val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+    val keep = math.max(1, (bytes.length * scale * scale).toInt.min(bytes.length))
+    ResizedMedia(id, bytes.take(keep), w1, h1)
+  }
+
+  /** Resize stage: blob in, smaller blob out, per-partition — the one
+    * multimodal transform whose OUTPUT is still a blob. It must sit
+    * directly after the scan (before any wide op) so the large originals
+    * die with their scan partitions and only the resized bytes flow on.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String, maxDim: Int): Dataset[ResizedMedia] = {
+    implicit val enc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map(r => fakeResizeKernel(r.getLong(0), r.getAs[Array[Byte]](1), maxDim))
+      }
+  }
+
   /** Batched decode: the vectorized-kernel contract (a GPU/codec kernel
     * wants blob BATCHES, not single rows). Same per-blob results as
     * `decodeFeatures`; only the invocation shape changes — each partition

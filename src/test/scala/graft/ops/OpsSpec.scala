@@ -230,6 +230,28 @@ class OpsSpec extends SparkTestBase {
       .as[Int].collect().toSeq == expected)
   }
 
+  test("resize stage bounds dimensions, keeps aspect, shrinks bytes, stays narrow") {
+    val d = (1L to 50L).map(i => (i, "x" * (100 + i.toInt))).toDF("id", "text")
+      .withColumn("content", $"text".cast("binary"))
+    val resized = Multimodal.resizeImages(d, "id", "content", maxDim = 64)
+    val rows = resized.collect()
+    assert(rows.length == 50)
+    val orig = Multimodal.decodeFeatures(d, "id", "content").collect().map(f => f.id -> f).toMap
+    rows.foreach { r =>
+      assert(math.max(r.width, r.height) <= 64)
+      val o = orig(r.id)
+      // aspect preserved within integer rounding
+      if (math.max(o.width, o.height) > 64) {
+        val s = 64.0 / math.max(o.width, o.height)
+        assert(math.abs(r.width - o.width * s) <= 1 && math.abs(r.height - o.height * s) <= 1)
+        assert(r.content.length < o.n_bytes)
+      }
+    }
+    // blob stage plans as a narrow map: no exchange before the kernel
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("multimodal decode plumbing produces one feature row per blob") {
     val d = Seq((1L, "abc"), (2L, "defg")).toDF("id", "text")
       .withColumn("content", $"text".cast("binary"))
