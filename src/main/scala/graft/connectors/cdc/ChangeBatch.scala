@@ -258,6 +258,30 @@ object ChangeBatch {
     MergeEngine.mergePlan(base, resolved.drop("_toast_unchanged"), hints)
   }
 
+  /** Snapshot-bootstrap handoff (reference `init_replication` with
+    * `persist_snapshots=True`, sources/pg_replication/helpers.py:91-159:
+    * the slot's exported snapshot is the initial table state and the
+    * stream applies on top). When replaying a frame archive the boundary
+    * LSN makes the handoff exact: changes at/under `snapshotLsn` are
+    * already IN the snapshot and must not re-apply — without the filter a
+    * pre-boundary delete would erase a snapshot row that a later
+    * pre-boundary insert restored, or vice versa.
+    */
+  def bootstrap(
+      spark: SparkSession,
+      snapshot: DataFrame,
+      relation: RelationMeta,
+      frames: Iterator[(Long, Array[Byte])],
+      snapshotLsn: Long,
+      targetBatchSize: Int = 1000,
+  ): (DataFrame, ConsumeResult) = {
+    val res = consume(frames, targetBatchSize)
+    val changes = res.batch.byRelation.getOrElse(relation.name, Nil)
+      .filter(_.lsn > snapshotLsn)
+    val typed = toTypedDf(changeRows(spark, relation, changes), relation)
+    (applyChanges(Some(snapshot), typed, relation), res)
+  }
+
   /** Merge hints for a relation's change stream: pk from the replica
     * identity, latest-lsn-wins, hard delete on `_deleted_ts`
     * (sources/pg_replication/helpers.py:764-778).

@@ -52,6 +52,17 @@ object PgOutput {
     * prefixes the body with the (sub)transaction xid that produced it.
     */
   final case class Streamed(xid: Int, inner: Message) extends Message
+  /** Replication-origin marker — decoded (so the stream position advances
+    * correctly) and skipped by the consumer, like the reference.
+    */
+  final case class Origin(commitLsn: Long, name: String) extends Message
+  /** Type metadata for a custom type OID; the text output format makes it
+    * informational only.
+    */
+  final case class TypeInfo(typeOid: Int, namespace: String, name: String) extends Message
+  /** `pg_logical_emit_message` payload (transactional when flag bit 0). */
+  final case class LogicalMessage(transactional: Boolean, lsn: Long, prefix: String,
+      content: Array[Byte]) extends Message
   final case class Unknown(tag: Char) extends Message
 
   /** `inStream` = between StreamStart and StreamStop: v2 prefixes R/I/U/D/T
@@ -67,7 +78,7 @@ object PgOutput {
         buf.get() // flags (unused, must be 0)
         StreamCommit(buf.getInt, buf.getLong, buf.getLong, buf.getLong + PgEpochOffsetMicros)
       case 'A' => StreamAbort(buf.getInt, buf.getInt)
-      case 'R' | 'I' | 'U' | 'D' | 'T' if inStream =>
+      case 'R' | 'I' | 'U' | 'D' | 'T' | 'M' if inStream =>
         val xid = buf.getInt
         Streamed(xid, decodeBody(tag, buf))
       case _ => decodeBody(tag, buf)
@@ -112,6 +123,15 @@ object PgOutput {
         val n = buf.getInt
         buf.get() // options
         Truncate((0 until n).map(_ => buf.getInt))
+      case 'O' => Origin(buf.getLong, cstring(buf))
+      case 'Y' => TypeInfo(buf.getInt, cstring(buf), cstring(buf))
+      case 'M' =>
+        val transactional = (buf.get() & 1) == 1
+        val lsn = buf.getLong
+        val prefix = cstring(buf)
+        val content = new Array[Byte](buf.getInt)
+        buf.get(content)
+        LogicalMessage(transactional, lsn, prefix, content)
       case other => Unknown(other)
     }
 
@@ -207,6 +227,18 @@ object PgOutput {
     def truncate(relIds: Seq[Int]): Array[Byte] = {
       val b = buffer(); b.put('T'.toByte); b.putInt(relIds.size); b.put(0.toByte)
       relIds.foreach(b.putInt); finish(b)
+    }
+
+    def origin(commitLsn: Long, name: String): Array[Byte] = {
+      val b = buffer(); b.put('O'.toByte); b.putLong(commitLsn); putCString(b, name); finish(b)
+    }
+    def typeInfo(oid: Int, namespace: String, name: String): Array[Byte] = {
+      val b = buffer(); b.put('Y'.toByte); b.putInt(oid)
+      putCString(b, namespace); putCString(b, name); finish(b)
+    }
+    def logicalMessage(transactional: Boolean, lsn: Long, prefix: String, content: Array[Byte]): Array[Byte] = {
+      val b = buffer(); b.put('M'.toByte); b.put((if (transactional) 1 else 0).toByte)
+      b.putLong(lsn); putCString(b, prefix); b.putInt(content.length); b.put(content); finish(b)
     }
 
     // ------------------------------------------- v2 streamed transactions

@@ -266,6 +266,48 @@ class PgOutputSpec extends SparkTestBase {
     assert(res.batch.changes.map(_.values.head.value.get) == Seq("3"))
   }
 
+  test("origin/type/message frames decode and the consumer skips them") {
+    assert(decode(Encode.origin(77L, "primary")) == Origin(77L, "primary"))
+    assert(decode(Encode.typeInfo(50000, "public", "mood")) == TypeInfo(50000, "public", "mood"))
+    decode(Encode.logicalMessage(transactional = true, 9L, "app", "hi".getBytes)) match {
+      case LogicalMessage(true, 9L, "app", c) => assert(new String(c) == "hi")
+      case other                              => fail(s"$other")
+    }
+    // interleaved in a txn, they change nothing about the emitted batch
+    val frames =
+      Seq((1L, Encode.relation(rel)), (2L, Encode.origin(0L, "primary"))) ++
+        txn(10L,
+          (11L, Encode.insert(1001, Seq(Some("1"), Some("a"), Some("1.0"), Some("t")))),
+          (12L, Encode.logicalMessage(transactional = true, 12L, "app", "x".getBytes)))
+    val res = ChangeBatch.consume(frames.iterator)
+    assert(res.batch.changes.size == 1)
+  }
+
+  test("snapshot bootstrap applies only changes past the boundary LSN") {
+    // snapshot state (as of lsn 20): accounts 1=alice, 2=bob
+    val snapFrames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L,
+          (11L, Encode.insert(1001, Seq(Some("1"), Some("alice"), Some("1.0"), Some("t")))),
+          (12L, Encode.insert(1001, Seq(Some("2"), Some("bob"), Some("2.0"), Some("t")))))
+    val snapRes = ChangeBatch.consume(snapFrames.iterator)
+    val snapshot = ChangeBatch.applyChanges(None,
+      ChangeBatch.toTypedDf(
+        ChangeBatch.changeRows(spark, rel, snapRes.batch.byRelation("accounts")), rel), rel)
+
+    // the replayed archive contains PRE-boundary frames (already in the
+    // snapshot — the delete at lsn 15 must NOT erase bob) and post-boundary
+    // ones (the update at lsn 30 must apply)
+    val archive =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(14L, (15L, Encode.delete(1001, Seq(Some("2"), None, None, None)))) ++
+        txn(29L, (30L, Encode.update(1001, Seq(Some("1"), Some("alice2"), Some("9.0"), Some("t")))))
+    val (merged, res) = ChangeBatch.bootstrap(spark, snapshot, rel, archive.iterator, snapshotLsn = 20L)
+    val rows = merged.select("id", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "alice2", 2L -> "bob"))
+    assert(res.lastCommitLsn.contains(32L))
+  }
+
   test("non-ASCII identifiers round-trip through relation frames") {
     val intl = RelationMeta(8, "öffentlich", "ordres_commandés", 'd', Seq(
       ColumnMeta("идентификатор", 20, -1, isKey = true),
