@@ -50,6 +50,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("merge upsert's anti-join broadcasts the update keys at runtime (AQE)") {
+    // sf0.001 has no events past the batch split — AQE then eliminates the
+    // join outright (good, but not the shape under test); sf0.01 has both
+    val df = SparkEntry.queries("q_merge_upsert")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = finalPlan(df)
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "AQE must convert the survivor anti-join to broadcast for a small batch:\n" + plan.take(2000))
+  }
+
   test("sequence packing is one window over one shuffle") {
     val plan = finalPlan(ran("q_pack_sequences"))
     // exchanges: one for the window partition key, one for the final
