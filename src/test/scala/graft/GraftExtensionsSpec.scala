@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("SQL functions compute identically to the DataFrame-API expressions") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val sqlRows = spark.sql(
+      """SELECT id, graft_minhash(split(text, ' '), 8) AS sig,
+        |       graft_simhash(split(text, ' ')) AS sh
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val apiRows = docs.select(
+      $"id",
+      graft.functions.MinHashSignature.minhashSignature(split($"text", " "), 8).as("sig"),
+      graft.functions.SimHash64.simhash64(split($"text", " ")).as("sh"),
+    ).orderBy("id").collect()
+
+    assert(sqlRows.map(_.getSeq[Long](1)).toSeq == apiRows.map(_.getSeq[Long](1)).toSeq)
+    assert(sqlRows.map(_.getLong(2)).toSeq == apiRows.map(_.getLong(2)).toSeq)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("int literal") || e.getMessage.toLowerCase.contains("graft_minhash"))
+  }
+}
