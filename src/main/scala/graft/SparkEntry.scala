@@ -508,6 +508,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the composed corpus-construction pipeline — quality filter → exact
+    // fingerprint dedup → eval decontamination → per-language quota →
+    // context-window packing — every stage oracle-recomputed in one SQL
+    "q_corpus_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Corpus
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+      val pool0 = docs.filter(col("doc_id") % 97 =!= 0)
+        .filter(TextAnalysis.wordCount(col("text")) >= 50)
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val pool1 = pool0.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__fp", "__rn")
+      val contaminated = Corpus.contamination(pool1, ev, "doc_id", "text", n = 8, hashFn = md5)
+        .filter(col("n_contaminated") > 0).select("doc_id")
+      val clean = pool1.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = Corpus.stratifiedExact(clean, "lang", "doc_id", perStratum = 30,
+        orderBy = Some(md5(col("doc_id").cast("string"))))
+      Corpus.packSequences(sampled.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", budget = 8192L, packKey = Some("lang"))
+        .select(col("doc_id"), col("lang"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // batch sessionization: 30-min inactivity gap per user, one keyed
     // window shuffle (batch twin of EventStreams.sessionize)
     "q_sessionize_batch" -> ((s, dir) => {
@@ -1072,6 +1097,31 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_corpus_pipeline" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |pool0 AS (SELECT doc_id, lang, text, n_chars FROM documents
+        |          WHERE doc_id % 97 <> 0 AND len(string_split(text, ' ')) >= 50),
+        |pool1 AS (SELECT doc_id, lang, text, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(substr(lower(text), 1, 64))
+        |                               ORDER BY doc_id) AS rn FROM pool0) WHERE rn = 1),
+        |ews AS (SELECT string_split(text, ' ') AS w FROM ev),
+        |epos AS (SELECT w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM ews),
+        |eg AS (SELECT DISTINCT md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+        |       FROM epos WHERE i + 7 <= len(w)),
+        |tws AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool1),
+        |tpos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM tws),
+        |tg AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+        |       FROM tpos WHERE i + 7 <= len(w)),
+        |contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g),
+        |clean AS (SELECT * FROM pool1 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sampled AS (SELECT doc_id, lang, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn2 FROM clean) WHERE rn2 <= 30)
+        |SELECT doc_id, lang, CAST(floor((SUM(n_chars) OVER (
+        |  PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 8192.0) AS BIGINT) AS pack_id
+        |FROM sampled ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_sessionize_batch" ->
       """SELECT event_id, user_id,
