@@ -508,6 +508,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCD2 snapshot merge: two snapshot applications (events cut at 5000,
+    // then all) — unchanged rows ride, changed close+reopen, departures
+    // close, arrivals open; full validity-window table oracle-recomputed
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def latest(df: DataFrame) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"))
+      }
+      val ev = t(s, dir, "events")
+      val t1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+      val day1 = MergeEngine.scd2Apply(None, latest(ev.filter(col("event_id") < 5000)), Seq("user_id"), t1)
+      val day2 = MergeEngine.scd2Apply(Some(day1), latest(ev), Seq("user_id"), t2)
+      day2.select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("_valid_from")).as("vf_us"), unix_micros(col("_valid_to")).as("vt_us"))
+        .orderBy("user_id", "vf_us", "event_id")
+    }),
+
     // the composed corpus-construction pipeline — quality filter → exact
     // fingerprint dedup → eval decontamination → per-language quota →
     // context-window packing — every stage oracle-recomputed in one SQL
@@ -1097,6 +1117,38 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_scd2" ->
+      """WITH s1 AS (SELECT user_id, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_id < 5000) WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT user_id, event_id, value, vf_us, vt_us FROM (
+        |  SELECT s1.user_id, s1.event_id, s1.value,
+        |         epoch_us(TIMESTAMP '2024-06-01 00:00:00') AS vf_us, CAST(NULL AS BIGINT) AS vt_us
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  WHERE s1.event_id = s2.event_id AND s1.value = s2.value
+        |  UNION ALL
+        |  SELECT s1.user_id, s1.event_id, s1.value,
+        |         epoch_us(TIMESTAMP '2024-06-01 00:00:00'), epoch_us(TIMESTAMP '2024-07-01 00:00:00')
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  WHERE NOT (s1.event_id = s2.event_id AND s1.value = s2.value)
+        |  UNION ALL
+        |  SELECT s2.user_id, s2.event_id, s2.value,
+        |         epoch_us(TIMESTAMP '2024-07-01 00:00:00'), CAST(NULL AS BIGINT)
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  WHERE NOT (s1.event_id = s2.event_id AND s1.value = s2.value)
+        |  UNION ALL
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(TIMESTAMP '2024-06-01 00:00:00'), epoch_us(TIMESTAMP '2024-07-01 00:00:00')
+        |  FROM s1 WHERE user_id NOT IN (SELECT user_id FROM s2)
+        |  UNION ALL
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(TIMESTAMP '2024-07-01 00:00:00'), CAST(NULL AS BIGINT)
+        |  FROM s2 WHERE user_id NOT IN (SELECT user_id FROM s1)
+        |) ORDER BY user_id, vf_us, event_id""".stripMargin.replaceAll("\n", " "),
 
     "q_corpus_pipeline" ->
       """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

@@ -111,6 +111,58 @@ object MergeEngine {
     case _ => StringType
   }
 
+  /** SCD2 snapshot merge — dlt-core's third merge strategy (`scd2`): the
+    * incoming batch is a FULL snapshot of the source; a key whose payload
+    * changed closes its current validity window at `loadTs` and opens a new
+    * one, a departed key just closes, a new key just opens, an unchanged
+    * key's open row rides through untouched. Row identity is an md5 over
+    * the payload columns (null-safe, field-separated). One full-outer join
+    * on the key per snapshot — the plan scales like any keyed join and
+    * history rows (closed windows) are streamed through untouched.
+    */
+  def scd2Apply(
+      existing: Option[DataFrame],
+      snapshot: DataFrame,
+      keys: Seq[String],
+      loadTs: java.sql.Timestamp,
+      validFrom: String = "_valid_from",
+      validTo: String = "_valid_to",
+  ): DataFrame = {
+    require(keys.nonEmpty, "scd2 requires a key")
+    val payloadCols = snapshot.columns.filterNot(keys.contains).toSeq
+    def hashOf(cols: Seq[Column]): Column =
+      md5(concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+
+    existing match {
+      case None =>
+        snapshot
+          .withColumn(validFrom, lit(loadTs))
+          .withColumn(validTo, lit(null).cast("timestamp"))
+      case Some(base) =>
+        val history = base.filter(col(validTo).isNotNull)
+        val open = base.filter(col(validTo).isNull)
+        val o = open.select(
+          keys.map(col) ++ payloadCols.map(c => col(c).as(s"__o_$c")) :+ col(validFrom).as("__o_vf"): _*)
+          .withColumn("__h_old", hashOf(payloadCols.map(c => col(s"__o_$c"))))
+        val n = snapshot.withColumn("__h_new", hashOf(payloadCols.map(col)))
+        val j = o.join(n, keys, "full_outer")
+
+        val stillOpen = j.filter(col("__h_old") === col("__h_new"))
+          .select(keys.map(col) ++ payloadCols.map(c => col(s"__o_$c").as(c)) ++
+            Seq(col("__o_vf").as(validFrom), lit(null).cast("timestamp").as(validTo)): _*)
+        val closedNow = j.filter(col("__h_old").isNotNull &&
+            (col("__h_new").isNull || col("__h_new") =!= col("__h_old")))
+          .select(keys.map(col) ++ payloadCols.map(c => col(s"__o_$c").as(c)) ++
+            Seq(col("__o_vf").as(validFrom), lit(loadTs).as(validTo)): _*)
+        val openedNow = j.filter(col("__h_new").isNotNull &&
+            (col("__h_old").isNull || col("__h_new") =!= col("__h_old")))
+          .select(keys.map(col) ++ payloadCols.map(col) ++
+            Seq(lit(loadTs).as(validFrom), lit(null).cast("timestamp").as(validTo)): _*)
+
+        history.unionByName(stillOpen).unionByName(closedNow).unionByName(openedNow)
+    }
+  }
+
   def alignTo(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.toSet
     val cols = target.fields.toSeq.map { f =>

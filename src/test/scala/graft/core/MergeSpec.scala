@@ -85,4 +85,34 @@ class MergeSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert(merged == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
+
+  test("scd2 snapshots: change closes+opens, departure closes, arrival opens, unchanged rides") {
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val t1 = T("2024-01-01 00:00:00"); val t2 = T("2024-02-01 00:00:00"); val t3 = T("2024-03-01 00:00:00")
+
+    val s1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val day1 = MergeEngine.scd2Apply(None, s1, Seq("id"), t1)
+    assert(day1.filter($"_valid_to".isNotNull).count() == 0)
+
+    // day2: 1 unchanged, 2 changed, 3 departed, 4 new
+    val s2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    val day2 = MergeEngine.scd2Apply(Some(day1), s2, Seq("id"), t2)
+    val rows = day2.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(rows == Set(
+      (1L, "a", t1, None),       // unchanged: original window still open
+      (2L, "b", t1, Some(t2)),   // changed: old version closed at t2
+      (2L, "B", t2, None),       //          new version open from t2
+      (3L, "c", t1, Some(t2)),   // departed: closed, no successor
+      (4L, "d", t2, None),       // arrived: open from t2
+    ))
+
+    // day3 reverts 2 to "b": history keeps all three versions of key 2
+    val s3 = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v")
+    val day3 = MergeEngine.scd2Apply(Some(day2), s3, Seq("id"), t3)
+    assert(day3.filter($"id" === 2L).count() == 3)
+    assert(day3.filter($"id" === 2L && $"_valid_to".isNull).head().getString(1) == "b")
+    // closed history is immutable across applications
+    assert(day3.filter($"id" === 3L).head().getTimestamp(3) == t2)
+  }
 }
