@@ -7,26 +7,52 @@ import scala.jdk.CollectionConverters._
   * extraction (reference: `extract_jsonpath` sources/slack/helpers.py:24-42,
   * `data_selector` sources/pipedrive/rest_v2/__init__.py:157).
   *
-  * Supported paths: `a.b.c`, leading `$.`, `[*]` array fan-out, bare `$`
-  * (the root). Always returns the matched nodes (arrays fan out).
+  * Supported paths: `a.b.c`, leading `$.`, `[*]` array fan-out, `[N]`
+  * index (negative = from the end), `[a:b]` python-style slices (so
+  * stripe's `data[-1:].id` last-element cursor works), bare `$` (the
+  * root). Always returns the matched nodes (arrays fan out).
   */
 object Json {
   val mapper = new ObjectMapper()
 
   def parse(s: String): JsonNode = mapper.readTree(s)
 
+  private val bracketRe = "\\[([^\\]]*)\\]".r
+
   def select(root: JsonNode, path: String): Seq[JsonNode] = {
     val clean = path.stripPrefix("$").stripPrefix(".")
     if (clean.isEmpty) return Seq(root)
     clean.split('.').foldLeft(Seq(root)) { (nodes, seg) =>
-      val (field, fanOut) =
-        if (seg.endsWith("[*]")) (seg.dropRight(3), true) else (seg, false)
-      nodes.flatMap { n =>
-        val next = if (field.isEmpty) Some(n) else Option(n.get(field))
-        next.toSeq.flatMap { v =>
-          if (fanOut && v.isArray) v.elements().asScala.toSeq else Seq(v)
-        }
-      }.filterNot(_.isMissingNode)
+      val field = seg.takeWhile(_ != '[')
+      val ops = bracketRe.findAllMatchIn(seg.drop(field.length)).map(_.group(1)).toSeq
+      val afterField = nodes
+        .flatMap(n => (if (field.isEmpty) Some(n) else Option(n.get(field))).toSeq)
+        .filterNot(_.isMissingNode)
+      ops.foldLeft(afterField) { (ns, op) =>
+        ns.flatMap { v =>
+          op match {
+            case "*" =>
+              if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+            case s if s.contains(':') =>
+              if (!v.isArray) Nil
+              else {
+                val parts = s.split(":", -1)
+                val len = v.size()
+                def norm(x: String, dflt: Int) =
+                  if (x.isEmpty) dflt
+                  else { val i = x.toInt; if (i < 0) math.max(0, len + i) else math.min(i, len) }
+                (norm(parts(0), 0) until norm(parts(1), len)).map(v.get)
+              }
+            case idx =>
+              if (!v.isArray) Nil
+              else {
+                val i = idx.toInt
+                val j = if (i < 0) v.size() + i else i
+                if (j >= 0 && j < v.size()) Seq(v.get(j)) else Nil
+              }
+          }
+        }.filterNot(_.isMissingNode)
+      }
     }
   }
 

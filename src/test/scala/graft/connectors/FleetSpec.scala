@@ -51,4 +51,21 @@ class FleetSpec extends SparkTestBase {
     assert(df.count() == 2)
     assert(df.select("title").as[String].collect().toSet == Set("a", "b"))
   }
+
+  test("stripe cursor pagination follows the last id of each page (data[-1:].id)") {
+    import spark.implicits._
+    val src = Fleet.stripe("sk_test")
+    val customers = src.resources.find(_.name == "customer").get
+    val t = StaticPagesTransport(Map(
+      "v1/customers?limit=100" ->
+        """{"data":[{"id":"cus_a","created":1},{"id":"cus_b","created":2}],"has_more":true}""",
+      "v1/customers?limit=100&starting_after=cus_b" ->
+        """{"data":[{"id":"cus_c","created":3}],"has_more":false}""",
+      // stripe keeps returning the last id even on the final short page;
+      // termination comes from the empty follow-up
+      "v1/customers?limit=100&starting_after=cus_c" -> """{"data":[],"has_more":false}""",
+    ))
+    val df = RestEngine.readResource(spark, src, customers, t)
+    assert(df.select("id").as[String].collect().toSet == Set("cus_a", "cus_b", "cus_c"))
+  }
 }

@@ -32,6 +32,16 @@ class RestEngineSpec extends SparkTestBase {
     assert(Json.selectString(n, "missing.deep").isEmpty)
   }
 
+  test("Json.select supports indexes and python-style slices (stripe last-id cursor)") {
+    val n = Json.parse("""{"data":[{"id":"a"},{"id":"b"},{"id":"c"}],"has_more":true}""")
+    assert(Json.selectString(n, "data[-1:].id").contains("c"))
+    assert(Json.selectString(n, "data[0].id").contains("a"))
+    assert(Json.selectString(n, "data[-1].id").contains("c"))
+    assert(Json.select(n, "data[1:3].id").map(_.asText()) == Seq("b", "c"))
+    assert(Json.select(n, "data[5].id").isEmpty)
+    assert(Json.select(n, "data[3:].id").isEmpty)
+  }
+
   test("offset pagination stops on short page") {
     // the limit/offset params are sent on the FIRST request too — a server
     // whose default page size differs must not break the short-page check
