@@ -12,6 +12,10 @@ object Disposition {
   case object Append extends Disposition
   case object Replace extends Disposition
   case object Merge extends Disposition
+  /** Full-snapshot SCD2: validity-windowed history (dlt-core merge
+    * strategy "scd2"); see MergeEngine.scd2Apply.
+    */
+  case object Scd2 extends Disposition
 }
 
 /** dlt scalar type system (reference: tests/pg_replication/cases.py:43-100,
@@ -81,6 +85,10 @@ final case class TableHints(
       * path. None = whole-table staged overwrite (small tables).
       */
     bucketCount: Option[Int] = None,
+    /** Load timestamp stamped on SCD2 validity edges; None = wall clock at
+      * write time (set it for reproducible loads/backfills).
+      */
+    scd2LoadTs: Option[java.sql.Timestamp] = None,
 ) {
   def keyColumns: Seq[String] = if (primaryKey.nonEmpty) primaryKey else mergeKey
 }

@@ -130,6 +130,10 @@ object MergeEngine {
   ): DataFrame = {
     require(keys.nonEmpty, "scd2 requires a key")
     val payloadCols = snapshot.columns.filterNot(keys.contains).toSeq
+    // lineage columns (_dlt_load_id etc.) change every run by design — they
+    // ride along but must not count as a payload change, or every load
+    // would close and reopen every row
+    val hashCols = payloadCols.filterNot(_.startsWith("_dlt"))
     def hashOf(cols: Seq[Column]): Column =
       md5(concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
 
@@ -143,8 +147,8 @@ object MergeEngine {
         val open = base.filter(col(validTo).isNull)
         val o = open.select(
           keys.map(col) ++ payloadCols.map(c => col(c).as(s"__o_$c")) :+ col(validFrom).as("__o_vf"): _*)
-          .withColumn("__h_old", hashOf(payloadCols.map(c => col(s"__o_$c"))))
-        val n = snapshot.withColumn("__h_new", hashOf(payloadCols.map(col)))
+          .withColumn("__h_old", hashOf(hashCols.map(c => col(s"__o_$c"))))
+        val n = snapshot.withColumn("__h_new", hashOf(hashCols.map(col)))
         val j = o.join(n, keys, "full_outer")
 
         val stillOpen = j.filter(col("__h_old") === col("__h_new"))
@@ -202,6 +206,12 @@ object TableWriter {
             val merged = MergeEngine.mergePlan(existing, updates, hints)
             stagedOverwrite(spark, merged, path)
         }
+      case Disposition.Scd2 =>
+        val existing = readIfExists(spark, path)
+        val loadTs = hints.scd2LoadTs
+          .getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+        val merged = MergeEngine.scd2Apply(existing, updates, hints.keyColumns, loadTs)
+        stagedOverwrite(spark, merged, path)
     }
   }
 

@@ -115,4 +115,23 @@ class MergeSpec extends SparkTestBase {
     // closed history is immutable across applications
     assert(day3.filter($"id" === 3L).head().getTimestamp(3) == t2)
   }
+
+  test("scd2 through TableWriter: disposition routing, lineage columns don't churn windows") {
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = tmpDir("scd2-writer")
+    val h = TableHints("dim", Disposition.Scd2, primaryKey = Seq("id"),
+      scd2LoadTs = Some(T("2024-01-01 00:00:00")))
+
+    val s1 = Seq((1L, "a", "load-1"), (2L, "b", "load-1")).toDF("id", "v", "_dlt_load_id")
+    TableWriter.write(spark, s1, root, h)
+
+    // run 2: same payloads, NEW load id — windows must not close
+    val s2 = Seq((1L, "a", "load-2"), (2L, "B", "load-2")).toDF("id", "v", "_dlt_load_id")
+    TableWriter.write(spark, s2, root, h.copy(scd2LoadTs = Some(T("2024-02-01 00:00:00"))))
+
+    val out = spark.read.parquet(s"$root/dim")
+    assert(out.filter($"id" === 1L).count() == 1, "unchanged payload: load-id change alone must not version")
+    assert(out.filter($"id" === 2L).count() == 2, "changed payload versions")
+    assert(out.filter($"id" === 2L && $"_valid_to".isNull).head().getString(1) == "B")
+  }
 }
