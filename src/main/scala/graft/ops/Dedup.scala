@@ -259,6 +259,13 @@ object Dedup {
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("__ws").as("ws_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__ws").as("ws_b")), "id_b")
+      // length-ratio prefilter (prefix-filtering classic): J(A,B) >= t
+      // forces t <= |A|/|B| <= 1/t, so size-mismatched pairs skip the
+      // O(|A|+|B|) intersect entirely. Output is identical — the filter
+      // only removes pairs that cannot reach the threshold.
+      .filter(
+        size(col("ws_a")).cast("double") >= lit(threshold) * size(col("ws_b")) &&
+          size(col("ws_b")).cast("double") >= lit(threshold) * size(col("ws_a")))
       .withColumn("jac", jaccardSets(col("ws_a"), col("ws_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
