@@ -161,16 +161,16 @@ object RestEngine {
         case Paginator.Single => done = true
         case p: Paginator.Offset =>
           if (items.size < p.pageSize) done = true
-          else pageParams = pageParams +
-            (p.offsetParam -> (page * p.pageSize).toString, p.limitParam -> p.pageSize.toString)
+          else pageParams = pageParams ++
+            Map(p.offsetParam -> (page * p.pageSize).toString, p.limitParam -> p.pageSize.toString)
         case p: Paginator.PageNumber =>
           if (items.size < p.pageSize) done = true
-          else pageParams = pageParams +
-            (p.pageParam -> (page + 1).toString, p.sizeParam -> p.pageSize.toString)
+          else pageParams = pageParams ++
+            Map(p.pageParam -> (page + 1).toString, p.sizeParam -> p.pageSize.toString)
         case p: Paginator.Cursor =>
           Json.selectString(root, p.cursorPath) match {
             case Some(cur) if items.nonEmpty =>
-              pageParams = pageParams + (p.cursorParam -> cur, p.sizeParam -> p.pageSize.toString)
+              pageParams = pageParams ++ Map(p.cursorParam -> cur, p.sizeParam -> p.pageSize.toString)
             case _ => done = true
           }
         case p: Paginator.NextUrl =>
