@@ -218,7 +218,11 @@ object TableWriter {
   def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    // mergeSchema: appended batches may carry evolved schemas (new nullable
+    // columns); the default single-footer schema would silently DROP them.
+    // Merge/replace paths rewrite to one schema, so the cost is paid only
+    // on tables that actually evolved.
+    if (fs.exists(p)) Some(spark.read.option("mergeSchema", "true").parquet(path)) else None
   }
 
   /** Write to `<path>__stage`, then swap directories. The swap is two

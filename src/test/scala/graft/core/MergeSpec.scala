@@ -116,6 +116,19 @@ class MergeSpec extends SparkTestBase {
     assert(day3.filter($"id" === 3L).head().getTimestamp(3) == t2)
   }
 
+  test("append batches with evolved schemas read back with all columns, null-backfilled") {
+    val root = tmpDir("append-evolve")
+    val h = TableHints("t", Disposition.Append)
+    TableWriter.write(spark, Seq((1L, "a")).toDF("id", "s"), root, h)
+    TableWriter.write(spark, Seq((2L, "b", 9.5)).toDF("id", "s", "score"), root, h)
+    val back = TableWriter.readIfExists(spark, s"$root/t").get
+    assert(back.columns.toSet == Set("id", "s", "score"),
+      "a new column appended later must be visible, not silently dropped")
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("scd2 through TableWriter: disposition routing, lineage columns don't churn windows") {
     def T(s: String) = java.sql.Timestamp.valueOf(s)
     val root = tmpDir("scd2-writer")
