@@ -66,7 +66,9 @@ object BucketedMerge {
     val touched = bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
 
-    val base = spark.read.parquet(path)
+    // mergeSchema: only touched buckets get rewritten per merge, so after a
+    // schema-evolving batch the bucket files legitimately differ in schema
+    val base = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
     val merged = MergeEngine.mergePlan(Some(base.drop(BucketCol)), bucketed.drop(BucketCol), hints)
       .withColumn(BucketCol, bucketExpr(keys, numBuckets))
@@ -104,5 +106,5 @@ object BucketedMerge {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+    spark.read.option("mergeSchema", "true").parquet(path).drop(BucketCol)
 }

@@ -93,6 +93,23 @@ class BucketedMergeSpec extends SparkTestBase {
     assert(out.where($"id" === 5L).head().getString(2) == "upd")
   }
 
+  test("schema-evolving merge: untouched buckets keep old files, read unifies with null backfill") {
+    val root = tmpDir("bucketed-evolve")
+    val path = s"$root/t"
+    val base = (1L to 200L).map(i => (i, 1L, s"s$i")).toDF("id", "v", "s")
+    BucketedMerge.replace(spark, base, path, hints, numBuckets = 8)
+
+    // update batch carries a NEW column; only its buckets are rewritten
+    val updates = Seq((5L, 2L, "upd", "extra")).toDF("id", "v", "s", "note")
+    BucketedMerge.merge(spark, updates, path, hints, 8)
+
+    val out = BucketedMerge.read(spark, path)
+    assert(out.columns.toSet == Set("id", "v", "s", "note"))
+    assert(out.count() == 200)
+    assert(out.where($"id" === 5L).head().getAs[String]("note") == "extra")
+    assert(out.where($"id" === 6L).head().isNullAt(out.columns.indexOf("note")))
+  }
+
   test("first merge on a missing table bootstraps the layout") {
     val root = tmpDir("bucketed-boot")
     val path = s"$root/t"
