@@ -194,7 +194,22 @@ object TableWriter {
     val path = s"$tableRoot/$name"
     hints.disposition match {
       case Disposition.Append =>
-        updates.write.mode(SaveMode.Append).parquet(path)
+        readIfExists(spark, path) match {
+          case Some(existing) =>
+            val target = MergeEngine.mergedSchema(existing.schema, updates.schema)
+            val widened = existing.schema.fields.exists(f => target(f.name).dataType != f.dataType)
+            if (widened)
+              // a batch WIDENED an existing column's type (int→double, …):
+              // parquet footer merging cannot reconcile that, so migrate
+              // the table once to the widened schema — dlt's ALTER COLUMN
+              // analog. Added-columns-only evolution takes the cheap path
+              // below (mergeSchema reads) and stays O(batch).
+              stagedOverwrite(spark, MergeEngine.unionEvolved(existing, updates), path)
+            else
+              MergeEngine.alignTo(updates, target).write.mode(SaveMode.Append).parquet(path)
+          case None =>
+            updates.write.mode(SaveMode.Append).parquet(path)
+        }
       case Disposition.Replace =>
         stagedOverwrite(spark, updates, path)
       case Disposition.Merge =>

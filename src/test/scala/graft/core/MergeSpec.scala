@@ -129,6 +129,20 @@ class MergeSpec extends SparkTestBase {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
   }
 
+  test("append that widens a column type migrates the table once (int→double)") {
+    val root = tmpDir("append-widen")
+    val h = TableHints("t", Disposition.Append)
+    TableWriter.write(spark, Seq((1L, 2L)).toDF("id", "v"), root, h)
+    TableWriter.write(spark, Seq((2L, 2.5)).toDF("id", "v"), root, h)
+    val back = TableWriter.readIfExists(spark, s"$root/t").get
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq == Seq(2.0, 2.5))
+    // and a narrowing batch casts INTO the widened table without migration
+    TableWriter.write(spark, Seq((3L, 7L)).toDF("id", "v"), root, h)
+    val back2 = TableWriter.readIfExists(spark, s"$root/t").get
+    assert(back2.count() == 3 && back2.schema("v").dataType.typeName == "double")
+  }
+
   test("scd2 through TableWriter: disposition routing, lineage columns don't churn windows") {
     def T(s: String) = java.sql.Timestamp.valueOf(s)
     val root = tmpDir("scd2-writer")
