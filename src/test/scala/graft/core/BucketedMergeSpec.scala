@@ -110,6 +110,21 @@ class BucketedMergeSpec extends SparkTestBase {
     assert(out.where($"id" === 6L).head().isNullAt(out.columns.indexOf("note")))
   }
 
+  test("readForKeys prunes to the looked-up keys' bucket partitions") {
+    val root = tmpDir("bucketed-lookup")
+    val path = s"$root/t"
+    val base = (1L to 500L).map(i => (i, 1L, s"s$i")).toDF("id", "v", "s")
+    BucketedMerge.replace(spark, base, path, hints, numBuckets = 16)
+
+    val lookup = Seq(5L, 6L).toDF("id")
+    val df = BucketedMerge.readForKeys(spark, path, Seq("id"), 16, lookup)
+    df.collect()
+    assert(df.select("id").as[Long].collect().toSet == Set(5L, 6L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"),
+      "the scan must prune on the bucket partition column:\n" + plan.take(1500))
+  }
+
   test("first merge on a missing table bootstraps the layout") {
     val root = tmpDir("bucketed-boot")
     val path = s"$root/t"
