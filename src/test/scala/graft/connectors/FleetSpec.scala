@@ -68,4 +68,22 @@ class FleetSpec extends SparkTestBase {
     val df = RestEngine.readResource(spark, src, customers, t)
     assert(df.select("id").as[String].collect().toSet == Set("cus_a", "cus_b", "cus_c"))
   }
+
+  test("hubspot next-url pagination follows paging.next.link until absent") {
+    import spark.implicits._
+    val src = Fleet.hubspot("tok", objects = Seq("contacts"))
+    val contacts = src.resources.find(_.name == "contacts").get
+    val t = StaticPagesTransport(Map(
+      "crm/v3/objects/contacts?limit=100" ->
+        """{"results":[{"id":"1","properties":{"email":"a@x"}}],
+          | "paging":{"next":{"link":"https://api.hubapi.com/crm/v3/objects/contacts?after=p2"}}}""".stripMargin,
+      "crm/v3/objects/contacts?after=p2" ->
+        """{"results":[{"id":"2","properties":{"email":"b@x"}}],"paging":{}}""",
+    ))
+    // note: the next-url carries its own query (after=p2); the engine drops
+    // accumulated params and requests the link verbatim — the canned key
+    // matches on path because StaticPagesTransport sees empty params
+    val df = RestEngine.readResource(spark, src, contacts, t)
+    assert(df.select("id").as[String].collect().toSet == Set("1", "2"))
+  }
 }
