@@ -71,6 +71,12 @@ object RestEngine {
         * sources/pipedrive/__init__.py:196-206; SURVEY §7.4.7).
         */
       newestFirst: Boolean = false,
+      /** Attribution-window lag: rewind the committed cursor by N days on
+        * each run so the trailing window is re-fetched (metrics there are
+        * still settling); the merge pk dedups the overlap
+        * (sources/facebook_ads/__init__.py:126,138-140).
+        */
+      lagDays: Int = 0,
   )
 
   /** Parent-child binding: `pathTemplate` with `{field}` placeholders
@@ -211,7 +217,8 @@ object RestEngine {
   ): DataFrame = {
     val stateKey = s"${source.name}.${resource.name}.cursor"
     val lastValue = resource.endpoint.incremental.flatMap(b =>
-      state.flatMap(_.getString(stateKey)).orElse(b.initialValue))
+      state.flatMap(_.getString(stateKey)).orElse(b.initialValue)
+        .map(v => Incremental.rewindDays(v, b.lagDays)))
     val incParams: Map[String, String] = resource.endpoint.incremental.toSeq.flatMap { b =>
       lastValue.map(b.startParam -> _).toSeq ++
         (for (ep <- b.endParam; ev <- b.endValue) yield ep -> ev).toSeq
@@ -235,6 +242,11 @@ object RestEngine {
     val df = jsonToDf(spark, items)
 
     resource.endpoint.incremental match {
+      // attribution-window runs keep everything the API returned: the whole
+      // trailing window is re-emitted INCLUSIVE of its boundary day and the
+      // merge pk dedups the overlap (the reference does not client-filter
+      // insights either)
+      case Some(b) if b.lagDays > 0 => df
       case Some(b) if df.columns.contains(leafField(b.cursorPath)) =>
         val inc = Incremental(Seq(leafField(b.cursorPath)), b.initialValue, b.endValue)
         inc.filterWith(df, state.flatMap(_.getString(stateKey)))

@@ -485,7 +485,16 @@ object Fleet {
           dataSelector = "data",
           paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 50)),
         replace(obj))
-    },
+    } :+ RestResource("insights",
+      // attribution window: each run rewinds the cursor 7 days and
+      // re-fetches the still-settling trailing reports; merge on
+      // (date_start, ad_id) dedups the overlap
+      // (sources/facebook_ads/__init__.py:120-179)
+      EndpointConfig(s"act_$accountId/insights", params = Map("limit" -> "50"),
+        dataSelector = "data",
+        paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 50),
+        incremental = Some(IncrementalBinding("date_start", "time_range[since]", lagDays = 7))),
+      TableHints("insights", Disposition.Merge, primaryKey = Seq("date_start", "ad_id"))),
   )
 
   /** google_ads (sources/google_ads/__init__.py:67-238): GAQL queries via

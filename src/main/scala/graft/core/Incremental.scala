@@ -104,4 +104,25 @@ object Incremental {
 
   private def parseNum(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
+
+  /** Rewind a temporal cursor by `days` — the attribution-window lag
+    * (facebook_ads insights refresh the trailing N days each run,
+    * sources/facebook_ads/__init__.py:126,138-140). Supports bare dates,
+    * `T`/space-separated datetimes, and Z-instants; any other cursor
+    * returns unchanged (lag is only meaningful for temporal cursors).
+    */
+  def rewindDays(value: String, days: Int): String = {
+    if (days <= 0) return value
+    val v = value.trim
+    try {
+      if (v.length == 10) java.time.LocalDate.parse(v).minusDays(days).toString
+      else if (v.endsWith("Z"))
+        java.time.Instant.parse(v).minus(java.time.Duration.ofDays(days)).toString
+      else {
+        val sep = if (v.contains('T')) 'T' else ' '
+        java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          .minusDays(days).toString.replace('T', sep)
+      }
+    } catch { case _: java.time.format.DateTimeParseException => value }
+  }
 }

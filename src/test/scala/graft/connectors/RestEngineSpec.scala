@@ -153,6 +153,35 @@ class RestEngineSpec extends SparkTestBase {
     assert(!t.calls.exists(_._2.get("cursor").contains("p3")))
   }
 
+  test("attribution-window lag rewinds the start param and re-emits the window") {
+    val dir = tmpDir("rest-lag")
+    val state = StateStore(dir, "p")
+    state.put("s.reports.cursor", "2024-01-10"); state.commit()
+    val t = new FakeTransport(Map(
+      // the request must carry the REWOUND date, and the returned window
+      // (including the boundary day) must all come through
+      "reports?since=2024-01-07" ->
+        """{"data":[{"day":"2024-01-07","clicks":1},{"day":"2024-01-09","clicks":2},{"day":"2024-01-11","clicks":3}]}""",
+    ))
+    val res = RestResource("reports",
+      EndpointConfig("reports", dataSelector = "data",
+        incremental = Some(IncrementalBinding("day", "since", lagDays = 3))),
+      TableHints("reports", Disposition.Merge, primaryKey = Seq("day")))
+    val df = readResource(spark, RestSource("s", client, Seq(res)), res, t, Some(state))
+    assert(df.select("day").collect().map(_.getString(0)).toSet ==
+      Set("2024-01-07", "2024-01-09", "2024-01-11"))
+  }
+
+  test("rewindDays handles dates, datetimes, instants, and non-temporal cursors") {
+    import graft.core.Incremental.rewindDays
+    assert(rewindDays("2024-01-10", 3) == "2024-01-07")
+    assert(rewindDays("2024-01-10 12:30:00", 3) == "2024-01-07 12:30:00")
+    assert(rewindDays("2024-01-10T12:30:00", 3) == "2024-01-07T12:30:00")
+    assert(rewindDays("2024-01-10T12:30:00Z", 3) == "2024-01-07T12:30:00Z")
+    assert(rewindDays("opaque-cursor", 3) == "opaque-cursor")
+    assert(rewindDays("2024-01-10", 0) == "2024-01-10")
+  }
+
   test("newest-first early stop compares numeric cursors numerically, not as strings") {
     // lexicographically "100" <= "50", so a string compare would stop after
     // page 1 and silently skip seq=70; numeric compare must keep paging
