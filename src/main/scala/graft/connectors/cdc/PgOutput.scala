@@ -75,8 +75,12 @@ object PgOutput {
       case 'S' => StreamStart(buf.getInt, buf.get() == 1)
       case 'E' => StreamStop
       case 'c' =>
+        // wire order is Int32 xid THEN Int8 flags (logicalrep_write_stream_commit;
+        // "Stream Commit" in the protocol docs) — the reverse order would
+        // garble the xid and orphan the buffered transaction
+        val xid = buf.getInt
         buf.get() // flags (unused, must be 0)
-        StreamCommit(buf.getInt, buf.getLong, buf.getLong, buf.getLong + PgEpochOffsetMicros)
+        StreamCommit(xid, buf.getLong, buf.getLong, buf.getLong + PgEpochOffsetMicros)
       case 'A' => StreamAbort(buf.getInt, buf.getInt)
       case 'R' | 'I' | 'U' | 'D' | 'T' | 'M' if inStream =>
         val xid = buf.getInt
@@ -251,7 +255,7 @@ object PgOutput {
       val b = buffer(); b.put('E'.toByte); finish(b)
     }
     def streamCommit(xid: Int, commitLsn: Long, endLsn: Long, commitTsMicros: Long): Array[Byte] = {
-      val b = buffer(); b.put('c'.toByte); b.put(0.toByte); b.putInt(xid)
+      val b = buffer(); b.put('c'.toByte); b.putInt(xid); b.put(0.toByte)
       b.putLong(commitLsn); b.putLong(endLsn)
       b.putLong(commitTsMicros - PgEpochOffsetMicros); finish(b)
     }

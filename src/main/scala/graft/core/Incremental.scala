@@ -119,9 +119,21 @@ object Incremental {
       else if (v.endsWith("Z"))
         java.time.Instant.parse(v).minus(java.time.Duration.ofDays(days)).toString
       else {
+        // Format explicitly: LocalDateTime.toString elides a zero seconds
+        // field ("12:30:00" -> "12:30"), which would change the cursor's
+        // wire format mid-pagination and break APIs that parse a fixed
+        // timestamp layout. Mirror the input's own precision instead.
         val sep = if (v.contains('T')) 'T' else ' '
-        java.time.LocalDateTime.parse(v.replace(' ', 'T'))
-          .minusDays(days).toString.replace('T', sep)
+        val norm = v.replace(' ', 'T')
+        val time = norm.substring(norm.indexOf('T') + 1)
+        val frac = time.indexOf('.')
+        val pattern =
+          if (time.count(_ == ':') == 1) "yyyy-MM-dd'T'HH:mm"
+          else if (frac < 0) "yyyy-MM-dd'T'HH:mm:ss"
+          else "yyyy-MM-dd'T'HH:mm:ss." + ("S" * (time.length - frac - 1))
+        java.time.LocalDateTime.parse(norm).minusDays(days)
+          .format(java.time.format.DateTimeFormatter.ofPattern(pattern))
+          .replace('T', sep)
       }
     } catch { case _: java.time.format.DateTimeParseException => value }
   }

@@ -200,6 +200,19 @@ class PgOutputSpec extends SparkTestBase {
     assert(decode(ins).isInstanceOf[Insert])
   }
 
+  test("stream commit decodes a byte-literal frame: Int32 xid before Int8 flags") {
+    // Hand-built from the documented layout ("Stream Commit", protocol v2):
+    // Byte1('c'), Int32 xid, Int8 flags, Int64 commit LSN, Int64 end LSN,
+    // Int64 commit timestamp (µs since the 2000-01-01 postgres epoch).
+    // A round-trip with our own encoder can't catch a field-order mistake
+    // mirrored on both sides — this literal can.
+    val b = java.nio.ByteBuffer.allocate(30)
+    b.put('c'.toByte); b.putInt(0xABCD1234); b.put(0.toByte)
+    b.putLong(700L); b.putLong(701L); b.putLong(ts0 - PgOutput.PgEpochOffsetMicros)
+    val frame = new Array[Byte](b.position()); b.flip(); b.get(frame)
+    assert(decode(frame) == StreamCommit(0xABCD1234, 700L, 701L, ts0))
+  }
+
   test("streamed txn: segments accumulate, only StreamCommit emits, abort discards") {
     def ins(id: String) = Encode.insert(1001, Seq(Some(id), Some("x"), Some("1.0"), Some("t")))
     val frames = Seq[(Long, Array[Byte])](
