@@ -371,16 +371,12 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
 
-    // n-gram (word-set) Jaccard near-dup pairs on a bucketed pair space
+    // n-gram (word-set) Jaccard near-dup pairs — routed through LSH band
+    // buckets so the pair join is a hash join on (band, bucket), never an
+    // all-pairs nested loop (the oracle recomputes the same two stages)
     "q_dedup_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
-        .select(col("doc_id"), Dedup.wordSet(col("text")).as("ws"))
-      val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jac", Dedup.jaccardSets(col("ws_a"), col("ws_b")))
-        .filter(col("jac") >= 0.5)
-        .select("id_a", "id_b", "jac")
+      Dedup.nearDupPairs(t(s, dir, "documents").filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -700,15 +696,23 @@ object SparkEntry {
         .orderBy("object_id", "property_name", "event_id")
     }),
 
-    // embedding-cosine near-duplicate pairs on a bucketed pair space
-    // (norms precomputed per side: O(n) norms + O(n²) dots, not O(n²) both)
+    // embedding-cosine near-duplicate pairs on a sign-LSH bucketed pair
+    // space: the 4 leading sign bits of the embedding partition the join
+    // into 16 buckets, so it plans as an equi hash join, never an all-pairs
+    // nested loop (norms still precomputed per side: O(n) norms, pair dots
+    // only within buckets)
     "q_dedup_cosine" -> ((s, dir) => {
+      val signBucket = (0 until 4).map(i =>
+        when(element_at(col("embedding"), i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
       val d = t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"), col("embedding"), graft.ops.Similarity.norm(col("embedding")).as("nrm"))
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("n_a"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("nrm").as("n_b"))
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.Similarity.norm(col("embedding")).as("nrm"), signBucket.as("bkt"))
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("n_a"), col("bkt").as("bkt_a"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("nrm").as("n_b"), col("bkt").as("bkt_b"))
       graft.ops.Dedup.cosineNearDupsPrenormed(
-        a.join(b, col("id_a") < col("id_b")), "v_a", "v_b", "n_a", "n_b", threshold = 0.2)
+        a.join(b, col("bkt_a") === col("bkt_b") && col("id_a") < col("id_b")),
+        "v_a", "v_b", "n_a", "n_b", threshold = 0.2)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -1067,12 +1071,18 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_jaccard" ->
-      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 13 = 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+      """WITH sigs AS (
+        |  SELECT doc_id, ws,
+        |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
+        |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 13 = 0)),
+        |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT id_a, id_b,
+        |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+        |  FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
+        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_minhash" -> minhashBandSql,
 
@@ -1255,9 +1265,12 @@ object SparkEntry {
         |FROM events ORDER BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_cosine" ->
-      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 = 0)
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        |FROM embeddings WHERE vec_id % 7 = 0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |FROM d a JOIN d b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.2
         |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 

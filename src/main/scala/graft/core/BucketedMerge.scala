@@ -91,7 +91,7 @@ object BucketedMerge {
     // a crash mid-swap leaves either the old or the new bucket recoverable,
     // never neither.
     val oldRoot = new org.apache.hadoop.fs.Path(path + "__old")
-    if (fs.exists(oldRoot)) fs.delete(oldRoot, true) // leftover from a crash
+    repairFromCrash(fs, path, oldRoot)
     fs.mkdirs(oldRoot)
     touched.foreach { b =>
       val dest = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
@@ -102,6 +102,25 @@ object BucketedMerge {
       if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    fs.delete(oldRoot, true)
+  }
+
+  /** Recover from a crash mid-swap. A crash between `rename(dest, old)` and
+    * `rename(staged, dest)` leaves a bucket's ONLY copy under `__old`;
+    * deleting the sibling wholesale would lose every base row of that
+    * bucket not present in the interrupted batch. So: any `__old` bucket
+    * whose destination is absent is renamed BACK into the table first
+    * (the interrupted merge never committed, so the pre-merge state is the
+    * correct one to resurrect); buckets whose destination exists were
+    * already swapped and their old copy is safe to drop.
+    */
+  private def repairFromCrash(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      oldRoot: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(oldRoot)) return
+    fs.listStatus(oldRoot).foreach { st =>
+      val dest = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+    }
     fs.delete(oldRoot, true)
   }
 

@@ -237,6 +237,22 @@ object Dedup {
     * never a cross join), then exact Jaccard verifies ONLY candidates.
     * Pair space is O(Σ bucket²) instead of O(n²); threshold recall is
     * tuned by (numHashes, rowsPerBand).
+    *
+    * Degenerate buckets (empty strings, site boilerplate) would make one
+    * bucket quadratic at corpus scale, so buckets over `maxBucketSize` get
+    * two defenses, applied only above the cap (buckets at or under it are
+    * joined exactly as before — identical output):
+    *
+    *  1. split by a SIGNATURE REFINEMENT — the hash of the document's full
+    *     minhash signature — into ceil(n/maxBucketSize) sub-buckets,
+    *     capping heterogeneous buckets at O(n·maxBucketSize) pair work;
+    *  2. sub-buckets STILL over the cap hold documents with identical full
+    *     signatures (typically byte-identical boilerplate — a refinement
+    *     split can never separate them), so they pair as a STAR around the
+    *     minimum id: n−1 pairs instead of n²/2. Jaccard then verifies each
+    *     spoke, and the downstream connected-components clustering restores
+    *     the full group through the hub — dedup semantics survive, the
+    *     quadratic straggler doesn't.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -245,14 +261,36 @@ object Dedup {
       numHashes: Int,
       rowsPerBand: Int,
       threshold: Double,
+      maxBucketSize: Int = 1000,
   ): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, numHashes, rowsPerBand)
-      .select(col("band"), col("bucket_hash"), col(idCol).as("__id"))
+    val sigs = minhashSignature(df, textCol, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val refine = xxhash64((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    val bands = (0 until numBands).map { b =>
+      val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+      sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol).as("__id"), refine.as("__refine"))
+    }
+    // per-bucket sizes via windows on the same key the join shuffles on —
+    // the sub-bucket window's partitioning is a refinement of the bucket
+    // window's, so both reuse one shuffle (plus a local sort)
+    val w = Window.partitionBy(col("band"), col("bucket_hash"))
+    val w2 = Window.partitionBy(col("band"), col("bucket_hash"), col("__sub"))
+    val buckets = bands.reduce(_.unionByName(_))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sub",
+        when(col("__n") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(col("__refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long"))))
+      .withColumn("__m", count(lit(1)).over(w2))
+      .withColumn("__hub", min(col("__id")).over(w2))
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__id"), col("__m"), col("__hub"))
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket_hash") === col("y.bucket_hash") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__sub") === col("y.__sub") &&
+          col("x.__id") < col("y.__id") &&
+          // star fallback: an over-cap sub-bucket pairs only hub ↔ spoke
+          (col("x.__m") <= maxBucketSize || col("x.__id") === col("x.__hub")))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
     val sets = df.select(col(idCol), wordSet(col(textCol)).as("__ws"))

@@ -61,6 +61,17 @@ class PlanAuditSpec extends SparkTestBase {
       "AQE must convert the survivor anti-join to broadcast for a small batch:\n" + plan.take(2000))
   }
 
+  test("near-dup demo queries join on bucket keys, never an all-pairs nested loop") {
+    // q_dedup_jaccard routes through LSH band buckets, q_dedup_cosine
+    // through sign-LSH buckets: both must plan as equi joins — a
+    // BroadcastNestedLoopJoin here is the O(n²) scale-killer shape
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_cosine", "q_dedup_pipeline")) {
+      val plan = finalPlan(ran(q))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q must not plan an all-pairs join:\n${plan.take(2000)}")
+    }
+  }
+
   test("sequence packing is one window over one shuffle") {
     val plan = finalPlan(ran("q_pack_sequences"))
     // exchanges: one for the window partition key, one for the final

@@ -93,6 +93,32 @@ class BucketedMergeSpec extends SparkTestBase {
     assert(out.where($"id" === 5L).head().getString(2) == "upd")
   }
 
+  test("crash between rename-aside and swap-in: next merge resurrects the __old bucket") {
+    val root = tmpDir("bucketed-crash")
+    val path = s"$root/t"
+    val base = (1L to 400L).map(i => (i, 1L, s"s$i")).toDF("id", "v", "s")
+    BucketedMerge.replace(spark, base, path, hints, numBuckets = 8)
+
+    // simulate the worst crash window: dest was renamed to __old but the
+    // staged dir never moved in — the __old copy is the bucket's ONLY copy
+    val victim = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.contains("_bucket=")).sorted.head
+    val victimBucket = victim.split("_bucket=")(1).toInt
+    val oldDir = Paths.get(path + s"__old/_bucket=$victimBucket")
+    Files.createDirectories(oldDir.getParent)
+    Files.move(Paths.get(victim), oldDir)
+    val lostIds = spark.read.parquet(oldDir.toString).select("id").as[Long].collect().toSet
+    assert(lostIds.nonEmpty)
+
+    // next merge (touching some other key) must first repair, not delete
+    BucketedMerge.merge(spark, Seq((10000L, 1L, "new")).toDF("id", "v", "s"), path, hints, 8)
+    val out = BucketedMerge.read(spark, path)
+    assert(out.count() == 401)
+    assert(lostIds.subsetOf(out.select("id").as[Long].collect().toSet),
+      "rows whose only copy was under __old must survive the next merge")
+    assert(!Files.exists(Paths.get(path + "__old")))
+  }
+
   test("schema-evolving merge: untouched buckets keep old files, read unifies with null backfill") {
     val root = tmpDir("bucketed-evolve")
     val path = s"$root/t"

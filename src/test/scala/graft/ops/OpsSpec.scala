@@ -77,6 +77,35 @@ class OpsSpec extends SparkTestBase {
     assert(gotDistributed == oracle)
   }
 
+  test("nearDupPairs: bucket cap splits a degenerate bucket, leaves sane buckets intact") {
+    // one degenerate bucket: 40 copies of the same boilerplate line all land
+    // in every band bucket together; plus one sane near-dup pair
+    val boiler = (100L until 140L).map(i => (i, "copyright footer all rights reserved"))
+    val sane = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox leaps"))
+    val corpus = (boiler ++ sane).toDF("doc_id", "text")
+
+    val uncapped = Dedup.nearDupPairs(corpus, "doc_id", "text", 4, 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.nearDupPairs(corpus, "doc_id", "text", 4, 2, 0.5, maxBucketSize = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // sane bucket (size 2 <= cap) must be untouched by the cap
+    assert(capped.contains((1L, 2L)))
+    // exact duplicates share the full signature → same sub-bucket, so the
+    // degenerate bucket still yields dup pairs, just not all 40*39/2 of them
+    // identical docs share the full signature, so the refinement can't
+    // split them — the star fallback pairs hub 100 with each of 101..139
+    val boilerPairs = capped.filter { case (a, _) => a >= 100L }
+    assert(boilerPairs == (101L until 140L).map(i => (100L, i)).toSet,
+      s"over-cap homogeneous sub-bucket must star-pair around the hub (got ${boilerPairs.size})")
+    // with the default cap the same call yields the full pair space
+    assert(uncapped.size == 40 * 39 / 2 + 1)
+    // clustering through the hub restores the one boilerplate group
+    val clusters = Dedup.clusterPairs(boilerPairs.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(clusters == Set(100L))
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
