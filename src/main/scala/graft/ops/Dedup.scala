@@ -270,21 +270,53 @@ object Dedup {
       val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
       sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol).as("__id"), refine.as("__refine"))
     }
-    // per-bucket sizes via windows on the same key the join shuffles on —
-    // the sub-bucket window's partitioning is a refinement of the bucket
-    // window's, so both reuse one shuffle (plus a local sort)
-    val w = Window.partitionBy(col("band"), col("bucket_hash"))
-    val w2 = Window.partitionBy(col("band"), col("bucket_hash"), col("__sub"))
-    val buckets = bands.reduce(_.unionByName(_))
-      .withColumn("__n", count(lit(1)).over(w))
+    // Bucket sizes via a partially-aggregated groupBy (map-side combine:
+    // only (band, hash, count) triples shuffle) instead of a window — a
+    // window here sorts the ENTIRE banded union inside each partition,
+    // which at corpus scale makes the skew defense itself the straggler.
+    // Only buckets OVER the cap survive the filter, so `overCap` is tiny
+    // by construction and broadcasts. The plan then forks: sane buckets
+    // (broadcast anti-join) run EXACTLY the uncapped pair join — zero
+    // stats columns, zero extra shuffles — while over-cap rows (broadcast
+    // semi shape) pay for the refinement split and star fallback. When no
+    // bucket exceeds the cap the second branch is empty and the only
+    // overhead left is the one aggregated size pass.
+    //
+    // The banded union is materialized once (eager localCheckpoint — a
+    // narrow (band, hash32, id, refine) row per doc per band, the same
+    // order of bytes a shuffle of it would spill): the size pass, both
+    // branches, and both sides of each pair self-join all read the
+    // materialized blocks instead of re-running the k md5 minhash
+    // traversals per scan — the signature computation is the dominant
+    // linear cost and would otherwise run 6+ times.
+    val bandsU = bands.reduce(_.unionByName(_)).localCheckpoint(true)
+    val overCap = bandsU
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+    val sane = bandsU
+      .join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
+      .select(col("band"), col("bucket_hash"), col("__id"))
+    val sanePairs = sane.as("x")
+      .join(sane.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket_hash") === col("y.bucket_hash") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    // over-cap rows: refinement split into ceil(n/cap) sub-buckets, then
+    // sub-bucket stats (size + hub) for the star fallback
+    val big = bandsU
+      .join(broadcast(overCap), Seq("band", "bucket_hash"))
       .withColumn("__sub",
-        when(col("__n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(col("__refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long"))))
-      .withColumn("__m", count(lit(1)).over(w2))
-      .withColumn("__hub", min(col("__id")).over(w2))
+        pmod(col("__refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
+    val subStats = big
+      .groupBy(col("band"), col("bucket_hash"), col("__sub"))
+      .agg(count(lit(1)).as("__m"), min(col("__id")).as("__hub"))
+    val bigB = big
+      .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
       .select(col("band"), col("bucket_hash"), col("__sub"), col("__id"), col("__m"), col("__hub"))
-    val candidates = buckets.as("x")
-      .join(buckets.as("y"),
+    val bigPairs = bigB.as("x")
+      .join(bigB.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket_hash") === col("y.bucket_hash") &&
           col("x.__sub") === col("y.__sub") &&
@@ -292,7 +324,9 @@ object Dedup {
           // star fallback: an over-cap sub-bucket pairs only hub ↔ spoke
           (col("x.__m") <= maxBucketSize || col("x.__id") === col("x.__hub")))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
+    val rawCandidates = sanePairs.unionByName(bigPairs)
+    // a pair can repeat only across bands — with one band it's already unique
+    val candidates = if (numBands > 1) rawCandidates.distinct() else rawCandidates
     val sets = df.select(col(idCol), wordSet(col(textCol)).as("__ws"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("__ws").as("ws_a")), "id_a")
