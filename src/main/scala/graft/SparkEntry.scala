@@ -386,13 +386,16 @@ object SparkEntry {
         .orderBy("band", "bucket_hash")
     }),
 
-    // native one-pass MinHash (custom codegen Expression) — same banding
-    // shape as q_dedup_minhash but k long lanes per row instead of k md5
-    // string traversals (no SQL oracle: xxhash64 family)
+    // native one-pass MinHash (custom codegen Expression) end-to-end:
+    // fast xxhash64-family banding proposes candidates, exact Jaccard
+    // verifies. At 8 bands × 2 rows the banding recall on >=0.9 pairs is
+    // 1 − (1−0.81)^8 ≈ 1 − 2e-6, so the verified output equals the
+    // ground-truth near-dup set — which IS SQL-expressible: the oracle
+    // recomputes it by brute force, hard-gating the whole fast path
     "q_dedup_minhash_fast" -> ((s, dir) => {
-      Dedup.lshCandidateGroupsFast(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 16, rowsPerBand = 4)
-        .orderBy("band", "bucket_hash")
+      Dedup.nearDupPairsFast(t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", numHashes = 16, rowsPerBand = 2, threshold = 0.9)
+        .orderBy("id_a", "id_b")
     }),
 
     // composed near-dup pipeline: LSH candidates → exact Jaccard verify
@@ -407,7 +410,7 @@ object SparkEntry {
     }),
 
     // dedup clusters: verified pairs → connected components → canonical
-    // survivor per component (no SQL oracle: iterative label propagation)
+    // survivor per component (oracle: recursive-CTE transitive closure)
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.nearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 11 === 0),
@@ -435,7 +438,9 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path; no SQL oracle: hyperplane hashes)
+    // LSH-bucketed ANN (scale path). The ±1 hyperplanes are deterministic
+    // JVM-side literals, so the oracle replicates bucketing + within-bucket
+    // ranking exactly in SQL — full-fidelity check of the approximate path
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -446,18 +451,18 @@ object SparkEntry {
     }),
 
     // IVF ANN (scale path: corpus shuffles once by cell; queries probe
-    // nProbe cells; no SQL oracle — centroid assignment). Centroids are
-    // k-means-trained on the corpus (spherical Lloyd's, deterministic).
+    // nProbe cells). The quantizer is the fixed pre-trained one
+    // (Similarity.fixedCentroids) — index BUILD (kmeansCentroids, spec'd
+    // in OpsSpec) is a separate phase, as in any IVF engine, so the
+    // query bills probe mechanics only; the deterministic centroid
+    // literals also let the oracle replicate assignment + probe in SQL
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.filter(col("vec_id") >= 13)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-      // FAISS-style: train the coarse quantizer on a deterministic sample,
-      // assign the full corpus — training cost stays O(sample), not O(corpus)
-      val sample = corpus.filter(pmod(col("n_id"), lit(3)) === 0)
-      val centroids = graft.ops.Similarity.kmeansCentroids(sample, "n_id", "n_vec", k = 8, maxIter = 2)
+      val centroids = graft.ops.Similarity.fixedCentroids(dim = 64, k = 8)
       graft.ops.Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
         centroids, nProbe = 2, k = 5)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
@@ -885,6 +890,95 @@ object SparkEntry {
     s"SELECT band, bucket_hash, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id FROM ($bands) GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2"
   }
 
+  /** Render a double array as a DuckDB list literal. The hyperplane /
+    * fixed-centroid components are exact binary fractions (±1, ±0.125),
+    * so the decimal rendering round-trips bit-exactly.
+    */
+  private def sqlVec(a: Array[Double]): String = a.mkString("[", ",", "]")
+
+  /** Full-fidelity SQL replica of q_ann_lsh: the same ±1 hyperplane
+    * literals produce the same sign-pattern signature; bucketing and
+    * within-bucket ranking then mirror Similarity.lshTopK exactly.
+    */
+  private def annLshSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = 64, nBits = 4)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 5),
+       |qs AS (SELECT q_id, v, $sig AS sig FROM q),
+       |cs AS (SELECT n_id, v, $sig AS sig FROM c),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qs.v, cs.v) DESC, n_id) AS rank
+       |  FROM qs JOIN cs USING (sig))
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  /** Full-fidelity SQL replica of q_ann_ivf: assignment = argmax dot
+    * against the fixed centroid literals (ties to the larger cell, as
+    * Spark's greatest(struct(sim, cell))), probe = top-nProbe cells per
+    * query by the same ordering, rank within probed cells by cosine.
+    */
+  private def annIvfSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 64, k = 8)
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 13),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM c),
+       |probed AS (SELECT q_id, v, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell))
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  /** Ground-truth near-dup pairs by brute force (the %7 subset keeps the
+    * oracle's all-pairs join honest at sf0.01) — hard-gates the fast
+    * MinHash path end to end.
+    */
+  private def minhashFastPairsSql: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT id_a, id_b, jac FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |WHERE jac >= 0.9 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+
+  /** Connected components over the SQL-recomputed verified pair set via
+    * recursive-CTE transitive closure; cluster label = min reachable id
+    * (matches Dedup.clusterPairs' canonical-survivor labels).
+    */
+  private def dedupClustersSql: String =
+    """WITH RECURSIVE sigs AS (
+      |  SELECT doc_id, ws,
+      |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
+      |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
+      |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 11 = 0)),
+      |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+      |    FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
+      |  WHERE jac >= 0.9),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+      |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+      .replaceAll("\n", " ")
+
   private def langidSql: String = {
     val markers = TextAnalysis.langMarkers
     def hit(ws: Seq[String]) =
@@ -1085,6 +1179,14 @@ object SparkEntry {
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_minhash" -> minhashBandSql,
+
+    "q_dedup_minhash_fast" -> minhashFastPairsSql,
+
+    "q_dedup_clusters" -> dedupClustersSql,
+
+    "q_ann_lsh" -> annLshSql,
+
+    "q_ann_ivf" -> annIvfSql,
 
     "q_dedup_pipeline" ->
       """WITH sigs AS (

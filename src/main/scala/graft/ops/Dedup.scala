@@ -270,6 +270,43 @@ object Dedup {
       val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
       sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol).as("__id"), refine.as("__refine"))
     }
+    val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
+    verifyJaccard(df, idCol, textCol, candidates, threshold)
+  }
+
+  /** As `nearDupPairs` but over the one-pass native MinHash signature
+    * (graft.functions.MinHashSignature) — k long lanes from a single
+    * traversal, band keys from xxhash64 of the lane slice. Same capped
+    * banding and exact-Jaccard verification; the hash family differs, so
+    * candidate recall is family-specific but the verified output is the
+    * same ground-truth near-dup set whenever banding recall reaches 1.
+    */
+  def nearDupPairsFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val sigs = minhashSignatureFast(df, textCol, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      sigs.select(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket_hash"),
+        col(idCol).as("__id"), xxhash64(col("sig")).as("__refine"))
+    }
+    val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
+    verifyJaccard(df, idCol, textCol, candidates, threshold)
+  }
+
+  /** Candidate pairs within (band, bucket_hash) buckets, with the
+    * degenerate-bucket cap applied. Inputs are per-band frames of
+    * (band, bucket_hash, __id, __refine).
+    */
+  private def cappedCandidatePairs(
+      bands: Seq[DataFrame], numBands: Int, maxBucketSize: Int): DataFrame = {
     // Bucket sizes via a partially-aggregated groupBy (map-side combine:
     // only (band, hash, count) triples shuffle) instead of a window — a
     // window here sorts the ENTIRE banded union inside each partition,
@@ -326,7 +363,13 @@ object Dedup {
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     val rawCandidates = sanePairs.unionByName(bigPairs)
     // a pair can repeat only across bands — with one band it's already unique
-    val candidates = if (numBands > 1) rawCandidates.distinct() else rawCandidates
+    if (numBands > 1) rawCandidates.distinct() else rawCandidates
+  }
+
+  /** Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs. */
+  private def verifyJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     val sets = df.select(col(idCol), wordSet(col(textCol)).as("__ws"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("__ws").as("ws_a")), "id_a")

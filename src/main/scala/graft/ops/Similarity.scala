@@ -79,7 +79,24 @@ object Similarity {
     * nBits dot products against constants (instead of re-generating the
     * planes per row inside the expression tree).
     */
-  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] =
+    signStream(dim * nBits, seed).grouped(dim).toSeq.map(_.toArray)
+
+  /** Fixed pre-trained IVF quantizer: k deterministic unit-norm ±1/√dim
+    * centroids from the same splitmix64 stream. A production index trains
+    * centroids with `kmeansCentroids` (build phase); contract queries use
+    * this fixed quantizer so query cost reflects probe mechanics, not
+    * index build — mirroring how IVF engines separate train from search.
+    * The literals are pure JVM (no Spark), so an external oracle can
+    * replicate cell assignment bit-for-bit.
+    */
+  def fixedCentroids(dim: Int, k: Int, seed: Long = 7L): Seq[(Int, Array[Double])] = {
+    val s = 1.0 / math.sqrt(dim.toDouble)
+    signStream(dim * k, seed).grouped(dim).toSeq.zipWithIndex
+      .map { case (v, i) => i -> v.map(_ * s).toArray }
+  }
+
+  private def signStream(n: Int, seed: Long): Seq[Double] = {
     var x = seed
     def next(): Long = {
       x += 0x9e3779b97f4a7c15L
@@ -88,7 +105,7 @@ object Similarity {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    Seq.fill(nBits)(Array.fill(dim)(if ((next() & 1L) == 1L) 1.0 else -1.0))
+    Seq.fill(n)(if ((next() & 1L) == 1L) 1.0 else -1.0)
   }
 
   /** Random-hyperplane signature: bit i = sign(dot(v, plane_i)).
