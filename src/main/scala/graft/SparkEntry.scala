@@ -353,6 +353,29 @@ object SparkEntry {
       s.read.parquet(s"$dest/lineitem_loaded").agg(count(lit(1)).as("n"))
     }),
 
+    // type fidelity at the edges of the range (reference
+    // tests/pg_replication/cases.py:7-100): a time-of-day column as µs
+    // since midnight and a wei-scale decimal(38,0) survive
+    // normalize → merge (overlapping batches) → parquet read-back; the
+    // wei is stringified at the edge so the compare is digit-exact
+    "q_type_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id") < 4000)
+      val typed = ev.select(
+        col("event_id"),
+        (tsMicros(col("ts")) % 86400000000L).as("tod_us"),
+        (floor(col("value") * 1000000L).cast(DecimalType(20, 0)) *
+          lit("1000000000000").cast(DecimalType(18, 0))).as("wei"))
+      val hints = TableHints("typed_events", Disposition.Merge, primaryKey = Seq("event_id"))
+      val dest = java.nio.file.Files.createTempDirectory("graft_types").toString
+      TableWriter.write(s,
+        Normalize.normalize(typed.filter(col("event_id") < 3000), hints)("typed_events"), dest, hints)
+      TableWriter.write(s,
+        Normalize.normalize(typed.filter(col("event_id") >= 2000), hints)("typed_events"), dest, hints)
+      s.read.parquet(s"$dest/typed_events")
+        .select(col("event_id"), col("tod_us"), col("wei").cast("string").as("wei"))
+        .orderBy("event_id")
+    }),
+
     // skew-safe aggregation: salted two-stage result must equal the plain
     // group-by (oracle computes the plain one)
     "q_skew_agg" -> ((s, dir) => {
@@ -1119,6 +1142,12 @@ object SparkEntry {
 
     "q_table_routing" ->
       "SELECT 'events_' || event_type AS _table, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_type_roundtrip" ->
+      """SELECT event_id,
+        | epoch_us(ts) % 86400000000 AS tod_us,
+        | CAST(CAST(floor(value * 1000000) AS DECIMAL(20,0)) * CAST(1000000000000 AS DECIMAL(18,0)) AS VARCHAR) AS wei
+        |FROM events WHERE event_id < 4000 ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     "q_scalar_ts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,

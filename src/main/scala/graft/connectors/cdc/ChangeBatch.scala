@@ -232,27 +232,34 @@ object ChangeBatch {
     * TOAST columns from the base row BEFORE the merge: an Update whose
     * column arrived as 'u' keeps the base value instead of nulling it —
     * replacing the whole row from the wire image alone would lose data.
-    * One left join on the pk (only rows with a toast marker need it; the
-    * join prunes via the mask filter), then the standard merge plan.
+    *
+    * The resolution is fully plan-side (no driver probe job): rows
+    * carrying a toast marker are split off, left-joined to the base on
+    * the pk, and unioned back with the untouched rows. In the common
+    * no-toast batch the marker side is empty at runtime and AQE's
+    * empty-relation propagation collapses the join — the base is never
+    * scanned for it.
     */
   def applyChanges(base: Option[DataFrame], typed: DataFrame, relation: RelationMeta): DataFrame = {
     val hints = mergeHints(relation)
     val hasMask = typed.columns.contains("_toast_unchanged")
-    val anyToast = hasMask &&
-      typed.filter(exists(col("_toast_unchanged"), m => m)).limit(1).count() > 0
-    val resolved = (base, anyToast) match {
+    val resolved = (base, hasMask) match {
       case (Some(b), true) =>
         val pk = hints.primaryKey
+        val needsBase = exists(col("_toast_unchanged"), m => m)
+        val outCols: Seq[Column] =
+          relation.columns.map(c => col(c.name)) ++ Seq(col("_lsn"), col("_deleted_ts"))
+        val clean = typed.filter(!needsBase).select(outCols: _*)
         val baseCols = relation.columns.map(_.name).filterNot(pk.contains)
         val bPrefixed = b.select(
           pk.map(col) ++ baseCols.map(c => col(c).as(s"__base_$c")): _*)
-        val joined = typed.join(bPrefixed, pk, "left")
+        val joined = typed.filter(needsBase).join(bPrefixed, pk, "left")
         val cols: Seq[Column] = relation.columns.zipWithIndex.map { case (c, i) =>
           if (pk.contains(c.name)) col(c.name)
           else when(element_at(col("_toast_unchanged"), i + 1), col(s"__base_${c.name}"))
             .otherwise(col(c.name)).as(c.name)
         } ++ Seq(col("_lsn"), col("_deleted_ts"))
-        joined.select(cols: _*)
+        joined.select(cols: _*).unionByName(clean)
       case _ => typed.drop("_toast_unchanged")
     }
     MergeEngine.mergePlan(base, resolved.drop("_toast_unchanged"), hints)

@@ -19,6 +19,15 @@ object Json {
 
   private val bracketRe = "\\[([^\\]]*)\\]".r
 
+  private def parseIndex(s: String, path: String): Int =
+    try s.trim.toInt
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"invalid JSONPath '$path': bracket index '$s' is not an integer " +
+            "(supported ops: [*], [N], [a:b])")
+    }
+
   def select(root: JsonNode, path: String): Seq[JsonNode] = {
     val clean = path.stripPrefix("$").stripPrefix(".")
     if (clean.isEmpty) return Seq(root)
@@ -34,19 +43,23 @@ object Json {
             case "*" =>
               if (v.isArray) v.elements().asScala.toSeq else Seq(v)
             case s if s.contains(':') =>
+              val parts = s.split(":", -1)
+              if (parts.length != 2)
+                throw new IllegalArgumentException(
+                  s"invalid JSONPath '$path': slice '[$s]' must have exactly one ':' " +
+                    "(steps are not supported)")
               if (!v.isArray) Nil
               else {
-                val parts = s.split(":", -1)
                 val len = v.size()
                 def norm(x: String, dflt: Int) =
                   if (x.isEmpty) dflt
-                  else { val i = x.toInt; if (i < 0) math.max(0, len + i) else math.min(i, len) }
+                  else { val i = parseIndex(x, path); if (i < 0) math.max(0, len + i) else math.min(i, len) }
                 (norm(parts(0), 0) until norm(parts(1), len)).map(v.get)
               }
             case idx =>
+              val i = parseIndex(idx, path)
               if (!v.isArray) Nil
               else {
-                val i = idx.toInt
                 val j = if (i < 0) v.size() + i else i
                 if (j >= 0 && j < v.size()) Seq(v.get(j)) else Nil
               }

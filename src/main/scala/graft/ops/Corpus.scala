@@ -36,14 +36,22 @@ object Corpus {
     df.filter(pmod(xxhash64(col(idCol)), lit(mod)) === keep)
 
   /** Pack documents into fixed-budget context windows: documents are laid
-    * out in a deterministic order (`orderCol`, tiebroken by id) and the
-    * running token total assigns each doc to bin floor(tokens_before /
-    * budget). Documents never split; a bin may overflow by less than one
-    * document (offset packing — the streaming-friendly variant of
-    * next-fit, and expressible as ONE window cumsum, so it scales to any
-    * corpus). `packKey` partitions the packing (e.g. language) so each
-    * group packs independently — and the window shuffle is per-group, not
-    * global.
+    * out in a deterministic order (`idCol`) and the running token total
+    * assigns each doc to bin floor(tokens_before / budget). Documents
+    * never split; a bin may overflow by less than one document (offset
+    * packing — the streaming-friendly variant of next-fit). `packKey`
+    * partitions the packing (e.g. language) so each group packs
+    * independently — ONE per-group window cumsum.
+    *
+    * Without a `packKey` the cumsum is GLOBAL, which a bare window would
+    * compute on a single partition. Instead the plan is a two-level
+    * cumsum: deterministic range buckets from approxQuantile boundaries
+    * of the (numeric) id, a per-bucket windowed cumsum, and per-bucket
+    * offsets (sum of all earlier buckets) broadcast-joined back. The
+    * boundary VALUES only affect load balance — the result is the exact
+    * global cumsum for any monotone bucketing, so approxQuantile's
+    * approximation error is harmless. The only non-distributed step is
+    * the offset window over `buckets` rows.
     */
   def packSequences(
       df: DataFrame,
@@ -51,12 +59,36 @@ object Corpus {
       tokenCol: String,
       budget: Long,
       packKey: Option[String] = None,
-  ): DataFrame = {
-    val part = packKey.map(k => Window.partitionBy(col(k))).getOrElse(Window.partitionBy())
-    val w = part.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .withColumn("pack_id", floor((col("__cum") - col(tokenCol)) / budget))
-      .drop("__cum")
+      buckets: Int = 32,
+  ): DataFrame = packKey match {
+    case Some(k) =>
+      val w = Window.partitionBy(col(k)).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__cum", sum(col(tokenCol)).over(w))
+        .withColumn("pack_id", floor((col("__cum") - col(tokenCol)) / budget))
+        .drop("__cum")
+    case None =>
+      require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"unkeyed packSequences needs a numeric id column to range-bucket the global " +
+          s"cumsum ('$idCol' is ${df.schema(idCol).dataType.simpleString}); pass a packKey instead")
+      // one bounded pass to pick balance-only boundaries (deterministic GK sketch)
+      val cuts = df.stat
+        .approxQuantile(idCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col(idCol).cast("double") > lit(c), 1).otherwise(0)
+      }
+      val b = df.withColumn("__b", bucket)
+      val wLocal = Window.partitionBy(col("__b")).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val offsets = b.groupBy(col("__b")).agg(sum(col(tokenCol)).as("__bsum"))
+        .select(col("__b"), coalesce(sum(col("__bsum")).over(wOff), lit(0L)).as("__off"))
+      b.join(broadcast(offsets), Seq("__b"))
+        .withColumn("__cum", sum(col(tokenCol)).over(wLocal) + col("__off"))
+        .withColumn("pack_id", floor((col("__cum") - col(tokenCol)) / budget))
+        .drop("__cum", "__b", "__off")
   }
 
   /** Word n-gram hashes of a text column: the join key for overlap

@@ -51,6 +51,11 @@ object Temporal {
       rightTs: String,
       payloadCols: Seq[String],
   ): DataFrame = {
+    val internal = Seq("__ts", "__side", "__payload", "__match")
+    val clashing = (left.columns ++ right.columns).distinct.filter(internal.contains)
+    require(clashing.isEmpty,
+      s"asofJoin reserves internal column names ${internal.mkString(", ")}; " +
+        s"rename input column(s) ${clashing.mkString(", ")} first")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__ts", col(leftTs))

@@ -20,6 +20,20 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Json.items(Json.parse("""{"data":{"k":1}}"""), "data").size == 1) // single obj unwrap
   }
 
+  test("Json.select rejects non-numeric bracket indices with a config error") {
+    val n = Json.parse("""{"data":[1,2,3]}""")
+    val e = intercept[IllegalArgumentException](Json.select(n, "data[abc]"))
+    assert(e.getMessage.contains("data[abc]") && e.getMessage.contains("abc"))
+  }
+
+  test("Json.select rejects 3-part slices instead of silently ignoring the step") {
+    val n = Json.parse("""{"data":[1,2,3,4]}""")
+    val e = intercept[IllegalArgumentException](Json.select(n, "data[1:2:3]"))
+    assert(e.getMessage.contains("steps are not supported"))
+    // 2-part slices still work, including negative indices
+    assert(Json.select(n, "data[-1:]").map(_.asInt()) == Seq(4))
+  }
+
   test("naming normalization is always a valid stable identifier (property)") {
     val gen = Gen.listOfN(12, Gen.frequency(
       6 -> Gen.alphaNumChar, 2 -> Gen.oneOf('_', '-', ' ', '.'), 1 -> Gen.oneOf('ü', '™', '/')))

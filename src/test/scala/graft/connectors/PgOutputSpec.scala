@@ -183,6 +183,22 @@ class PgOutputSpec extends SparkTestBase {
     assert(row.getDouble(2) == 9.9 && !row.getBoolean(3))
   }
 
+  test("applyChanges builds its plan without an eager driver probe job") {
+    val baseFrames =
+      Seq((1L, Encode.relation(rel))) ++
+        txn(10L, (11L, Encode.insert(1001, Seq(Some("1"), Some("n"), Some("5.0"), Some("t")))))
+    val baseRes = ChangeBatch.consume(baseFrames.iterator)
+    val base = ChangeBatch.toTypedDf(
+      ChangeBatch.changeRows(spark, rel, baseRes.batch.byRelation("accounts")), rel)
+    // jobs started synchronously from this thread inherit the job group —
+    // parallel suites in the shared session can't pollute the assertion
+    val sc = spark.sparkContext
+    sc.setJobGroup("toast-probe-check", "applyChanges must be plan-only", false)
+    try ChangeBatch.applyChanges(Some(base.drop("_toast_unchanged")), base, rel)
+    finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("toast-probe-check").isEmpty)
+  }
+
   test("v2 stream frames round-trip: start/stop/commit/abort and xid-prefixed DML") {
     assert(decode(Encode.streamStart(42)) == StreamStart(42, firstSegment = true))
     assert(decode(Encode.streamStop()) == StreamStop)

@@ -40,6 +40,34 @@ class CorpusSpec extends SparkTestBase {
     assert(packed(5L) == 0L) // fr packs independently
   }
 
+  test("unkeyed packSequences distributes the global cumsum across range buckets") {
+    val n = 500
+    // uneven token sizes so bucket sums differ; ids shuffled across input partitions
+    val df = scala.util.Random.shuffle((1L to n.toLong).toList)
+      .map(i => (i, 1L + (i * 7) % 13)).toDF("doc_id", "toks").repartition(8)
+    val got = Corpus.packSequences(df, "doc_id", "toks", budget = 40L, buckets = 8)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // oracle: driver-side exact global cumsum in id order
+    var cum = 0L
+    (1L to n.toLong).foreach { i =>
+      val t = 1L + (i * 7) % 13
+      assert(got(i) == cum / 40L, s"doc $i: got ${got(i)} expected ${cum / 40L}")
+      cum += t
+    }
+    // plan shape: the per-row window is partitioned (by __b); the only
+    // unpartitioned window is the per-bucket offset cumsum (≤ buckets rows)
+    val packed = Corpus.packSequences(df, "doc_id", "toks", budget = 40L, buckets = 8)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("__b")), plan.take(2000))
+    // unkeyed packing on a non-numeric id must fail fast, not silently
+    // plan a single-partition window
+    val e = intercept[IllegalArgumentException](
+      Corpus.packSequences(Seq(("a", 1L)).toDF("doc_id", "toks"), "doc_id", "toks", 10L))
+    assert(e.getMessage.contains("packKey"))
+  }
+
   test("ngramHashes: distinct n-grams; shorter-than-n text yields empty, not a descending range") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
     val got = df.select(col("id"), Corpus.ngramHashes(col("text"), 3).as("g"))

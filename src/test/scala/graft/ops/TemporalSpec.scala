@@ -47,6 +47,18 @@ class TemporalSpec extends SparkTestBase {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("asofJoin refuses inputs that collide with its reserved internal names") {
+    val left = Seq((1L, 10L, ts(0), "x")).toDF("event_id", "user_id", "ts", "__match")
+    val right = Seq((10L, ts(0), 100L)).toDF("user_id", "rts", "v")
+    val e = intercept[IllegalArgumentException](
+      Temporal.asofJoin(left, right, "user_id", "ts", "rts", Seq("v")))
+    assert(e.getMessage.contains("__match"))
+    val right2 = Seq((10L, ts(0), 100L)).toDF("user_id", "rts", "__ts")
+    val e2 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(left.drop("__match"), right2, "user_id", "ts", "rts", Seq("__ts")))
+    assert(e2.getMessage.contains("__ts"))
+  }
+
   test("latestPerKeyTs deduplicates ties deterministically by the tie column") {
     val df = Seq((10L, ts(0), 1L, "a"), (10L, ts(0), 3L, "c"), (10L, ts(1), 2L, "b"))
       .toDF("k", "t", "seq", "payload")
