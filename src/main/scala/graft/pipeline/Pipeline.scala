@@ -144,23 +144,63 @@ final class Pipeline(
     done.toSeq.map(byName)
   }
 
-  /** One write per routed table; no routing column = single table. The
-    * routed loop filters by value — each filtered write prunes on the
-    * routing predicate, so a partitioned source scans once per table but
-    * only its own rows survive the scan filter.
+  /** Routed writes are SINGLE-PASS over the source: the batch is staged
+    * once, parquet-partitioned by the routing value (dir per table), and
+    * each table finalizes from its pruned staged partition. The previous
+    * shape — one filtered scan per routed value — made a Slack/Kafka-style
+    * fan-out to hundreds of tables hundreds of source scans; this is one
+    * source scan + one bounded stage, and the per-table reads are
+    * partition-pruned to their own directory. Rows with a null routing
+    * value are dropped (they name no table). No routing column = single
+    * table, no stage.
     */
   private def writeRouted(df: DataFrame, res: ResourceDef): Seq[LoadResult] = {
     res.routingColumn match {
       case None =>
         writeNormalized(df, res.hints)
       case Some(rc) =>
-        val values = df.select(col(rc).cast("string")).distinct().collect().map(_.getString(0))
-        values.toSeq.flatMap { v =>
-          val sub = df.filter(col(rc) === v).drop(rc)
-          val name = Naming.normalize(s"${res.hints.tableName}_$v")
-          writeNormalized(sub, res.hints.copy(tableName = name))
-        }
+        val stage = s"$destRoot/__stage/${Naming.normalize(res.hints.tableName)}_" +
+          currentLoadId.getOrElse("run")
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val stagePath = new org.apache.hadoop.fs.Path(stage)
+        val fs = stagePath.getFileSystem(hconf)
+        try {
+          df.filter(col(rc).isNotNull)
+            .withColumn(rc, col(rc).cast("string"))
+            .write.mode("overwrite").partitionBy(rc).parquet(stage)
+          // enumerate tables from the staged directory names — a driver FS
+          // listing, not a Spark job over the data
+          val values = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(s"$rc="))
+            .map(n => unescapePathName(n.substring(rc.length + 1)))
+            .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+          // explicit schema (rc as string) so partition-type inference can't
+          // retype numeric routing values and defeat the pruning filter
+          val stagedSchema = org.apache.spark.sql.types.StructType(
+            df.schema.fields.filterNot(_.name == rc) :+
+              org.apache.spark.sql.types.StructField(rc, org.apache.spark.sql.types.StringType))
+          val staged = spark.read.schema(stagedSchema).parquet(stage)
+          values.sorted.flatMap { v =>
+            val sub = staged.filter(col(rc) === v).drop(rc)
+            val name = Naming.normalize(s"${res.hints.tableName}_$v")
+            writeNormalized(sub, res.hints.copy(tableName = name))
+          }
+        } finally fs.delete(stagePath, true)
     }
+  }
+
+  /** Inverse of parquet's partition-dir escaping (%XX hex escapes). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private var currentLoadId: Option[String] = None

@@ -78,6 +78,32 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dest/ev_t1").count() == 3)
   }
 
+  test("routed write scans the source exactly once (staged single-pass fan-out)") {
+    val dest = tmpDir("pipe-dest6")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state6"))
+    val acc = spark.sparkContext.longAccumulator("rowReads")
+    val tick = udf { (i: Long) => acc.add(1); i }.asNondeterministic()
+    val res = ResourceDef("ev", TableHints("ev", Disposition.Replace),
+      _ => eventsDf(6).withColumn("id", tick(col("id"))), routingColumn = Some("kind"))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    assert(results.map(_.table).toSet == Set("ev_t0", "ev_t1"))
+    assert(spark.read.parquet(s"$dest/ev_t0").count() == 3)
+    assert(acc.value == 6L, s"source rows must be read exactly once, got ${acc.value}")
+    // the stage directory is cleaned up after the fan-out
+    assert(!new java.io.File(s"$dest/__stage").exists() ||
+      new java.io.File(s"$dest/__stage").list().isEmpty)
+  }
+
+  test("routing on a numeric column keeps string-named tables and prunes correctly") {
+    val dest = tmpDir("pipe-dest7")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state7"))
+    val res = ResourceDef("ev", TableHints("ev", Disposition.Replace),
+      _ => eventsDf(6), routingColumn = Some("user"))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    assert(results.map(_.table).toSet == Set("ev_0", "ev_1", "ev_2"))
+    assert(spark.read.parquet(s"$dest/ev_1").count() == 2)
+  }
+
   test("nested resources write child tables alongside the root") {
     val dest = tmpDir("pipe-dest5")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state5"))
