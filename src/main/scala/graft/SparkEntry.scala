@@ -784,6 +784,62 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // CDC poll loop end-to-end: events arrive at a canned "slot" in 5
+    // waves; each poll round peeks the slot head, consumes completed
+    // txns past the committed cursor, merges into the stored parquet
+    // table, commits the cursor, then advances the slot (the reference's
+    // get_max_lsn → consume → load → advance_slot round). The final
+    // table is the same surviving set as a single-shot load — the oracle
+    // recomputes it
+    "q_cdc_poll" -> ((s, dir) => {
+      import graft.connectors.cdc.{PgOutput, Replication}
+      import PgOutput._
+      val rel = RelationMeta(1, "public", "accounts", 'd', Seq(
+        ColumnMeta("user_id", 20, -1, isKey = true),
+        ColumnMeta("event_id", 20, -1, isKey = false),
+        ColumnMeta("value", 701, -1, isKey = false),
+      ))
+      val ev = t(s, dir, "events").filter(col("event_id") < 2500)
+        .select("event_id", "user_id", "event_type", "value").orderBy("event_id").collect()
+      val ts0 = 1700000000000000L
+      // one txn per row at monotone frame lsns (10e .. 10e+2), waved by
+      // event_id range so the slot drains over multiple poll rounds
+      val waves: Seq[Seq[(Long, Array[Byte])]] = ev.toSeq.zipWithIndex
+        .groupBy(_._1.getLong(0) / 500).toSeq.sortBy(_._1).map { case (_, rows) =>
+          rows.flatMap { case (r, i) =>
+            val e = r.getLong(0)
+            val payload =
+              if (r.getString(2) == "error")
+                Encode.delete(1, Seq(Some(r.getLong(1).toString), None, None))
+              else
+                Encode.insert(1, Seq(Some(r.getLong(1).toString), Some(e.toString), Some(r.getDouble(3).toString)))
+            Seq(
+              (10 * e, Encode.begin(10 * e + 2, ts0, i)),
+              (10 * e + 1, payload),
+              (10 * e + 2, Encode.commit(10 * e + 2, 10 * e + 3, ts0)),
+            )
+          }
+        }
+      val meta = Seq(Encode.relation(rel))
+      val source = new Replication.FrameSource {
+        private var wave = 0
+        private var flushed = 0L
+        private def pending = waves.take(wave + 1).flatten.filter(_._1 > flushed)
+        override def peekMaxLsn(): Option[Long] = pending.map(_._1).maxOption
+        override def frames(start: Long, upto: Long): Iterator[(Long, Array[Byte])] =
+          (meta.map(m => (0L, m)) ++ pending.filter(f => f._1 > start && f._1 <= upto)).iterator
+        override def advance(upto: Long): Unit = { flushed = math.max(flushed, upto); wave += 1 }
+      }
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_cdc_poll")
+      val state = new StateStore(stateDir.resolve("state.json"))
+      val destRoot = stateDir.resolve("tables").toString
+      val rounds = Replication.pollUntilEmpty(s, source, state, destRoot)
+      require(rounds.size == waves.size, s"expected ${waves.size} poll rounds, got ${rounds.size}")
+      s.read.parquet(s"$destRoot/accounts")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
     // CDC protocol v2 streamed transactions: events delivered as large
     // in-progress txns (two interleaved segments each, one txn in 7
     // ABORTED) → decode → merge. The oracle recomputes the surviving set.
@@ -1409,6 +1465,12 @@ object SparkEntry {
       """SELECT user_id, event_id, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 2000)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_cdc_poll" ->
+      """SELECT user_id, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id < 2500)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
 
     "q_cdc_stream" ->
