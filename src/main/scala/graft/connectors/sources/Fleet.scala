@@ -83,6 +83,45 @@ object Fleet {
         merge("owners", "id")),
     )
 
+  /** hubspot with runtime property discovery
+    * (sources/hubspot/__init__.py:128-141, 442-481; settings.py:124-130
+    * HS_TO_DLT_TYPE): each object's property catalog is fetched from the
+    * live properties endpoint, requested props are validated against it,
+    * custom (non-`hs_`) props are unioned in when `includeCustomProps`,
+    * the selection travels as the `properties` request param, and the
+    * catalog's types become column hints so string-encoded numbers and
+    * datetimes land typed (the normalizer applies the casts).
+    */
+  def hubspotDynamic(
+      apiKey: String,
+      transport: graft.connectors.rest.HttpTransport,
+      objects: Seq[String] = Seq("deals", "contacts", "companies"),
+      requestedProps: Map[String, Seq[String]] = Map.empty,
+      includeCustomProps: Boolean = true,
+  ): RestSource = {
+    val client = ClientConfig("https://api.hubapi.com", Some(Auth.Bearer(apiKey)))
+    RestSource(
+      name = "hubspot",
+      client = client,
+      resources = objects.map { obj =>
+        val catalog = Specialized.Hubspot.discoverProperties(client, obj, transport)
+        val defaults = catalog.keySet.filter(_.startsWith("hs_"))
+        val requested = requestedProps.getOrElse(obj, catalog.keys.toSeq.sorted)
+        val selected = Specialized.Hubspot.selectProperties(
+          requested, catalog, defaults, includeCustomProps)
+        val hints = TableHints(obj, Disposition.Merge, primaryKey = Seq("id")).copy(
+          columns = Specialized.Hubspot.hintsFor(
+            catalog.view.filterKeys(selected.contains).toMap, prefix = "properties__"))
+        RestResource(obj,
+          EndpointConfig(s"crm/v3/objects/$obj",
+            params = Map("limit" -> "100", "properties" -> selected.mkString(",")),
+            dataSelector = "results",
+            paginator = Paginator.NextUrl("paging.next.link")),
+          hints)
+      },
+    )
+  }
+
   /** zendesk support (sources/zendesk/__init__.py:218-436): cursor-paginated
     * objects page 100, incremental ticket export page 1000
     * (settings.py:6-7), tickets merged on id.

@@ -123,9 +123,37 @@ object Specialized {
       case _                     => DltType.TText
     }))
 
-    /** Column hints for a discovered property catalog (name → hs type). */
-    def hintsFor(catalog: Map[String, String]): Map[String, ColumnHint] =
-      catalog.map { case (name, t) => graft.core.Naming.normalize(name) -> propertyTypeToHint(t) }
+    /** Column hints for a discovered property catalog (name → hs type).
+      * `prefix` targets the flattened column names the normalizer produces
+      * (objects carry properties under a `properties` struct →
+      * `properties__<name>` after flattening).
+      */
+    def hintsFor(catalog: Map[String, String], prefix: String = ""): Map[String, ColumnHint] =
+      catalog.map { case (name, t) =>
+        graft.core.Naming.normalize(prefix + name) -> propertyTypeToHint(t)
+      }
+
+    /** Fetch the property catalog (name → hs type) from the live
+      * properties endpoint `/crm/v3/properties/{plural}`
+      * (helpers.py:203-226 _get_property_names_types) — the runtime
+      * discovery step that makes custom properties and their types appear
+      * without config.
+      */
+    def discoverProperties(
+        client: graft.connectors.rest.RestEngine.ClientConfig,
+        objectPlural: String,
+        transport: graft.connectors.rest.HttpTransport,
+    ): Map[String, String] = {
+      import graft.connectors.rest.{Json, RestEngine}
+      RestEngine.fetchPages(client,
+        RestEngine.EndpointConfig(s"crm/v3/properties/$objectPlural",
+          dataSelector = "results",
+          paginator = RestEngine.Paginator.NextUrl("paging.next.link")), transport)
+        .map(Json.parse)
+        .flatMap(n => Json.selectString(n, "name")
+          .map(_ -> Json.selectString(n, "type").getOrElse("string")))
+        .toMap
+    }
 
     /** Validate requested props against the catalog; unknown props raise,
       * custom props (catalog entries beyond the default set) are unioned

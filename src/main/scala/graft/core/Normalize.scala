@@ -69,11 +69,12 @@ object Normalize {
     val arrayCols = flat.schema.fields.filter(_.dataType.isInstanceOf[ArrayType])
     val overCap = depth >= hints.maxTableNesting
 
-    val parent = arrayCols.foldLeft(flat) { (acc, f) =>
-      if (isJsonHinted(hints, f.name) || overCap)
-        acc.withColumn(f.name, to_json(col(f.name)))
-      else acc.drop(f.name)
-    }
+    val parent = applyColumnHints(
+      arrayCols.foldLeft(flat) { (acc, f) =>
+        if (isJsonHinted(hints, f.name) || overCap)
+          acc.withColumn(f.name, to_json(col(f.name)))
+        else acc.drop(f.name)
+      }, hints)
 
     val children: Seq[(String, DataFrame)] =
       if (overCap) Nil
@@ -96,6 +97,26 @@ object Normalize {
         }
 
     Map(tableName -> parent) ++ children
+  }
+
+  /** Hint-driven scalar coercion: a column hinted with a concrete dlt type
+    * is cast to it. This is how property-catalog metadata becomes schema —
+    * APIs like HubSpot return numbers/datetimes as JSON strings and the
+    * catalog's type, not inference, is the source of truth
+    * (sources/hubspot/__init__.py:128-141). `json`-hinted columns keep
+    * their raw string; matching types pass through untouched.
+    */
+  def applyColumnHints(df: DataFrame, hints: TableHints): DataFrame = {
+    val casts: Map[String, DataType] = df.schema.fields.flatMap { f =>
+      hints.columns.get(f.name).flatMap(_.dltType) match {
+        case Some(DltType.TJson)                        => None
+        case Some(t) if t.sparkType != f.dataType       => Some(f.name -> t.sparkType)
+        case _                                          => None
+      }
+    }.toMap
+    if (casts.isEmpty) df
+    else df.select(df.schema.fieldNames.toSeq.map(n =>
+      casts.get(n).map(t => col(s"`$n`").cast(t).as(n)).getOrElse(col(s"`$n`"))): _*)
   }
 
   /** Dynamic schema inference for a JSON-string column (SURVEY §1.2:

@@ -69,6 +69,42 @@ class FleetSpec extends SparkTestBase {
     assert(df.select("id").as[String].collect().toSet == Set("cus_a", "cus_b", "cus_c"))
   }
 
+  test("hubspot dynamic property discovery drives column typing end-to-end") {
+    import org.apache.spark.sql.types._
+    val t = StaticPagesTransport(Map(
+      "crm/v3/properties/deals" ->
+        """{"results":[
+          | {"name":"amount","type":"number"},
+          | {"name":"closedate","type":"datetime"},
+          | {"name":"hs_lastmodifieddate","type":"datetime"},
+          | {"name":"custom_score","type":"number"}],"paging":{}}""".stripMargin,
+      "crm/v3/objects/deals?limit=100&properties=amount,closedate,custom_score" ->
+        """{"results":[
+          | {"id":"1","properties":{"amount":"1250.5","closedate":"2024-03-01T10:00:00Z","custom_score":"7"}},
+          | {"id":"2","properties":{"amount":"99","closedate":"2024-04-02T11:30:00Z","custom_score":"3.5"}}],
+          | "paging":{}}""".stripMargin,
+    ))
+    val src = Fleet.hubspotDynamic("tok", t, objects = Seq("deals"),
+      requestedProps = Map("deals" -> Seq("amount", "closedate")))
+    val deals = src.resources.head
+    // requested + discovered custom props travel as the request param
+    assert(deals.endpoint.params("properties") == "amount,closedate,custom_score")
+    // the catalog typed the flattened property columns
+    val df = RestEngine.readResource(spark, src, deals, t)
+    val root = graft.core.Normalize.normalize(df, deals.hints)("deals")
+    assert(root.schema("properties__amount").dataType == DoubleType)
+    assert(root.schema("properties__custom_score").dataType == DoubleType)
+    assert(root.schema("properties__closedate").dataType == TimestampType)
+    val r = root.orderBy("id").collect()
+    assert(r.map(_.getAs[Double]("properties__amount")).toSeq == Seq(1250.5, 99.0))
+    assert(r.head.getAs[java.sql.Timestamp]("properties__closedate") != null)
+    // unknown requested props fail fast against the live catalog
+    val e = intercept[IllegalArgumentException](
+      Fleet.hubspotDynamic("tok", t, objects = Seq("deals"),
+        requestedProps = Map("deals" -> Seq("nope"))))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("hubspot next-url pagination follows paging.next.link until absent") {
     import spark.implicits._
     val src = Fleet.hubspot("tok", objects = Seq("contacts"))
