@@ -444,10 +444,15 @@ object SparkEntry {
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
+    // SimHash fingerprints over the md5 hash family so the oracle
+    // replicates every bit (the 64-bit xxhash64 codegen expression —
+    // SimHash64 — is the scale path, eval≡codegen + HOF-equivalence
+    // proven in SimHashExpressionSpec; same md5-for-oracle split as
+    // q_dedup_minhash vs q_dedup_minhash_fast)
     "q_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("simhash"))
+        Dedup.simhashMd5(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -649,7 +654,8 @@ object SparkEntry {
       val withBin = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
       Multimodal.decodeFeatures(withBin, "doc_id", "content")
         .toDF()
-        .select(col("id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
+        .select(col("id"), col("n_bytes"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames").cast("long").as("n_frames"))
         .orderBy("id")
     }),
 
@@ -1058,6 +1064,21 @@ object SparkEntry {
       |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
       .replaceAll("\n", " ")
 
+  /** Oracle twin of Dedup.simhashMd5: md5 per distinct word computed
+    * once, 32 per-digit parity scans, bit set when the ±1 sum is
+    * positive.
+    */
+  private def simhashSql: String = {
+    val bits = (0 until 32).map { i =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> strpos('13579bdf', substr(h, ${i + 1}, 1)) > 0)) > len(hs) THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_transform(list_distinct(string_split(text, ' ')), w -> md5(w)) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM d ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   private def langidSql: String = {
     val markers = TextAnalysis.langMarkers
     def hit(ws: Seq[String]) =
@@ -1424,6 +1445,21 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // replicates the stub kernel's length-derived fake dims (Knuth
+    // multiplicative hash of n_bytes) — hard-gates the mapPartitions
+    // decode plumbing: id alignment, schema, batch shape
+    "q_multimodal_decode" ->
+      """SELECT id, n_bytes,
+        | 1 + h % 1024 AS width,
+        | 1 + (h // 1024) % 1024 AS height,
+        | 1 + n_bytes % 16 AS n_frames
+        |FROM (SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |        (CAST(octet_length(encode(text)) AS BIGINT) * 2654435769) % 4294967296 AS h
+        |      FROM documents)
+        |ORDER BY id""".stripMargin.replaceAll("\n", " "),
+
+    "q_simhash" -> simhashSql,
 
     "q_custom_fields" ->
       """SELECT CASE event_type WHEN 'click' THEN 'Clicked' WHEN 'view' THEN 'Seen'

@@ -415,6 +415,24 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 32-bit SimHash over the md5 word-hash family: each DISTINCT word
+    * weights bit i by ±1 according to the parity of hex digit i of
+    * md5(word); the bit sets when the sum is positive. Same algorithm as
+    * `simhash`/SimHash64 (the xxhash64 scale paths) with a hash family an
+    * external SQL engine replicates digit-for-digit — the oracle twin,
+    * exactly as q_dedup_minhash's md5 banding is to the native MinHash
+    * expression.
+    */
+  def simhashMd5(wordsCol: Column, bits: Int = 32): Column = {
+    val oddDigits = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val hs = transform(array_distinct(wordsCol), w => md5(w))
+    val n = size(hs)
+    (0 until bits).map { i =>
+      val odd = size(filter(hs, h => substring(h, i + 1, 1).isin(oddDigits: _*)))
+      when(odd * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH-ish id buckets —
     * see Similarity.cosine for the expression; caller restricts the pair
     * space (bucketing) before invoking. When the same vectors appear in

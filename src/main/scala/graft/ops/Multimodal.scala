@@ -56,12 +56,19 @@ object Multimodal {
     * deterministic in the blob bytes so tests are stable; the signature —
     * Iterator[batch of blobs] -> Iterator[features] — is the real contract
     * a codec UDF must satisfy (vectorized, per-partition, no driver data).
+    *
+    * The fake dims derive from the byte LENGTH through a Knuth
+    * multiplicative hash (not a content hash) so an external SQL oracle
+    * can recompute them and hard-gate the whole mapPartitions plumbing —
+    * id alignment, schema, batching. The feature vector stays
+    * content-derived.
     */
   def fakeDecodeKernel(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
-    val h = java.util.Arrays.hashCode(bytes)
-    val feat = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xf).toFloat / 15.0f)
-    MediaFeatures(id, n.toLong, width = 1 + (h & 0x3ff), height = 1 + ((h >>> 10) & 0x3ff),
+    val h = (n.toLong * 2654435769L) & 0xffffffffL
+    val c = java.util.Arrays.hashCode(bytes)
+    val feat = Array.tabulate(8)(i => ((c >>> (i * 4)) & 0xf).toFloat / 15.0f)
+    MediaFeatures(id, n.toLong, width = 1 + (h & 0x3ff).toInt, height = 1 + ((h >>> 10) & 0x3ff).toInt,
       n_frames = 1 + (n % 16), feature = feat)
   }
 
@@ -104,8 +111,8 @@ object Multimodal {
     * proportionally — deterministic in the input, so specs pin behavior.
     */
   def fakeResizeKernel(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val (w0, h0) = (1 + (h & 0x3ff), 1 + ((h >>> 10) & 0x3ff))
+    val h = (bytes.length.toLong * 2654435769L) & 0xffffffffL
+    val (w0, h0) = (1 + (h & 0x3ff).toInt, 1 + ((h >>> 10) & 0x3ff).toInt)
     val long0 = math.max(w0, h0)
     val scale = if (long0 <= maxDim) 1.0 else maxDim.toDouble / long0
     val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
