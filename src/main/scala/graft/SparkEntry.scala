@@ -31,6 +31,21 @@ object SparkEntry {
     }
   }
 
+  /** Streaming twin of `t` for the events table: file stream source with
+    * the nanos-long schema, converted to a µs timestamp for watermarking.
+    */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(s"$dir/[e]vents.parquet") // glob form: the file source needs a directory basePath
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Literal cast to the column's own (possibly NTZ) timestamp type. */
   private def tsLit(df: DataFrame, colName: String, v: String): Column =
     lit(v).cast(df.schema(colName).dataType)
@@ -964,6 +979,60 @@ object SparkEntry {
           tsMicros(max(col("ts"))).as("max_ts_us"),
         )
     }),
+
+    // §2.7 / SURVEY §1.3: the continuous execution path, run on the real
+    // Structured Streaming engine (file stream source → watermark →
+    // stateful operator → memory sink, processAllAvailable) and oracle-
+    // checked against the equivalent batch SQL. Complete-mode windowed
+    // aggregation is exactly the batch groupBy; dedup and sessionization
+    // exercise the state store and event-time timeouts.
+    "q_stream_window" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val ev = streamEvents(s, dir)
+        .filter(col("event_id") < 4000)
+        .withColumn("value", col("value").cast(dec18_2))
+      val agg = EventStreams.windowedCounts(ev, window = "6 hours", watermark = "1 hour")
+      EventStreams.runAvailableNow(agg, "q_stream_window_sink", outputMode = "complete")
+      s.table("q_stream_window_sink")
+        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
+          col("n"), col("total_value").cast("double").as("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // continuous exact dedup: state-store keyed dedup over the stream; the
+    // surviving row set must be exactly the distinct key set
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val ev = streamEvents(s, dir).select(col("ts"), col("user_id"), col("event_type"))
+      val dd = EventStreams.streamingDedup(ev, Seq("user_id", "event_type"), watermark = "1 hour")
+      EventStreams.runAvailableNow(dd, "q_stream_dedup_sink")
+      s.table("q_stream_dedup_sink")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // event-time sessionization via flatMapGroupsWithState: sessions closed
+    // in-stream (a later event past the gap) plus sessions aged out by the
+    // event-time timeout once the watermark passes lastSeen+gap. Timestamps
+    // are ms-precision (GroupState timeouts are ms), so the contract and
+    // oracle both work in epoch millis.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      import s.implicits._
+      val ev = streamEvents(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sessions = EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+      EventStreams.runAvailableNow(sessions.toDF(), "q_stream_sessionize_sink")
+      s.table("q_stream_sessionize_sink")
+        .select(col("user_id"),
+          (unix_micros(col("start")) / 1000).cast("long").as("start_ms"),
+          (unix_micros(col("end")) / 1000).cast("long").as("end_ms"),
+          col("n_events"),
+          round(col("total_value") * 100).cast("long").as("total_cents"))
+        .orderBy("user_id", "start_ms")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1529,5 +1598,41 @@ object SparkEntry {
       """SELECT count(*) AS n, count(DISTINCT event_id) AS n_distinct,
         | CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
         |FROM events""".stripMargin.replaceAll("\n", " "),
+
+    // complete-mode windowed aggregation ≡ batch groupBy on the epoch-
+    // aligned 6h tumbling window
+    "q_stream_window" ->
+      """SELECT CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS window_start_us,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id < 4000 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    // streaming dedup survivors ≡ the distinct key set
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    // sessionization: 30-min-gap sessions (ms precision, matching
+    // Timestamp.getTime), emitted when closed by a later event (sid <
+    // last sid) or aged out by the event-time timeout (end + gap <
+    // watermark = max ts − 1h over the same filtered stream)
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+        |w AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM e),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sgrp AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |agg AS (SELECT user_id, sid,
+        |  CAST(min(epoch_ms(ts)) AS BIGINT) AS start_ms, CAST(max(epoch_ms(ts)) AS BIGINT) AS end_ms,
+        |  count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+        |  FROM sgrp GROUP BY 1, 2),
+        |lastsid AS (SELECT user_id, max(sid) AS mx FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events, a.total_cents
+        |FROM agg a JOIN lastsid l ON a.user_id = l.user_id, w
+        |WHERE a.sid < l.mx OR a.end_ms + 1800000 < w.wm
+        |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
   )
 }
