@@ -926,6 +926,90 @@ object SparkEntry {
         .orderBy("_queue_partition")
     }),
 
+    // §2.1 row 2 (mongodb): DSv2 document scan with range-filter and
+    // projection pushdown into the store, chunked into parallel splits;
+    // the canned store is fed from the documents table so DuckDB can
+    // replay the same filter
+    "q_doc_pushdown" -> ((s, dir) => {
+      import graft.connectors.db.{DocumentSource, DocumentStores}
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id").collect()
+      val json: Seq[(Long, String)] = docs.toSeq.map { r =>
+        r.getLong(0) ->
+          s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      }
+      val store = new DocumentSource.DocumentStore {
+        private def matching(f: Map[String, String]) = json.filter { case (id, _) =>
+          f.forall {
+            case ("doc_id.eq", v)  => id == v.toLong
+            case ("doc_id.gt", v)  => id > v.toLong
+            case ("doc_id.gte", v) => id >= v.toLong
+            case ("doc_id.lt", v)  => id < v.toLong
+            case ("doc_id.lte", v) => id <= v.toLong
+            case _                 => true
+          }
+        }
+        override def count(c: String, f: Map[String, String]): Long = matching(f).size.toLong
+        override def scan(c: String, f: Map[String, String], skip: Long, limit: Long,
+            proj: Seq[String]): Iterator[String] =
+          matching(f).slice(skip.toInt, (skip + limit).toInt).iterator.map(_._2)
+      }
+      DocumentStores.register("verify_docs", store)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      s.read.format("graft-docs").schema(schema)
+        .option("store", "verify_docs").option("collection", "documents")
+        .option("chunkSize", "64")
+        .load()
+        .filter(col("doc_id") >= 40 && col("doc_id") < 400)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // §2.1 row 4 (kinesis): two-wave shard read through the dict-valued
+    // per-shard sequence cursor — wave 1 bounded, cursor committed, wave 2
+    // resumes strictly after it; union must equal the source exactly (no
+    // overlap, no loss), which the countDistinct column hard-checks
+    "q_shard_cursor" -> ((s, dir) => {
+      import graft.connectors.streams.{ShardClient, ShardMessage, ShardReader}
+      val ev = t(s, dir, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "props").orderBy("event_id").collect()
+      val byShard: Map[String, IndexedSeq[ShardMessage]] = ev.toSeq
+        .groupBy(r => s"shard-${(r.getLong(1) % 3).toInt}")
+        .map { case (sh, rows) =>
+          sh -> rows.sortBy(_.getLong(0)).map { r =>
+            ShardMessage(sh, r.getLong(0).toString, r.getLong(1).toString,
+              r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              1700000000000L + r.getLong(0))
+          }.toIndexedSeq
+        }
+      val client = new ShardClient {
+        private def after(a: String, b: String): Boolean = // opaque-sequence order: (length, lex)
+          a.length > b.length || (a.length == b.length && a > b)
+        override def listShards(stream: String): Seq[String] = byShard.keys.toSeq.sorted
+        override def getRecords(stream: String, shardId: String, afterSeq: Option[String],
+            max: Int): Seq[ShardMessage] = {
+          val msgs = byShard.getOrElse(shardId, IndexedSeq.empty)
+          afterSeq.fold(msgs)(a => msgs.filter(m => after(m.sequenceNumber, a))).take(max)
+        }
+      }
+      val state = new StateStore(
+        java.nio.file.Files.createTempDirectory("graft_sh").resolve("s.json"))
+      val (wave1, cur1) = ShardReader.readBatch(s, client, "events", state, chunkSize = 300)
+      ShardReader.commitCursor(state, "events", cur1)
+      val (wave2, _) = ShardReader.readBatch(s, client, "events", state, chunkSize = Int.MaxValue)
+      wave1.union(wave2)
+        .groupBy("_shard_id")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("_seq_no")).as("n_distinct"),
+          max(col("_seq_no").cast("long")).as("max_seq"),
+          max(get_json_object(col("data"), "$.k").cast("long")).as("max_k"),
+        )
+        .orderBy("_shard_id")
+    }),
+
     // declarative REST engine: documents served as offset-paginated JSON
     // pages through the page loop + schema inference, then aggregated
     "q_rest_pipeline" -> ((s, dir) => {
@@ -1593,6 +1677,17 @@ object SparkEntry {
     "q_rest_pipeline" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_doc_pushdown" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 40 AND doc_id < 400
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_shard_cursor" ->
+      """SELECT 'shard-' || CAST(user_id % 3 AS VARCHAR) AS _shard_id, count(*) AS n,
+        | count(DISTINCT event_id) AS n_distinct, max(event_id) AS max_seq,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_incremental" ->
       """SELECT count(*) AS n, count(DISTINCT event_id) AS n_distinct,
