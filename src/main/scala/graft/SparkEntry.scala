@@ -967,6 +967,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 row 5 (sql_database): live JDBC round-trip against embedded
+    // Derby — Spark's JDBC sink creates and loads the table, then
+    // JdbcSource.read scans it back with a pushed-down predicate and a
+    // MIN/MAX-probed partitioned parallel read (4 disjoint ranges)
+    "q_jdbc_scan" -> ((s, dir) => {
+      import graft.connectors.db.JdbcSource
+      val tmp = java.nio.file.Files.createTempDirectory("graft_derby")
+      System.setProperty("derby.system.home", tmp.toString)
+      val url = s"jdbc:derby:$tmp/db;create=true" // driver autoloads via the JDBC4 service registry
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      src.write.format("jdbc")
+        .option("url", url).option("dbtable", "ORDERS")
+        .option("createTableColumnTypes", "o_orderstatus VARCHAR(1)")
+        .mode("overwrite").save()
+      val df = JdbcSource.read(s,
+        JdbcSource.JdbcConfig(url, "ORDERS",
+          partitionColumn = Some("\"o_custkey\""), // writer quotes identifiers → case-sensitive
+          numPartitions = 4),
+        pushdown = Some("\"o_orderkey\" < 3000"))
+      df.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.1 row 4 (kinesis): two-wave shard read through the dict-valued
     // per-shard sequence cursor — wave 1 bounded, cursor committed, wave 2
     // resumes strictly after it; union must equal the source exactly (no
@@ -1682,6 +1710,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id >= 40 AND doc_id < 400
         |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_jdbc_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_shard_cursor" ->
       """SELECT 'shard-' || CAST(user_id % 3 AS VARCHAR) AS _shard_id, count(*) AS n,
