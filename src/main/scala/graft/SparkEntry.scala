@@ -967,6 +967,79 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
+    // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
+    // bools) → header mapping + type inference + serial-date conversion →
+    // typed aggregation the oracle recomputes from the parquet directly
+    "q_sheets_serial" -> ((s, dir) => {
+      import graft.connectors.sources.{SheetsReader, Specialized}
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1970-01-01"))).as("epoch_day"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey").collect()
+      val grid: Seq[Seq[String]] =
+        Seq(Seq("order id", "order date", "total price", "even flag")) ++
+          orders.toSeq.map { r =>
+            Seq(r.getLong(0).toString, (r.getInt(1) + 25569).toString, // Lotus serial: 1899-12-30 base
+              r.getDouble(2).toString, if (r.getLong(0) % 2 == 0) "TRUE" else "FALSE")
+          }
+      val df = SheetsReader.fromGrid(s, grid)
+      df.withColumn("d", Specialized.Sheets.serialToDate(col("order_date")))
+        .groupBy(trunc(col("d"), "month").as("month"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("total_price").cast(dec18_2)).cast("double").as("sum_price"),
+          sum(when(col("even_flag"), 1L).otherwise(0L)).as("n_even"),
+        )
+        .orderBy("month")
+    }),
+
+    // §2.1 row 16 (github GraphQL): relay-cursor paging over canned pages
+    // + nested edges/node connection flattening; labels fan out per doc
+    // (n_chars % 3 + 1 of them) and the oracle regenerates the fan-out
+    // with generate_series
+    "q_graphql_flatten" -> ((s, dir) => {
+      import graft.connectors.rest.{GraphQlReader, HttpResponse, HttpTransport}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      def node(r: org.apache.spark.sql.Row) = {
+        val k = (r.getLong(2) % 3).toInt + 1
+        val edges = (0 until k).map(i => s"""{"node":{"name":"l$i"}}""").mkString(",")
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","labels":{"edges":[$edges],"totalCount":$k}}"""
+      }
+      val chunks = docs.toSeq.grouped(40).toSeq
+      val pages: Map[String, String] = chunks.zipWithIndex.map { case (chunk, i) =>
+        val cursor = if (i == 0) "start" else s"c$i"
+        val hasNext = i < chunks.size - 1
+        val end = if (hasNext) s""""c${i + 1}"""" else "null"
+        cursor ->
+          s"""{"data":{"search":{"nodes":[${chunk.map(node).mkString(",")}],
+             |"pageInfo":{"hasNextPage":$hasNext,"endCursor":$end}}}}""".stripMargin.replaceAll("\n", "")
+      }.toMap
+      val transport = new HttpTransport {
+        override def get(url: String, params: Map[String, String],
+            headers: Map[String, String]): HttpResponse = HttpResponse(405, "GET not supported")
+        override def post(url: String, body: String,
+            headers: Map[String, String]): HttpResponse = {
+          val cursor = Option(graft.connectors.rest.Json.parse(body).get("variables").get("after"))
+            .map(_.asText()).getOrElse("start")
+          pages.get(cursor).map(HttpResponse(200, _))
+            .getOrElse(HttpResponse(400, s"""{"errors":[{"message":"bad cursor $cursor"}]}"""))
+        }
+      }
+      val cfg = GraphQlReader.GraphQlConfig(
+        url = "https://fixture.test/graphql",
+        query = "query($after:String){search{nodes{...}}}",
+        itemsPath = "data.search.nodes[*]",
+        pageInfoPath = "data.search.pageInfo")
+      GraphQlReader.read(s, cfg, transport)
+        .select(col("doc_id"), explode(expr("transform(labels, l -> l.name)")).as("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("label")
+    }),
+
     // §2.1 row 5 (sql_database): live JDBC round-trip against embedded
     // Derby — Spark's JDBC sink creates and loads the table, then
     // JdbcSource.read scans it back with a pushed-down predicate and a
@@ -1715,6 +1788,19 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_sheets_serial" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_even
+        |FROM orders WHERE o_orderkey < 4000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_graphql_flatten" ->
+      """WITH fan AS (SELECT doc_id, UNNEST(range(0, CAST(n_chars % 3 AS BIGINT) + 1)) AS g
+        | FROM documents WHERE doc_id < 200)
+        |SELECT 'l' || CAST(g AS VARCHAR) AS label, count(*) AS n,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM fan GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_shard_cursor" ->
       """SELECT 'shard-' || CAST(user_id % 3 AS VARCHAR) AS _shard_id, count(*) AS n,
