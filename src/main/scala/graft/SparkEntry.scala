@@ -967,6 +967,41 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // unstructured_data, REAL decode path: WAV/BMP/PNG blobs are
+    // synthesized per-row on executors (deterministic formulas over
+    // events), then decoded by the actual JDK-only codecs — RIFF chunk
+    // walk, DIB pixel walk, zlib inflate + scanline unfilter. The decoded
+    // integer invariants (sample-square sums, pixel sums) are what DuckDB
+    // recomputes from the same formulas: a wrong header parse, inflate,
+    // or unfilter shows up as a sum mismatch.
+    "q_media_decode" -> ((s, dir) => {
+      import graft.ops.{MediaCodecs, Multimodal}
+      import s.implicits._
+      val ev = t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), col("user_id"))
+      val blobs = ev.as[(Long, Long)].map { case (e, u) =>
+        val bytes = (e % 3) match {
+          case 0 =>
+            val n = (100 + u % 400).toInt
+            MediaCodecs.encodeWavPcm16(16000,
+              Array.tabulate(n)(i => (((e * 31 + i * 17) % 2001) - 1000).toShort))
+          case 1 =>
+            val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
+            MediaCodecs.encodeBmp24(w, h, (x, y) => {
+              val v = ((e + 7 * x + 11 * y) % 256).toInt; (v, v, v)
+            })
+          case _ =>
+            val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
+            MediaCodecs.encodePngRgb(w, h, (x, y) => {
+              val v = ((e + 7 * x + 11 * y) % 256).toInt; (v, v, v)
+            })
+        }
+        (e, bytes)
+      }.toDF("media_id", "content")
+      Multimodal.decodeMedia(blobs, "media_id", "content").toDF()
+        .orderBy("media_id")
+    }),
+
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
     // bools) → header mapping + type inference + serial-date conversion →
@@ -1788,6 +1823,22 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_media_decode" ->
+      """WITH src AS (SELECT event_id AS e, user_id AS u FROM events WHERE event_id < 500),
+        |wavu AS (SELECT e, u, UNNEST(range(0, 100 + u % 400)) AS i FROM src WHERE e % 3 = 0),
+        |wav AS (SELECT e AS media_id, 'wav' AS format, CAST(0 AS INTEGER) AS width,
+        |  CAST(0 AS INTEGER) AS height, CAST(100 + u % 400 AS BIGINT) AS n_units,
+        |  CAST(sum(((e*31 + i*17) % 2001 - 1000) * ((e*31 + i*17) % 2001 - 1000)) AS BIGINT) AS content_sum
+        |  FROM wavu GROUP BY e, u),
+        |imgx AS (SELECT e, u, UNNEST(range(0, 4 + e % 13)) AS x FROM src WHERE e % 3 IN (1, 2)),
+        |imgxy AS (SELECT e, u, x, UNNEST(range(0, 3 + u % 9)) AS y FROM imgx),
+        |img AS (SELECT e AS media_id, CASE WHEN e % 3 = 1 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(4 + e % 13 AS INTEGER) AS width, CAST(3 + u % 9 AS INTEGER) AS height,
+        |  CAST((4 + e % 13) * (3 + u % 9) AS BIGINT) AS n_units,
+        |  CAST(3 * sum((e + 7*x + 11*y) % 256) AS BIGINT) AS content_sum
+        |  FROM imgxy GROUP BY e, u)
+        |SELECT * FROM wav UNION ALL SELECT * FROM img ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
 
     "q_sheets_serial" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,

@@ -84,6 +84,19 @@ object Multimodal {
       }
   }
 
+  /** REAL decode stage for JDK-decodable formats (WAV/BMP/PNG via
+    * `MediaCodecs`): same per-partition batch contract as the stub path,
+    * but the kernel actually parses the container and pixels/samples.
+    * Unknown formats degrade to a stub row instead of failing the batch.
+    */
+  def decodeMedia(df: DataFrame, idCol: String, binCol: String): Dataset[MediaCodecs.MediaInfo] = {
+    implicit val enc: Encoder[MediaCodecs.MediaInfo] = Encoders.product[MediaCodecs.MediaInfo]
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map(r => MediaCodecs.decodeAny(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+  }
+
   /** Frame sampling plan for video blobs: every `stride`-th frame index up
     * to n_frames — pure expression, the decode kernel receives the index
     * list. Demonstrates explode-based fan-out without duplicating blobs:

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater}
+
+class MediaCodecsSpec extends AnyFunSuite {
+  import MediaCodecs._
+
+  // ------------------------------------------------------------------ WAV
+
+  test("WAV PCM16 round-trip: header facts and exact square sum") {
+    val samples = Array.tabulate(480)(i => ((i * 37) % 2001 - 1000).toShort)
+    val info = decodeWav(encodeWavPcm16(8000, samples))
+    assert(info == WavInfo(1, 8000, 16, 480, samples.map(s => s.toLong * s).sum))
+  }
+
+  test("WAV stereo: nSamples counts frames, not interleaved values") {
+    val samples = Array.tabulate(100)(i => i.toShort) // 50 L/R frames
+    val info = decodeWav(encodeWavPcm16(44100, samples, channels = 2))
+    assert(info.channels == 2 && info.nSamples == 50)
+  }
+
+  test("WAV unknown chunks are skipped (LIST between fmt and data)") {
+    val base = encodeWavPcm16(16000, Array[Short](1, 2, 3))
+    // splice a LIST chunk (le size 4, body "INFO") after fmt, which ends at offset 36
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    assert(decodeWav(spliced).sqSum == 1 + 4 + 9)
+  }
+
+  test("WAV rejects non-PCM and truncated input") {
+    assertThrows[IllegalArgumentException](decodeWav("RIFFxxxxJUNK".getBytes))
+    val float32 = encodeWavPcm16(8000, Array[Short](1))
+    float32(20) = 3 // audioFormat = IEEE float
+    assertThrows[IllegalArgumentException](decodeWav(float32))
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  test("BMP 24bpp round-trip with padded rows (w=5: stride 16, not 15)") {
+    val enc = encodeBmp24(5, 3, (x, y) => (x * 10, y * 20, x + y))
+    val info = decodeBmp(enc)
+    val expectSum = (for { x <- 0 until 5; y <- 0 until 3 } yield (x * 10) + (y * 20) + (x + y)).sum
+    assert(info == BmpInfo(5, 3, 24, expectSum.toLong))
+    assert(enc.length == 54 + 16 * 3) // padding present but excluded from the sum
+  }
+
+  test("BMP rejects non-BMP and compressed variants") {
+    assertThrows[IllegalArgumentException](decodeBmp(Array.fill[Byte](60)(7)))
+    val enc = encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    enc(30) = 1 // BI_RLE8 compression flag
+    assertThrows[IllegalArgumentException](decodeBmp(enc))
+  }
+
+  // ------------------------------------------------------------------ PNG
+
+  test("PNG RGB round-trip (filter None path)") {
+    val enc = encodePngRgb(7, 4, (x, y) => ((x * 3) % 256, (y * 5) % 256, (x + y) % 256))
+    val info = decodePng(enc)
+    val expectSum = (for { x <- 0 until 7; y <- 0 until 4 }
+      yield (x * 3) % 256 + (y * 5) % 256 + (x + y) % 256).sum
+    assert(info == PngInfo(7, 4, 8, 2, expectSum.toLong))
+  }
+
+  /** Build a PNG from pre-filtered raw scanline bytes (filter byte + data
+    * per row) so every filter type's unfilter path is exercised.
+    */
+  private def pngFromRaw(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(12 + body.length)
+      buf.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      buf.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val deflater = new Deflater(); deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+  }
+
+  test("PNG Sub/Up/Average/Paeth filters unfilter correctly (grayscale)") {
+    // 3x4 grayscale, target pixels row-major:
+    val px = Array(
+      Array(10, 20, 30),
+      Array(15, 25, 35),
+      Array(100, 200, 44),
+      Array(90, 180, 60))
+    // row 0: Sub     → raw = cur - left
+    // row 1: Up      → raw = cur - up
+    // row 2: Average → raw = cur - floor((left+up)/2)
+    // row 3: Paeth   → raw = cur - paeth(left, up, upleft)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(1); px(0).zipWithIndex.foreach { case (v, i) =>
+      raw.write((v - (if (i > 0) px(0)(i - 1) else 0)) & 0xff) }
+    raw.write(2); px(1).zipWithIndex.foreach { case (v, i) => raw.write((v - px(0)(i)) & 0xff) }
+    raw.write(3); px(2).zipWithIndex.foreach { case (v, i) =>
+      raw.write((v - ((if (i > 0) px(2)(i - 1) else 0) + px(1)(i)) / 2) & 0xff) }
+    raw.write(4); px(3).zipWithIndex.foreach { case (v, i) =>
+      raw.write((v - paeth(if (i > 0) px(3)(i - 1) else 0, px(2)(i),
+        if (i > 0) px(2)(i - 1) else 0)) & 0xff) }
+    val info = decodePng(pngFromRaw(3, 4, colorType = 0, raw.toByteArray))
+    assert(info == PngInfo(3, 4, 8, 0, px.flatten.sum.toLong))
+  }
+
+  test("PNG RGBA: alpha bytes excluded from the pixel sum") {
+    // 2x1 RGBA, filter None: pixels (1,2,3,alpha=200), (4,5,6,alpha=100)
+    val raw = Array[Byte](0, 1, 2, 3, 200.toByte, 4, 5, 6, 100.toByte)
+    val info = decodePng(pngFromRaw(2, 1, colorType = 6, raw))
+    assert(info == PngInfo(2, 1, 8, 6, 1 + 2 + 3 + 4 + 5 + 6))
+  }
+
+  test("PNG corrupted CRC is rejected") {
+    val enc = encodePngRgb(3, 3, (_, _) => (9, 9, 9))
+    enc(20) = (enc(20) ^ 0xff).toByte // flip a byte inside IHDR body
+    assertThrows[IllegalArgumentException](decodePng(enc))
+  }
+
+  // -------------------------------------------------------------- dispatch
+
+  test("decodeAny sniffs magic bytes and degrades unknown formats to a stub row") {
+    val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](3)))
+    assert(wav.format == "wav" && wav.content_sum == 9)
+    val bmp = decodeAny(2, encodeBmp24(2, 2, (_, _) => (1, 1, 1)))
+    assert(bmp.format == "bmp" && bmp.n_units == 4 && bmp.content_sum == 12)
+    val png = decodeAny(3, encodePngRgb(2, 2, (_, _) => (2, 2, 2)))
+    assert(png.format == "png" && png.content_sum == 24)
+    val unknown = decodeAny(4, Array[Byte](1, 2, 3))
+    assert(unknown.format == "unknown" && unknown.n_units == 3)
+  }
+}
