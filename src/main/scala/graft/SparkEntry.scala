@@ -967,6 +967,74 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 row 21 (inbox): two-wave mailbox read through the UID
+    // high-water-mark cursor with server-side FROM pushdown — wave 1 sees
+    // the first 300 messages, the cursor commits, wave 2 reads a grown
+    // mailbox strictly above the committed UID; the union must be exactly
+    // the matching message set (countDistinct hard-checks no dup/loss)
+    "q_inbox_cursor" -> ((s, dir) => {
+      import graft.connectors.sources.Inbox
+      import Inbox._
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        .orderBy("doc_id").collect()
+      def mkClient(maxDoc: Long): MailClient = new MailClient {
+        private val rows = docs.toSeq.filter(_.getLong(0) < maxDoc)
+        override def listUids(criteria: MailCriteria, afterUid: Long): Seq[Long] =
+          rows.map(_.getLong(0)).filter { id =>
+            id > afterUid && criteria.fromAddress.forall(f => s"u${id % 7}@x.test" == f)
+          }
+        override def fetchMessage(folder: String, uid: Long): MailMessage = {
+          val r = rows.find(_.getLong(0) == uid).get
+          MailMessage(uid, s"m$uid", s"u${uid % 7}@x.test", "inbox@x.test",
+            r.getString(1), f"2024-01-${(uid % 28) + 1}%02d", r.getString(2))
+        }
+        override def fetchAttachments(folder: String, uid: Long): Seq[MailAttachment] = Nil
+      }
+      val crit = MailCriteria(fromAddress = Some("u3@x.test"))
+      val state = new StateStore(
+        java.nio.file.Files.createTempDirectory("graft_inbox").resolve("s.json"))
+      val (wave1, last1) = readMessages(s, mkClient(300), crit, state)
+      Inbox.commit(state, crit.folder, last1)
+      val (wave2, _) = readMessages(s, mkClient(Long.MaxValue), crit, state)
+      wave1.union(wave2)
+        .groupBy(col("subject").as("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("uid")).as("n_uids"),
+          sum(length(col("bodyText"))).as("sum_chars"),
+        )
+        .orderBy("lang")
+    }),
+
+    // §2.1 row 22 (scraping): threaded producer → bounded QueueBridge →
+    // drainBatches (size/time-bounded batches, backpressure, EOS);
+    // batch boundaries are timing-dependent but the drained union is
+    // exactly the produced set
+    "q_queue_bridge" -> ((s, dir) => {
+      import graft.connectors.streams.QueueBridge
+      val ev = t(s, dir, "events").filter(col("event_id") < 1500)
+        .select("event_id", "event_type", "value").orderBy("event_id").collect()
+      val bridge = new QueueBridge[String](capacity = 64)
+      val producer = new Thread(() => {
+        ev.foreach { r =>
+          bridge.put(s"""{"event_id":${r.getLong(0)},"event_type":"${r.getString(1)}","value":${r.getDouble(2)}}""")
+        }
+        bridge.close()
+      })
+      producer.start()
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      bridge.drainBatches(s, batchSize = 100, readTimeoutMs = 2000)(identity)(df => parts += df)
+      producer.join()
+      parts.reduce(_.unionByName(_))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          sum(col("value").cast(dec18_2)).cast("double").as("sum_value"),
+        )
+        .orderBy("event_type")
+    }),
+
     // unstructured_data, REAL decode path: WAV/BMP/PNG blobs are
     // synthesized per-row on executors (deterministic formulas over
     // events), then decoded by the actual JDK-only codecs — RIFF chunk
@@ -1823,6 +1891,16 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_inbox_cursor" ->
+      """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS n_uids,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 = 3 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_queue_bridge" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id < 1500 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_media_decode" ->
       """WITH src AS (SELECT event_id AS e, user_id AS u FROM events WHERE event_id < 500),
