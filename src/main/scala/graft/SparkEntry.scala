@@ -967,6 +967,50 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 rows 8-35 capstone: a Fleet connector config (github) drives
+    // the REST engine against canned paginated pages, flows through the
+    // pipeline driver (normalize → child tables → merge disposition), and
+    // the LANDED parquet tables — root joined to the exploded labels child
+    // on _dlt_id — must aggregate to what DuckDB computes from the source
+    "q_fleet_pipeline" -> ((s, dir) => {
+      import graft.connectors.rest.{RestEngine, StaticPagesTransport}
+      import graft.connectors.sources.Fleet
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      def issue(r: org.apache.spark.sql.Row) = {
+        val k = (r.getLong(2) % 3).toInt + 1
+        val labels = (0 until k).map(i => s"""{"name":"l$i"}""").mkString(",")
+        s"""{"id":${r.getLong(0)},"updated_at":"2024-01-01T00:00:00Z","lang":"${r.getString(1)}","labels":[$labels]}"""
+      }
+      // transport keys carry alphabetically-sorted params
+      def pageKey(n: Option[Int]) = "repos/octo/repo/issues?direction=asc" +
+        n.fold("")(p => s"&page=$p") + "&per_page=100&sort=updated&state=all"
+      val chunks = docs.toSeq.grouped(100).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        pageKey(if (i == 0) None else Some(i + 1)) -> s"[${chunk.map(issue).mkString(",")}]"
+      }.toMap + (pageKey(Some(chunks.size + 1)) -> "[]")
+      val src = Fleet.github("octo", "repo", None)
+      val issuesRes = src.resources.find(_.name == "issues").get
+      val dest = java.nio.file.Files.createTempDirectory("graft_fleet").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_fstate").toString
+      val pipe = new Pipeline(s, "verify_gh", dest, stateDir)
+      val resource = ResourceDef(
+        name = "issues",
+        hints = issuesRes.hints,
+        build = ctx => RestEngine.readResource(ctx.spark, src, issuesRes,
+          StaticPagesTransport(pages), Some(ctx.state)),
+      )
+      pipe.run(SourceDef(src.name, Seq(resource)))
+      val root = s.read.parquet(s"$dest/issues")
+      val labels = s.read.parquet(s"$dest/issues__labels")
+      root.select(col("lang"), col("_dlt_id"))
+        .join(labels.select(col("_dlt_parent_id")), col("_dlt_id") === col("_dlt_parent_id"))
+        .groupBy("lang")
+        .agg(countDistinct(col("_dlt_id")).as("n_issues"), count(lit(1)).as("n_labels"))
+        .orderBy("lang")
+    }),
+
     // §2.1 row 21 (inbox): two-wave mailbox read through the UID
     // high-water-mark cursor with server-side FROM pushdown — wave 1 sees
     // the first 300 messages, the cursor commits, wave 2 reads a grown
@@ -1891,6 +1935,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_fleet_pipeline" ->
+      """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
+        |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_inbox_cursor" ->
       """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS n_uids,
