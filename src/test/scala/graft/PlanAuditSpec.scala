@@ -79,4 +79,12 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
     assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(2000)}")
   }
+
+  test("document scan pushes the range filter into the DSv2 store, not a post-filter of a full scan") {
+    val plan = finalPlan(ran("q_doc_pushdown"))
+    // DocScan.description() surfaces the pushed store filter; both range
+    // bounds must reach it so the store only materializes the slice
+    assert(plan.contains("doc_id.gte") && plan.contains("doc_id.lt"),
+      s"range filter must be pushed into the document store:\n${plan.take(2000)}")
+  }
 }
