@@ -1011,6 +1011,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 row 24 (stripe): the JSONPath tail-cursor paginator — each next
+    // page keys on the LAST id of the previous page (data[-1:].id →
+    // starting_after), terminating on an empty page; customers land via
+    // the Fleet config and aggregate per market segment
+    "q_stripe_cursor" -> ((s, dir) => {
+      import graft.connectors.rest.{RestEngine, StaticPagesTransport}
+      import graft.connectors.sources.Fleet
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey").collect()
+      def item(r: org.apache.spark.sql.Row) =
+        s"""{"id":"cus_${r.getLong(0)}","nation":${r.getInt(1)},"acctbal":${r.getDouble(2)},"segment":"${r.getString(3)}"}"""
+      val chunks = cust.toSeq.grouped(100).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        val key = if (i == 0) "v1/customers?limit=100"
+          else s"v1/customers?limit=100&starting_after=cus_${chunks(i - 1).last.getLong(0)}"
+        key -> s"""{"data":[${chunk.map(item).mkString(",")}],"has_more":${i < chunks.size - 1}}"""
+      }.toMap +
+        (s"v1/customers?limit=100&starting_after=cus_${chunks.last.last.getLong(0)}" ->
+          """{"data":[],"has_more":false}""")
+      val src = Fleet.stripe("sk_fixture")
+      val customers = src.resources.find(_.name == "customer").get
+      RestEngine.readResource(s, src, customers, StaticPagesTransport(pages))
+        .groupBy(col("segment").as("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_ids"),
+          sum(col("acctbal").cast(dec18_2)).cast("double").as("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    }),
+
     // §2.1 row 21 (inbox): two-wave mailbox read through the UID
     // high-water-mark cursor with server-side FROM pushdown — wave 1 sees
     // the first 300 messages, the cursor commits, wave 2 reads a grown
@@ -1939,6 +1971,11 @@ object SparkEntry {
     "q_fleet_pipeline" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_stripe_cursor" ->
+      """SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_custkey) AS n_ids,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_inbox_cursor" ->
       """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS n_uids,
