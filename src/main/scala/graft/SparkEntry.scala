@@ -31,6 +31,20 @@ object SparkEntry {
     }
   }
 
+  /** Run `body` with a temporarily lowered shuffle-partition count: the
+    * streaming contract queries process ~10⁵ rows, where 32 state-store
+    * partitions cost more in per-partition commit overhead than they buy
+    * in parallelism (state partition count is fixed per query at first
+    * run, so this must wrap the whole streaming run). Restores the
+    * session's setting afterwards — queries run sequentially in Verify
+    * and Bench, so the temporary change cannot leak into another plan.
+    */
+  private def withFewShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** Streaming twin of `t` for the events table: file stream source with
     * the nanos-long schema, converted to a µs timestamp for watermarking.
     */
@@ -1352,11 +1366,13 @@ object SparkEntry {
     // exercise the state store and event-time timeouts.
     "q_stream_window" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      val ev = streamEvents(s, dir)
-        .filter(col("event_id") < 4000)
-        .withColumn("value", col("value").cast(dec18_2))
-      val agg = EventStreams.windowedCounts(ev, window = "6 hours", watermark = "1 hour")
-      EventStreams.runAvailableNow(agg, "q_stream_window_sink", outputMode = "complete")
+      withFewShufflePartitions(s, 8) {
+        val ev = streamEvents(s, dir)
+          .filter(col("event_id") < 4000)
+          .withColumn("value", col("value").cast(dec18_2))
+        val agg = EventStreams.windowedCounts(ev, window = "6 hours", watermark = "1 hour")
+        EventStreams.runAvailableNow(agg, "q_stream_window_sink", outputMode = "complete")
+      }
       s.table("q_stream_window_sink")
         .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
           col("n"), col("total_value").cast("double").as("total_value"))
@@ -1367,9 +1383,11 @@ object SparkEntry {
     // surviving row set must be exactly the distinct key set
     "q_stream_dedup" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      val ev = streamEvents(s, dir).select(col("ts"), col("user_id"), col("event_type"))
-      val dd = EventStreams.streamingDedup(ev, Seq("user_id", "event_type"), watermark = "1 hour")
-      EventStreams.runAvailableNow(dd, "q_stream_dedup_sink")
+      withFewShufflePartitions(s, 8) {
+        val ev = streamEvents(s, dir).select(col("ts"), col("user_id"), col("event_type"))
+        val dd = EventStreams.streamingDedup(ev, Seq("user_id", "event_type"), watermark = "1 hour")
+        EventStreams.runAvailableNow(dd, "q_stream_dedup_sink")
+      }
       s.table("q_stream_dedup_sink")
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
@@ -1383,12 +1401,14 @@ object SparkEntry {
     "q_stream_sessionize" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import s.implicits._
-      val ev = streamEvents(s, dir)
-        .filter(col("user_id") < 50)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .as[EventStreams.Event]
-      val sessions = EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
-      EventStreams.runAvailableNow(sessions.toDF(), "q_stream_sessionize_sink")
+      withFewShufflePartitions(s, 8) {
+        val ev = streamEvents(s, dir)
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val sessions = EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+        EventStreams.runAvailableNow(sessions.toDF(), "q_stream_sessionize_sink")
+      }
       s.table("q_stream_sessionize_sink")
         .select(col("user_id"),
           (unix_micros(col("start")) / 1000).cast("long").as("start_ms"),
