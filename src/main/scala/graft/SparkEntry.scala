@@ -1025,6 +1025,50 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.1 row 15 (salesforce): bulk-vs-REST datetime unification — bulk
+    // rows arrive as epoch-millis digit strings, REST rows as ISO strings;
+    // normalizeDatetime must map both onto the same timeline (grouped per
+    // day, the oracle recomputes from the raw timestamps)
+    "q_soql_unify" -> ((s, dir) => {
+      import graft.connectors.sources.Specialized.Soql
+      val ev = t(s, dir, "events").filter(col("event_id") < 3000)
+      val raw = ev.select(col("event_id"),
+        when(col("event_id") % 2 === 0,
+          (unix_micros(col("ts")) / 1000).cast("long").cast("string"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS")).as("created_raw"))
+      raw.select(col("event_id"), Soql.normalizeDatetime(col("created_raw")).as("created"))
+        .groupBy(to_date(col("created")).as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("day")
+    }),
+
+    // §2.1 row 13 (google_analytics): report-value typing — the canned GA
+    // report carries yyyyMMdd date dimensions and stringly metrics
+    // (TYPE_INTEGER / TYPE_FLOAT); dimensionColumn + metricColumn type
+    // them and the monthly rollup must match DuckDB aggregating the raw
+    // events directly
+    "q_ga_report" -> ((s, dir) => {
+      import graft.connectors.sources.Specialized.GA
+      val report = t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyyMMdd").as("date_str"), col("event_type"))
+        .agg(
+          count(lit(1)).cast("string").as("views_raw"),
+          sum(col("value").cast(dec18_2)).cast("string").as("rate_raw"),
+        )
+      report.select(
+        GA.dimensionColumn(col("date_str"), "date").as("d"),
+        GA.metricColumn(col("views_raw"), "TYPE_INTEGER").as("views"),
+        GA.metricColumn(col("rate_raw"), "TYPE_FLOAT").as("rate"),
+      )
+        .groupBy(trunc(col("d"), "month").as("month"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("views")).as("sum_views"),
+          sum(col("rate").cast(dec18_2)).cast("double").as("sum_rate"),
+        )
+        .orderBy("month")
+    }),
+
     // §2.1 row 24 (stripe): the JSONPath tail-cursor paginator — each next
     // page keys on the LAST id of the previous page (data[-1:].id →
     // starting_after), terminating on an empty page; customers land via
@@ -1991,6 +2035,18 @@ object SparkEntry {
     "q_fleet_pipeline" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_soql_unify" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n, count(DISTINCT event_id) AS n_ids
+        |FROM events WHERE event_id < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_ga_report" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+        |  count(*) AS views, sum(CAST(value AS DECIMAL(18,2))) AS rate
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('month', d) AS DATE) AS month, count(*) AS n_rows,
+        | CAST(sum(views) AS BIGINT) AS sum_views, CAST(sum(rate) AS DOUBLE) AS sum_rate
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_stripe_cursor" ->
       """SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_custkey) AS n_ids,
