@@ -1025,6 +1025,36 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // training-corpus PII scrubbing: deterministic emails/phones/IPs are
+    // injected into each document and the codegen'd regexp passes must
+    // count and redact them exactly as DuckDB's RE2 replays of the same
+    // patterns (the patterns are deliberately RE2-compatible)
+    "q_redact" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val injected = t(s, dir, "documents")
+        .withColumn("txt", concat_ws("",
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@corp.example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      val counts = TextAnalysis.piiCounts(col("txt")).map { case (n, c) => c.as(n) }
+      injected.select(
+        Seq(col("doc_id")) ++ counts ++
+          Seq(length(TextAnalysis.redactPii(col("txt"))).cast("long").as("red_len")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // gopher-style repetition signals: duplicate-word and duplicate-3-gram
+    // counts per document, pure HOFs (no shuffle, no UDF), oracle =
+    // DuckDB list functions recomputing the same integers
+    "q_repetition" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val stats = TextAnalysis.repetitionStats(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++ stats: _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.1 row 15 (salesforce): bulk-vs-REST datetime unification — bulk
     // rows arrive as epoch-millis digit strings, REST rows as ISO strings;
     // normalizeDatetime must map both onto the same timeline (grouped per
@@ -2035,6 +2065,32 @@ object SparkEntry {
     "q_fleet_pipeline" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example.com or 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.7' AS txt FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(txt, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(txt, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(length(regexp_replace(regexp_replace(regexp_replace(txt,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS BIGINT) AS red_len
+        |FROM t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, len(ws) AS n, greatest(len(ws) - 2, 0) AS n3,
+        |  list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        | CAST(n - len(list_distinct(ws)) AS BIGINT) AS n_dup_words,
+        | CAST(n3 AS BIGINT) AS n_3grams,
+        | CAST(n3 - len(list_distinct(grams)) AS BIGINT) AS n_dup_3grams
+        |FROM g ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_soql_unify" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n, count(DISTINCT event_id) AS n_ids

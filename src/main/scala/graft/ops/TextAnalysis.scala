@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language-ID heuristics, fingerprinting.
@@ -108,4 +109,53 @@ object TextAnalysis {
     * over the first 64 normalized chars).
     */
   def fingerprint(text: Column): Column = md5(substring(lower(text), 1, 64))
+
+  // ------------------------------------------------------- PII redaction
+
+  /** Training-corpus PII scrubbing: codegen'd regexp passes, no UDF. The
+    * patterns are RE2-compatible (no backrefs/lookaround) so an external
+    * engine can replay them byte-identically.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b555-[0-9]{4}\\b"
+  val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Replace emails, then phone numbers, then IPs (the order is part of
+    * the contract: earlier placeholders must not re-match later passes).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)).cast(LongType),
+    "n_phones" -> regexp_count(text, lit(phoneRe)).cast(LongType),
+    "n_ips"    -> regexp_count(text, lit(ipRe)).cast(LongType),
+  )
+
+  // -------------------------------------------------- repetition signals
+
+  /** Gopher-style intra-document repetition: duplicate-word and
+    * duplicate-3-gram counts, all as exact integers from pure HOFs (one
+    * narrow pass per document, no shuffle, no UDF).
+    */
+  def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val n = size(ws)
+    val n3 = greatest(n - 2, lit(0))
+    // 3-grams via transform over positions; sequence(1, 0) would run
+    // BACKWARDS (Spark picks step -1), hence the n >= 3 guard
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), n3), i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array())
+    Seq(
+      "n_words" -> n.cast(LongType),
+      "n_dup_words" -> (n - size(array_distinct(ws))).cast(LongType),
+      "n_3grams" -> n3.cast(LongType),
+      "n_dup_3grams" -> (n3 - size(array_distinct(grams))).cast(LongType),
+    )
+  }
 }

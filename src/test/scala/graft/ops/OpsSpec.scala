@@ -281,6 +281,33 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("PII redaction replaces all occurrences in order and leaves clean text alone") {
+    val d = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org call 555-1234 twice 555-0000 at 10.0.0.1"),
+      (2L, "no pii here 556-1234 999.999"), // near-misses must survive
+    ).toDF("id", "text")
+    val out = d.select($"id", TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> and <EMAIL> call <PHONE> twice <PHONE> at <IP>")
+    assert(out(2L) == "no pii here 556-1234 999.999")
+    val counts = d.where($"id" === 1)
+      .select(TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }: _*).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 2L, 1L)))
+  }
+
+  test("repetition stats count duplicate words and 3-grams; short docs are zero-safe") {
+    val d = Seq(
+      (1L, "a b c a b c a b x"), // 9 words, {a,b,c,x}=4 distinct → 5 dups; 7 3-grams
+      (2L, "one two"),           // under 3 words: no 3-grams, not a crash
+    ).toDF("id", "text")
+    val out = d.select(
+      Seq($"id") ++ TextAnalysis.repetitionStats($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 3-grams of doc 1: "a b c","b c a","c a b","a b c","b c a","c a b","a b x" → 4 distinct, 3 dups
+    assert(out(1L) == ((9L, 5L, 7L, 3L)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L)))
+  }
+
   test("multimodal decode plumbing produces one feature row per blob") {
     val d = Seq((1L, "abc"), (2L, "defg")).toDF("id", "text")
       .withColumn("content", $"text".cast("binary"))
