@@ -127,6 +127,47 @@ class MediaCodecsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](decodePng(enc))
   }
 
+  // ----------------------------------------------------------- properties
+
+  test("codec round-trips hold for arbitrary dims and content (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    val params = Parameters.default.withMinSuccessfulTests(40)
+
+    val wavProp = forAll(Gen.choose(0, 600), Gen.choose(1L, Long.MaxValue)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val info = decodeWav(encodeWavPcm16(16000, samples))
+      info.nSamples == n.toLong &&
+        info.sqSum == samples.map(s => s.toLong * s).sum
+    }
+    val imgGen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40); seed <- Gen.choose(1L, Long.MaxValue)
+    } yield (w, h, seed)
+    def pixels(w: Int, h: Int, seed: Long): (Int, Int) => (Int, Int, Int) = {
+      val rnd = new scala.util.Random(seed)
+      val data = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      (x, y) => data(y)(x)
+    }
+    def sum3(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Long =
+      (for { y <- 0 until h; x <- 0 until w; v = px(x, y) } yield (v._1 + v._2 + v._3).toLong).sum
+    val bmpProp = forAll(imgGen) { case (w, h, seed) =>
+      val px = pixels(w, h, seed)
+      val info = decodeBmp(encodeBmp24(w, h, px))
+      info.width == w && info.height == h && info.pixSum == sum3(w, h, px)
+    }
+    val pngProp = forAll(imgGen) { case (w, h, seed) =>
+      val px = pixels(w, h, seed)
+      val info = decodePng(encodePngRgb(w, h, px))
+      info.width == w && info.height == h && info.pixSum == sum3(w, h, px)
+    }
+    for ((name, p) <- Seq(("wav", wavProp), ("bmp", bmpProp), ("png", pngProp))) {
+      val res = check(params, p)
+      assert(res.passed, s"$name round-trip property failed: ${res.status}")
+    }
+  }
+
   // -------------------------------------------------------------- dispatch
 
   test("decodeAny sniffs magic bytes and degrades unknown formats to a stub row") {
