@@ -1552,6 +1552,46 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** CTE chain replaying `Dedup.nearDupPairs` INCLUDING the degenerate-
+    * bucket cap: band buckets over `cap` docs are split by the md5-derived
+    * refinement hash (60 bits of md5 of the full signature — the exact
+    * value the Spark side computes via conv/substring), and sub-buckets
+    * still over the cap pair as a star around their min-id hub. The oracle
+    * therefore stays hash-identical at EVERY scale factor, including the
+    * ones where the cap actually engages. Emits the CTE list (no WITH
+    * keyword) ending in `verified(id_a, id_b, jac)` filtered to the
+    * threshold.
+    */
+  private def cappedNearDupCtes(mod: Int, threshold: Double, cap: Int = 1000): String = {
+    val s = (0 until 4).map(i =>
+      s"list_min(list_transform(ws, w -> md5('$i:' || w))) AS s$i").mkString(", ")
+    s"""base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents WHERE doc_id % $mod = 0),
+       |sigs AS (SELECT doc_id, ws, $s FROM base),
+       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
+       |  CAST('0x' || substr(md5(s0 || '|' || s1 || '|' || s2 || '|' || s3), 1, 15) AS BIGINT) AS refine
+       |  FROM sigs),
+       |bands AS (SELECT doc_id, 0 AS band, b0 AS h, refine FROM bnd
+       |  UNION ALL SELECT doc_id, 1, b1, refine FROM bnd),
+       |bsize AS (SELECT band, h, count(*) AS n FROM bands GROUP BY 1, 2),
+       |withn AS (SELECT bands.*, n FROM bands JOIN bsize USING (band, h)),
+       |sane AS (SELECT * FROM withn WHERE n <= $cap),
+       |sanepairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM sane x JOIN sane y
+       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       |big AS (SELECT *, refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub FROM withn WHERE n > $cap),
+       |substats AS (SELECT band, h, sub, count(*) AS m, min(doc_id) AS hub FROM big GROUP BY 1, 2, 3),
+       |bigj AS (SELECT big.*, m, hub FROM big JOIN substats USING (band, h, sub)),
+       |bigpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM bigj x JOIN bigj y
+       |  ON x.band = y.band AND x.h = y.h AND x.sub = y.sub AND x.doc_id < y.doc_id
+       |    AND (x.m <= $cap OR x.doc_id = x.hub)),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM
+       |  (SELECT * FROM sanepairs UNION ALL SELECT * FROM bigpairs)),
+       |verified AS (SELECT * FROM (SELECT id_a, id_b,
+       |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+       |  FROM cand JOIN bnd a ON a.doc_id = id_a JOIN bnd b ON b.doc_id = id_b)
+       |  WHERE jac >= $threshold)""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** Ground-truth near-dup pairs by brute force (the %7 subset keeps the
     * oracle's all-pairs join honest at sf0.01) — hard-gates the fast
     * MinHash path end to end.
@@ -1570,25 +1610,13 @@ object SparkEntry {
     * (matches Dedup.clusterPairs' canonical-survivor labels).
     */
   private def dedupClustersSql: String =
-    """WITH RECURSIVE sigs AS (
-      |  SELECT doc_id, ws,
-      |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
-      |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
-      |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 11 = 0)),
-      |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
-      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-      |pairs AS (SELECT id_a, id_b FROM (
-      |    SELECT id_a, id_b,
-      |      len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
-      |    FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
-      |  WHERE jac >= 0.9),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-      |reach(id, lbl) AS (
-      |  SELECT u, u FROM edges
-      |  UNION
-      |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
-      |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+    s"""WITH RECURSIVE ${cappedNearDupCtes(11, 0.9)},
+       |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
       .replaceAll("\n", " ")
 
   /** Oracle twin of Dedup.simhashMd5: md5 per distinct word computed
@@ -1798,18 +1826,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_jaccard" ->
-      """WITH sigs AS (
-        |  SELECT doc_id, ws,
-        |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
-        |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
-        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 13 = 0)),
-        |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT id_a, id_b,
-        |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
-        |  FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
-        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+      s"WITH ${cappedNearDupCtes(13, 0.5)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",
 
     "q_dedup_minhash" -> minhashBandSql,
 
@@ -1822,18 +1839,7 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfSql,
 
     "q_dedup_pipeline" ->
-      """WITH sigs AS (
-        |  SELECT doc_id, ws,
-        |    md5(list_min(list_transform(ws, w -> md5('0:' || w))) || '|' || list_min(list_transform(ws, w -> md5('1:' || w)))) AS b0,
-        |    md5(list_min(list_transform(ws, w -> md5('2:' || w))) || '|' || list_min(list_transform(ws, w -> md5('3:' || w)))) AS b1
-        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents WHERE doc_id % 3 = 0)),
-        |bands AS (SELECT doc_id, 0 AS band, b0 AS h FROM sigs UNION ALL SELECT doc_id, 1, b1 FROM sigs),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |         FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT id_a, id_b,
-        |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
-        |  FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
-        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+      s"WITH ${cappedNearDupCtes(3, 0.8)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (

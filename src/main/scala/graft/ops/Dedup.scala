@@ -265,7 +265,13 @@ object Dedup {
   ): DataFrame = {
     val sigs = minhashSignature(df, textCol, numHashes)
     val numBands = numHashes / rowsPerBand
-    val refine = xxhash64((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    // refinement hash from the md5 family (NOT xxhash64): 60 bits of the
+    // full-signature md5 as a nonnegative long, so an external SQL engine
+    // can replay the over-cap sub-bucket assignment bit-for-bit — the
+    // capped path stays oracle-verifiable at the scale where it engages
+    val refine = conv(substring(
+      md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
     val bands = (0 until numBands).map { b =>
       val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
       sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol).as("__id"), refine.as("__refine"))
