@@ -1467,6 +1467,28 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // streaming → merge landing: the continuous form of the reference's
+    // pull-then-merge loop — each micro-batch flows through foreachBatch
+    // into the merge writer (dedup_sort within the batch, upsert against
+    // the landed table); the final table must be exactly the batch
+    // last-write-wins reduction
+    "q_stream_merge" -> ((s, dir) => {
+      import graft.streaming.StreamingMergeSink
+      val dest = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_smerge_ck").toString
+      val hints = TableHints("events_live", Disposition.Merge,
+        primaryKey = Seq("user_id"), dedupSort = Some(("event_id", true)))
+      withFewShufflePartitions(s, 8) {
+        val ev = streamEvents(s, dir).filter(col("event_id") < 5000)
+          .select("event_id", "user_id", "event_type", "value")
+        val q = StreamingMergeSink.start(ev, dest, hints, ckpt)
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$dest/events_live")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
     // event-time sessionization via flatMapGroupsWithState: sessions closed
     // in-stream (a later event past the gap) plus sessions aged out by the
     // event-time timeout once the watermark passes lastSeen+gap. Timestamps
@@ -2172,6 +2194,13 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 4000 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    // streaming merge landing ≡ batch last-write-wins per key
+    "q_stream_merge" ->
+      """SELECT user_id, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id < 5000)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
 
     // streaming dedup survivors ≡ the distinct key set
     "q_stream_dedup" ->
