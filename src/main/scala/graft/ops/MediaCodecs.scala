@@ -286,18 +286,25 @@ object MediaCodecs {
       n_units: Long, content_sum: Long)
 
   /** Magic-byte sniff → real decoder; unknown formats return a stub row
-    * (format "unknown") rather than failing the batch.
+    * (format "unknown") and malformed/truncated blobs quarantine as
+    * format "corrupt" — at corpus scale one bad blob must NEVER fail the
+    * decode job (filter `format = 'corrupt'` downstream to audit them).
     */
   def decodeAny(id: Long, bytes: Array[Byte]): MediaInfo =
-    if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
-        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) {
-      val w = decodeWav(bytes)
-      MediaInfo(id, "wav", 0, 0, w.nSamples, w.sqSum)
-    } else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
-      val b = decodeBmp(bytes)
-      MediaInfo(id, "bmp", b.width, b.height, b.width.toLong * b.height, b.pixSum)
-    } else if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte) {
-      val p = decodePng(bytes)
-      MediaInfo(id, "png", p.width, p.height, p.width.toLong * p.height, p.pixSum)
-    } else MediaInfo(id, "unknown", 0, 0, bytes.length.toLong, 0L)
+    try {
+      if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+          bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) {
+        val w = decodeWav(bytes)
+        MediaInfo(id, "wav", 0, 0, w.nSamples, w.sqSum)
+      } else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+        val b = decodeBmp(bytes)
+        MediaInfo(id, "bmp", b.width, b.height, b.width.toLong * b.height, b.pixSum)
+      } else if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte) {
+        val p = decodePng(bytes)
+        MediaInfo(id, "png", p.width, p.height, p.width.toLong * p.height, p.pixSum)
+      } else MediaInfo(id, "unknown", 0, 0, bytes.length.toLong, 0L)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaInfo(id, "corrupt", 0, 0, bytes.length.toLong, 0L)
+    }
 }

@@ -180,4 +180,18 @@ class MediaCodecsSpec extends AnyFunSuite {
     val unknown = decodeAny(4, Array[Byte](1, 2, 3))
     assert(unknown.format == "unknown" && unknown.n_units == 3)
   }
+
+  test("decodeAny quarantines malformed blobs as 'corrupt' instead of throwing") {
+    // truncated WAV (valid magic, body cut mid-header)
+    val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(20))
+    assert(wav.format == "corrupt" && wav.n_units == 20)
+    // PNG with a flipped byte (CRC failure)
+    val png = encodePngRgb(3, 3, (_, _) => (1, 1, 1))
+    png(20) = (png(20) ^ 0xff).toByte
+    assert(decodeAny(2, png).format == "corrupt")
+    // BMP header claiming more rows than the buffer holds
+    val bmp = encodeBmp24(4, 2, (_, _) => (1, 1, 1))
+    java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, 999)
+    assert(decodeAny(3, bmp).format == "corrupt")
+  }
 }
