@@ -1459,7 +1459,12 @@ object SparkEntry {
       import graft.streaming.EventStreams
       withFewShufflePartitions(s, 8) {
         val ev = streamEvents(s, dir).select(col("ts"), col("user_id"), col("event_type"))
-        val dd = EventStreams.streamingDedup(ev, Seq("user_id", "event_type"), watermark = "1 hour")
+        // watermark spans the whole event range (a month of data): state
+        // then never ages out mid-run, so the survivors equal the GLOBAL
+        // distinct key set no matter how the source batches the files —
+        // the oracle's semantics hold even if this file ever splits into
+        // multiple micro-batches
+        val dd = EventStreams.streamingDedup(ev, Seq("user_id", "event_type"), watermark = "40 days")
         EventStreams.runAvailableNow(dd, "q_stream_dedup_sink")
       }
       s.table("q_stream_dedup_sink")

@@ -29,6 +29,12 @@ object Replication {
   trait SqlExec extends AutoCloseable {
     /** Run a query, return rows of column values. */
     def query(sql: String): Seq[Seq[Any]]
+    /** Stream a query's rows without materializing them all. The default
+      * materializes (fine for canned stubs); JDBC backends override with
+      * a cursor-backed iterator so a large CDC backlog never has to fit
+      * in driver memory.
+      */
+    def queryStream(sql: String): Iterator[Seq[Any]] = query(sql).iterator
     /** Run a statement for effect. Implementations surface database
       * errors as `SqlError` with the SQLSTATE so idempotent DDL can
       * swallow duplicate/missing-object errors exactly like the
@@ -63,6 +69,45 @@ object Replication {
         case e: java.sql.SQLException =>
           throw SqlError(Option(e.getSQLState).getOrElse(""), e.getMessage)
       } finally st.close()
+    }
+    /** Cursor-backed row stream: rows surface as the ResultSet advances
+      * (fetchSize-batched), and the statement closes at exhaustion. The
+      * poll loop always drains to `upto`, so the terminal close runs.
+      */
+    override def queryStream(sql: String): Iterator[Seq[Any]] = {
+      val st = conn.createStatement()
+      try {
+        st.setFetchSize(10000)
+        if (!st.execute(sql)) { st.close(); return Iterator.empty }
+        val rs = st.getResultSet
+        val n = rs.getMetaData.getColumnCount
+        new Iterator[Seq[Any]] {
+          private var advanced = false
+          private var has = false
+          private def advance(): Unit = if (!advanced) {
+            try {
+              has = rs.next()
+              if (!has) st.close()
+            } catch {
+              case e: java.sql.SQLException =>
+                st.close()
+                throw SqlError(Option(e.getSQLState).getOrElse(""), e.getMessage)
+            }
+            advanced = true
+          }
+          override def hasNext: Boolean = { advance(); has }
+          override def next(): Seq[Any] = {
+            advance()
+            if (!has) throw new NoSuchElementException
+            advanced = false
+            (1 to n).map(rs.getObject)
+          }
+        }
+      } catch {
+        case e: java.sql.SQLException =>
+          st.close()
+          throw SqlError(Option(e.getSQLState).getOrElse(""), e.getMessage)
+      }
     }
     override def close(): Unit = conn.close()
   }
@@ -191,11 +236,10 @@ object Replication {
       * here would also drop the Relation frames needed to decode the rest.
       */
     override def frames(startLsn: Long, uptoLsn: Long): Iterator[(Long, Array[Byte])] =
-      db.query(
+      db.queryStream(
         s"SELECT lsn - '0/0' AS lsn, data " +
           s"FROM pg_logical_slot_peek_binary_changes(${lit(slotName)}, NULL, NULL, $options) " +
           s"WHERE lsn - '0/0' <= $uptoLsn;")
-        .iterator
         .map(r => (r.head.toString.toLong, r(1).asInstanceOf[Array[Byte]]))
 
     override def advance(uptoLsn: Long): Unit =
@@ -277,17 +321,30 @@ object Replication {
         ChangeBatch.changeRows(spark, rel, changes), rel)
       val dest = s"$destRoot/$table"
       val basePath = new org.apache.hadoop.fs.Path(dest)
+      val oldPath = new org.apache.hadoop.fs.Path(dest + "__old")
       val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash repair: a previous round may have died between moving the
+      // live table aside and moving its replacement in — the aside copy
+      // is then the only surviving one; restore it before merging
+      if (!fs.exists(basePath) && fs.exists(oldPath))
+        require(fs.rename(oldPath, basePath), s"could not restore $oldPath")
       val base =
         if (fs.exists(basePath) && !res.truncatedRelations.contains(table))
           Some(spark.read.parquet(dest))
         else None
       val merged = ChangeBatch.applyChanges(base, typed, rel)
-      // stage-and-swap so a failed write never corrupts the table
+      // stage-and-swap, crash-safe ordering: write tmp, move the live
+      // table ASIDE (never delete it before its replacement is in place),
+      // move tmp in, then drop the backup. A crash between the renames
+      // leaves either the old table or both copies on disk — never
+      // neither — and each rename's result is checked, not ignored.
       val tmp = new org.apache.hadoop.fs.Path(dest + "__new")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(basePath, true)
-      fs.rename(tmp, basePath)
+      fs.delete(oldPath, true) // stale backup (base exists — repair above)
+      if (fs.exists(basePath))
+        require(fs.rename(basePath, oldPath), s"could not move $basePath aside")
+      require(fs.rename(tmp, basePath), s"could not move $tmp into place")
+      fs.delete(oldPath, true)
       table -> spark.read.parquet(dest).count()
     }
 

@@ -71,8 +71,13 @@ object Corpus {
       require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"unkeyed packSequences needs a numeric id column to range-bucket the global " +
           s"cumsum ('$idCol' is ${df.schema(idCol).dataType.simpleString}); pass a packKey instead")
+      // the boundary sketch and the per-bucket offsets both only need the
+      // (id, token) pair — materialize that slim projection ONCE so the
+      // full upstream plan (joins, parses) isn't re-executed three times:
+      // it now runs once for the slim build and once for the final pass
+      val slim = df.select(col(idCol), col(tokenCol)).localCheckpoint(true)
       // one bounded pass to pick balance-only boundaries (deterministic GK sketch)
-      val cuts = df.stat
+      val cuts = slim.stat
         .approxQuantile(idCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
         .distinct.sorted
       val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
@@ -83,7 +88,8 @@ object Corpus {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wOff = Window.orderBy(col("__b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-      val offsets = b.groupBy(col("__b")).agg(sum(col(tokenCol)).as("__bsum"))
+      val offsets = slim.withColumn("__b", bucket)
+        .groupBy(col("__b")).agg(sum(col(tokenCol)).as("__bsum"))
         .select(col("__b"), coalesce(sum(col("__bsum")).over(wOff), lit(0L)).as("__off"))
       b.join(broadcast(offsets), Seq("__b"))
         .withColumn("__cum", sum(col(tokenCol)).over(wLocal) + col("__off"))

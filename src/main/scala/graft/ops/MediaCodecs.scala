@@ -79,7 +79,8 @@ object MediaCodecs {
           var i = 0
           while (i < n) { val s = buf.getShort.toLong; sqSum += s * s; i += 1 }
           nSamples = n.toLong / channels
-          if (size % 2 == 1) buf.get // odd-size chunks are padded
+          // odd size: one unconsumed data byte AND the RIFF pad byte
+          if (size % 2 == 1) buf.position(buf.position() + 2)
         case _ =>
           buf.position(buf.position() + size + (size % 2)) // skip unknown chunk
       }
@@ -240,10 +241,16 @@ object MediaCodecs {
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte](h * (1 + stride))
     var off = 0
-    while (!inflater.finished() && off < raw.length)
-      off += inflater.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!inflater.finished() && off < raw.length && !stalled) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      // a truncated/absent deflate stream returns 0 and asks for more
+      // input that doesn't exist — treat as corrupt, never spin
+      if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) stalled = true
+      off += n
+    }
     inflater.end()
-    require(off == raw.length, s"short inflate: $off of ${raw.length}")
+    require(!stalled && off == raw.length, s"short inflate: $off of ${raw.length}")
 
     // unfilter in place, scanline by scanline
     val prev = new Array[Int](stride)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -165,14 +166,21 @@ final class Pipeline(
         val stagePath = new org.apache.hadoop.fs.Path(stage)
         val fs = stagePath.getFileSystem(hconf)
         try {
+          // empty-string routing values would land in the writer's
+          // __HIVE_DEFAULT_PARTITION__ alongside genuine nulls (Spark
+          // treats "" as the default partition) and silently vanish — map
+          // them to a sentinel so they stage as their own partition and
+          // keep routing to the bare `<table>_` name
           df.filter(col(rc).isNotNull)
-            .withColumn(rc, col(rc).cast("string"))
+            .withColumn(rc,
+              when(col(rc).cast("string") === "", lit(EmptyRouteSentinel))
+                .otherwise(col(rc).cast("string")))
             .write.mode("overwrite").partitionBy(rc).parquet(stage)
           // enumerate tables from the staged directory names — a driver FS
           // listing, not a Spark job over the data
           val values = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
             .filter(_.startsWith(s"$rc="))
-            .map(n => unescapePathName(n.substring(rc.length + 1)))
+            .map(n => ExternalCatalogUtils.unescapePathName(n.substring(rc.length + 1)))
             .filter(_ != "__HIVE_DEFAULT_PARTITION__")
           // explicit schema (rc as string) so partition-type inference can't
           // retype numeric routing values and defeat the pruning filter
@@ -182,26 +190,15 @@ final class Pipeline(
           val staged = spark.read.schema(stagedSchema).parquet(stage)
           values.sorted.flatMap { v =>
             val sub = staged.filter(col(rc) === v).drop(rc)
-            val name = Naming.normalize(s"${res.hints.tableName}_$v")
+            val routeName = if (v == EmptyRouteSentinel) "" else v
+            val name = Naming.normalize(s"${res.hints.tableName}_$routeName")
             writeNormalized(sub, res.hints.copy(tableName = name))
           }
         } finally fs.delete(stagePath, true)
     }
   }
 
-  /** Inverse of parquet's partition-dir escaping (%XX hex escapes). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private val EmptyRouteSentinel = "__graft_empty__"
 
   private var currentLoadId: Option[String] = None
 

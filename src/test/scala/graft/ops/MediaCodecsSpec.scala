@@ -181,6 +181,46 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(unknown.format == "unknown" && unknown.n_units == 3)
   }
 
+  test("WAV odd-size data chunk skips both the leftover byte and the RIFF pad") {
+    // data chunk of declared size 7 (3 shorts + 1 stray byte, + 1 RIFF
+    // pad on the wire), followed by a LIST chunk the walk must land on
+    val base = encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    val buf = ByteBuffer.allocate(base.length + 2 + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(base, 0, 40)                        // RIFF + fmt + "data" tag
+    buf.putInt(7)                               // odd data size
+    buf.put(base, 44, 6)                        // the 3 samples
+    buf.put(9.toByte)                           // stray 7th data byte
+    buf.put(0.toByte)                           // RIFF pad
+    buf.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val info = decodeWav(bytes)
+    assert(info.sqSum == 1 + 4 + 9) // walk survived the odd chunk + pad
+  }
+
+  test("PNG with a truncated deflate stream is corrupt, not an infinite loop") {
+    // valid signature + IHDR, IDAT holding half a deflate stream (CRCs valid)
+    val full = encodePngRgb(16, 16, (x, y) => (x, y, 7))
+    // find the IDAT chunk and rebuild it with its body cut in half
+    val buf = ByteBuffer.wrap(full)
+    buf.position(8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, 8)
+    var done = false
+    while (!done && buf.remaining() >= 12) {
+      val len = buf.getInt; val typ = new Array[Byte](4); buf.get(typ)
+      val body = new Array[Byte](len); buf.get(body); buf.getInt
+      val t = new String(typ, "US-ASCII")
+      val newBody = if (t == "IDAT") body.take(body.length / 2) else body
+      val crc = new CRC32; crc.update(typ); crc.update(newBody)
+      val cb = ByteBuffer.allocate(12 + newBody.length)
+        .putInt(newBody.length).put(typ).put(newBody).putInt(crc.getValue.toInt)
+      out.write(cb.array())
+      if (t == "IEND") done = true
+    }
+    val res = decodeAny(9, out.toByteArray) // must return, not hang
+    assert(res.format == "corrupt")
+  }
+
   test("decodeAny quarantines malformed blobs as 'corrupt' instead of throwing") {
     // truncated WAV (valid magic, body cut mid-header)
     val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(20))

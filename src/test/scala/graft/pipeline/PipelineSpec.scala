@@ -78,6 +78,23 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dest/ev_t1").count() == 3)
   }
 
+  test("empty-string routing values route to the bare table; only nulls drop") {
+    val dest = tmpDir("pipe-dest8")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state8"))
+    val df = Seq((1L, "a"), (2L, ""), (3L, "a")).toDF("id", "kind")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("id", "kind"))
+    val res = ResourceDef("ev", TableHints("ev", Disposition.Replace),
+      _ => df, routingColumn = Some("kind"))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    // "" must NOT vanish into the writer's default partition with the
+    // null; name normalization trims the trailing underscore, so the
+    // empty route lands in the bare table name (no root table exists for
+    // a routed resource, so this cannot collide)
+    assert(results.map(_.table).toSet == Set("ev_a", "ev"))
+    assert(spark.read.parquet(s"$dest/ev_a").count() == 2)
+    assert(spark.read.parquet(s"$dest/ev").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("routed write scans the source exactly once (staged single-pass fan-out)") {
     val dest = tmpDir("pipe-dest6")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state6"))
