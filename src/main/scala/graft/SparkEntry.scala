@@ -470,6 +470,22 @@ object SparkEntry {
       Dedup.clusterPairs(pairs).orderBy("id")
     }),
 
+    // incremental dedup: an incoming batch dedups against a PERSISTED
+    // corpus LSH index — O(batch) signatures + one broadcast pass over
+    // the index; corpus texts are read only for candidate ids. The low
+    // cap (40) forces the over-cap refinement/hub path to ENGAGE at the
+    // driver's sf0.01 gate, so the capped incremental join is
+    // oracle-verified exactly where it fires
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      val batch = docs.filter(col("doc_id") % 35 === 0)
+      val corpus = docs.filter(col("doc_id") % 35 =!= 0)
+      val index = Dedup.lshIndexRows(corpus, "doc_id", "text", numHashes = 4, rowsPerBand = 2)
+      Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.8, maxBucketSize = 40)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
@@ -1619,6 +1635,51 @@ object SparkEntry {
        |  WHERE jac >= $threshold)""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** CTE chain replaying `Dedup.incrementalNearDupPairs` including the
+    * over-cap refinement split and hub-only probe (cap 40 engages at
+    * sf0.01 already): corpus index rows vs batch band rows, candidate
+    * cross pairs, exact Jaccard verify. Mirrors `cappedNearDupCtes`
+    * shape but for the batch-vs-index cross join.
+    */
+  private def incrementalNearDupSql(universeMod: Int, batchMod: Int,
+      threshold: Double, cap: Int): String = {
+    val s = (0 until 4).map(i =>
+      s"list_min(list_transform(ws, w -> md5('$i:' || w))) AS s$i").mkString(", ")
+    s"""WITH ubase AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents WHERE doc_id % $universeMod = 0),
+       |sigs AS (SELECT doc_id, ws, $s FROM ubase),
+       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
+       |  CAST('0x' || substr(md5(s0 || '|' || s1 || '|' || s2 || '|' || s3), 1, 15) AS BIGINT) AS refine
+       |  FROM sigs),
+       |bands AS (SELECT doc_id, 0 AS band, b0 AS h, refine FROM bnd
+       |  UNION ALL SELECT doc_id, 1, b1, refine FROM bnd),
+       |cbands AS (SELECT * FROM bands WHERE doc_id % $batchMod != 0),
+       |bbands AS (SELECT * FROM bands WHERE doc_id % $batchMod = 0),
+       |bsize AS (SELECT band, h, count(*) AS n FROM cbands GROUP BY 1, 2),
+       |sanec AS (SELECT cbands.* FROM cbands JOIN bsize USING (band, h) WHERE n <= $cap),
+       |sanepairs AS (SELECT bb.doc_id AS id_a, sc.doc_id AS id_b FROM bbands bb
+       |  JOIN sanec sc ON bb.band = sc.band AND bb.h = sc.h),
+       |bigc AS (SELECT cbands.*, n, refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub
+       |  FROM cbands JOIN bsize USING (band, h) WHERE n > $cap),
+       |substats AS (SELECT band, h, sub, count(*) AS m, min(doc_id) AS hub
+       |  FROM bigc GROUP BY 1, 2, 3),
+       |bigj AS (SELECT bigc.*, m, hub FROM bigc JOIN substats USING (band, h, sub)),
+       |bigb AS (SELECT bb.doc_id, bb.band, bb.h,
+       |    bb.refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub
+       |  FROM bbands bb JOIN bsize USING (band, h) WHERE n > $cap),
+       |bigpairs AS (SELECT bigb.doc_id AS id_a, bigj.doc_id AS id_b FROM bigb
+       |  JOIN bigj ON bigb.band = bigj.band AND bigb.h = bigj.h AND bigb.sub = bigj.sub
+       |    AND (bigj.m <= $cap OR bigj.doc_id = bigj.hub)),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM
+       |  (SELECT * FROM sanepairs UNION ALL SELECT * FROM bigpairs)),
+       |verified AS (SELECT * FROM (SELECT id_a, id_b,
+       |    len(list_intersect(xa.ws, xb.ws)) / (len(xa.ws) + len(xb.ws) - len(list_intersect(xa.ws, xb.ws))) AS jac
+       |  FROM cand JOIN bnd xa ON xa.doc_id = id_a JOIN bnd xb ON xb.doc_id = id_b)
+       |  WHERE jac >= $threshold)
+       |SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** Ground-truth near-dup pairs by brute force (the %7 subset keeps the
     * oracle's all-pairs join honest at sf0.01) — hard-gates the fast
     * MinHash path end to end.
@@ -1855,6 +1916,7 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       s"WITH ${cappedNearDupCtes(13, 0.5)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",
 
+    "q_dedup_incremental" -> incrementalNearDupSql(7, 35, 0.8, 40),
     "q_dedup_minhash" -> minhashBandSql,
 
     "q_dedup_minhash_fast" -> minhashFastPairsSql,

@@ -392,6 +392,143 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  // ------------------------------------------------ incremental dedup
+  // The 100 TB production shape: a corpus is deduplicated ONCE and its
+  // LSH band rows are persisted as an index table; each incoming batch
+  // then dedups against the index WITHOUT recomputing corpus signatures.
+  // Per batch the work is O(batch) signature computation + a broadcast
+  // of the batch's band rows into one pass over the index — the corpus
+  // text table is only touched to fetch the few candidate documents.
+
+  /** Persistable LSH index rows for a document set: one
+    * (band, bucket_hash, refine, id) row per document per band, where
+    * `refine` is the 60-bit md5 of the full signature used for the
+    * over-cap sub-bucket split (same value `nearDupPairs` computes, so
+    * the capped incremental join stays oracle-replicable). Write this
+    * to parquet partitioned/sorted however the store likes; readers
+    * only ever hash-join it on (band, bucket_hash).
+    */
+  def lshIndexRows(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignature(df, textCol, numHashes)
+    val refine = conv(substring(
+      md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+      sigs.select(lit(b).as("band"), h.as("bucket_hash"), refine.as("refine"), col(idCol).as("id"))
+    }
+    bands.reduce(_.unionByName(_))
+  }
+
+  /** Verified near-dup pairs between an incoming batch and an indexed
+    * corpus: batch band rows (computed here, O(batch)) broadcast-join
+    * the persisted index on (band, bucket_hash); candidates are then
+    * exact-Jaccard verified against the corpus TEXTS of only the
+    * candidate ids. Returns (id_a = batch id, id_b = corpus id, jac).
+    *
+    * Index buckets over `maxBucketSize` (site boilerplate surviving in
+    * the corpus) get the same two bounded defenses as `nearDupPairs`:
+    * a refinement split — the batch doc probes only the sub-bucket its
+    * own signature hashes into — and, for sub-buckets still over the
+    * cap (identical full signatures), a hub-only probe: matching the
+    * bucket's min-id representative answers "is this batch doc a dup
+    * of the boilerplate group" without touching the other n−1 copies.
+    * Work per batch doc is O(maxBucketSize) per matching bucket, never
+    * O(bucket).
+    */
+  def incrementalNearDupPairs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bBands = lshIndexRows(batch, idCol, textCol, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket_hash"),
+        col("refine").as("__brefine"), col("id").as("__bid"))
+      .localCheckpoint(true)
+    // index bucket sizes via one partially-aggregated pass; only buckets
+    // OVER the cap survive, so the stats frame is tiny and broadcasts
+    val overCap = index
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+    val saneIdx = index.join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
+    val sanePairs = saneIdx
+      .join(broadcast(bBands), Seq("band", "bucket_hash"))
+      .select(col("__bid").as("id_a"), col("id").as("id_b"))
+    val bigIdx = index
+      .join(broadcast(overCap), Seq("band", "bucket_hash"))
+      .withColumn("__sub",
+        pmod(col("refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
+    val subStats = bigIdx
+      .groupBy(col("band"), col("bucket_hash"), col("__sub"))
+      .agg(count(lit(1)).as("__m"), min(col("id")).as("__hub"))
+    // the batch doc hashes into the same sub-bucket rule as index rows
+    val bigPairs = bigIdx
+      .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
+      .join(broadcast(bBands.join(broadcast(overCap), Seq("band", "bucket_hash"))
+          .withColumn("__bsub",
+            pmod(col("__brefine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
+          .select(col("band"), col("bucket_hash"), col("__bsub"), col("__bid"))),
+        Seq("band", "bucket_hash"))
+      .filter(col("__sub") === col("__bsub") &&
+        (col("__m") <= maxBucketSize || col("id") === col("__hub")))
+      .select(col("__bid").as("id_a"), col("id").as("id_b"))
+    val raw = sanePairs.unionByName(bigPairs)
+    val cand = (if (numBands > 1) raw.distinct() else raw).localCheckpoint(true)
+    // verify: candidate ids drive a semi-join into the corpus texts (the
+    // corpus table is only read for candidate documents); batch word
+    // sets broadcast
+    val cSets = corpus
+      .join(broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_b"), wordSet(col(textCol)).as("ws_b"))
+    val bSets = batch.select(col(idCol).as("id_a"), wordSet(col(textCol)).as("ws_a"))
+    cand
+      .join(cSets, "id_b")
+      .join(broadcast(bSets), "id_a")
+      .filter(
+        size(col("ws_a")).cast("double") >= lit(threshold) * size(col("ws_b")) &&
+          size(col("ws_b")).cast("double") >= lit(threshold) * size(col("ws_a")))
+      .withColumn("jac", jaccardSets(col("ws_a"), col("ws_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Full incremental-dedup step: drop batch docs matching the corpus,
+    * dedup the remainder among themselves, and return the survivors
+    * plus the index rows to append — the whole per-batch cycle of a
+    * continuously-ingesting deduplicated corpus. Corpus docs always
+    * win over batch docs (they are already published); batch-internal
+    * survivors are the min-id representative per cluster.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+  ): (DataFrame, DataFrame) = {
+    val vsCorpus = incrementalNearDupPairs(batch, corpus, index, idCol, textCol,
+      numHashes, rowsPerBand, threshold, maxBucketSize)
+    val fresh = batch.join(
+      broadcast(vsCorpus.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_anti")
+    val inner = nearDupPairs(fresh, idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
+    val survivors = dedupByClusters(fresh, idCol, clusterPairs(inner))
+    (survivors, lshIndexRows(survivors, idCol, textCol, numHashes, rowsPerBand))
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it

@@ -106,6 +106,71 @@ class OpsSpec extends SparkTestBase {
     assert(clusters == Set(100L))
   }
 
+  test("incremental near-dup pairs equal the cross subset of a full recompute") {
+    // same hash family + banding on both paths ⇒ the batch-vs-index
+    // candidate set must equal the batch↔corpus subset of a full
+    // corpus-union recompute, and verification is exact on both
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")
+    val all = (1L to 45L).map(i => (i, Vector.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val corpus = all.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+    val batch = all.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+
+    val full = Dedup.nearDupPairs(all.toDF("doc_id", "text"), "doc_id", "text", 4, 2, 0.5)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val crossExpected = full.filter(p => p.exists(_ % 3 == 0) && p.exists(_ % 3 != 0))
+
+    val index = Dedup.lshIndexRows(corpus, "doc_id", "text", 4, 2)
+    val got = Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text", 4, 2, 0.5)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(got == crossExpected)
+  }
+
+  test("incremental dedup: corpus dups dropped, batch-internal dups collapsed, index delta matches survivors") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),  // exact dup of corpus 1 → dropped
+      (11L, "alpha beta gamma delta"),  // also dup of 1 (and of 10) → dropped
+      (12L, "nu xi omicron pi"),        // fresh singleton
+      (13L, "rho sigma tau upsilon"),   // fresh, exact dup with 14 → 13 survives
+      (14L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+
+    val index = Dedup.lshIndexRows(corpus, "doc_id", "text", 4, 2)
+    val (survivors, delta) = Dedup.incrementalDedup(batch, corpus, index, "doc_id", "text", 4, 2, 0.9)
+    val kept = survivors.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+    // delta rows are exactly the survivors' band rows, appendable to the index
+    val deltaIds = delta.select("id").as[Long].collect().toSet
+    assert(deltaIds == kept)
+    assert(delta.columns.toSeq == index.columns.toSeq)
+    // grown index immediately catches a re-send of a surviving doc
+    val resend = Seq((20L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val matched = Dedup.incrementalNearDupPairs(
+      resend, corpus.unionByName(survivors), index.unionByName(delta),
+      "doc_id", "text", 4, 2, 0.9)
+    assert(matched.select("id_b").as[Long].collect().toSet == Set(12L))
+  }
+
+  test("incremental cap: over-cap homogeneous index bucket probes hub only; sane buckets unaffected") {
+    val boiler = (100L until 130L).map(i => (i, "copyright footer all rights reserved"))
+    val corpus = (boiler ++ Seq((1L, "the quick brown fox jumps"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "copyright footer all rights reserved"), // lands in the over-cap bucket
+      (201L, "the quick brown fox leaps")).toDF("doc_id", "text")
+    val index = Dedup.lshIndexRows(corpus, "doc_id", "text", 4, 2)
+    val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+      4, 2, 0.5, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical signatures can't be split by refinement → hub-only probe:
+    // the batch boilerplate doc pairs with corpus min-id 100 alone
+    assert(pairs.filter(_._1 == 200L) == Set((200L, 100L)))
+    // the sane bucket (2 docs) still verifies exactly
+    assert(pairs.contains((201L, 1L)))
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
