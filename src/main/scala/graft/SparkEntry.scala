@@ -486,6 +486,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // token-budget selection: best-priority docs until the running token
+    // total hits the budget — distributed two-level cumsum, no global
+    // window (the sf0.01 gate budget keeps ~57% of the corpus)
+    "q_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      graft.ops.Corpus.tokenBudgetSelect(d, "doc_id", "n_tokens", "n_chars", budget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-wide line dedup (CCNet-style first-occurrence-wins,
+    // reassembled in order). The synthetic docs have no newlines, so the
+    // contract runs at word granularity (sep=" ") — same explode →
+    // min-struct groupBy → join-back → reassemble plan at any granularity
+    "q_line_dedup" -> ((s, dir) => {
+      Dedup.dedupLines(t(s, dir, "documents"), "doc_id", "text", sep = " ")
+        .orderBy("doc_id")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
@@ -1510,6 +1530,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // watermarked stream-stream interval join: purchases attach to views
+    // of the same user within an hour — attribution on the live stream.
+    // As with q_stream_dedup, the watermark spans the whole event range so
+    // no join state ages out mid-run and the result equals the batch
+    // interval join the oracle computes, under any micro-batching
+    "q_stream_join" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      withFewShufflePartitions(s, 8) {
+        val views = streamEvents(s, dir)
+          .filter(col("user_id") < 50 && col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val purchases = streamEvents(s, dir)
+          .filter(col("user_id") < 50 && col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        val joined = EventStreams.intervalJoin(views, purchases,
+          "user_id", "p_user", "view_ts", "purchase_ts",
+          watermark = "40 days", within = "1 hour")
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+        EventStreams.runAvailableNow(joined, "q_stream_join_sink")
+      }
+      s.table("q_stream_join_sink").orderBy("view_id", "purchase_id")
+    }),
+
     // event-time sessionization via flatMapGroupsWithState: sessions closed
     // in-stream (a later event past the gap) plus sessions aged out by the
     // event-time timeout once the watermark passes lastSeen+gap. Timestamps
@@ -1917,6 +1960,26 @@ object SparkEntry {
       s"WITH ${cappedNearDupCtes(13, 0.5)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",
 
     "q_dedup_incremental" -> incrementalNearDupSql(7, 35, 0.8, 40),
+    "q_token_budget" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+        |FROM (SELECT *, sum(len(string_split(text, ' ')))
+        |        OVER (ORDER BY n_chars DESC, doc_id) AS cum
+        |      FROM documents)
+        |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_line_dedup" ->
+      """WITH lines AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+        |    unnest(string_split(text, ' ')) AS ln
+        |  FROM documents),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |kept AS (SELECT doc_id, pos, ln FROM ranked WHERE rn = 1),
+        |agg AS (SELECT doc_id, string_agg(ln, ' ' ORDER BY pos) AS t, count(*) AS k
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.t, '') AS text,
+        |  len(string_split(d.text, ' ')) AS n_lines, coalesce(agg.k, 0) AS n_kept
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        .replaceAll("\n", " "),
     "q_dedup_minhash" -> minhashBandSql,
 
     "q_dedup_minhash_fast" -> minhashFastPairsSql,
@@ -2268,6 +2331,17 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 5000)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+
+    // stream-stream interval join ≡ the batch interval join (watermark
+    // spans the range, so no join state ages out mid-run)
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.user_id < 50 AND v.event_type = 'view'
+        |  AND p.user_id < 50 AND p.event_type = 'purchase'
+        |ORDER BY 2, 3""".stripMargin.replaceAll("\n", " "),
 
     // streaming dedup survivors ≡ the distinct key set
     "q_stream_dedup" ->

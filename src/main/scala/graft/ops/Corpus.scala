@@ -97,6 +97,54 @@ object Corpus {
         .drop("__cum", "__b", "__off")
   }
 
+  /** Token-budget selection: keep the highest-priority documents whose
+    * RUNNING token total stays within `budget` — "the best N tokens of
+    * the corpus", the step that turns a scored crawl into a training
+    * mix of a target size. Order is (priority DESC, id ASC), fully
+    * deterministic; the kept set is the longest prefix of that order
+    * with cumulative tokens ≤ budget.
+    *
+    * The global cumsum uses the same two-level plan as unkeyed
+    * `packSequences`: approxQuantile range buckets over the priority
+    * (boundaries affect only load balance — any monotone bucketing
+    * yields the exact global cumsum), per-bucket window, broadcast
+    * per-bucket offsets. No single-partition window at any corpus size.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      priorityCol: String,
+      budget: Long,
+      buckets: Int = 32,
+  ): DataFrame = {
+    require(df.schema(priorityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tokenBudgetSelect needs a numeric priority column ('$priorityCol' is " +
+        s"${df.schema(priorityCol).dataType.simpleString})")
+    // ascending surrogate of (priority DESC): bucket boundaries and the
+    // within-bucket sort share it, so bucketing is monotone in the order
+    val ord = -col(priorityCol).cast("double")
+    val slim = df.select(col(idCol), col(tokenCol), ord.as("__ord")).localCheckpoint(true)
+    val cuts = slim.stat
+      .approxQuantile("__ord", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    def bucketOf(c: Column) = cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(c > lit(cut), 1).otherwise(0)
+    }
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = slim.withColumn("__b", bucketOf(col("__ord")))
+      .groupBy(col("__b")).agg(sum(col(tokenCol)).as("__bsum"))
+      .select(col("__b"), coalesce(sum(col("__bsum")).over(wOff), lit(0L)).as("__off"))
+    df.withColumn("__ord", ord).withColumn("__b", bucketOf(col("__ord")))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", sum(col(tokenCol)).over(wLocal) + col("__off"))
+      .filter(col("__cum") <= budget)
+      .drop("__ord", "__b", "__off", "__cum")
+  }
+
   /** Word n-gram hashes of a text column: the join key for overlap
     * detection. Hashing keeps the shuffled key 8 bytes instead of the
     * n-gram string.

@@ -529,6 +529,47 @@ object Dedup {
     (survivors, lshIndexRows(survivors, idCol, textCol, numHashes, rowsPerBand))
   }
 
+  /** Corpus-wide line-level dedup (the CCNet/RefinedWeb preprocessing
+    * step): documents split on `sep`, each distinct line survives only at
+    * its FIRST occurrence (minimum (id, position) across the whole
+    * corpus — the boilerplate killer for headers/footers/nav text), and
+    * documents are reassembled in original line order. Returns one row
+    * per input document: (id, deduped text, n_lines, n_kept) — n_kept=0
+    * docs come back with empty text so the caller decides the drop
+    * threshold.
+    *
+    * Plan shape at 100 TB: explode → groupBy(line) min-struct (map-side
+    * combine — only (line, min id, min pos) survives the map side) →
+    * hash join back on the line key (both sides partitioned by it — no
+    * extra exchange) → one keyed shuffle on the doc id to reassemble.
+    * No windows, no driver state. `hashKeys=true` switches the join/
+    * group key from the line text to xxhash64(line) — 8-byte shuffle
+    * keys instead of whole lines — at the (astronomically small) risk
+    * of hash-collision over-dedup; output is otherwise identical.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", hashKeys: Boolean = false): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pos", "__line")
+      .withColumn("__k", if (hashKeys) xxhash64(col("__line")) else col("__line"))
+    val first = lines.groupBy(col("__k"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos"))).as("__first"))
+    val kept = lines.join(first, "__k")
+      .filter(col("__first.__fid") === col(idCol) && col("__first.__fpos") === col("__pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("__text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        col("n_lines"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it

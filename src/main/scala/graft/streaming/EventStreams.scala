@@ -106,6 +106,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: right-side events attach to
+    * left-side events with the same key when the right timestamp falls in
+    * [left ts, left ts + within] — the enrich/attribution shape (purchase
+    * within an hour of a view). Both sides carry watermarks, and the time
+    * bound lets the engine evict join state once the watermark passes
+    * leftTs + within — state stays proportional to the window, not the
+    * stream history, which is what keeps this runnable forever at scale.
+    * Column names must be disjoint (the usual stream self-join setup:
+    * rename before joining).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** Bounded "AvailableNow-style" run into a memory sink: process
     * everything currently in the source, then stop — the reference's
     * batch-pull semantics expressed on the streaming engine.

@@ -68,6 +68,31 @@ class CorpusSpec extends SparkTestBase {
     assert(e.getMessage.contains("packKey"))
   }
 
+  test("tokenBudgetSelect keeps the exact best-priority prefix under the budget") {
+    val n = 400
+    // priorities with ties (i % 50) so tie-break-by-id crosses bucket math;
+    // shuffled input partitions
+    val df = scala.util.Random.shuffle((1L to n.toLong).toList)
+      .map(i => (i, 1L + (i * 5) % 17, (i % 50).toLong)).toDF("doc_id", "toks", "prio")
+      .repartition(8)
+    val budget = 900L
+    val got = Corpus.tokenBudgetSelect(df, "doc_id", "toks", "prio", budget, buckets = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // oracle: driver-side exact cumsum in (prio desc, id) order
+    val ordered = (1L to n.toLong).map(i => (i, 1L + (i * 5) % 17, (i % 50).toLong))
+      .sortBy { case (id, _, p) => (-p, id) }
+    var cum = 0L
+    val expected = ordered.takeWhile { case (_, t, _) => { cum += t; cum <= budget } }
+      .map(_._1).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < n) // the budget actually bites
+    // non-numeric priority fails fast
+    val e = intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSelect(Seq((1L, 1L, "x")).toDF("doc_id", "toks", "prio"),
+        "doc_id", "toks", "prio", 10L))
+    assert(e.getMessage.contains("numeric priority"))
+  }
+
   test("ngramHashes: distinct n-grams; shorter-than-n text yields empty, not a descending range") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
     val got = df.select(col("id"), Corpus.ngramHashes(col("text"), 3).as("g"))

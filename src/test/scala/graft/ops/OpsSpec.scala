@@ -171,6 +171,26 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.contains((201L, 1L)))
   }
 
+  test("line dedup: first occurrence wins corpus-wide, order preserved, hash-key path identical") {
+    val docs = Seq(
+      (1L, "header\nalpha beta\nfooter"),
+      (2L, "header\ngamma delta\nfooter"),  // boilerplate deduped, middle survives
+      (3L, "header\nalpha beta\nfooter"),   // fully duplicate → empty
+      (4L, "zeta\nheader\neta"),            // non-contiguous keeps preserve order
+      (5L, "x\nx"),                         // in-doc repeat: first position wins
+    ).toDF("doc_id", "text")
+    def run(hashKeys: Boolean) =
+      Dedup.dedupLines(docs, "doc_id", "text", hashKeys = hashKeys)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val m = run(false)
+    assert(m(1L) == (("header\nalpha beta\nfooter", 3L, 3L)))
+    assert(m(2L) == (("gamma delta", 3L, 1L)))
+    assert(m(3L) == (("", 3L, 0L)))
+    assert(m(4L) == (("zeta\neta", 3L, 2L)))
+    assert(m(5L) == (("x", 2L, 1L)))
+    assert(run(true) == m) // 8-byte-key scale path, identical output
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -41,6 +41,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1.0, 2L -> 2.0))
   }
 
+  test("intervalJoin attaches right events inside [leftTs, leftTs+within] per key") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    views.addData(
+      Event(10, ts(0), 1, "view", 0.0),
+      Event(11, ts(50), 1, "view", 0.0),
+      Event(12, ts(0), 2, "view", 0.0),
+    )
+    buys.addData(
+      Event(20, ts(30), 1, "purchase", 5.0),  // within 1h of view 10, not view 11 (before it)
+      Event(21, ts(70), 1, "purchase", 7.0),  // within 1h of both 10 (70m > 60m? no — outside) and 11 (20m — inside)
+      Event(22, ts(200), 2, "purchase", 9.0), // outside any window
+    )
+    val l = views.toDF().select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val r = buys.toDF().select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val joined = intervalJoin(l, r, "user_id", "p_user", "view_ts", "purchase_ts",
+      watermark = "10 hours", within = "1 hour")
+      .select("view_id", "purchase_id")
+    runAvailableNow(joined, "ij_out")
+    val out = spark.table("ij_out").collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(out == Set((10L, 20L), (11L, 21L)))
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
