@@ -486,6 +486,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // small-file compaction: a table landed as 8 tiny append files is
+    // bin-packed back to one; the require proves the file count shrank
+    // and the oracle proves content survived byte-exactly
+    "q_compact" -> ((s, dir) => {
+      val dest = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/events"
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+      (0 until 8).foreach { i =>
+        ev.filter(col("event_id") % 8 === i).repartition(1)
+          .write.mode("append").parquet(dest)
+      }
+      val (before, after) = TableMaintenance.compact(s, dest,
+        targetBytes = 1L << 30, minFileBytes = 1L << 30)
+      require(after < before, s"compaction must shrink the file count ($before -> $after)")
+      s.read.parquet(dest)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
     // token-budget selection: best-priority docs until the running token
     // total hits the budget — distributed two-level cumsum, no global
     // window (the sf0.01 gate budget keeps ~57% of the corpus)
@@ -1960,6 +1980,10 @@ object SparkEntry {
       s"WITH ${cappedNearDupCtes(13, 0.5)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",
 
     "q_dedup_incremental" -> incrementalNearDupSql(7, 35, 0.8, 40),
+    "q_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
     "q_token_budget" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
         |FROM (SELECT *, sum(len(string_split(text, ' ')))

@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Small-file compaction for landed parquet tables. Every append-mode
+  * pipeline run emits its own part files, so a table receiving frequent
+  * small batches (CDC ticks, per-poll REST pulls) accumulates thousands
+  * of KB-sized files — and at cluster scale the scan cost becomes file
+  * OPENS, not bytes (driver listing, footer reads, one task per tiny
+  * split). Compaction bin-packs only the under-`minFileBytes` files into
+  * ~`targetBytes` outputs and leaves right-sized files untouched, so the
+  * rewrite cost is proportional to the small-file backlog, never the
+  * table.
+  *
+  * Crash safety on a plain parquet directory (no manifest to swap): each
+  * bin commits through a marker protocol built on single-file rename
+  * atomicity —
+  *
+  *   1. the bin's rows are written to a scratch dir and the output file
+  *      is renamed to its final name ONLY after a `_compacting_<id>`
+  *      marker (listing the new file + the originals it replaces) is in
+  *      place;
+  *   2. originals are deleted after the new file is in;
+  *   3. the marker is deleted last.
+  *
+  * `repair` replays an interrupted protocol from the marker: if the new
+  * file made it in, finish deleting the originals (idempotent); if not,
+  * nothing happened — drop the marker. A reader between steps 2 and 3
+  * could see replaced rows twice; the engine's single-writer-per-table
+  * model (COVERAGE.md known-gaps) makes maintenance part of the writer's
+  * duty cycle, so the window is private to the maintainer.
+  */
+object TableMaintenance {
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath, s.getLen))
+
+  /** Greedy first-fit bin packing of (path, size) pairs into bins of at
+    * most `targetBytes` (a lone oversize file would never be in `small`).
+    */
+  private def pack(files: Seq[(Path, Long)], targetBytes: Long): Seq[Seq[(Path, Long)]] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(Path, Long)], Long)]
+    files.sortBy(-_._2).foreach { f =>
+      bins.indexWhere(_._2 + f._2 <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
+        case i  => val (b, sz) = bins(i); b += f; bins(i) = (b, sz + f._2)
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  /** Compact `path`'s small files. Returns (filesBefore, filesAfter).
+    * Bins with a single member are left alone — rewriting one small file
+    * into another buys nothing.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 16L * 1024 * 1024): (Int, Int) = {
+    val (fs, dir) = fsOf(spark, path)
+    repair(spark, path) // finish any interrupted protocol first
+    val all = dataFiles(fs, dir)
+    val small = all.filter(_._2 < minFileBytes)
+    val bins = pack(small, targetBytes).filter(_.size > 1)
+    val scratch = new Path(dir, ".compact_scratch")
+    bins.zipWithIndex.foreach { case (bin, i) =>
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val outName = s"compacted-$id.parquet"
+      // one output file per bin: the bin was sized to targetBytes
+      val binScratch = new Path(scratch, s"bin_$i")
+      spark.read.option("mergeSchema", "true")
+        .parquet(bin.map(_._1.toString): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(binScratch.toString)
+      val produced = dataFiles(fs, binScratch)
+      require(produced.size == 1, s"expected one part file, got ${produced.size}")
+      val marker = new Path(dir, s"_compacting_$id")
+      val payload = (outName +: bin.map(_._1.getName)).mkString("\n")
+      val out = fs.create(marker, false)
+      out.write(payload.getBytes(StandardCharsets.UTF_8)); out.close()
+      fs.rename(produced.head._1, new Path(dir, outName))
+      bin.foreach { case (p, _) => fs.delete(p, false) }
+      fs.delete(marker, false)
+    }
+    if (fs.exists(scratch)) fs.delete(scratch, true)
+    (all.size, dataFiles(fs, dir).size)
+  }
+
+  /** Replay interrupted compaction markers (see protocol above). Safe to
+    * call any time; no-op on a clean table.
+    */
+  def repair(spark: SparkSession, path: String): Unit = {
+    val (fs, dir) = fsOf(spark, path)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.startsWith("_compacting_"))
+      .foreach { m =>
+        val in = fs.open(m.getPath)
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        in.close()
+        val (newName, olds) = (lines.head, lines.tail)
+        if (fs.exists(new Path(dir, newName)))
+          // new file landed: finish deleting the originals it replaced
+          olds.foreach(o => fs.delete(new Path(dir, o), false))
+        // else: rename never happened — originals are intact, marker is stale
+        fs.delete(m.getPath, false)
+      }
+  }
+}

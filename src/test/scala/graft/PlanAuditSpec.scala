@@ -80,6 +80,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(2000)}")
   }
 
+  test("incremental dedup probes the index with broadcast batch bands, never an all-pairs join") {
+    // the index (corpus-sized at scale) must stay the streamed side of
+    // every probe join: batch bands, bucket stats, and word sets all
+    // broadcast, and nothing plans a nested-loop pair join
+    val plan = finalPlan(ran("q_dedup_incremental"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"index probe must be an equi join:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "batch side must broadcast into the index pass, not shuffle it:\n" + plan.take(2000))
+  }
+
+  test("line dedup is groupBy+join on the line key — no window over the exploded corpus") {
+    val plan = finalPlan(ran("q_line_dedup"))
+    // a Window over the exploded lines would sort every line of the
+    // corpus inside one partition per distinct line — the first-occurrence
+    // rule must come from a partial aggregate instead
+    assert(!plan.contains("Window"), s"no window over exploded lines:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("token-budget selection windows only within range buckets (plus the tiny offset window)") {
+    val plan = finalPlan(ran("q_token_budget"))
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the per-row cumsum window must be partitioned by the range bucket;
+    // the only unpartitioned window is the per-bucket offset cumsum over
+    // ≤ `buckets` rows
+    assert(winLines.exists(_.contains("__b")), plan.take(3000))
+  }
+
   test("document scan pushes the range filter into the DSv2 store, not a post-filter of a full scan") {
     val plan = finalPlan(ran("q_doc_pushdown"))
     // DocScan.description() surfaces the pushed store filter; both range
