@@ -582,6 +582,25 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ ANN: coarse-cell probe + asymmetric-distance shortlist over
+    // m-byte codes + exact rerank (the memory-bound FAISS shape; raw
+    // vectors touched only for the shortlist). Fixed quantizer + fixed
+    // ±0.125 codebooks → the oracle replicates cell assignment, PQ
+    // encoding, ADC scoring, shortlist, and rerank bit-for-bit in SQL
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 13)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val cents = Similarity.fixedCentroids(dim = 64, k = 8)
+      val cbs = Similarity.pqCodebooks(dim = 64, m = 8, kSub = 16)
+      Similarity.ivfPqTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        cents, cbs, nProbe = 2, shortlist = 16, k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -1658,6 +1677,46 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** Full-fidelity SQL replica of q_ann_ivfpq: fixed-centroid cell
+    * assignment + probe (as annIvfSql), per-subspace PQ codes by argmax
+    * dot against the ±0.125 codebook literals (ties to the larger cid,
+    * as Spark's greatest(struct)), ADC score as an EXPLICIT left-to-right
+    * sum of the 8 per-subspace LUT terms (matching Spark's sequential
+    * fold bit-for-bit — an aggregate SUM would add in unspecified
+    * order), shortlist by (approx DESC, n_id), exact-cosine rerank.
+    */
+  private def annIvfPqSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 64, k = 8)
+    val cbs = graft.ops.Similarity.pqCodebooks(dim = 64, m = 8, kSub = 16)
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    val cbRows = cbs.map { case (sub, cid, v) => s"($sub, $cid, ${sqlVec(v)})" }.mkString(", ")
+    val codeCols = (0 until 8).map { j =>
+      s"(SELECT cid FROM cb WHERE sub = $j ORDER BY list_dot_product(list_slice(c.v, ${j * 8 + 1}, ${(j + 1) * 8}), cv) DESC, cid DESC LIMIT 1)"
+    }.mkString(", ")
+    val adc = (0 until 8).map { j =>
+      s"(SELECT list_dot_product(list_slice(qv, ${j * 8 + 1}, ${(j + 1) * 8}), cv) FROM cb WHERE sub = $j AND cid = code[${j + 1}])"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 13),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |cb(sub, cid, cv) AS (VALUES $cbRows),
+       |assigned AS (SELECT n_id,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell,
+       |  [$codeCols] AS code FROM c),
+       |probed AS (SELECT q_id, v AS qv, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |scored AS (SELECT q_id, n_id, $adc AS approx
+       |  FROM probed JOIN assigned USING (cell)),
+       |short AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS arank FROM scored)
+       |  WHERE arank <= 16),
+       |rer AS (SELECT short.q_id, n_id,
+       |  row_number() OVER (PARTITION BY short.q_id ORDER BY list_cosine_similarity(q.v, c2.v) DESC, n_id) AS rank
+       |  FROM short JOIN q ON q.q_id = short.q_id JOIN c c2 USING (n_id))
+       |SELECT q_id, rank, n_id FROM rer WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** CTE chain replaying `Dedup.nearDupPairs` INCLUDING the degenerate-
     * bucket cap: band buckets over `cap` docs are split by the md5-derived
     * refinement hash (60 bits of md5 of the full signature — the exact
@@ -2013,6 +2072,8 @@ object SparkEntry {
     "q_ann_lsh" -> annLshSql,
 
     "q_ann_ivf" -> annIvfSql,
+
+    "q_ann_ivfpq" -> annIvfPqSql,
 
     "q_dedup_pipeline" ->
       s"WITH ${cappedNearDupCtes(3, 0.8)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",

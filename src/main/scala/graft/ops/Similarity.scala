@@ -210,6 +210,108 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Deterministic PQ codebooks: `m` subspaces of dim/m, `kSub` centroids
+    * each, entries ±0.125 from the splitmix64 stream. The uniform ±0.125
+    * magnitude is an exact binary fraction (SQL literals round-trip
+    * bit-exactly) and cancels out of every argmax/ranking comparison, so
+    * only the sign pattern matters — the same train-vs-search split as
+    * `fixedCentroids`: production trains per-subspace codebooks with
+    * k-means (build phase); search mechanics are identical either way.
+    * Returns (subspace, centroidId, subvector) triples.
+    */
+  def pqCodebooks(dim: Int, m: Int, kSub: Int, seed: Long = 11L): Seq[(Int, Int, Array[Double])] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    signStream(m * kSub * subDim, seed).grouped(subDim).toSeq.zipWithIndex
+      .map { case (v, i) => (i / kSub, i % kSub, v.map(_ * 0.125).toArray) }
+  }
+
+  /** PQ-encode a vector column: per subspace, the id of the codebook
+    * centroid with the largest inner product (ties to the larger id,
+    * matching `ivfAssign`). Adds `__code` (array<int>, length m) — the
+    * 100 TB index stores (id, cell, code): m bytes of code instead of
+    * dim floats, an 8-32× memory cut, which is the entire point of PQ.
+    * A narrow map — no shuffle.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, codebooks: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val subDim = codebooks.head._3.length
+    val m = codebooks.map(_._1).max + 1
+    val codes = (0 until m).map { j =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val scored = codebooks.filter(_._1 == j).map { case (_, cid, cv) =>
+        struct(dot(sub, typedlit(cv.toSeq)).as("sim"), lit(cid).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+    df.withColumn("__code", array(codes: _*))
+  }
+
+  /** IVF-PQ search — the memory-bound 100 TB ANN shape: probe `nProbe`
+    * coarse cells (equi join, bounded candidates), score candidates by
+    * ASYMMETRIC DISTANCE — per query a LUT of kSub inner products per
+    * subspace is computed ONCE, and each candidate costs m array lookups
+    * instead of a dim-length dot — then exact-cosine rerank only the
+    * `shortlist` best per query (FAISS refine step). The rerank joins
+    * the (tiny) shortlist back to the corpus by id: the full vectors
+    * live only in the corpus table, never in the PQ index.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[(Int, Int, Array[Double])],
+      nProbe: Int,
+      shortlist: Int,
+      k: Int,
+  ): DataFrame = {
+    val subDim = codebooks.head._3.length
+    val m = codebooks.map(_._1).max + 1
+    // the PQ index: (id, cell, code) — no raw vectors
+    val index = pqEncode(ivfAssign(corpus, corpusVec, centroids), corpusVec, codebooks)
+      .select(col(corpusId), col("__cell"), col("__code"))
+    // queries: probed cells + the per-subspace LUT (kSub dots per subspace)
+    val cellScores = array(centroids.map { case (cid, cvec) =>
+      struct(dot(col(queryVec), typedlit(cvec.toSeq)).as("sim"), lit(cid).as("cell"))
+    }: _*)
+    val lut = array((0 until m).map { j =>
+      val sub = slice(col(queryVec), j * subDim + 1, subDim)
+      array(codebooks.filter(_._1 == j).sortBy(_._2).map { case (_, _, cv) =>
+        dot(sub, typedlit(cv.toSeq))
+      }: _*)
+    }: _*)
+    val qProbe = queries
+      .withColumn("__lut", lut)
+      .withColumn("__cells", slice(reverse(array_sort(cellScores)), 1, nProbe))
+      .withColumn("__cell", explode(expr("transform(__cells, c -> c.cell)")))
+      .drop("__cells")
+    // ADC: m lookups per candidate, all inside codegen
+    val approx = (0 until m)
+      .map(j => element_at(element_at(col("__lut"), j + 1), element_at(col("__code"), j + 1) + 1))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col(queryId)).orderBy(col("__approx").desc, col(corpusId))
+    val short = index
+      .join(broadcast(qProbe), "__cell")
+      .withColumn("__approx", approx)
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= shortlist)
+      .select(col(queryId), col(queryVec), col(corpusId), col("__arank"))
+    // exact rerank of the shortlist: the corpus is probed with the TINY
+    // shortlist broadcast — only those ids' vectors are materialized
+    val wExact = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(short), corpusId)
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: score only same-signature pairs. Recall depends on
     * nBits; callers union multiple signature tables for multi-probe.
     */

@@ -268,6 +268,44 @@ class OpsSpec extends SparkTestBase {
     assert(recall(c1) >= recall(seeded))
   }
 
+  test("ivfPqTopK: full probe + full shortlist equals brute force; codes are deterministic and m-wide") {
+    val rnd = new scala.util.Random(3)
+    val dim = 64
+    val emb = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.filter($"vec_id" >= 4)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val cents = Similarity.fixedCentroids(dim, k = 4)
+    val cbs = Similarity.pqCodebooks(dim, m = 8, kSub = 16)
+
+    // probing every cell with a corpus-sized shortlist removes both
+    // approximations — the exact rerank must then reproduce brute force
+    val full = Similarity.ivfPqTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+      cents, cbs, nProbe = 4, shortlist = 100, k = 5)
+      .select("q_id", "rank", "n_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+      .select("q_id", "rank", "n_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute)
+
+    // encoding: one int per subspace, stable across runs
+    val enc1 = Similarity.pqEncode(corpus, "n_vec", cbs)
+      .select($"n_id", $"__code").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val enc2 = Similarity.pqEncode(corpus, "n_vec", cbs)
+      .select($"n_id", $"__code").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc1 == enc2)
+    assert(enc1.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+
+    // the real (approximate) setting still finds most of the truth
+    val approx = Similarity.ivfPqTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+      cents, cbs, nProbe = 2, shortlist = 10, k = 5)
+    val rec = Similarity.meanRecall(Similarity.recallAtK(
+      approx, Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 5),
+      "q_id", "n_id"))
+    assert(rec > 0.3, s"recall $rec")
+  }
+
   test("recall@k: exact vs itself is 1.0; degraded approx is proportional; IVF full-probe is 1.0") {
     val rnd = new scala.util.Random(11)
     val corpus = (10L to 60L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("n_id", "n_vec")
