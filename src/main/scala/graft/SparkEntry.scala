@@ -601,6 +601,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // random-projection ANN: rank in a 16-dim JL sketch of the 64-dim
+    // embeddings — the narrow-map pre-filter shape; oracle replicates
+    // the ±1 projection and the projected-cosine ranking exactly
+    "q_ann_project" -> ((s, dir) => {
+      val planes = Similarity.projectionPlanes(dimIn = 64, dimOut = 16)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("p_vec", Similarity.randomProject(col("embedding"), planes))
+      val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("p_vec").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id").as("n_id"), col("p_vec").as("n_vec"))
+      Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -1717,6 +1731,24 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_ann_project: the same ±1 planes project both sides
+    * (list_dot_product per output dim), ranking by projected cosine.
+    */
+  private def annProjectSql: String = {
+    val planes = graft.ops.Similarity.projectionPlanes(dimIn = 64, dimOut = 16)
+    val proj = planes.map(p => s"list_dot_product(v, ${sqlVec(p)})").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, $proj AS pv
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       |q AS (SELECT vec_id AS q_id, pv AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS n_id, pv AS nv FROM e WHERE vec_id >= 5),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qv, nv) DESC, n_id) AS rank
+       |  FROM q CROSS JOIN c)
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** CTE chain replaying `Dedup.nearDupPairs` INCLUDING the degenerate-
     * bucket cap: band buckets over `cap` docs are split by the md5-derived
     * refinement hash (60 bits of md5 of the full signature — the exact
@@ -2074,6 +2106,8 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfSql,
 
     "q_ann_ivfpq" -> annIvfPqSql,
+
+    "q_ann_project" -> annProjectSql,
 
     "q_dedup_pipeline" ->
       s"WITH ${cappedNearDupCtes(3, 0.8)} SELECT id_a, id_b, jac FROM verified ORDER BY 1, 2",

@@ -270,11 +270,30 @@ object Similarity {
       shortlist: Int,
       k: Int,
   ): DataFrame = {
-    val subDim = codebooks.head._3.length
-    val m = codebooks.map(_._1).max + 1
-    // the PQ index: (id, cell, code) — no raw vectors
     val index = pqEncode(ivfAssign(corpus, corpusVec, centroids), corpusVec, codebooks)
       .select(col(corpusId), col("__cell"), col("__code"))
+    pqSearch(index, corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      centroids, codebooks, nProbe, shortlist, k)
+  }
+
+  /** Shared IVF-PQ search core over an (id, __cell, __code) index frame:
+    * probe cells, ADC-score (m array lookups per candidate, all inside
+    * codegen), exact-cosine rerank of the shortlist with the corpus
+    * probed by the TINY broadcast shortlist — only those ids' raw
+    * vectors are ever materialized.
+    */
+  private def pqSearch(
+      index: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[(Int, Int, Array[Double])],
+      nProbe: Int, shortlist: Int, k: Int,
+  ): DataFrame = {
+    val subDim = codebooks.head._3.length
+    val m = codebooks.map(_._1).max + 1
     // queries: probed cells + the per-subspace LUT (kSub dots per subspace)
     val cellScores = array(centroids.map { case (cid, cvec) =>
       struct(dot(col(queryVec), typedlit(cvec.toSeq)).as("sim"), lit(cid).as("cell"))
@@ -290,7 +309,6 @@ object Similarity {
       .withColumn("__cells", slice(reverse(array_sort(cellScores)), 1, nProbe))
       .withColumn("__cell", explode(expr("transform(__cells, c -> c.cell)")))
       .drop("__cells")
-    // ADC: m lookups per candidate, all inside codegen
     val approx = (0 until m)
       .map(j => element_at(element_at(col("__lut"), j + 1), element_at(col("__code"), j + 1) + 1))
       .reduce(_ + _)
@@ -301,8 +319,6 @@ object Similarity {
       .withColumn("__arank", row_number().over(wApprox))
       .filter(col("__arank") <= shortlist)
       .select(col(queryId), col(queryVec), col(corpusId), col("__arank"))
-    // exact rerank of the shortlist: the corpus is probed with the TINY
-    // shortlist broadcast — only those ids' vectors are materialized
     val wExact = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     corpus.select(col(corpusId), col(corpusVec))
       .join(broadcast(short), corpusId)
@@ -311,6 +327,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
   }
+
+  /** Persisted PQ index: the ingest-time product of `ivfAssign` +
+    * `pqEncode` — (id, cell, code) rows written once to parquet,
+    * partitioned by cell so a probe reads only the probed cells'
+    * directories (partition pruning does the cell cut before a single
+    * row is materialized). Appending a new batch of vectors is the same
+    * narrow map over just that batch — encode cost is paid per vector
+    * once, at ingest, exactly how q_ann_ivfpq's per-run encode would
+    * amortize in production.
+    */
+  def writePqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[(Int, Int, Array[Double])],
+      path: String, append: Boolean = false): Unit =
+    pqEncode(ivfAssign(corpus, corpusVec, centroids), corpusVec, codebooks)
+      .select(col(corpusId), col("__cell").as("cell"), col("__code").as("code"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** Search a persisted PQ index (same semantics as `ivfPqTopK`, minus
+    * the per-run encode): probe cells via partition-pruned index read,
+    * ADC-score, rerank the shortlist against the corpus vectors.
+    */
+  def searchPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[(Int, Int, Array[Double])],
+      nProbe: Int,
+      shortlist: Int,
+      k: Int,
+  ): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+      .select(col(corpusId), col("cell").as("__cell"), col("code").as("__code"))
+    pqSearch(index, corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      centroids, codebooks, nProbe, shortlist, k)
+  }
+
+  /** Deterministic ±1 random-projection planes (Johnson–Lindenstrauss):
+    * `dimOut` rows of `dimIn` signs from the splitmix64 stream. The
+    * conventional 1/√dimOut scale is omitted — it cancels out of cosine
+    * and every ranking, and ±1 literals round-trip exactly in SQL.
+    */
+  def projectionPlanes(dimIn: Int, dimOut: Int, seed: Long = 21L): Seq[Array[Double]] =
+    signStream(dimIn * dimOut, seed).grouped(dimIn).toSeq.map(_.toArray)
+
+  /** Project a vector column to `planes.size` dims: one dot per output
+    * dim against constants — a narrow map, the cheap pre-filter that
+    * makes a 64-float embedding an 8-float sketch before any pairwise
+    * work. Cosine in the projected space approximates cosine in the
+    * original (JL), so rank-then-rerank pipelines compose with it.
+    */
+  def randomProject(vec: Column, planes: Seq[Array[Double]]): Column =
+    array(planes.map(p => dot(vec, typedlit(p.toSeq))): _*)
 
   /** LSH-bucketed ANN: score only same-signature pairs. Recall depends on
     * nBits; callers union multiple signature tables for multi-probe.

@@ -306,6 +306,60 @@ class OpsSpec extends SparkTestBase {
     assert(rec > 0.3, s"recall $rec")
   }
 
+  test("persisted PQ index: search equals the inline path; appended vectors become findable") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val emb = (0L until 30L).map(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    val queries = emb.take(3).toDF("vec_id", "embedding")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus0 = emb.slice(3, 25).toDF("vec_id", "embedding")
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val cents = Similarity.fixedCentroids(dim, k = 4)
+    val cbs = Similarity.pqCodebooks(dim, m = 8, kSub = 16)
+    val path = tmpDir("pq_index") + "/idx"
+
+    Similarity.writePqIndex(corpus0, "n_id", "n_vec", cents, cbs, path)
+    val fromIndex = Similarity.searchPqIndex(spark, path, corpus0, queries,
+      "n_id", "n_vec", "q_id", "q_vec", cents, cbs, nProbe = 2, shortlist = 10, k = 5)
+      .select("q_id", "rank", "n_id").collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val inline = Similarity.ivfPqTopK(corpus0, queries, "n_id", "n_vec", "q_id", "q_vec",
+      cents, cbs, nProbe = 2, shortlist = 10, k = 5)
+      .select("q_id", "rank", "n_id").collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fromIndex.toSet == inline.toSet)
+
+    // ingest a batch containing an exact copy of query 0's vector: after
+    // the append-encode (narrow map over the batch only), the index must
+    // surface it at rank 1 with full probing
+    val batch = Seq((100L, emb.head._2)).toDF("vec_id", "embedding")
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    Similarity.writePqIndex(batch, "n_id", "n_vec", cents, cbs, path, append = true)
+    val grown = Similarity.searchPqIndex(spark, path, corpus0.unionByName(batch), queries,
+      "n_id", "n_vec", "q_id", "q_vec", cents, cbs, nProbe = 4, shortlist = 30, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(grown(0L) == 100L)
+  }
+
+  test("random projection: deterministic, exact on identical vectors, JL-preserves ranking signal") {
+    val rnd = new scala.util.Random(9)
+    val emb = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.projectionPlanes(64, 16)
+    val p = emb.withColumn("pv", Similarity.randomProject($"embedding", planes))
+    val p1 = p.select($"vec_id", $"pv").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = emb.withColumn("pv", Similarity.randomProject($"embedding", planes))
+      .select($"vec_id", $"pv").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2 && p1.values.forall(_.length == 16))
+    // identical vectors stay identical; projected top-1 of a vector against
+    // a corpus containing its copy is the copy
+    val dup = Seq((99L, p1(0L).toArray)).toDF("vec_id", "pv")
+    val corpus = p.select($"vec_id".as("n_id"), $"pv".as("n_vec")).filter($"n_id" > 0)
+      .unionByName(dup.select($"vec_id".as("n_id"), $"pv".as("n_vec")))
+    val q = p.filter($"vec_id" === 0).select($"vec_id".as("q_id"), $"pv".as("q_vec"))
+    val top = Similarity.bruteForceTopK(corpus, q, "n_id", "n_vec", "q_id", "q_vec", 1)
+      .select("n_id").as[Long].head()
+    assert(top == 99L)
+  }
+
   test("recall@k: exact vs itself is 1.0; degraded approx is proportional; IVF full-probe is 1.0") {
     val rnd = new scala.util.Random(11)
     val corpus = (10L to 60L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toDF("n_id", "n_vec")
