@@ -1606,6 +1606,28 @@ object SparkEntry {
       s.table("q_stream_join_sink").orderBy("view_id", "purchase_id")
     }),
 
+    // continuous corpus dedup: the per-batch incremental-dedup cycle as a
+    // streaming sink (bootstrap batch here — multi-batch/restart behavior
+    // is spec-verified in StreamingDedupSinkSpec); the landed corpus must
+    // equal the batch near-dup dedup the oracle recomputes
+    "q_stream_dedup_corpus" -> ((s, dir) => {
+      import graft.streaming.StreamingDedupSink
+      val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      withFewShufflePartitions(s, 8) {
+        val docs = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .parquet(s"$dir/[d]ocuments.parquet")
+          .filter(col("doc_id") % 9 === 0)
+        val q = StreamingDedupSink.start(docs, s"$root/corpus", s"$root/index",
+          "doc_id", "text", s"$root/ckpt", threshold = 0.9)
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$root/corpus").select("doc_id").orderBy("doc_id")
+    }),
+
     // event-time sessionization via flatMapGroupsWithState: sessions closed
     // in-stream (a later event past the gap) plus sessions aged out by the
     // event-time timeout once the watermark passes lastSeen+gap. Timestamps
@@ -2461,6 +2483,20 @@ object SparkEntry {
         |WHERE v.user_id < 50 AND v.event_type = 'view'
         |  AND p.user_id < 50 AND p.event_type = 'purchase'
         |ORDER BY 2, 3""".stripMargin.replaceAll("\n", " "),
+
+    // streamed corpus ≡ batch near-dup dedup survivors (min-id per
+    // verified-pair component survives; everyone unpaired survives)
+    "q_stream_dedup_corpus" ->
+      s"""WITH RECURSIVE ${cappedNearDupCtes(9, 0.9)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |clus AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents WHERE doc_id % 9 = 0
+         |  AND doc_id NOT IN (SELECT id FROM clus WHERE id != cluster)
+         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // streaming dedup survivors ≡ the distinct key set
     "q_stream_dedup" ->
