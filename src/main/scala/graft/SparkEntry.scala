@@ -526,6 +526,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // shared-token spans (approximate exact-substring dedup): pairs of
+    // docs sharing >= 10 consecutive tokens via k-gram anchors on one
+    // alignment diagonal — oracle joins the gram strings and replays the
+    // gaps-and-islands run detection
+    "q_shared_spans" -> ((s, dir) => {
+      Dedup.sharedSpans(t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 5, minSpan = 10, maxDocFreq = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
@@ -2117,6 +2127,24 @@ object SparkEntry {
         |  len(string_split(d.text, ' ')) AS n_lines, coalesce(agg.k, 0) AS n_kept
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
         .replaceAll("\n", " "),
+    "q_shared_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 5)) AS pos, ws
+        |  FROM d WHERE len(ws) >= 5),
+        |g AS (SELECT doc_id, pos,
+        |  array_to_string(list_slice(ws, pos + 1, pos + 5), ' ') AS gram FROM g0),
+        |freq AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+        |  FROM g GROUP BY 1) WHERE df > 100),
+        |gg AS (SELECT * FROM g ANTI JOIN freq USING (gram)),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id_a, id_b, count(*) + 4 AS span
+        |  FROM (SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+        |        FROM pr)
+        |  GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, max(span) AS max_span FROM runs
+        |GROUP BY 1, 2 HAVING max(span) >= 10 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q_dedup_minhash" -> minhashBandSql,
 
     "q_dedup_minhash_fast" -> minhashFastPairsSql,

@@ -570,6 +570,52 @@ object Dedup {
         col("n_lines"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Shared-token-span detection — the distributed approximation of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): find document pairs sharing a run
+    * of at least `minSpan` consecutive tokens. A shared L-token span
+    * implies L−k+1 consecutive matching k-grams on one alignment
+    * diagonal, so the plan is: positional k-gram hashes → equi join on
+    * the 8-byte hash → gaps-and-islands per (pair, diagonal) → max run.
+    * Returns (id_a, id_b, max_span) for pairs at or over the threshold.
+    *
+    * K-grams present in more than `maxDocFreq` documents (boilerplate —
+    * the quadratic blowup of the anchor join) are dropped before
+    * pairing: a span built ONLY of such grams is boilerplate by
+    * definition, and spans mixing rare grams keep their rare anchors.
+    * Deterministic and oracle-replicable (the oracle joins on the gram
+    * STRING; xxhash64 is an 8-byte shuffle-key optimization with
+    * astronomically-unlikely, deterministic collisions).
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDocFreq: Int = 1000): DataFrame = {
+    require(minSpan >= k, s"minSpan $minSpan must be >= k $k")
+    val ws = split(col(textCol), " ")
+    val idx = when(size(ws) >= k, sequence(lit(0), size(ws) - k))
+      .otherwise(array().cast("array<int>"))
+    val grams = df
+      .select(col(idCol).as("__id"),
+        posexplode(transform(idx, i => xxhash64(concat_ws(" ", slice(ws, i + 1, lit(k)))))))
+      .toDF("__id", "__pos", "__h")
+      .localCheckpoint(true) // both join sides + the df-cap read it
+    val tooCommon = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+    val g = grams.join(broadcast(tooCommon), Seq("__h"), "left_anti")
+    val anchors = g.as("a")
+      .join(g.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__pos").as("__pos_a"), (col("a.__pos") - col("b.__pos")).as("__diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("__diag")).orderBy(col("__pos_a"))
+    anchors
+      .withColumn("__grp", col("__pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
+      .agg((count(lit(1)) + lit(k - 1)).as("__span"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__span")).as("max_span"))
+      .filter(col("max_span") >= minSpan)
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it

@@ -191,6 +191,26 @@ class OpsSpec extends SparkTestBase {
     assert(run(true) == m) // 8-byte-key scale path, identical output
   }
 
+  test("sharedSpans: diagonal runs found at any offset, boilerplate cap drops anchors, threshold exact") {
+    val common = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, s"aa bb $common cc"),
+      (2L, s"xx $common yy zz"),  // same 11-token run, shifted offset
+      (3L, "totally different words without overlap at all")).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text", k = 5, minSpan = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(spans == Map((1L, 2L) -> 11L))
+    // df-cap 1: every shared gram lives in 2 docs → dropped → no anchors
+    assert(Dedup.sharedSpans(docs, "doc_id", "text", 5, 10, maxDocFreq = 1).count() == 0)
+    // threshold boundary: a 9-token shared text misses minSpan=10, hits 9
+    val short9 = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(short9, "doc_id", "text", 5, 10).count() == 0)
+    assert(Dedup.sharedSpans(short9, "doc_id", "text", 5, 9)
+      .collect().head.getLong(2) == 9L)
+  }
+
   test("simhash: identical texts identical, hamming sane") {
     val fp = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
