@@ -82,11 +82,23 @@ object TableMaintenance {
         .write.mode(SaveMode.Overwrite).parquet(binScratch.toString)
       val produced = dataFiles(fs, binScratch)
       require(produced.size == 1, s"expected one part file, got ${produced.size}")
+      // the marker itself must appear atomically: write it in scratch,
+      // rename into place (a crash mid-write would otherwise leave a
+      // truncated marker that repair can't interpret)
       val marker = new Path(dir, s"_compacting_$id")
+      val markerTmp = new Path(binScratch, s"_compacting_$id")
       val payload = (outName +: bin.map(_._1.getName)).mkString("\n")
-      val out = fs.create(marker, false)
+      val out = fs.create(markerTmp, false)
       out.write(payload.getBytes(StandardCharsets.UTF_8)); out.close()
-      fs.rename(produced.head._1, new Path(dir, outName))
+      require(fs.rename(markerTmp, marker), s"marker rename failed for $marker")
+      // rename returns FALSE (not throws) on most failure modes; deleting
+      // the originals after a failed rename would lose the bin's rows, so
+      // back out (drop the marker, keep the originals) and fail loudly
+      if (!fs.rename(produced.head._1, new Path(dir, outName))) {
+        fs.delete(marker, false)
+        throw new java.io.IOException(
+          s"compaction rename failed for $outName; originals left in place")
+      }
       bin.foreach { case (p, _) => fs.delete(p, false) }
       fs.delete(marker, false)
     }
@@ -105,11 +117,18 @@ object TableMaintenance {
         val in = fs.open(m.getPath)
         val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         in.close()
-        val (newName, olds) = (lines.head, lines.tail)
-        if (fs.exists(new Path(dir, newName)))
-          // new file landed: finish deleting the originals it replaced
-          olds.foreach(o => fs.delete(new Path(dir, o), false))
-        // else: rename never happened — originals are intact, marker is stale
+        // a malformed/empty marker means the data rename (which happens
+        // strictly after the marker is complete) never ran — originals
+        // are intact, just drop it (markers are rename-committed, so this
+        // is defense in depth, not an expected state)
+        lines match {
+          case newName :: olds =>
+            if (fs.exists(new Path(dir, newName)))
+              // new file landed: finish deleting the originals it replaced
+              olds.foreach(o => fs.delete(new Path(dir, o), false))
+          // else: rename never happened — originals are intact
+          case Nil => ()
+        }
         fs.delete(m.getPath, false)
       }
   }

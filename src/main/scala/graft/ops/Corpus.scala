@@ -122,16 +122,22 @@ object Corpus {
       s"tokenBudgetSelect needs a numeric priority column ('$priorityCol' is " +
         s"${df.schema(priorityCol).dataType.simpleString})")
     // ascending surrogate of (priority DESC): bucket boundaries and the
-    // within-bucket sort share it, so bucketing is monotone in the order
+    // within-bucket sort share it, so bucketing is monotone in the order.
+    // NULL priorities sort LAST (SQL DESC semantics — an unscored doc
+    // must not crowd out scored ones): they get their own final bucket,
+    // past every boundary bucket.
     val ord = -col(priorityCol).cast("double")
     val slim = df.select(col(idCol), col(tokenCol), ord.as("__ord")).localCheckpoint(true)
     val cuts = slim.stat
       .approxQuantile("__ord", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted
-    def bucketOf(c: Column) = cuts.foldLeft(lit(0)) { (acc, cut) =>
-      acc + when(c > lit(cut), 1).otherwise(0)
+    def bucketOf(c: Column) = {
+      val boundary = cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(c > lit(cut), 1).otherwise(0)
+      }
+      when(c.isNull, lit(cuts.length + 1)).otherwise(boundary)
     }
-    val wLocal = Window.partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("__ord").asc_nulls_last, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)

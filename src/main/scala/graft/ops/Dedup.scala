@@ -522,8 +522,11 @@ object Dedup {
   ): (DataFrame, DataFrame) = {
     val vsCorpus = incrementalNearDupPairs(batch, corpus, index, idCol, textCol,
       numHashes, rowsPerBand, threshold, maxBucketSize)
-    val fresh = batch.join(
-      broadcast(vsCorpus.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_anti")
+    // pin the matched-id set: `fresh` feeds both the internal near-dup
+    // pass and the survivor anti-join, and without the pin each reference
+    // would re-run the whole vs-corpus probe + verify
+    val matchedIds = vsCorpus.select(col("id_a").as(idCol)).distinct().localCheckpoint(true)
+    val fresh = batch.join(broadcast(matchedIds), Seq(idCol), "left_anti")
     val inner = nearDupPairs(fresh, idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
     val survivors = dedupByClusters(fresh, idCol, clusterPairs(inner))
     (survivors, lshIndexRows(survivors, idCol, textCol, numHashes, rowsPerBand))

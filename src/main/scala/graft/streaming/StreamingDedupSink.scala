@@ -41,7 +41,39 @@ object StreamingDedupSink {
           val s = batch.sparkSession
           val fs = new org.apache.hadoop.fs.Path(corpusPath)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val bootstrapped = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
+          def hasData(path: String): Boolean = {
+            val p = new org.apache.hadoop.fs.Path(path)
+            fs.exists(p) && fs.listStatus(p).exists(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+          }
+          val bootstrapped = hasData(corpusPath)
+          // crash-heal: a death between the corpus append and the index
+          // append leaves corpus rows with no band rows — every restart
+          // would then fail reading the absent/short index, or worse let
+          // re-sent dups through. Rebuild the index FROM the corpus (the
+          // corpus is the source of truth; O(corpus) but only ever paid
+          // on this recovery path) before taking the incremental branch.
+          if (bootstrapped && !hasData(indexPath))
+            Dedup.lshIndexRows(s.read.parquet(corpusPath), idCol, textCol,
+              numHashes, rowsPerBand)
+              .write.mode(SaveMode.Overwrite).parquet(indexPath)
+          else if (bootstrapped) {
+            // same crash one batch later: corpus append committed, index
+            // delta didn't. Detect by row count (parquet footer metadata —
+            // no data scan) and re-index only the missing docs. UNDER-count
+            // only: duplicate index rows (re-run after both appends) are
+            // semantically harmless — candidates go through distinct().
+            val numBands = numHashes / rowsPerBand
+            val corpusCount = s.read.parquet(corpusPath).count()
+            val indexCount = s.read.parquet(indexPath).count()
+            if (indexCount < corpusCount * numBands) {
+              val missing = s.read.parquet(corpusPath).join(
+                s.read.parquet(indexPath).select(org.apache.spark.sql.functions.col("id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+              Dedup.lshIndexRows(missing, idCol, textCol, numHashes, rowsPerBand)
+                .write.mode(SaveMode.Append).parquet(indexPath)
+            }
+          }
           // the batch feeds two jobs (vs-corpus probe + internal dedup) —
           // pin it so the streaming source isn't re-pulled per job
           val pinned = batch.localCheckpoint(true)

@@ -80,6 +80,21 @@ class TableMaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("repair tolerates a zero-length marker (defense in depth) without wedging the table") {
+    val dir = tmpDir("compact_empty_marker")
+    landSmallFiles(dir, 2)
+    val fs = fsFor(dir)
+    val names = parquetFiles(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_compacting_trunc"), false).close()
+    TableMaintenance.repair(spark, dir) // must not throw
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compacting_trunc")))
+    assert(parquetFiles(dir) == names) // originals untouched
+    // and compaction proceeds normally afterwards
+    val (b, a) = TableMaintenance.compact(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(b == 2 && a == 1)
+  }
+
   test("compact repairs leftover markers before planning new bins") {
     val dir = tmpDir("compact_auto")
     landSmallFiles(dir, 3)

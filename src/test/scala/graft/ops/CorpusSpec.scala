@@ -91,6 +91,14 @@ class CorpusSpec extends SparkTestBase {
       Corpus.tokenBudgetSelect(Seq((1L, 1L, "x")).toDF("doc_id", "toks", "prio"),
         "doc_id", "toks", "prio", 10L))
     assert(e.getMessage.contains("numeric priority"))
+    // NULL priority sorts LAST (SQL DESC semantics): the unscored doc must
+    // not consume the budget ahead of scored docs
+    val withNull = Seq(
+      (1L, 5L, Some(10L)), (2L, 5L, Some(1L)), (3L, 5L, None),
+    ).toDF("doc_id", "toks", "prio")
+    val sel = Corpus.tokenBudgetSelect(withNull, "doc_id", "toks", "prio", budget = 10L, buckets = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L), s"null-priority doc must lose to scored docs, got $sel")
   }
 
   test("ngramHashes: distinct n-grams; shorter-than-n text yields empty, not a descending range") {

@@ -42,4 +42,32 @@ class StreamingDedupSinkSpec extends SparkTestBase {
     val indexIds = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
     assert(indexIds == Set(1L, 3L, 11L))
   }
+
+  test("a lost index is rebuilt from the corpus before the next batch dedups") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_heal")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    input.addData((1L, "a b c d"), (2L, "x y z w"))
+    val q1 = StreamingDedupSink.start(stream, corpusPath, indexPath,
+      "doc_id", "text", ckpt, threshold = 0.9)
+    q1.processAllAvailable(); q1.stop()
+
+    // simulate a crash that landed the corpus but never the index
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+
+    // next batch: a dup of corpus doc 1 must STILL be caught (index
+    // rebuilt from the corpus), fresh doc kept
+    input.addData((10L, "a b c d"), (11L, "p q r s"))
+    val q2 = StreamingDedupSink.start(stream, corpusPath, indexPath,
+      "doc_id", "text", ckpt, threshold = 0.9)
+    q2.processAllAvailable(); q2.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 2L, 11L))
+    val indexIds = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
+    assert(indexIds == Set(1L, 2L, 11L))
+  }
 }
