@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
   * set against the (huge) corpus: the corpus never shuffles; each task
-  * scores its split and a single top-k-per-query window reduces the
-  * (n_queries × corpus_partition) partial results.
+  * scores its split, a per-(query, partition) partial top-k bounds what
+  * leaves the mappers, and the final rank window sees only
+  * k × nPartitions rows per query (see `boundedTopK`).
   *
   * Scale path: random-hyperplane LSH bucketing — corpus and queries hash
   * to sign-pattern buckets; only same-bucket pairs are scored. At 100 TB
@@ -21,6 +22,51 @@ import org.apache.spark.sql.functions._
   * engines (oracle parity).
   */
 object Similarity {
+
+  /** Scale-safe top-k-per-query reduction over a scored candidate frame.
+    *
+    * A bare `row_number().over(Window.partitionBy(queryId))` funnels EVERY
+    * scored candidate of a query into one task — at 100 TB the brute-force
+    * variant would shuffle the whole corpus into n_queries partitions and
+    * the job IS that task. Instead: a partial top-k per (query, input
+    * partition) — `groupBy(queryId, spark_partition_id())` spreads the
+    * shuffle over q×p keys and each group collapses to ≤ k rows via
+    * `slice(array_sort(collect_list(struct(score, id)), cmp), 1, k)` —
+    * then the global rank window sees ≤ k × nPartitions rows per query.
+    *
+    * The comparator is EXACTLY the window's order (`score` desc, `id` asc),
+    * so the partial pass keeps a superset of the global top-k under the
+    * same total order and the final ranking is bit-identical to the naive
+    * single-window plan (any per-partition top-k under a total order
+    * contains the global top-k under that order).
+    */
+  private def boundedTopK(
+      scored: DataFrame,
+      queryId: String,
+      corpusId: String,
+      scoreCol: String,
+      k: Int,
+      rankName: String,
+  ): DataFrame = {
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("i") < r.getField("i"), -1)
+        .when(l.getField("i") > r.getField("i"), 1)
+        .otherwise(0)
+    val partial = scored
+      .groupBy(col(queryId), spark_partition_id().as("__pid"))
+      .agg(slice(
+        array_sort(collect_list(struct(col(scoreCol).as("s"), col(corpusId).as("i"))), cmp),
+        1, k).as("__top"))
+      .select(col(queryId), explode(col("__top")).as("__t"))
+      .select(col(queryId), col("__t.s").as(scoreCol), col("__t.i").as(corpusId))
+    val w = Window.partitionBy(col(queryId)).orderBy(col(scoreCol).desc, col(corpusId))
+    partial
+      .withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= k)
+      .select(col(queryId), col(rankName), col(corpusId), col(scoreCol))
+  }
 
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -48,11 +94,7 @@ object Similarity {
     val scored = corpus
       .crossJoin(broadcast(queries))
       .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+    boundedTopK(scored, queryId, corpusId, "cosine", k, "rank")
   }
 
   /** Recall@k of an approximate ANN result against the exact baseline:
@@ -203,11 +245,7 @@ object Similarity {
     val scored = assigned
       .join(broadcast(qCells), "__cell")
       .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+    boundedTopK(scored, queryId, corpusId, "cosine", k, "rank")
   }
 
   // ------------------------------------------------------ product quantization
@@ -312,12 +350,15 @@ object Similarity {
     val approx = (0 until m)
       .map(j => element_at(element_at(col("__lut"), j + 1), element_at(col("__code"), j + 1) + 1))
       .reduce(_ + _)
-    val wApprox = Window.partitionBy(col(queryId)).orderBy(col("__approx").desc, col(corpusId))
-    val short = index
-      .join(broadcast(qProbe), "__cell")
-      .withColumn("__approx", approx)
-      .withColumn("__arank", row_number().over(wApprox))
-      .filter(col("__arank") <= shortlist)
+    // ADC shortlist through the bounded reduction (the index candidate set
+    // grows with the corpus at fixed cell count — the same funnel risk as
+    // brute force); the query vector is re-attached afterwards from the
+    // tiny queries frame so the partial-agg structs stay (score, id) pairs
+    // instead of dragging dim floats through collect_list buffers.
+    val short = boundedTopK(
+      index.join(broadcast(qProbe), "__cell").withColumn("__approx", approx),
+      queryId, corpusId, "__approx", shortlist, "__arank")
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
       .select(col(queryId), col(queryVec), col(corpusId), col("__arank"))
     val wExact = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     corpus.select(col(corpusId), col(corpusVec))
@@ -409,10 +450,6 @@ object Similarity {
     val scored = cSig
       .join(broadcast(qSig), "__sig")
       .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId), col("cosine"))
+    boundedTopK(scored, queryId, corpusId, "cosine", k, "rank")
   }
 }
