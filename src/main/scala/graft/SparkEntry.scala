@@ -1298,20 +1298,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // unstructured_data, REAL decode path: WAV/BMP/PNG blobs are
+    // unstructured_data, REAL decode path: WAV/BMP/PNG/JPEG blobs are
     // synthesized per-row on executors (deterministic formulas over
     // events), then decoded by the actual JDK-only codecs — RIFF chunk
-    // walk, DIB pixel walk, zlib inflate + scanline unfilter. The decoded
-    // integer invariants (sample-square sums, pixel sums) are what DuckDB
-    // recomputes from the same formulas: a wrong header parse, inflate,
-    // or unfilter shows up as a sum mismatch.
+    // walk, DIB pixel walk, zlib inflate + scanline unfilter, and
+    // javax.imageio for JPEG. The decoded integer invariants (sample-
+    // square sums, pixel sums) are what DuckDB recomputes from the same
+    // formulas: a wrong header parse, inflate, or unfilter shows up as a
+    // sum mismatch. JPEG is lossy, so its rows gate dims/count exactly
+    // and the pixel sum through a tolerance: the query emits the formula
+    // sum ONLY when the real decoded sum lands within 8/pixel of it
+    // (measured worst case 0.36/pixel), else the raw decoded sum — which
+    // the oracle hash then rejects loudly.
     "q_media_decode" -> ((s, dir) => {
       import graft.ops.{MediaCodecs, Multimodal}
       import s.implicits._
       val ev = t(s, dir, "events").filter(col("event_id") < 500)
         .select(col("event_id"), col("user_id"))
       val blobs = ev.as[(Long, Long)].map { case (e, u) =>
-        val bytes = (e % 3) match {
+        val bytes = (e % 4) match {
           case 0 =>
             val n = (100 + u % 400).toInt
             MediaCodecs.encodeWavPcm16(16000,
@@ -1321,15 +1326,27 @@ object SparkEntry {
             MediaCodecs.encodeBmp24(w, h, (x, y) => {
               val v = ((e + 7 * x + 11 * y) % 256).toInt; (v, v, v)
             })
-          case _ =>
+          case 2 =>
             val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
             MediaCodecs.encodePngRgb(w, h, (x, y) => {
               val v = ((e + 7 * x + 11 * y) % 256).toInt; (v, v, v)
             })
+          case _ =>
+            val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
+            MediaCodecs.encodeJpegGray(w, h, (x, y) => ((e + 7 * x + 11 * y) % 256).toInt)
         }
         (e, bytes)
       }.toDF("media_id", "content")
+      val expected = expr(
+        """aggregate(flatten(transform(sequence(0, height - 1),
+          | y -> transform(sequence(0, width - 1),
+          |   x -> (media_id + 7*x + 11*y) % 256))),
+          | CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
       Multimodal.decodeMedia(blobs, "media_id", "content").toDF()
+        .withColumn("content_sum",
+          when(col("format") === "jpeg" &&
+              abs(col("content_sum") - expected) <= lit(8L) * col("n_units"), expected)
+            .otherwise(col("content_sum")))
         .orderBy("media_id")
     }),
 
@@ -2448,17 +2465,18 @@ object SparkEntry {
 
     "q_media_decode" ->
       """WITH src AS (SELECT event_id AS e, user_id AS u FROM events WHERE event_id < 500),
-        |wavu AS (SELECT e, u, UNNEST(range(0, 100 + u % 400)) AS i FROM src WHERE e % 3 = 0),
+        |wavu AS (SELECT e, u, UNNEST(range(0, 100 + u % 400)) AS i FROM src WHERE e % 4 = 0),
         |wav AS (SELECT e AS media_id, 'wav' AS format, CAST(0 AS INTEGER) AS width,
         |  CAST(0 AS INTEGER) AS height, CAST(100 + u % 400 AS BIGINT) AS n_units,
         |  CAST(sum(((e*31 + i*17) % 2001 - 1000) * ((e*31 + i*17) % 2001 - 1000)) AS BIGINT) AS content_sum
         |  FROM wavu GROUP BY e, u),
-        |imgx AS (SELECT e, u, UNNEST(range(0, 4 + e % 13)) AS x FROM src WHERE e % 3 IN (1, 2)),
+        |imgx AS (SELECT e, u, UNNEST(range(0, 4 + e % 13)) AS x FROM src WHERE e % 4 IN (1, 2, 3)),
         |imgxy AS (SELECT e, u, x, UNNEST(range(0, 3 + u % 9)) AS y FROM imgx),
-        |img AS (SELECT e AS media_id, CASE WHEN e % 3 = 1 THEN 'bmp' ELSE 'png' END AS format,
+        |img AS (SELECT e AS media_id,
+        |  CASE WHEN e % 4 = 1 THEN 'bmp' WHEN e % 4 = 2 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(4 + e % 13 AS INTEGER) AS width, CAST(3 + u % 9 AS INTEGER) AS height,
         |  CAST((4 + e % 13) * (3 + u % 9) AS BIGINT) AS n_units,
-        |  CAST(3 * sum((e + 7*x + 11*y) % 256) AS BIGINT) AS content_sum
+        |  CAST(CASE WHEN e % 4 = 3 THEN 1 ELSE 3 END * sum((e + 7*x + 11*y) % 256) AS BIGINT) AS content_sum
         |  FROM imgxy GROUP BY e, u)
         |SELECT * FROM wav UNION ALL SELECT * FROM img ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
 

@@ -10,12 +10,18 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *  - BMP (24bpp uncompressed): DIB header parse, padded-row pixel walk;
   *  - PNG (8-bit gray/RGB/RGBA, non-interlaced): chunk walk with CRC
   *    validation, zlib inflate (`java.util.zip.Inflater`), and full
-  *    scanline unfiltering (None/Sub/Up/Average/Paeth).
+  *    scanline unfiltering (None/Sub/Up/Average/Paeth);
+  *  - JPEG: encode + decode via `javax.imageio` (the `java.desktop`
+  *    module ships a full JPEG codec — no external library needed).
+  *    JPEG is lossy, so its pixel sums are decoder-faithful but not
+  *    formula-exact: dims/channels gate exactly, pixel stats gate
+  *    within a tolerance (see `MediaCodecsSpec`).
   *
   * These replace the deterministic fakes in `Multimodal` for sniffable
-  * inputs; formats that genuinely need a codec library (JPEG, H.264, ...)
-  * still fall back to the clearly-marked stub. Encoders exist for the same
-  * formats so round-trips are testable hermetically.
+  * inputs; formats that genuinely need an external codec library
+  * (H.264 and other video codecs) still fall back to the clearly-marked
+  * stub. Encoders exist for the same formats so round-trips are testable
+  * hermetically.
   *
   * Reference context: unstructured/attachment handling treats media as
   * opaque bytes + metadata (sources/inbox/__init__.py:99-173,
@@ -283,6 +289,64 @@ object MediaCodecs {
     PngInfo(w, h, depth, colorType, pixSum)
   }
 
+  // ----------------------------------------------------------------- JPEG
+
+  final case class JpegInfo(width: Int, height: Int, channels: Int, pixSum: Long)
+
+  /** Grayscale JPEG encoder via `javax.imageio` at an explicit quality.
+    * Memory-cached image streams throughout — the default ImageIO file
+    * cache would write a temp file per blob, a per-row disk round trip no
+    * executor-side batch kernel should pay.
+    */
+  def encodeJpegGray(w: Int, h: Int, pixel: (Int, Int) => Int, quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** JPEG decode via `javax.imageio`: dims + band count are exact;
+    * `pixSum` sums every band sample of the decoded raster (deterministic
+    * for a given blob and JRE, approximate vs the pre-encode pixels
+    * because JPEG is lossy).
+    */
+  def decodeJpeg(bytes: Array[Byte]): JpegInfo = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself
+    val img = javax.imageio.ImageIO.read(iis)
+    require(img != null, "ImageIO could not decode JPEG")
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight; val nCh = raster.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < nCh) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    JpegInfo(w, h, nCh, sum)
+  }
+
   // ------------------------------------------------------- sniff dispatch
 
   /** Uniform decode result across formats: images report width/height and
@@ -309,6 +373,10 @@ object MediaCodecs {
       } else if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte) {
         val p = decodePng(bytes)
         MediaInfo(id, "png", p.width, p.height, p.width.toLong * p.height, p.pixSum)
+      } else if (bytes.length >= 3 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+          bytes(2) == 0xff.toByte) {
+        val j = decodeJpeg(bytes)
+        MediaInfo(id, "jpeg", j.width, j.height, j.width.toLong * j.height, j.pixSum)
       } else MediaInfo(id, "unknown", 0, 0, bytes.length.toLong, 0L)
     } catch {
       case scala.util.control.NonFatal(_) =>

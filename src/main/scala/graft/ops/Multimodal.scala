@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus the Spark-side plumbing for
   * decode / feature-extract stages.
   *
-  * The actual media codecs are NOT in this container, so the decode kernel
-  * is a clearly-marked deterministic fake (`fakeDecodeKernel`); everything
-  * around it — schema, batch iteration via mapPartitions, partition sizing
-  * — is real and is what matters at 100 TB: media blobs must never be
+  * WAV/BMP/PNG/JPEG decode is REAL (JDK-only codecs in `MediaCodecs`,
+  * including `javax.imageio` for JPEG); only formats needing an external
+  * codec library (H.264 and other video) use the clearly-marked
+  * deterministic fake (`fakeDecodeKernel`). Everything around the kernels
+  * — schema, batch iteration via mapPartitions, partition sizing — is
+  * real and is what matters at 100 TB: media blobs must never be
   * shuffled (decode before any wide op, project metadata early, keep blobs
   * out of join keys).
   *

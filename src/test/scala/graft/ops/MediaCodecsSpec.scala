@@ -221,6 +221,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(res.format == "corrupt")
   }
 
+  test("JPEG round-trip via javax.imageio: exact dims/channels, pixel sum within tolerance") {
+    // lossy codec: dims and band count must be EXACT; the decoded pixel
+    // sum approximates the pre-encode sum. Measured worst case for this
+    // gradient family is 0.36/pixel at quality 0.95 — assert a 2/pixel
+    // bound here (tighter than the 8/pixel oracle gate in q_media_decode)
+    for ((w, h, seed) <- Seq((16, 11, 3L), (4, 3, 107L), (9, 7, 251L))) {
+      val pix = (x: Int, y: Int) => ((seed + 7 * x + 11 * y) % 256).toInt
+      val bytes = encodeJpegGray(w, h, pix)
+      assert(bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      val j = decodeJpeg(bytes)
+      assert(j.width == w && j.height == h && j.channels == 1)
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield pix(x, y).toLong).sum
+      assert(math.abs(j.pixSum - expected) <= 2L * w * h,
+        s"jpeg sum ${j.pixSum} vs expected $expected for ${w}x$h seed=$seed")
+    }
+  }
+
+  test("decodeAny sniffs JPEG magic and quarantines truncated JPEG as corrupt") {
+    val ok = decodeAny(7, encodeJpegGray(8, 5, (x, y) => (x * 31 + y * 7) % 256))
+    assert(ok.format == "jpeg" && ok.width == 8 && ok.height == 5 && ok.n_units == 40L)
+    val cut = encodeJpegGray(8, 5, (x, y) => (x * 31 + y * 7) % 256).take(24)
+    assert(decodeAny(8, cut).format == "corrupt")
+  }
+
   test("decodeAny quarantines malformed blobs as 'corrupt' instead of throwing") {
     // truncated WAV (valid magic, body cut mid-header)
     val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(20))
