@@ -422,11 +422,27 @@ object Dedup {
     bands.reduce(_.unionByName(_))
   }
 
+  /** Broadcast a batch-derived frame only while it is actually small:
+    * the incremental path assumes batch ≪ corpus, but nothing used to
+    * enforce it — a backfill-sized batch would blow the executor-memory /
+    * broadcast limits and kill the job instead of degrading. The row
+    * counts come free (the gated frames are eagerly checkpointed, or the
+    * count is derived arithmetically), and above the cap the join
+    * degrades to a shuffled hash join — same result, no single-node
+    * materialization of the batch.
+    */
+  private def gated(df: DataFrame, rows: Long, cap: Long): DataFrame =
+    if (rows <= cap) broadcast(df) else df.hint("shuffle_hash")
+
   /** Verified near-dup pairs between an incoming batch and an indexed
     * corpus: batch band rows (computed here, O(batch)) broadcast-join
     * the persisted index on (band, bucket_hash); candidates are then
     * exact-Jaccard verified against the corpus TEXTS of only the
     * candidate ids. Returns (id_a = batch id, id_b = corpus id, jac).
+    *
+    * Batch-derived frames broadcast only below `broadcastRowCap` rows
+    * (see `gated`); a backfill-sized batch falls back to shuffled hash
+    * joins instead of dying on the broadcast limit.
     *
     * Index buckets over `maxBucketSize` (site boilerplate surviving in
     * the corpus) get the same two bounded defenses as `nearDupPairs`:
@@ -448,12 +464,17 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
       maxBucketSize: Int = 1000,
+      broadcastRowCap: Long = 4000000L,
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bBands = lshIndexRows(batch, idCol, textCol, numHashes, rowsPerBand)
       .select(col("band"), col("bucket_hash"),
         col("refine").as("__brefine"), col("id").as("__bid"))
       .localCheckpoint(true)
+    // free post-checkpoint; one band row per doc per band, so the batch
+    // row count falls out arithmetically without touching `batch` again
+    val nBandRows = bBands.count()
+    val nBatchRows = nBandRows / math.max(1, numBands)
     // index bucket sizes via one partially-aggregated pass; only buckets
     // OVER the cap survive, so the stats frame is tiny and broadcasts
     val overCap = index
@@ -462,7 +483,7 @@ object Dedup {
       .filter(col("__n") > maxBucketSize)
     val saneIdx = index.join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
     val sanePairs = saneIdx
-      .join(broadcast(bBands), Seq("band", "bucket_hash"))
+      .join(gated(bBands, nBandRows, broadcastRowCap), Seq("band", "bucket_hash"))
       .select(col("__bid").as("id_a"), col("id").as("id_b"))
     val bigIdx = index
       .join(broadcast(overCap), Seq("band", "bucket_hash"))
@@ -474,26 +495,29 @@ object Dedup {
     // the batch doc hashes into the same sub-bucket rule as index rows
     val bigPairs = bigIdx
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
-      .join(broadcast(bBands.join(broadcast(overCap), Seq("band", "bucket_hash"))
+      .join(gated(bBands.join(broadcast(overCap), Seq("band", "bucket_hash"))
           .withColumn("__bsub",
             pmod(col("__brefine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
-          .select(col("band"), col("bucket_hash"), col("__bsub"), col("__bid"))),
+          .select(col("band"), col("bucket_hash"), col("__bsub"), col("__bid")),
+          nBandRows, broadcastRowCap),
         Seq("band", "bucket_hash"))
       .filter(col("__sub") === col("__bsub") &&
         (col("__m") <= maxBucketSize || col("id") === col("__hub")))
       .select(col("__bid").as("id_a"), col("id").as("id_b"))
     val raw = sanePairs.unionByName(bigPairs)
     val cand = (if (numBands > 1) raw.distinct() else raw).localCheckpoint(true)
+    val nCand = cand.count() // free post-checkpoint
     // verify: candidate ids drive a semi-join into the corpus texts (the
     // corpus table is only read for candidate documents); batch word
-    // sets broadcast
+    // sets broadcast while the batch stays small
     val cSets = corpus
-      .join(broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
+      .join(gated(cand.select(col("id_b").as(idCol)).distinct(), nCand, broadcastRowCap),
+        Seq(idCol), "left_semi")
       .select(col(idCol).as("id_b"), wordSet(col(textCol)).as("ws_b"))
     val bSets = batch.select(col(idCol).as("id_a"), wordSet(col(textCol)).as("ws_a"))
     cand
       .join(cSets, "id_b")
-      .join(broadcast(bSets), "id_a")
+      .join(gated(bSets, nBatchRows, broadcastRowCap), "id_a")
       .filter(
         size(col("ws_a")).cast("double") >= lit(threshold) * size(col("ws_b")) &&
           size(col("ws_b")).cast("double") >= lit(threshold) * size(col("ws_a")))
@@ -519,14 +543,16 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
       maxBucketSize: Int = 1000,
+      broadcastRowCap: Long = 4000000L,
   ): (DataFrame, DataFrame) = {
     val vsCorpus = incrementalNearDupPairs(batch, corpus, index, idCol, textCol,
-      numHashes, rowsPerBand, threshold, maxBucketSize)
+      numHashes, rowsPerBand, threshold, maxBucketSize, broadcastRowCap)
     // pin the matched-id set: `fresh` feeds both the internal near-dup
     // pass and the survivor anti-join, and without the pin each reference
     // would re-run the whole vs-corpus probe + verify
     val matchedIds = vsCorpus.select(col("id_a").as(idCol)).distinct().localCheckpoint(true)
-    val fresh = batch.join(broadcast(matchedIds), Seq(idCol), "left_anti")
+    val fresh = batch.join(gated(matchedIds, matchedIds.count(), broadcastRowCap),
+      Seq(idCol), "left_anti")
     val inner = nearDupPairs(fresh, idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
     val survivors = dedupByClusters(fresh, idCol, clusterPairs(inner))
     (survivors, lshIndexRows(survivors, idCol, textCol, numHashes, rowsPerBand))

@@ -154,6 +154,38 @@ class OpsSpec extends SparkTestBase {
     assert(matched.select("id_b").as[Long].collect().toSet == Set(12L))
   }
 
+  test("broadcast gate: a 1-row cap forces the shuffle fallback with identical output") {
+    // a backfill-sized batch must not be broadcast — force every gated
+    // frame over the cap (broadcastRowCap = 1) and prove output identity
+    // with the broadcast path for the full incremental cycle, over-cap
+    // buckets included
+    val boiler = (100L until 130L).map(i => (i, "copyright footer all rights reserved"))
+    val corpus = (boiler ++ Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "copyright footer all rights reserved"),
+      (201L, "alpha beta gamma delta"),
+      (202L, "nu xi omicron pi"),
+      (203L, "rho sigma tau upsilon"),
+      (204L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+    val index = Dedup.lshIndexRows(corpus, "doc_id", "text", 4, 2)
+
+    def run(cap: Long) = {
+      val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        4, 2, 0.9, maxBucketSize = 8, broadcastRowCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (survivors, delta) = Dedup.incrementalDedup(batch, corpus, index, "doc_id", "text",
+        4, 2, 0.9, maxBucketSize = 8, broadcastRowCap = cap)
+      (pairs, survivors.select("doc_id").as[Long].collect().toSet,
+        delta.select("id").as[Long].collect().toSet)
+    }
+    val (bPairs, bKept, bDelta) = run(4000000L) // broadcast path
+    val (sPairs, sKept, sDelta) = run(1L)       // shuffle fallback
+    assert(sPairs == bPairs && sKept == bKept && sDelta == bDelta)
+    assert(bKept == Set(202L, 203L))
+  }
+
   test("incremental cap: over-cap homogeneous index bucket probes hub only; sane buckets unaffected") {
     val boiler = (100L until 130L).map(i => (i, "copyright footer all rights reserved"))
     val corpus = (boiler ++ Seq((1L, "the quick brown fox jumps"))).toDF("doc_id", "text")
