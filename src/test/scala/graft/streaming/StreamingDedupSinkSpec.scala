@@ -43,6 +43,93 @@ class StreamingDedupSinkSpec extends SparkTestBase {
     assert(indexIds == Set(1L, 3L, 11L))
   }
 
+  test("steady-state recovery detection runs ZERO Spark jobs (no corpus count per batch)") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_steady")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a b c d"), (2L, "x y z w"))
+    val q = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q.processAllAvailable(); q.stop()
+
+    // after a clean cycle the check must be pure file-existence: count
+    // jobs around it with a listener and demand zero
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val healed = StreamingDedupSink.recoverIfNeeded(
+        spark, corpusPath, indexPath, "doc_id", "text", 4, 2)
+      assert(!healed, "clean commit marker must not trigger a heal")
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(jobs == 0, s"steady-state detection ran $jobs Spark jobs, must run none")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("intent marker left by a crash between the appends triggers the anti-join heal") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_intent")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a b c d"), (2L, "x y z w"))
+    val q1 = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q1.processAllAvailable(); q1.stop()
+
+    // simulate: corpus append landed, index delta did not, intent survives
+    Seq((5L, "p q r s")).toDF("doc_id", "text")
+      .write.mode("append").parquet(corpusPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intent = new org.apache.hadoop.fs.Path(indexPath, "_graft_intent")
+    val out = fs.create(intent, true); out.write("batch=99\n".getBytes); out.close()
+
+    // next batch: the un-indexed doc 5 must be healed into the index
+    // BEFORE dedup, so its re-send is dropped
+    input.addData((10L, "p q r s"), (11L, "fresh words here now"))
+    val q2 = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q2.processAllAvailable(); q2.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 2L, 5L, 11L))
+    val indexIds = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
+    assert(indexIds == Set(1L, 2L, 5L, 11L))
+    assert(!fs.exists(intent), "intent must be cleared after the healed cycle commits")
+  }
+
+  test("duplicate index rows from a double-append cannot mask a missing doc") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_mask")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a b c d"), (2L, "x y z w"))
+    val q1 = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q1.processAllAvailable(); q1.stop()
+
+    // over-count the index (double-append of doc 1's band rows), then a
+    // corpus append with NO index rows — a row-count comparison would see
+    // index >= corpus x bands and skip the heal; the id anti-join must not
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(indexPath).filter(col("id") === 1L)
+      .write.mode("append").parquet(indexPath)
+    Seq((5L, "p q r s")).toDF("doc_id", "text")
+      .write.mode("append").parquet(corpusPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intent = new org.apache.hadoop.fs.Path(indexPath, "_graft_intent")
+    val out = fs.create(intent, true); out.write("batch=99\n".getBytes); out.close()
+
+    val healed = StreamingDedupSink.recoverIfNeeded(
+      spark, corpusPath, indexPath, "doc_id", "text", 4, 2)
+    assert(healed)
+    val indexIds = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
+    assert(indexIds == Set(1L, 2L, 5L), "doc 5 must be indexed despite the over-count")
+  }
+
   test("a lost index is rebuilt from the corpus before the next batch dedups") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("sdedup_heal")
