@@ -625,6 +625,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // structured extraction through the model-client seam: field->question
+    // maps answered per document by a batched per-partition extractor
+    // (reference: sources/unstructured_data/helpers.py:20-91). The canned
+    // deterministic client stands in for the LLM endpoint (no egress), so
+    // the mapPartitions plumbing — id alignment, batching, schema — is
+    // what the oracle hash gates.
+    "q_extract_structured" -> ((s, dir) => {
+      import graft.ops.Extraction
+      Extraction.extractStructured(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        Map(
+          "summary" -> "summarize the document in a few words",
+          "n_words" -> "count the words in the document",
+          "head" -> "what are the opening characters"),
+        Extraction.CannedExtractor, batchSize = 32)
+        .orderBy("doc_id")
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -2186,6 +2204,12 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+
+    "q_extract_structured" ->
+      """SELECT doc_id, substr(text, 1, 24) AS head,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS VARCHAR) AS n_words,
+        | array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS summary
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,
