@@ -192,6 +192,15 @@ object TableWriter {
   def write(spark: SparkSession, updates: DataFrame, tableRoot: String, hints: TableHints): Unit = {
     val name = Naming.normalize(hints.tableName)
     val path = s"$tableRoot/$name"
+    // cross-writer exclusion: a second pipeline (or a concurrent
+    // compaction) on the same table fails fast instead of interleaving
+    // with the staged swap — see TableLock
+    TableLock.withLock(spark, path, owner = s"writer:$name") {
+      writeLocked(spark, updates, path, hints)
+    }
+  }
+
+  private def writeLocked(spark: SparkSession, updates: DataFrame, path: String, hints: TableHints): Unit = {
     hints.disposition match {
       case Disposition.Append =>
         readIfExists(spark, path) match {

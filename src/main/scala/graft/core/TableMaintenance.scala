@@ -28,9 +28,11 @@ import java.nio.charset.StandardCharsets
   * `repair` replays an interrupted protocol from the marker: if the new
   * file made it in, finish deleting the originals (idempotent); if not,
   * nothing happened — drop the marker. A reader between steps 2 and 3
-  * could see replaced rows twice; the engine's single-writer-per-table
-  * model (COVERAGE.md known-gaps) makes maintenance part of the writer's
-  * duty cycle, so the window is private to the maintainer.
+  * could see replaced rows twice; the single-writer-per-table model makes
+  * maintenance part of the writer's duty cycle, and that model is
+  * ENFORCED by `TableLock`: compaction and TableWriter dispositions share
+  * the same lease, so two pipelines cannot interleave a staged swap with
+  * a compaction rewrite.
   */
 object TableMaintenance {
 
@@ -64,7 +66,15 @@ object TableMaintenance {
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      minFileBytes: Long = 16L * 1024 * 1024): (Int, Int) = {
+      minFileBytes: Long = 16L * 1024 * 1024): (Int, Int) =
+    // same lease as TableWriter: a compaction can't start while a write
+    // (staged swap included) holds the table, and vice versa
+    TableLock.withLock(spark, path, owner = "compaction") {
+      compactLocked(spark, path, targetBytes, minFileBytes)
+    }
+
+  private def compactLocked(spark: SparkSession, path: String,
+      targetBytes: Long, minFileBytes: Long): (Int, Int) = {
     val (fs, dir) = fsOf(spark, path)
     repair(spark, path) // finish any interrupted protocol first
     val all = dataFiles(fs, dir)
