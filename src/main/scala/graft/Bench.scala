@@ -37,9 +37,18 @@ object Bench {
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // deterministic clean slate between timed runs: blocking-unpersist
+    // every lingering localCheckpoint block instead of waiting for GC +
+    // the async ContextCleaner — accumulated storage blocks from earlier
+    // queries otherwise squeeze execution memory and inflate
+    // checkpoint-heavy queries ~2x late in the run
+    def cleanSlate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val results = names.map { name =>
       val secs = (1 to 2).map { _ =>
-        System.gc()
+        cleanSlate()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => () }

@@ -347,6 +347,44 @@ object MediaCodecs {
     JpegInfo(w, h, nCh, sum)
   }
 
+  // --------------------------------------------------------------- resize
+
+  final case class ResizedImage(bytes: Array[Byte], width: Int, height: Int, format: String)
+
+  /** REAL image resize for the JDK-decodable raster formats (PNG, BMP,
+    * JPEG — `javax.imageio` reads all three): decode, scale the long side
+    * down to `maxDim` preserving aspect (never upscale), redraw with
+    * bilinear interpolation, re-encode as PNG (lossless, JDK-encodable —
+    * the sensible archival target for a training-data pipeline
+    * regardless of source format). Returns None for blobs ImageIO cannot
+    * decode (audio, video, corrupt) so callers can fall back.
+    */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[ResizedImage] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = javax.imageio.ImageIO.read(iis)
+      if (src == null) None
+      else {
+        val (w0, h0) = (src.getWidth, src.getHeight)
+        val long0 = math.max(w0, h0)
+        val scale = if (long0 <= maxDim) 1.0 else maxDim.toDouble / long0
+        val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+        val dst = new java.awt.image.BufferedImage(w1, h1,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w1, h1, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(dst, "png", ios) finally ios.close()
+        Some(ResizedImage(bos.toByteArray, w1, h1, "png"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------------------------- sniff dispatch
 
   /** Uniform decode result across formats: images report width/height and

@@ -139,12 +139,23 @@ object Multimodal {
     * multimodal transform whose OUTPUT is still a blob. It must sit
     * directly after the scan (before any wide op) so the large originals
     * die with their scan partitions and only the resized bytes flow on.
+    *
+    * Raster images (PNG/BMP/JPEG) go through the REAL JDK resize
+    * (`MediaCodecs.resizeImage`: decode → bilinear redraw → lossless
+    * re-encode); blobs ImageIO can't decode fall back to the
+    * deterministic stub so a mixed-modality column never fails the pass.
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String, maxDim: Int): Dataset[ResizedMedia] = {
     implicit val enc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
     df.select(col(idCol).cast(LongType), col(binCol))
       .mapPartitions { it: Iterator[Row] =>
-        it.map(r => fakeResizeKernel(r.getLong(0), r.getAs[Array[Byte]](1), maxDim))
+        it.map { r =>
+          val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          MediaCodecs.resizeImage(bytes, maxDim) match {
+            case Some(ri) => ResizedMedia(id, ri.bytes, ri.width, ri.height)
+            case None     => fakeResizeKernel(id, bytes, maxDim)
+          }
+        }
       }
   }
 

@@ -245,6 +245,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(decodeAny(8, cut).format == "corrupt")
   }
 
+  test("real resize: raster formats scale to maxDim with aspect kept, mean preserved, no upscale") {
+    val pix = (x: Int, y: Int) => { val v = (40 + x + 2 * y) % 256; (v, v, v) }
+    val srcs = Seq(
+      "png" -> encodePngRgb(100, 60, pix),
+      "bmp" -> encodeBmp24(100, 60, pix),
+      "jpeg" -> encodeJpegGray(100, 60, (x, y) => pix(x, y)._1))
+    for ((fmt, bytes) <- srcs) {
+      val r = resizeImage(bytes, maxDim = 50).getOrElse(fail(s"$fmt must be resizable"))
+      assert(r.width == 50 && r.height == 30, s"$fmt resized to ${r.width}x${r.height}")
+      assert(r.format == "png")
+      val out = decodePng(r.bytes) // output must itself decode losslessly
+      assert(out.width == 50 && out.height == 30 && out.colorType == 2)
+      // bilinear downscale preserves the mean brightness closely
+      val meanOut = out.pixSum.toDouble / (out.width * out.height * 3)
+      val meanIn = (for (y <- 0 until 60; x <- 0 until 100) yield pix(x, y)._1).sum / 6000.0
+      assert(math.abs(meanOut - meanIn) <= 8.0, s"$fmt mean $meanOut vs $meanIn")
+    }
+    // small images are re-encoded but never upscaled
+    val small = resizeImage(encodePngRgb(8, 5, pix), maxDim = 50).get
+    assert(small.width == 8 && small.height == 5)
+    // non-images are not silently mangled — callers get None and fall back
+    assert(resizeImage(encodeWavPcm16(8000, Array[Short](1, 2, 3)), 50).isEmpty)
+  }
+
   test("decodeAny quarantines malformed blobs as 'corrupt' instead of throwing") {
     // truncated WAV (valid magic, body cut mid-header)
     val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(20))
