@@ -28,17 +28,25 @@ object Similarity {
     * A bare `row_number().over(Window.partitionBy(queryId))` funnels EVERY
     * scored candidate of a query into one task — at 100 TB the brute-force
     * variant would shuffle the whole corpus into n_queries partitions and
-    * the job IS that task. Instead: a partial top-k per (query, input
-    * partition) — `groupBy(queryId, spark_partition_id())` spreads the
-    * shuffle over q×p keys and each group collapses to ≤ k rows via
-    * `slice(array_sort(collect_list(struct(score, id)), cmp), 1, k)` —
-    * then the global rank window sees ≤ k × nPartitions rows per query.
+    * the job IS that task.
     *
-    * The comparator is EXACTLY the window's order (`score` desc, `id` asc),
-    * so the partial pass keeps a superset of the global top-k under the
-    * same total order and the final ranking is bit-identical to the naive
-    * single-window plan (any per-partition top-k under a total order
-    * contains the global top-k under that order).
+    * Long ids (every shipped ANN query) take the native path: a
+    * `BoundedTopK` TypedImperativeAggregate whose buffer never exceeds k
+    * entries at ANY stage, so map-side partial aggregation bounds what
+    * leaves each task at k rows per query and the shuffle carries
+    * O(k × mapTasks × queries) bytes, not the scored set. The aggregate
+    * emits the top-k best-first, so `posexplode`'s position IS the rank —
+    * no rank window at all, one bounded exchange total.
+    *
+    * Other id types fall back to a declarative two-step with identical
+    * semantics: partial top-k per (query, input partition) via
+    * `slice(array_sort(collect_list(...), cmp), 1, k)` grouped by
+    * (queryId, spark_partition_id()), then the global rank window over
+    * ≤ k × nPartitions rows per query. (collect_list partials do ship
+    * every candidate through the shuffle — spread across q×p keys, no
+    * single hot task — which is why the bounded native path is the
+    * default.) Both comparators match the window order (score desc,
+    * id asc) exactly, so all paths are bit-identical.
     */
   private def boundedTopK(
       scored: DataFrame,
@@ -48,24 +56,33 @@ object Similarity {
       k: Int,
       rankName: String,
   ): DataFrame = {
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("s") > r.getField("s"), -1)
-        .when(l.getField("s") < r.getField("s"), 1)
-        .when(l.getField("i") < r.getField("i"), -1)
-        .when(l.getField("i") > r.getField("i"), 1)
-        .otherwise(0)
-    val partial = scored
-      .groupBy(col(queryId), spark_partition_id().as("__pid"))
-      .agg(slice(
-        array_sort(collect_list(struct(col(scoreCol).as("s"), col(corpusId).as("i"))), cmp),
-        1, k).as("__top"))
-      .select(col(queryId), explode(col("__top")).as("__t"))
-      .select(col(queryId), col("__t.s").as(scoreCol), col("__t.i").as(corpusId))
-    val w = Window.partitionBy(col(queryId)).orderBy(col(scoreCol).desc, col(corpusId))
-    partial
-      .withColumn(rankName, row_number().over(w))
-      .filter(col(rankName) <= k)
-      .select(col(queryId), col(rankName), col(corpusId), col(scoreCol))
+    if (scored.schema(corpusId).dataType == org.apache.spark.sql.types.LongType) {
+      scored
+        .groupBy(col(queryId))
+        .agg(graft.functions.BoundedTopK.topK(col(scoreCol), col(corpusId), k).as("__top"))
+        .select(col(queryId), posexplode(col("__top")))
+        .select(col(queryId), (col("pos") + 1).cast("int").as(rankName),
+          col("col.i").as(corpusId), col("col.s").as(scoreCol))
+    } else {
+      val cmp = (l: Column, r: Column) =>
+        when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .when(l.getField("i") < r.getField("i"), -1)
+          .when(l.getField("i") > r.getField("i"), 1)
+          .otherwise(0)
+      val partial = scored
+        .groupBy(col(queryId), spark_partition_id().as("__pid"))
+        .agg(slice(
+          array_sort(collect_list(struct(col(scoreCol).as("s"), col(corpusId).as("i"))), cmp),
+          1, k).as("__top"))
+        .select(col(queryId), explode(col("__top")).as("__t"))
+        .select(col(queryId), col("__t.s").as(scoreCol), col("__t.i").as(corpusId))
+      val w = Window.partitionBy(col(queryId)).orderBy(col(scoreCol).desc, col(corpusId))
+      partial
+        .withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= k)
+        .select(col(queryId), col(rankName), col(corpusId), col(scoreCol))
+    }
   }
 
   def dot(a: Column, b: Column): Column =

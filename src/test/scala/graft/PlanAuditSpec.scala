@@ -50,25 +50,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
-  test("every ANN top-k bounds the final rank window with a per-partition partial top-k") {
+  test("every ANN top-k reduction is map-side bounded — no rank window over raw candidates") {
     // the naive shape — row_number over Window.partitionBy(q_id) directly on
     // the scored candidates — funnels every candidate of a query into ONE
-    // task (brute force: the whole corpus per query). The fix is a partial
-    // top-k per (query, input partition): groupBy(q_id, spark_partition_id())
-    // + slice(array_sort(collect_list(...)), 1, k), so the final window sees
-    // ≤ k × nPartitions rows per query. Assert the partial stage exists and
-    // sits BELOW the rank window in the executed plan (toString prints
-    // parents first, so the window must appear before the aggregate).
+    // task (brute force: the whole corpus per query). The fix is the
+    // BoundedTopK TypedImperativeAggregate: its PARTIAL buffers are
+    // k-bounded, so map output is k rows per query per task and the one
+    // exchange carries O(k × maps × queries), never the scored set. Assert
+    // the partial aggregate is present in every ANN plan and that no
+    // rank window computes over the raw candidate join output (the only
+    // windows allowed are over posexploded aggregate output / broadcast
+    // shortlists, both bounded).
     for (q <- Seq("q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq", "q_ann_project")) {
       val plan = finalPlan(ran(q))
-      assert(plan.contains("SPARK_PARTITION_ID"),
-        s"$q: partial top-k must be keyed by (query, spark_partition_id):\n${plan.take(2000)}")
-      assert(plan.contains("functions=[partial_collect_list"),
-        s"$q: partial top-k must collapse each (q, pid) group to ≤ k rows:\n${plan.take(2000)}")
-      val win = plan.indexOf("Window [row_number")
-      val agg = plan.indexOf("SPARK_PARTITION_ID")
-      assert(win >= 0 && agg > win,
-        s"$q: the rank window must consume the bounded partial top-k, not raw candidates")
+      assert(plan.contains("partial_bounded_top_k"),
+        s"$q: top-k must partial-aggregate through the k-bounded native buffer:\n${plan.take(2000)}")
+      assert(!plan.contains("partial_collect_list"),
+        s"$q: collect_list partials ship every candidate through the shuffle:\n${plan.take(2000)}")
     }
   }
 

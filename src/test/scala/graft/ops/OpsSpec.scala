@@ -289,6 +289,46 @@ class OpsSpec extends SparkTestBase {
     assert(partial.nonEmpty && partial.length <= 15)
   }
 
+  test("bounded top-k equals the naive global window under ties and any partitioning") {
+    // the partial per-partition top-k must be bit-identical to a single
+    // rank window over all scored candidates — adversarial input:
+    // duplicate vectors (exact cosine ties broken only by id) and several
+    // input partitionings (the partial's group key includes the physical
+    // partition id, which must never leak into the result)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    // every third vector is a copy of vector 0 → massive score ties
+    val vecs = base.map { case (i, v) => (i, if (i % 3 == 0) base.head._2 else v) }
+    val queries = vecs.take(3).map { case (i, v) => (i + 1000L, v) }
+      .toDF("q_id", "q_vec")
+    def naive(corpus: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = corpus.crossJoin(broadcast(queries))
+        .withColumn("cosine", Similarity.cosine($"q_vec", $"n_vec"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+        .select($"q_id", $"rank", $"n_id", $"cosine")
+        .orderBy("q_id", "rank").collect().toSeq
+    }
+    for (parts <- Seq(1, 4, 13)) {
+      val corpus = vecs.toDF("n_id", "n_vec").repartition(parts)
+      val got = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 7)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(got == naive(corpus), s"divergence at $parts partitions")
+    }
+    // non-long corpus ids take the declarative fallback — same result
+    // modulo the id representation
+    val sCorpus = vecs.toDF("n_id", "n_vec")
+      .withColumn("n_id", format_string("doc-%03d", $"n_id")).repartition(4)
+    val sGot = Similarity.bruteForceTopK(sCorpus, queries, "n_id", "n_vec", "q_id", "q_vec", 7)
+      .orderBy("q_id", "rank")
+      .select($"q_id", $"rank", $"n_id", $"cosine").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val lExpected = naive(vecs.toDF("n_id", "n_vec").repartition(4))
+      .map(r => (r.getLong(0), r.getInt(1), f"doc-${r.getLong(2)}%03d"))
+    assert(sGot == lExpected, "string-id fallback must rank identically")
+  }
+
   test("k-means centroids: deterministic across runs, unit-norm, and recall beats raw-sample seeds") {
     val rnd = new scala.util.Random(13)
     // three well-separated clusters on the unit sphere + noise
