@@ -573,6 +573,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // multi-probe LSH: each query also probes every Hamming-1 bucket (one
+    // sign flipped) — most of a second table's recall for zero extra
+    // index storage. Probe fan-out happens on the tiny broadcast query
+    // side; the oracle replays the XOR probe set bit-exactly in SQL
+    "q_ann_lsh_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      Similarity.lshTopKMultiProbe(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        dim = 64, nBits = 4, k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF ANN (scale path: corpus shuffles once by cell; queries probe
     // nProbe cells). The quantizer is the fixed pre-trained one
     // (Similarity.fixedCentroids) — index BUILD (kmeansCentroids, spec'd
@@ -1735,6 +1749,28 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_ann_lsh_probe: same signature literals, with each
+    * query probing its own bucket plus the nBits XOR-flipped buckets.
+    */
+  private def annLshProbeSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = 64, nBits = 4)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = ("sig" +: (0 until 4).map(b => s"xor(sig, ${1L << b})")).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 5),
+       |qs AS (SELECT q_id, v, $sig AS sig FROM q),
+       |qp AS (SELECT q_id, v, UNNEST($probes) AS sig FROM qs),
+       |cs AS (SELECT n_id, v, $sig AS sig FROM c),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qp.v, cs.v) DESC, n_id) AS rank
+       |  FROM qp JOIN cs USING (sig))
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** Full-fidelity SQL replica of q_ann_ivf: assignment = argmax dot
     * against the fixed centroid literals (ties to the larger cell, as
     * Spark's greatest(struct(sim, cell))), probe = top-nProbe cells per
@@ -2187,6 +2223,7 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersSql,
 
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_probe" -> annLshProbeSql,
 
     "q_ann_ivf" -> annIvfSql,
 

@@ -448,8 +448,39 @@ object Similarity {
   def randomProject(vec: Column, planes: Seq[Array[Double]]): Column =
     array(planes.map(p => dot(vec, typedlit(p.toSeq))): _*)
 
+  /** Multi-probe LSH ANN: each query probes its own signature bucket PLUS
+    * every bucket at Hamming distance 1 (one hyperplane's sign flipped) —
+    * the standard multi-probe trick that buys most of the recall of a
+    * second hash table for zero extra index storage. The query side
+    * explodes into nBits+1 probe rows (queries are the tiny broadcast
+    * side, so the fan-out is free at scale); each corpus point still
+    * carries exactly one signature, so (query, corpus) pairs stay unique
+    * and the bounded top-k applies unchanged.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      nBits: Int,
+      k: Int,
+  ): DataFrame = {
+    val cSig = corpus.withColumn("__sig", hyperplaneSignature(col(corpusVec), dim, nBits))
+    val base = hyperplaneSignature(col(queryVec), dim, nBits)
+    val probes = array((base +: (0 until nBits).map(b =>
+      base.bitwiseXOR(shiftleft(lit(1L), b)))): _*)
+    val qSig = queries.withColumn("__sig", explode(probes))
+    val scored = cSig
+      .join(broadcast(qSig), "__sig")
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    boundedTopK(scored, queryId, corpusId, "cosine", k, "rank")
+  }
+
   /** LSH-bucketed ANN: score only same-signature pairs. Recall depends on
-    * nBits; callers union multiple signature tables for multi-probe.
+    * nBits; `lshTopKMultiProbe` widens each query to Hamming-1 buckets.
     */
   def lshTopK(
       corpus: DataFrame,

@@ -329,6 +329,23 @@ class OpsSpec extends SparkTestBase {
     assert(sGot == lExpected, "string-id fallback must rank identically")
   }
 
+  test("multi-probe LSH recall >= single-probe, both against exact brute force") {
+    val rnd = new scala.util.Random(5)
+    val all = (0L until 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = all.drop(6).toDF("n_id", "n_vec")
+    val queries = all.take(6).map { case (i, v) => (i + 500L, v) }.toDF("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", 5)
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanRecall(Similarity.recallAtK(df, exact, "q_id", "n_id"))
+    val single = recall(Similarity.lshTopK(
+      corpus, queries, "n_id", "n_vec", "q_id", "q_vec", dim = 16, nBits = 4, k = 5))
+    val multi = recall(Similarity.lshTopKMultiProbe(
+      corpus, queries, "n_id", "n_vec", "q_id", "q_vec", dim = 16, nBits = 4, k = 5))
+    // probing every Hamming-1 bucket can only widen the candidate set
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    assert(multi > 0.5, s"multi-probe recall too low: $multi")
+  }
+
   test("k-means centroids: deterministic across runs, unit-norm, and recall beats raw-sample seeds") {
     val rnd = new scala.util.Random(13)
     // three well-separated clusters on the unit sphere + noise
