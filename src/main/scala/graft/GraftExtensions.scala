@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{BoundedTopK, MinHashSignature, SimHash64}
 
 /** Session-extension entry point: registers the engine's native codegen
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -11,6 +11,7 @@ import graft.functions.{MinHashSignature, SimHash64}
   *
   *   spark.sql("SELECT graft_minhash(split(text, ' '), 16) FROM docs")
   *   spark.sql("SELECT graft_simhash(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT q, graft_top_k(score, id, 5) FROM scored GROUP BY q")
   *
   * Wire up with either
   *   `.config("spark.sql.extensions", "graft.GraftExtensions")` or
@@ -20,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.topKDescriptor)
   }
 }
 
@@ -50,9 +52,24 @@ object GraftExtensions {
     },
   )
 
+  private[graft] val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_top_k"),
+    info("graft_top_k",
+      "graft_top_k(score, id, k) - aggregate: k best (s, i) structs by (score desc, id asc), " +
+        "k-bounded at every stage (map-side bounded shuffle)."),
+    { args =>
+      require(args.length == 3, "graft_top_k(score, id, k)")
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case other              => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }
+      BoundedTopK(args(0), args(1), k).toAggregateExpression()
+    },
+  )
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(minhashDescriptor, simhashDescriptor).foreach { case (id, inf, builder) =>
+    Seq(minhashDescriptor, simhashDescriptor, topKDescriptor).foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 }

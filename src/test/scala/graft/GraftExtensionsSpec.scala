@@ -25,6 +25,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRows.map(_.getLong(2)).toSeq == apiRows.map(_.getLong(2)).toSeq)
   }
 
+  test("graft_top_k SQL aggregate equals the DataFrame-API bounded top-k") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(3)
+    (1L to 200L).map(i => (i % 4, rnd.nextDouble(), i)).toDF("g", "s", "i")
+      .createOrReplaceTempView("scored_ext")
+    val sqlRows = spark.sql(
+      "SELECT g, graft_top_k(s, i, 3) AS top FROM scored_ext GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1))))
+    val apiRows = spark.table("scored_ext")
+      .groupBy($"g").agg(graft.functions.BoundedTopK.topK($"s", $"i", 3).as("top"))
+      .orderBy("g")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1))))
+    assert(sqlRows.toSeq == apiRows.toSeq)
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
