@@ -65,9 +65,20 @@ object TableLock {
       } catch { case _: java.io.IOException => None }
 
     tryCreate().getOrElse {
-      val stale = try {
+      // same-owner reacquire: a holder identity that survives process
+      // death (e.g. a streaming query's checkpoint dir) can always retake
+      // its own lease — the platform guarantees one active instance per
+      // such identity, so the previous holder is necessarily dead. Without
+      // this, a crashed-and-restarted pipeline would be blocked by its own
+      // corpse until staleMs elapsed.
+      val sameOwner = try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        s.linesIterator.contains(s"owner=$owner")
+      } catch { case _: java.io.IOException => false }
+      val stale = sameOwner || (try {
         System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > staleMs
-      } catch { case _: java.io.IOException => true } // vanished between attempts
+      } catch { case _: java.io.IOException => true }) // vanished between attempts
       if (stale) {
         // takeover: drop the dead lease and race the create; the atomic
         // create picks exactly one winner among concurrent takers

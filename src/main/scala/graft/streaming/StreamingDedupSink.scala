@@ -148,6 +148,14 @@ object StreamingDedupSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // cross-pipeline exclusion on the corpus table, shared with
+          // TableWriter/compaction. The owner is the CHECKPOINT DIR —
+          // stable across restarts and unique per pipeline — so a
+          // restarted query retakes its own crashed lease immediately
+          // (same-owner reacquire) while a second pipeline pointed at the
+          // same corpus fails fast instead of corrupting the
+          // intent/commit protocol.
+          graft.core.TableLock.withLock(s, corpusPath, owner = s"dedup-sink:$checkpointDir") {
           val fs = new Path(corpusPath).getFileSystem(s.sparkContext.hadoopConfiguration)
           val numBands = numHashes / rowsPerBand
           recoverIfNeeded(s, corpusPath, indexPath, idCol, textCol, numHashes, rowsPerBand)
@@ -184,6 +192,7 @@ object StreamingDedupSink {
             Meta(prev.corpusRows + nSurv, prev.indexRows + nSurv * numBands))
           fs.delete(intentPath(indexPath), false)
           ()
+          }
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

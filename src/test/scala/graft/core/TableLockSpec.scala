@@ -17,6 +17,20 @@ class TableLockSpec extends SparkTestBase {
     TableLock.acquire(spark, table, "pipeline-b").release()
   }
 
+  test("same-owner identity retakes its own crashed lease immediately") {
+    val table = s"${tmpDir("lock_reown")}/t"
+    // "crash": lease never released, still fresh
+    TableLock.acquire(spark, table, "stream:ckpt-A")
+    // the reincarnated holder (same stable identity) gets back in at once
+    val back = TableLock.acquire(spark, table, "stream:ckpt-A", staleMs = Long.MaxValue / 2)
+    assert(back.owner == "stream:ckpt-A")
+    // a different pipeline is still excluded
+    intercept[TableLock.LockHeldException] {
+      TableLock.acquire(spark, table, "stream:ckpt-B", staleMs = Long.MaxValue / 2)
+    }
+    back.release()
+  }
+
   test("stale lease is taken over; fresh lease is not") {
     val table = s"${tmpDir("lock_stale")}/t"
     val dead = TableLock.acquire(spark, table, "crashed-writer")

@@ -130,6 +130,39 @@ class StreamingDedupSinkSpec extends SparkTestBase {
     assert(indexIds == Set(1L, 2L, 5L), "doc 5 must be indexed despite the over-count")
   }
 
+  test("sink holds the table lease: a second pipeline is excluded, a restart retakes its own") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_lock")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a b c d"))
+    val q1 = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q1.processAllAvailable(); q1.stop()
+
+    // simulate a crash that left this pipeline's lease behind: the
+    // restarted query (same checkpoint = same owner) must proceed
+    graft.core.TableLock.acquire(spark, corpusPath, s"dedup-sink:$ckpt")
+    input.addData((2L, "p q r s"))
+    val q2 = StreamingDedupSink.start(input.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", ckpt, threshold = 0.9)
+    q2.processAllAvailable(); q2.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 2L))
+
+    // a DIFFERENT pipeline (other checkpoint) on the same corpus: its
+    // batch must fail on the held lease, corpus untouched
+    val held = graft.core.TableLock.acquire(spark, corpusPath, "other-holder")
+    val input3 = MemoryStream[(Long, String)]
+    input3.addData((3L, "x y z w"))
+    val q3 = StreamingDedupSink.start(input3.toDF().toDF("doc_id", "text"),
+      corpusPath, indexPath, "doc_id", "text", s"$root/ckpt2", threshold = 0.9)
+    val failed = intercept[Exception] { q3.processAllAvailable() }
+    assert(failed.getMessage != null)
+    q3.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 2L), "excluded pipeline must not write")
+    held.release()
+  }
+
   test("a lost index is rebuilt from the corpus before the next batch dedups") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("sdedup_heal")
