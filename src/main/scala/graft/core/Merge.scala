@@ -194,8 +194,14 @@ object TableWriter {
     val path = s"$tableRoot/$name"
     // cross-writer exclusion: a second pipeline (or a concurrent
     // compaction) on the same table fails fast instead of interleaving
-    // with the staged swap — see TableLock
-    TableLock.withLock(spark, path, owner = s"writer:$name") {
+    // with the staged swap — see TableLock. The owner is unique PER
+    // INVOCATION: same-owner reacquire must never let two batch writers
+    // with the same table name steal each other's live lease (a crashed
+    // batch writer's lease is reclaimed by the stale-age path instead —
+    // only stable singleton identities like a streaming checkpoint use
+    // the reacquire).
+    TableLock.withLock(spark, path,
+      owner = s"writer:$name:${java.util.UUID.randomUUID()}") {
       writeLocked(spark, updates, path, hints)
     }
   }

@@ -68,8 +68,11 @@ object TableMaintenance {
       targetBytes: Long = 128L * 1024 * 1024,
       minFileBytes: Long = 16L * 1024 * 1024): (Int, Int) =
     // same lease as TableWriter: a compaction can't start while a write
-    // (staged swap included) holds the table, and vice versa
-    TableLock.withLock(spark, path, owner = "compaction") {
+    // (staged swap included) holds the table, and vice versa. Owner is
+    // unique per invocation (see TableWriter.write) so concurrent
+    // compactions also exclude each other.
+    TableLock.withLock(spark, path,
+      owner = s"compaction:${java.util.UUID.randomUUID()}") {
       compactLocked(spark, path, targetBytes, minFileBytes)
     }
 

@@ -31,6 +31,21 @@ class TableLockSpec extends SparkTestBase {
     back.release()
   }
 
+  test("two batch writers on the same table name exclude each other (no same-owner bypass)") {
+    // batch-writer owners are unique per invocation precisely so the
+    // same-owner reacquire can never let a second pipeline with the same
+    // table name steal a live lease
+    val root = tmpDir("lock_two_writers")
+    val hints = TableHints(tableName = "t", disposition = Disposition.Replace)
+    val other = TableLock.acquire(spark, s"$root/t",
+      "writer:t:00000000-aaaa-bbbb-cccc-000000000000")
+    intercept[TableLock.LockHeldException] {
+      TableWriter.write(spark, Seq((1L, "a")).toDF("id", "v"), root, hints)
+    }
+    other.release()
+    TableWriter.write(spark, Seq((1L, "a")).toDF("id", "v"), root, hints)
+  }
+
   test("stale lease is taken over; fresh lease is not") {
     val table = s"${tmpDir("lock_stale")}/t"
     val dead = TableLock.acquire(spark, table, "crashed-writer")
