@@ -74,20 +74,29 @@ object Extraction {
     df.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { it: Iterator[Row] =>
         extractor.open()
+        // a limit/take downstream can drop the iterator before it drains —
+        // the task-completion hook guarantees the client still closes
+        val closeOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeClient(): Unit = if (closeOnce.compareAndSet(false, true)) extractor.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeClient()))
         val rows = it.grouped(batchSize).flatMap { batch =>
-          val docs = batch.map(r => ExtractDoc(r.getLong(0), r.getString(1)))
-          val answers = extractor.extract(docs, queries)
+          // null documents never reach the extractor: they yield all-null
+          // answer columns (a corpus-scale batch must not die on one bad
+          // row — same contract as decodeAny's quarantine)
+          val (nullDocs, realDocs) = batch.partition(_.isNullAt(1))
+          val docs = realDocs.map(r => ExtractDoc(r.getLong(0), r.getString(1)))
+          val answers = if (docs.isEmpty) Nil else extractor.extract(docs, queries)
           require(answers.length == docs.length,
             s"extractor returned ${answers.length} results for ${docs.length} docs")
           docs.lazyZip(answers).map { (d, m) =>
             Row.fromSeq(d.id +: fields.map(f => m.getOrElse(f, null)))
-          }
+          } ++ nullDocs.map(r => Row.fromSeq(r.getLong(0) +: fields.map(_ => null)))
         }
         new Iterator[Row] {
-          private var closed = false
           def hasNext: Boolean = {
             val h = rows.hasNext
-            if (!h && !closed) { closed = true; extractor.close() }
+            if (!h) closeClient()
             h
           }
           def next(): Row = rows.next()

@@ -41,6 +41,30 @@ class ExtractionSpec extends SparkTestBase {
     assert(sizes.sum == 100)
     // a real remote client amortizes per batch: most batches must be full
     assert(sizes.count(_ == 8) >= 8)
+
+    // a limit that drops iterators mid-partition must still close every
+    // opened client (task-completion hook)
+    Probe.reset()
+    Extraction.extractStructured(docs, "doc_id", "text",
+      Map("tag" -> "anything"), new ProbeExtractor, batchSize = 8).limit(3).collect()
+    assert(Probe.opens.get() == Probe.closes.get(),
+      s"opens ${Probe.opens.get()} != closes ${Probe.closes.get()} after early stop")
+  }
+
+  test("null documents yield all-null answers without reaching the extractor") {
+    val strict = new DocFeatureExtractor {
+      def extract(docs: Seq[ExtractDoc], queries: Map[String, String]): Seq[Map[String, String]] = {
+        docs.foreach(d => require(d.content != null, "null leaked into extractor"))
+        docs.map(d => Map("f" -> d.content.take(4)))
+      }
+    }
+    val docs = Seq((1L, Some("text one")), (2L, None), (3L, Some("three")))
+      .toDF("doc_id", "text")
+    val out = Extraction.extractStructured(docs, "doc_id", "text", Map("f" -> "q"), strict)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getString(1) == "text" && out(2).getString(1) == "thre")
+    assert(out(1).isNullAt(1))
   }
 
   test("missing fields from the extractor surface as nulls, not failures") {
