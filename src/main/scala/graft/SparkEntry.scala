@@ -657,6 +657,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-level n-gram novelty: fraction of a doc's distinct bigrams
+    // appearing in no other document — integer counts end-to-end, one
+    // final division, so the oracle replays it exactly
+    "q_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -2247,6 +2256,20 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS VARCHAR) AS n_words,
         | array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS summary
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_ngram_novelty" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0),
+        |dg AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(ws) >= 2
+        |  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  ELSE [] END)) AS gram FROM docs),
+        |freq AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE df = 1) AS novel_grams
+        |  FROM dg JOIN freq USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(novel_grams, 0) AS novel_grams,
+        |  CASE WHEN n_grams IS NOT NULL THEN CAST(novel_grams AS DOUBLE) / n_grams END AS novelty
+        |FROM docs d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,

@@ -158,4 +158,49 @@ object TextAnalysis {
       "n_dup_3grams" -> (n3 - size(array_distinct(grams))).cast(LongType),
     )
   }
+
+  /** Corpus-level n-gram novelty (CCNet-family quality/near-dup signal):
+    * per document, the fraction of its DISTINCT word n-grams that appear
+    * in no other document. Boilerplate-heavy docs (headers, templates,
+    * near-copies) score low; genuinely novel text scores high — a cheap
+    * pre-filter before the expensive near-dup machinery.
+    *
+    * Plan shape at 100 TB: one explode → per-doc-distinct grams, one
+    * keyed groupBy on the gram (map-side combined — only (gram, count)
+    * partials shuffle), one join back, one per-doc aggregate. Everything
+    * is integer counts until the single final division, so the result is
+    * bit-stable across partitionings and engines (oracle-replicable).
+    * For corpora where raw gram strings dominate shuffle bytes, hash the
+    * gram to 8 bytes first (`xxhash64`) the way `lineDedup(hashKeys)`
+    * does — same plan, 64-bit keys.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val ws = words(col(textCol))
+    val nGrams = greatest(size(ws) - (n - 1), lit(0))
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(1), nGrams), i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array())
+    // distinct per doc BEFORE the explode: intra-doc repeats must not
+    // inflate document frequency
+    val docGrams = df
+      .select(col(idCol), explode(array_distinct(grams)).as("__gram"))
+    val gramDf = docGrams
+      .groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__df"))
+    val perDoc = docGrams
+      .join(gramDf, "__gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("__df") === 1, lit(1))).as("novel_grams"))
+    // left join: docs too short for any n-gram keep a row (0, 0, null)
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(col("n_grams").isNotNull,
+          col("novel_grams").cast("double") / col("n_grams")).as("novelty"))
+  }
 }

@@ -329,6 +329,28 @@ class OpsSpec extends SparkTestBase {
     assert(sGot == lExpected, "string-id fallback must rank identically")
   }
 
+  test("n-gram novelty: shared bigrams score low, unique text scores 1.0, short docs null") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // bigrams: the quick / quick brown / brown fox
+      (2L, "the quick red fox"),          // shares "the quick" with 1
+      (3L, "totally novel words here"),   // all unique
+      (4L, "single"),                     // no bigram
+      (5L, "dup dup dup")).toDF("doc_id", "text") // intra-doc repeat: distinct-per-doc
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // doc 1: 3 bigrams, "the quick" shared with doc 2 → 2 novel
+    assert(byId(1L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(byId(2L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(byId(3L) == ((3L, 3L, Some(1.0))))
+    assert(byId(4L) == ((0L, 0L, None)))
+    // doc 5: "dup dup" appears twice IN the doc but counts once; it's in
+    // no other doc → fully novel
+    assert(byId(5L) == ((1L, 1L, Some(1.0))))
+  }
+
   test("multi-probe LSH recall >= single-probe, both against exact brute force") {
     val rnd = new scala.util.Random(5)
     val all = (0L until 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
