@@ -1,4 +1,5 @@
-// scratch main for plan inspection (not committed)
+// plan-inspection main: `sbt "runMain graft.Explain q_name ..."` prints
+// the formatted physical plan of any contract query at sf0.01
 package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
