@@ -657,6 +657,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // weighted domain mixing: reshape the corpus toward a target source
+    // distribution with a deterministic md5 acceptance coin — one tiny
+    // per-domain count, then a narrow filter; the oracle recomputes the
+    // counts, rates, and the exact surviving set
+    "q_domain_mix" -> ((s, dir) => {
+      graft.ops.Corpus.mixDomains(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalRows = 60L, seed = "mix")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // corpus-level n-gram novelty: fraction of a doc's distinct bigrams
     // appearing in no other document — integer counts end-to-end, one
     // final division, so the oracle replays it exactly
@@ -2256,6 +2268,16 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS VARCHAR) AS n_words,
         | array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS summary
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_domain_mix" ->
+      """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |rates AS (SELECT source, least(1.0, CAST(60 AS DOUBLE) *
+        |  (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END) / c) AS r
+        |  FROM cnt)
+        |SELECT doc_id, source, n_chars FROM documents JOIN rates USING (source)
+        |WHERE CAST(CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |  / CAST(1152921504606846976 AS DOUBLE) < r
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_ngram_novelty" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0),

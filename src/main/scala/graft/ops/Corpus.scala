@@ -151,6 +151,59 @@ object Corpus {
       .drop("__ord", "__b", "__off", "__cum")
   }
 
+  /** Deterministic per-row uniform in [0, 1): 60 bits of
+    * md5(seed:id) / 2^60. Stable across runs, cluster sizes, and engines
+    * (the md5-hex-prefix trick an external SQL oracle replays exactly) —
+    * the acceptance coin for weighted sampling, never `rand()`.
+    */
+  def uniformHash(id: Column, seed: String): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType).cast("double") /
+      lit(1152921504606846976L).cast("double") // 2^60
+
+  /** Per-domain acceptance rates that shape an observed distribution into
+    * a `target` mixture of at most `totalRows` rows:
+    * rate(d) = min(1, totalRows * frac(d) / count(d)). A domain whose
+    * corpus share falls below its target share saturates at rate 1 (you
+    * cannot upsample by filtering); domains absent from `target` get 0.
+    * Pure arithmetic over the (tiny) per-domain counts.
+    */
+  def domainMixRates(
+      counts: Map[String, Long],
+      target: Map[String, Double],
+      totalRows: Long,
+  ): Map[String, Double] =
+    target.map { case (d, frac) =>
+      val c = counts.getOrElse(d, 0L)
+      d -> (if (c == 0L) 0.0 else math.min(1.0, totalRows.toDouble * frac / c))
+    }
+
+  /** Weighted domain mixing — reshape a corpus toward a target source
+    * distribution (the "60% web / 20% code / 20% books" step of every
+    * training-data pipeline): one map-side-combined count per domain
+    * (returns #domains rows to the driver — the same justified-tiny
+    * collect as k-means centroids), then a NARROW deterministic
+    * acceptance filter `uniformHash(id) < rate(domain)`. No shuffle of
+    * the data itself, stable under reruns and repartitioning, and the
+    * md5 coin makes the exact surviving set oracle-replicable.
+    */
+  def mixDomains(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      target: Map[String, Double],
+      totalRows: Long,
+      seed: String = "mix",
+  ): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = domainMixRates(counts, target, totalRows)
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(r)).otherwise(acc)
+    }
+    df.filter(uniformHash(col(idCol), seed) < rateCol)
+  }
+
   /** Word n-gram hashes of a text column: the join key for overlap
     * detection. Hashing keeps the shuffled key 8 bytes instead of the
     * n-gram string.

@@ -329,6 +329,35 @@ class OpsSpec extends SparkTestBase {
     assert(sGot == lExpected, "string-id fallback must rank identically")
   }
 
+  test("domain mixing: rates hit the target, sampling is deterministic, absent domains drop") {
+    import graft.ops.Corpus
+    // rates math: saturation at 1.0, proportional downsample, zero for empty
+    val rates = Corpus.domainMixRates(
+      Map("web" -> 1000L, "code" -> 100L, "books" -> 0L),
+      Map("web" -> 0.5, "code" -> 0.4, "books" -> 0.1), totalRows = 400L)
+    assert(rates("web") == 0.2)    // 400*0.5/1000
+    assert(rates("code") == 1.0)   // 400*0.4/100 = 1.6 → saturate
+    assert(rates("books") == 0.0)
+
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 3000L).map { i =>
+      (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "other")
+    }.toDF("doc_id", "source")
+    val out = Corpus.mixDomains(docs, "source", "doc_id",
+      Map("web" -> 0.5, "code" -> 0.5), totalRows = 600L)
+    val byDomain = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byDomain.contains("other"), "untargeted domains must drop")
+    // each targeted domain: 1000 rows at rate 0.3 → ~300 (binomial, wide margin)
+    for (d <- Seq("web", "code"))
+      assert(byDomain(d) > 200 && byDomain(d) < 400, s"$d: ${byDomain(d)}")
+    // determinism: identical surviving set on rerun
+    val again = Corpus.mixDomains(docs, "source", "doc_id",
+      Map("web" -> 0.5, "code" -> 0.5), totalRows = 600L)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("n-gram novelty: shared bigrams score low, unique text scores 1.0, short docs null") {
     import graft.ops.TextAnalysis
     val docs = Seq(
