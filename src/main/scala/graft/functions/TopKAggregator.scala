@@ -116,9 +116,19 @@ object BoundedTopK {
     * relies on.
     */
   final class Buffer(k: Int) {
-    private val scores = new Array[Double](k)
-    private val ids = new Array[Long](k)
+    // grow-on-demand up to k: an aggregation hash map holds one buffer
+    // PER GROUP, and most groups see far fewer than k rows — eager
+    // Array(k) would cost groups x k x 16 B regardless of data
+    private var scores = new Array[Double](math.min(k, 16))
+    private var ids = new Array[Long](math.min(k, 16))
     private var n = 0
+
+    @inline private def ensure(cap: Int): Unit =
+      if (cap > scores.length) {
+        val next = math.min(k, math.max(cap, scores.length * 2))
+        scores = java.util.Arrays.copyOf(scores, next)
+        ids = java.util.Arrays.copyOf(ids, next)
+      }
 
     // heap order: parent is WORSE than children (min-heap on quality)
     @inline private def worse(a: Int, b: Int): Boolean =
@@ -126,6 +136,7 @@ object BoundedTopK {
 
     def offer(s: Double, i: Long): Unit = {
       if (n < k) {
+        ensure(n + 1)
         scores(n) = s; ids(n) = i; n += 1
         var c = n - 1
         while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }

@@ -154,7 +154,10 @@ object StreamingDedupSink {
           // restarted query retakes its own crashed lease immediately
           // (same-owner reacquire) while a second pipeline pointed at the
           // same corpus fails fast instead of corrupting the
-          // intent/commit protocol.
+          // intent/commit protocol. The lease is taken fresh per batch;
+          // a single micro-batch (including a recovery heal) must finish
+          // inside TableLock's staleMs (15 min default) or a THIRD-party
+          // takeover becomes possible — size micro-batches accordingly.
           graft.core.TableLock.withLock(s, corpusPath, owner = s"dedup-sink:$checkpointDir") {
           val fs = new Path(corpusPath).getFileSystem(s.sparkContext.hadoopConfiguration)
           val numBands = numHashes / rowsPerBand
