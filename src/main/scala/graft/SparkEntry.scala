@@ -657,6 +657,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: long docs split into overlapping token
+    // windows (stride = max - overlap) — narrow transform + explode, no
+    // shuffle; the oracle replays windows, clamping, and token counts
+    "q_chunk_docs" -> ((s, dir) => {
+      graft.ops.Corpus.chunkDocuments(
+        t(s, dir, "documents").filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", maxTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // weighted domain mixing: reshape the corpus toward a target source
     // distribution with a deterministic md5 acceptance coin — one tiny
     // per-domain count, then a narrow filter; the oracle recomputes the
@@ -2268,6 +2278,18 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS VARCHAR) AS n_words,
         | array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS summary
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_chunk_docs" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 9 = 0),
+        |sized AS (SELECT doc_id, ws, len(ws) AS n,
+        |  CASE WHEN len(ws) <= 40 THEN 1
+        |       ELSE CAST(ceil((len(ws) - 40) / CAST(32 AS DOUBLE)) AS BIGINT) + 1 END AS m
+        |  FROM docs),
+        |ex AS (SELECT doc_id, ws, n, UNNEST(range(0, m)) AS c FROM sized)
+        |SELECT doc_id, c AS chunk_idx,
+        |  array_to_string(list_slice(ws, c*32 + 1, c*32 + 40), ' ') AS chunk_text,
+        |  least(40, n - c*32) AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " "),
 
     "q_domain_mix" ->
       """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),

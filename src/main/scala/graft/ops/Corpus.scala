@@ -151,6 +151,40 @@ object Corpus {
       .drop("__ord", "__b", "__off", "__cum")
   }
 
+  /** Context-window chunking — the dual of `packSequences`: split each
+    * document that exceeds `maxTokens` whitespace tokens into overlapping
+    * windows of `maxTokens`, stepping by `maxTokens - overlap` (the
+    * standard stride trick so no span is ever cut without appearing whole
+    * in some chunk). Purely narrow: a per-row transform + explode, no
+    * shuffle — at 100 TB chunking happens in the scan stage and only
+    * chunk-sized rows flow on. Returns (id, chunk_idx, chunk_text,
+    * n_tokens); the final chunk may be short (clamped, never empty).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0,
+  ): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    // smallest m with (m-1)*stride + maxTokens >= n; one chunk when it fits
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(ceil((n - maxTokens).cast("double") / stride).cast("long") + 1L)
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      c => concat_ws(" ", slice(ws, (c * stride + 1).cast("int"), lit(maxTokens))))
+    df.select(col(idCol), n.cast("long").as("__n"), posexplode(chunks))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(lit(maxTokens.toLong), col("__n") - col("pos") * stride).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic per-row uniform in [0, 1): 60 bits of
     * md5(seed:id) / 2^60. Stable across runs, cluster sizes, and engines
     * (the md5-hex-prefix trick an external SQL oracle replays exactly) —

@@ -329,6 +329,33 @@ class OpsSpec extends SparkTestBase {
     assert(sGot == lExpected, "string-id fallback must rank identically")
   }
 
+  test("document chunking: stride windows with overlap, clamped tail, short docs pass through") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens → 3 chunks at max=4, ov=1
+      (2L, "a b c"),                                  // fits → 1 chunk
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: starts at w1, w4, w7, w10 → ceil((10-4)/3)+1 = 3 chunks
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "solo", 1L)))
+    // every adjacent chunk pair shares exactly `overlap` tokens
+    val c1 = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(c1.sliding(2).forall { case Array(a, b) => a.takeRight(1) == b.take(1) })
+    // clamped tail: 11 tokens → last chunk short
+    val tail = Corpus.chunkDocuments(
+      Seq((9L, (1 to 11).map("t" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(tail.last.getString(2) == "t10 t11" && tail.last.getLong(3) == 2L)
+  }
+
   test("domain mixing: rates hit the target, sampling is deterministic, absent domains drop") {
     import graft.ops.Corpus
     // rates math: saturation at 1.0, proportional downsample, zero for empty
