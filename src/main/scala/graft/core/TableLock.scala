@@ -4,46 +4,149 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import java.nio.charset.StandardCharsets
 
-/** Cross-writer exclusion for a parquet table: a lease file CREATED
-  * atomically (`create(overwrite = false)` — one winner on HDFS and
-  * object-store FS shims) next to the table directory. The engine's
-  * dispositions assume a single writer per table (staged swaps and
-  * compaction markers are private to the maintainer); the lease makes
-  * that assumption enforced instead of hoped: a second pipeline trying to
-  * write or compact the same table fails fast with `LockHeldException`
-  * rather than interleaving a directory swap with a compaction rewrite —
-  * an interleaving that could resurrect replaced files or delete
-  * originals out from under a swap.
+/** Cross-writer exclusion for a parquet table. The engine's dispositions
+  * assume a single writer per table (staged swaps and compaction markers
+  * are private to the maintainer); the lease makes that assumption
+  * enforced instead of hoped: a second pipeline trying to write or
+  * compact the same table fails fast with `LockHeldException` rather than
+  * interleaving a directory swap with a compaction rewrite — an
+  * interleaving that could resurrect replaced files or delete originals
+  * out from under a swap.
   *
-  * The lease lives NEXT TO the table dir (`<path>__lock`), not inside it:
-  * `stagedOverwrite` renames the whole directory, and a lock inside would
-  * be swapped away with it.
+  * DESIGN — epoch-chained lease files, arbitrated by atomic create only.
+  * The lock's state is the set of files `<table>__lock.e<N>`; the holder
+  * is whoever CREATED the highest-epoch file, while that file is live.
+  * Every state transition is an atomic create-if-absent of a NEW path —
+  * there is no rename and no delete anywhere in an arbitration path,
+  * which is what makes contended takeover single-winner on any
+  * filesystem:
   *
-  * Stale-lease takeover: a crashed writer never releases. A lease older
-  * than `staleMs` (file modification time) is deleted and re-acquired;
-  * the atomic create arbitrates if two takers race. Long-running holders
-  * renew by touching the lease (`renew`).
+  *  - acquire on an empty dir  → create `e0` (atomic; one winner);
+  *  - takeover of a stale or released max-epoch `eM` → create `e(M+1)`
+  *    (atomic; exactly one of any number of racing takers wins, and a
+  *    racer can never destroy the winner's lease because nothing is ever
+  *    renamed or deleted);
+  *  - release → REWRITE your own epoch file with a `released` marker,
+  *    never delete it (a delete would let a late lister see an empty dir
+  *    and restart the chain at `e0` below a concurrent `e(M+1)` winner —
+  *    two live holders);
+  *  - GC: epoch files strictly below the current max are garbage. Epochs
+  *    only grow, so a (however delayed) delete of `e<K>` with K < M can
+  *    never hit a live lease. The chain therefore stays at a handful of
+  *    files regardless of takeover count.
+  *
+  * Atomic create-if-absent is server-side on HDFS and object-store FS
+  * shims; on the local scheme Hadoop's `create(overwrite = false)` is a
+  * non-atomic exists-then-open, so we go through NIO `CREATE_NEW`
+  * (O_EXCL), which the kernel arbitrates.
+  *
+  * Staleness: a crashed writer never releases; a max-epoch lease whose
+  * mtime is older than `staleMs` is taken over. `withLock` runs an
+  * auto-renew heartbeat (staleMs / 3) for the duration of the protected
+  * block, so a legitimately slow compaction or data-dependent recovery
+  * heal is never exposed to third-party takeover mid-write. Same-owner
+  * reacquire: a holder identity that survives process death (e.g. a
+  * streaming query's checkpoint dir) retakes its own lease immediately —
+  * the platform guarantees one active instance per such identity, so the
+  * previous holder is necessarily dead.
+  *
+  * The lease files live NEXT TO the table dir (`<path>__lock.e<N>`), not
+  * inside it: `stagedOverwrite` renames the whole directory, and a lock
+  * inside would be swapped away with it.
   */
 object TableLock {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(TableLock.getClass)
 
   final class LockHeldException(msg: String) extends RuntimeException(msg)
 
   final case class Lease(fs: FileSystem, path: Path, owner: String, token: String) {
     /** Refresh the lease mtime so a long maintenance job isn't taken over. */
     def renew(): Unit = fs.setTimes(path, System.currentTimeMillis(), -1)
-    def release(): Unit = {
-      // best-effort ownership check: never delete someone else's lease
-      val mine = try {
-        val in = fs.open(path)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        s.contains(token)
-      } catch { case _: java.io.IOException => false }
-      if (mine) fs.delete(path, false)
-      ()
+
+    /** Mark the lease released iff it is still ours. Returns true iff this
+      * call released it. Failures are LOUD (error log), never silent: a
+      * swallowed failure leaks the lease until stale takeover, blocking
+      * every other writer for staleMs.
+      */
+    def release(): Boolean = {
+      val mine =
+        try readFile(fs, path).exists(c => c.contains(s"token=$token") && !isReleased(c))
+        catch {
+          case e: java.io.IOException =>
+            log.error(
+              s"lease release: cannot read $path to verify ownership; not releasing. " +
+                s"If this lease is ours it now leaks until stale takeover (owner=$owner)", e)
+            return false
+        }
+      mine && {
+        try {
+          overwriteFile(fs, path, s"released=true\nowner=$owner\ntoken=$token\n")
+          true
+        } catch {
+          case e: java.io.IOException =>
+            log.error(s"lease release: rewrite of $path failed; " +
+              s"lease leaks until stale takeover (owner=$owner)", e)
+            false
+        }
+      }
     }
   }
 
-  private def lockPath(tablePath: String) = new Path(tablePath + "__lock")
+  private def epochPrefix(tablePath: String) = new Path(tablePath).getName + "__lock.e"
+
+  private def isLocal(fs: FileSystem) = "file".equalsIgnoreCase(fs.getScheme)
+  private def nio(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+
+  private def readFile(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+
+  private def isReleased(content: String) = content.linesIterator.contains("released=true")
+
+  private def overwriteFile(fs: FileSystem, p: Path, content: String): Unit =
+    if (isLocal(fs)) {
+      java.nio.file.Files.write(nio(p), content.getBytes(StandardCharsets.UTF_8))
+      ()
+    } else {
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+  /** Create-if-absent with a REAL atomicity guarantee per scheme (see
+    * class doc): NIO CREATE_NEW (O_EXCL) locally, server-side
+    * `create(overwrite = false)` elsewhere.
+    */
+  private def atomicCreate(fs: FileSystem, p: Path, content: String): Boolean = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    if (isLocal(fs))
+      try { java.nio.file.Files.write(nio(p), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.io.IOException => false }
+    else
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  /** Epoch files for this lock, as (epoch, path), unsorted. */
+  private def epochFiles(fs: FileSystem, tablePath: String): Seq[(Long, Path)] = {
+    val parent = new Path(tablePath).getParent
+    val prefix = epochPrefix(tablePath)
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else
+      fs.listStatus(parent).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(prefix))
+          n.stripPrefix(prefix).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+  }
 
   def acquire(
       spark: SparkSession,
@@ -51,57 +154,81 @@ object TableLock {
       owner: String,
       staleMs: Long = 15L * 60 * 1000,
   ): Lease = {
-    val p = lockPath(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (p.getParent != null) fs.mkdirs(p.getParent)
+    val parent = new Path(tablePath).getParent
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (parent != null) fs.mkdirs(parent)
     val token = java.util.UUID.randomUUID().toString
+    val lease = s"owner=$owner\ntoken=$token\n"
 
-    def tryCreate(): Option[Lease] =
-      try {
-        val out = fs.create(p, false) // atomic one-winner create
-        try out.write(s"owner=$owner\ntoken=$token\n".getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        Some(Lease(fs, p, owner, token))
-      } catch { case _: java.io.IOException => None }
+    def path(epoch: Long) = new Path(parent, epochPrefix(tablePath) + epoch)
 
-    tryCreate().getOrElse {
-      // same-owner reacquire: a holder identity that survives process
-      // death (e.g. a streaming query's checkpoint dir) can always retake
-      // its own lease — the platform guarantees one active instance per
-      // such identity, so the previous holder is necessarily dead. Without
-      // this, a crashed-and-restarted pipeline would be blocked by its own
-      // corpse until staleMs elapsed.
-      val sameOwner = try {
-        val in = fs.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        s.linesIterator.contains(s"owner=$owner")
-      } catch { case _: java.io.IOException => false }
-      val stale = sameOwner || (try {
-        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > staleMs
-      } catch { case _: java.io.IOException => true }) // vanished between attempts
-      if (stale) {
-        // takeover: drop the dead lease and race the create; the atomic
-        // create picks exactly one winner among concurrent takers
-        fs.delete(p, false)
-        tryCreate().getOrElse(throw new LockHeldException(
-          s"lost takeover race for $tablePath"))
-      } else {
-        val holder = try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        } catch { case _: java.io.IOException => "<unreadable>" }
-        throw new LockHeldException(
-          s"table $tablePath is locked by another writer ($holder); " +
-            "concurrent write/compaction would corrupt the staged-swap protocol")
+    val files = epochFiles(fs, tablePath)
+    if (files.isEmpty) {
+      if (atomicCreate(fs, path(0L), lease)) Lease(fs, path(0L), owner, token)
+      else throw new LockHeldException(
+        s"table $tablePath is locked by another writer (lost the e0 create race)")
+    } else {
+      val (maxEpoch, maxPath) = files.maxBy(_._1)
+      // read the holder's lease once: released marker, owner (same-owner
+      // reacquire), and a holder description for the failure message
+      val content = try readFile(fs, maxPath)
+      catch { case _: java.io.IOException => None } // vanished/unreadable → legacy garbage, treat stale
+      val takeable = content match {
+        case None => true
+        case Some(c) =>
+          isReleased(c) ||
+            c.linesIterator.contains(s"owner=$owner") ||
+            (try System.currentTimeMillis() - fs.getFileStatus(maxPath).getModificationTime > staleMs
+             catch { case _: java.io.IOException => true })
       }
+      if (!takeable)
+        throw new LockHeldException(
+          s"table $tablePath is locked by another writer (${content.get.trim}); " +
+            "concurrent write/compaction would corrupt the staged-swap protocol")
+      if (!atomicCreate(fs, path(maxEpoch + 1), lease))
+        throw new LockHeldException(s"lost takeover race for $tablePath")
+      // GC: strictly-below-max epochs are settled garbage; epochs only
+      // grow, so this can never delete a live lease, however delayed
+      files.foreach { case (e, p) =>
+        if (e <= maxEpoch)
+          try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      }
+      Lease(fs, path(maxEpoch + 1), owner, token)
     }
   }
 
-  /** Run `f` under the table lease; always released, even on failure. */
+  /** Run `f` under the table lease with an auto-renew heartbeat; always
+    * released (loudly, on failure) even when `f` throws. The heartbeat
+    * touches the lease every staleMs / 3, so the protected block may run
+    * arbitrarily longer than staleMs without exposure to third-party
+    * stale takeover — the block's duration is often data-dependent
+    * (recovery heals, compaction) and not something callers can size.
+    */
   def withLock[T](spark: SparkSession, tablePath: String, owner: String,
       staleMs: Long = 15L * 60 * 1000)(f: => T): T = {
     val lease = acquire(spark, tablePath, owner, staleMs)
-    try f finally lease.release()
+    val interval = math.max(1L, staleMs / 3)
+    val heartbeat = new Thread(() => {
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(interval)
+          lease.renew()
+        } catch {
+          case _: InterruptedException => live = false
+          case e: java.io.IOException =>
+            // keep beating: a transient FS error must not stop renewal
+            log.warn(s"lease heartbeat renew failed for ${lease.path}; retrying", e)
+        }
+      }
+    }, s"graft-lease-heartbeat:$owner")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try f
+    finally {
+      heartbeat.interrupt()
+      heartbeat.join(10000)
+      lease.release()
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -36,9 +36,15 @@ final case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
-) extends TypedImperativeAggregate[BoundedTopK.Buffer] {
+) extends TypedImperativeAggregate[BoundedTopK.Buffer] with ImplicitCastInputTypes {
 
   require(k > 0 && k <= (1 << 20), "1 <= k <= 2^20")
+
+  // Declared input types make the analyzer insert implicit casts (INT score
+  // or id in a SQL graft_top_k call) or reject the call at analysis time,
+  // instead of update()'s casts dying executor-side mid-job.
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.ColumnBridge.AbstractType] =
+    Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, id)
   override protected def withNewChildrenInternal(

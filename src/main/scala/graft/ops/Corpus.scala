@@ -253,11 +253,18 @@ object Corpus {
 
   /** Train/eval contamination: for each train document, how many of its
     * distinct word n-grams appear in ANY eval document. The plan is
-    * explode → semi-ish aggregate join on the hash — the eval side is tiny
-    * (benchmarks), so after explode it broadcasts; the train side never
-    * shuffles more than its exploded n-grams. Returns (id, n_ngrams,
-    * n_contaminated, contamination = fraction of the doc's n-grams seen in
-    * eval). Filter `contamination > threshold` to drop leaked documents.
+    * explode → semi-ish aggregate join on the hash — the eval side is
+    * usually tiny (benchmarks), so after explode it broadcasts; the train
+    * side never shuffles more than its exploded n-grams. Returns (id,
+    * n_ngrams, n_contaminated, contamination = fraction of the doc's
+    * n-grams seen in eval). Filter `contamination > threshold` to drop
+    * leaked documents.
+    *
+    * The eval-side broadcast is COUNT-GATED (`broadcastRowCap` distinct
+    * n-grams): "eval is tiny" is the common case, not a precondition —
+    * a decontamination run against a large held-out corpus degrades to a
+    * shuffled hash join with identical output instead of dying on the
+    * broadcast limit.
     */
   def contamination(
       train: DataFrame,
@@ -266,14 +273,20 @@ object Corpus {
       textCol: String,
       n: Int,
       hashFn: Column => Column = xxhash64(_),
+      broadcastRowCap: Long = 4000000L,
   ): DataFrame = {
     val evalGrams = eval
       .select(explode(ngramHashes(col(textCol), n, hashFn)).as("__g"))
       .distinct()
+      .localCheckpoint(true)
+    val nEvalGrams = evalGrams.count() // free post-checkpoint
+    val gatedEval =
+      if (nEvalGrams <= broadcastRowCap) broadcast(evalGrams)
+      else evalGrams.hint("shuffle_hash")
     val trainGrams = train
       .select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("__g"))
     val hits = trainGrams
-      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .join(gatedEval, Seq("__g"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
     train
       .select(col(idCol), size(ngramHashes(col(textCol), n, hashFn)).cast("long").as("n_ngrams"))

@@ -47,8 +47,13 @@ object StreamingDedupSink {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    fs.rename(tmp, path)
+    // Hadoop FileSystem signals failure by RETURNING FALSE, not throwing.
+    // A silently failed rename leaves no meta/commit marker and every
+    // later batch would take the recovery branch — surface it instead.
+    if (fs.exists(path) && !fs.delete(path, false))
+      throw new java.io.IOException(s"delete of $path returned false")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path returned false")
   }
 
   private def readMeta(fs: FileSystem, indexPath: String): Option[Meta] = {
@@ -155,9 +160,9 @@ object StreamingDedupSink {
           // (same-owner reacquire) while a second pipeline pointed at the
           // same corpus fails fast instead of corrupting the
           // intent/commit protocol. The lease is taken fresh per batch;
-          // a single micro-batch (including a recovery heal) must finish
-          // inside TableLock's staleMs (15 min default) or a THIRD-party
-          // takeover becomes possible — size micro-batches accordingly.
+          // withLock's auto-renew heartbeat keeps it live for the whole
+          // batch, so a data-dependent recovery heal or a long micro-batch
+          // is never exposed to third-party stale takeover mid-write.
           graft.core.TableLock.withLock(s, corpusPath, owner = s"dedup-sink:$checkpointDir") {
           val fs = new Path(corpusPath).getFileSystem(s.sparkContext.hadoopConfiguration)
           val numBands = numHashes / rowsPerBand

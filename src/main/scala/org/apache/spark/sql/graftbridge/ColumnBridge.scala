@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; expressions outside
+    * the sql package that mix in `ExpectsInputTypes` need the alias to
+    * write an `inputTypes` override.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -42,6 +42,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRows.toSeq == apiRows.toSeq)
   }
 
+  test("graft_top_k accepts INT score / INT id via analyzer-inserted casts") {
+    GraftExtensions.register(spark)
+    (1 to 50).map(i => (i % 2, i % 7, i)).toDF("g", "cnt", "id")
+      .createOrReplaceTempView("scored_int_ext")
+    // cnt is INT, id is INT: ExpectsInputTypes must make the analyzer cast
+    // them to DOUBLE/BIGINT instead of dying executor-side mid-job.
+    val rows = spark.sql(
+      "SELECT g, graft_top_k(cnt, id, 2) AS top FROM scored_int_ext GROUP BY g ORDER BY g")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1))))
+    assert(rows.length == 2)
+    // best per group = highest cnt (6), tie broken by lowest id
+    assert(rows(0)._2.head == (6.0, 6L))
+    assert(rows(1)._2.head == (6.0, 13L))
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -63,6 +63,77 @@ class TableLockSpec extends SparkTestBase {
     live.release()
   }
 
+  test("withLock's heartbeat keeps a slow writer alive past staleMs (no takeover)") {
+    val table = s"${tmpDir("lock_heartbeat")}/t"
+    @volatile var raced: Option[Boolean] = None
+    val slow = new Thread(() => {
+      TableLock.withLock(spark, table, "slow-writer", staleMs = 400) {
+        // hold well past staleMs; the heartbeat (staleMs/3) must renew
+        Thread.sleep(1600)
+      }
+    })
+    slow.start()
+    Thread.sleep(900) // lease is now older than staleMs absent renewal
+    raced = Some(
+      try { TableLock.acquire(spark, table, "taker", staleMs = 400); true }
+      catch { case _: TableLock.LockHeldException => false })
+    assert(raced.contains(false), "a heartbeat-renewed lease must not be taken over")
+    slow.join(10000)
+    // after the block ends the lease is gone and the table reopens
+    TableLock.acquire(spark, table, "taker").release()
+  }
+
+  test("release is loud-but-safe: reports false when the lease is no longer ours") {
+    val table = s"${tmpDir("lock_release")}/t"
+    val a = TableLock.acquire(spark, table, "w")
+    assert(a.release(), "releasing our own live lease deletes it")
+    // lease already gone (e.g. stale takeover happened): release must not
+    // delete anything and must report false
+    val b = TableLock.acquire(spark, table, "w2")
+    val c = TableLock.Lease(b.fs, b.path, "w3", "not-the-token")
+    assert(!c.release(), "a lease we do not own is never deleted")
+    assert(b.fs.exists(b.path), "the live holder's lease survives")
+    assert(b.release())
+    assert(!b.release(), "double release reports false (file already gone)")
+  }
+
+  test("contended stale takeover admits exactly one winner (epoch chain)") {
+    // Two takers race on the same stale lease. Takeover is an atomic
+    // create of the NEXT epoch file — no rename or delete in any
+    // arbitration path — so exactly one taker can ever win and no racer
+    // can destroy the winner's lease. Repeat to widen the race window.
+    for (round <- 1 to 8) {
+      val table = s"${tmpDir(s"lock_race_$round")}/t"
+      val dead = TableLock.acquire(spark, table, "crashed")
+      dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 2).map { i =>
+        new Thread(() => {
+          gate.await()
+          val won =
+            try { TableLock.acquire(spark, table, s"taker-$i", staleMs = 1000); true }
+            catch { case _: TableLock.LockHeldException => false }
+          results.add(won)
+        })
+      }
+      threads.foreach(_.start())
+      gate.countDown()
+      threads.foreach(_.join(10000))
+      val winners = results.toArray(Array.empty[java.lang.Boolean]).count(_.booleanValue)
+      assert(winners == 1, s"round $round: expected exactly one takeover winner, got $winners")
+      // and exactly one LIVE (unreleased) lease file survives the race
+      val live = dead.fs.listStatus(new Path(table).getParent)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("t__lock.e"))
+        .filter { st =>
+          val in = dead.fs.open(st.getPath)
+          val c = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          !c.contains("released=true")
+        }
+      assert(live.length == 1, s"round $round: expected one live lease, got ${live.length}")
+    }
+  }
+
   test("a write cannot interleave with a compaction holding the table, and vice versa") {
     val root = tmpDir("lock_e2e")
     val hints = TableHints(tableName = "t", disposition = Disposition.Replace)
@@ -89,8 +160,16 @@ class TableLockSpec extends SparkTestBase {
     TableWriter.write(spark, Seq((2L, "b")).toDF("id", "v"), root, hints)
     assert(spark.read.parquet(path).select("id").as[Long].collect().toSeq == Seq(2L))
     TableMaintenance.compact(spark, path)
-    // no lease left behind
+    // no ACTIVE lease left behind: every epoch file is released-marked
+    // (release rewrites rather than deletes — see TableLock's class doc)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new Path(path + "__lock")))
+    val leftover = fs.listStatus(new Path(root))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("t__lock.e"))
+    assert(leftover.nonEmpty)
+    leftover.foreach { st =>
+      val in = fs.open(st.getPath)
+      val c = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(c.contains("released=true"), s"${st.getPath} must be a released marker")
+    }
   }
 }

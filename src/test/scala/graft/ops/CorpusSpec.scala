@@ -146,4 +146,28 @@ class CorpusSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 0L, 0.0)))
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
+
+  test("contamination over the broadcast cap degrades to a shuffle join with identical output") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words in this one here"),
+      (3L, "the quick brown cat naps all day long"),
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown cat sat"), (101L, "over the lazy dog indeed"))
+      .toDF("doc_id", "text")
+    def rows(capped: Long) =
+      Corpus.contamination(train, ev, "doc_id", "text", n = 3, broadcastRowCap = capped)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val onBroadcastPath = rows(capped = 4000000L)
+    val onShufflePath = rows(capped = 1L) // forced over the cap
+    assert(onShufflePath == onBroadcastPath)
+    // and the gated plan really dropped the broadcast on the SEMI join
+    // (the later tiny aggregated outer join back to train may still
+    // broadcast — that one is AQE's call and not what the cap governs)
+    val shuffled = Corpus.contamination(train, ev, "doc_id", "text", n = 3, broadcastRowCap = 1L)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    val semiJoinLines = plan.linesIterator.filter(_.contains("LeftSemi")).mkString("\n")
+    assert(semiJoinLines.nonEmpty && !semiJoinLines.contains("Broadcast"), plan.take(1500))
+  }
 }
