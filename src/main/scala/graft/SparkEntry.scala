@@ -529,9 +529,18 @@ object SparkEntry {
     // shared-token spans (approximate exact-substring dedup): pairs of
     // docs sharing >= 10 consecutive tokens via k-gram anchors on one
     // alignment diagonal — oracle joins the gram strings and replays the
-    // gaps-and-islands run detection
+    // gaps-and-islands run detection. The synthetic docs share no long
+    // spans organically, so the contract SEEDS overlap: every
+    // doc_id % 40 == 0 doc gets a twin (doc_id + 1e6) made of its first
+    // 25 tokens — the positive path (runs found, spans measured) is
+    // oracle-exercised, not just spec-covered
     "q_shared_spans" -> ((s, dir) => {
-      Dedup.sharedSpans(t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 25)).as("text"))
+      Dedup.sharedSpans(base.unionByName(twins),
         "doc_id", "text", k = 5, minSpan = 10, maxDocFreq = 100)
         .orderBy("id_a", "id_b")
     }),
@@ -2230,8 +2239,12 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
         .replaceAll("\n", " "),
     "q_shared_spans" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents WHERE doc_id % 5 = 0),
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 25), ' ') AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0),
         |g0 AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 5)) AS pos, ws
         |  FROM d WHERE len(ws) >= 5),
         |g AS (SELECT doc_id, pos,
