@@ -560,6 +560,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // end-to-end text → embed → ANN: documents run through the
+    // EmbeddingClient seam (hashed-BoW canned client; a real model swaps
+    // in behind the same trait) and the resulting vectors feed the
+    // bounded brute-force top-k — the reference's document-to-vectorstore
+    // flow as one engine pipeline. Integer-count vectors make the oracle
+    // replay bit-exact.
+    "q_embed_ann" -> ((s, dir) => {
+      // pin the embedded frame: both ANN sides derive from it, and the
+      // embed kernel (1 md5/token) must run ONCE — vectors are tiny
+      // (id + 32 doubles), so the checkpoint is cheap at any corpus size.
+      // The repartition spreads the local fixture's ONE parquet split
+      // across cores for the CPU-bound kernel + scoring; at corpus scale
+      // the scan already yields thousands of splits and it's dropped.
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val queries = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // brute-force cosine top-k ANN baseline
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1409,17 +1435,52 @@ object SparkEntry {
         }
         (e, bytes)
       }.toDF("media_id", "content")
+      // animated multi-frame GIF rows (real frame-count + per-frame pixel
+      // decode; the hand-written container keeps gray values exact)
+      val gifBlobs = t(s, dir, "events")
+        .filter(col("event_id") >= 500 && col("event_id") < 640)
+        .select(col("event_id"), col("user_id")).as[(Long, Long)]
+        .map { case (e, u) =>
+          val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
+          val nF = (2 + e % 3).toInt
+          (e, MediaCodecs.encodeGifGrayFrames(w, h, nF,
+            (f, x, y) => ((e + 5 * f + 7 * x + 11 * y) % 256).toInt))
+        }.toDF("media_id", "content")
       val expected = expr(
         """aggregate(flatten(transform(sequence(0, height - 1),
           | y -> transform(sequence(0, width - 1),
           |   x -> (media_id + 7*x + 11*y) % 256))),
           | CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
-      Multimodal.decodeMedia(blobs, "media_id", "content").toDF()
+      Multimodal.decodeMedia(blobs.unionByName(gifBlobs), "media_id", "content").toDF()
         .withColumn("content_sum",
           when(col("format") === "jpeg" &&
               abs(col("content_sum") - expected) <= lit(8L) * col("n_units"), expected)
             .otherwise(col("content_sum")))
         .orderBy("media_id")
+    }),
+
+    // REAL frame sampling over a real multi-frame container: animated
+    // GIFs from events, every 2nd frame decoded (only those frames pay
+    // pixel decode — the kernel derives indices from the container's own
+    // frame count, no plan join, blobs never shuffle). The oracle replays
+    // the stride fan-out with range(0, nF, 2) and the per-frame sums.
+    "q_frame_sample" -> ((s, dir) => {
+      import graft.ops.{MediaCodecs, Multimodal}
+      import s.implicits._
+      val gifBlobs = t(s, dir, "events")
+        .filter(col("event_id") >= 500 && col("event_id") < 640)
+        .select(col("event_id"), col("user_id")).as[(Long, Long)]
+        .map { case (e, u) =>
+          val w = (4 + e % 13).toInt; val h = (3 + u % 9).toInt
+          val nF = (2 + e % 5).toInt
+          (e, MediaCodecs.encodeGifGrayFrames(w, h, nF,
+            (f, x, y) => ((e + 5 * f + 7 * x + 11 * y) % 256).toInt))
+        }.toDF("media_id", "content")
+      Multimodal.sampleFrames(gifBlobs, "media_id", "content", stride = 2).toDF()
+        .select(col("id").as("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("pix_sum"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
@@ -1767,6 +1828,30 @@ object SparkEntry {
     * so the decimal rendering round-trips bit-exactly.
     */
   private def sqlVec(a: Array[Double]): String = a.mkString("[", ",", "]")
+
+  /** SQL replica of q_embed_ann: the hashed-BoW embedder re-derived from
+    * scratch — md5 low-60-bit token hash, (h/2) mod dim dimension, h mod 2
+    * sign, per-dimension signed counts densified to a dim-32 list — then
+    * the same brute-force cosine ranking as q_ann_cosine. Integer-valued
+    * components keep every intermediate exact, so rank parity is
+    * bit-for-bit, not approximate.
+    */
+  private def embedAnnSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+      |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+      |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+      |  FROM hs GROUP BY 1, 2),
+      |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+      |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+      |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+      |  GROUP BY d.doc_id),
+      |q AS (SELECT doc_id AS q_id, vec FROM vecs WHERE doc_id % 100 = 0),
+      |c AS (SELECT doc_id AS n_id, vec FROM vecs WHERE doc_id % 100 <> 0),
+      |scored AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+      |  ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, n_id) AS rank FROM q, c)
+      |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
 
   /** Full-fidelity SQL replica of q_ann_lsh: the same ±1 hyperplane
     * literals produce the same sign-pattern signature; bucketing and
@@ -2266,6 +2351,8 @@ object SparkEntry {
 
     "q_dedup_clusters" -> dedupClustersSql,
 
+    "q_embed_ann" -> embedAnnSql,
+
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
 
@@ -2618,8 +2705,27 @@ object SparkEntry {
         |  CAST(4 + e % 13 AS INTEGER) AS width, CAST(3 + u % 9 AS INTEGER) AS height,
         |  CAST((4 + e % 13) * (3 + u % 9) AS BIGINT) AS n_units,
         |  CAST(CASE WHEN e % 4 = 3 THEN 1 ELSE 3 END * sum((e + 7*x + 11*y) % 256) AS BIGINT) AS content_sum
-        |  FROM imgxy GROUP BY e, u)
-        |SELECT * FROM wav UNION ALL SELECT * FROM img ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+        |  FROM imgxy GROUP BY e, u),
+        |src2 AS (SELECT event_id AS e, user_id AS u FROM events WHERE event_id >= 500 AND event_id < 640),
+        |giff AS (SELECT e, u, UNNEST(range(0, 2 + e % 3)) AS f FROM src2),
+        |gifx AS (SELECT e, u, f, UNNEST(range(0, 4 + e % 13)) AS x FROM giff),
+        |gifxy AS (SELECT e, u, f, x, UNNEST(range(0, 3 + u % 9)) AS y FROM gifx),
+        |gif AS (SELECT e AS media_id, 'gif' AS format,
+        |  CAST(4 + e % 13 AS INTEGER) AS width, CAST(3 + u % 9 AS INTEGER) AS height,
+        |  CAST((2 + e % 3) * (4 + e % 13) * (3 + u % 9) AS BIGINT) AS n_units,
+        |  CAST(3 * sum((e + 5*f + 7*x + 11*y) % 256) AS BIGINT) AS content_sum
+        |  FROM gifxy GROUP BY e, u)
+        |SELECT * FROM wav UNION ALL SELECT * FROM img UNION ALL SELECT * FROM gif ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_frame_sample" ->
+      """WITH src AS (SELECT event_id AS e, user_id AS u FROM events WHERE event_id >= 500 AND event_id < 640),
+        |fr AS (SELECT e, u, UNNEST(range(0, 2 + e % 5, 2)) AS f FROM src),
+        |frx AS (SELECT e, u, f, UNNEST(range(0, 4 + e % 13)) AS x FROM fr),
+        |frxy AS (SELECT e, u, f, x, UNNEST(range(0, 3 + u % 9)) AS y FROM frx)
+        |SELECT e AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(4 + e % 13 AS BIGINT) AS width, CAST(3 + u % 9 AS BIGINT) AS height,
+        |  CAST(3 * sum((e + 5*f + 7*x + 11*y) % 256) AS BIGINT) AS pix_sum
+        |FROM frxy GROUP BY e, u, f ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
     "q_sheets_serial" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,

@@ -15,13 +15,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    module ships a full JPEG codec — no external library needed).
   *    JPEG is lossy, so its pixel sums are decoder-faithful but not
   *    formula-exact: dims/channels gate exactly, pixel stats gate
-  *    within a tolerance (see `MediaCodecsSpec`).
+  *    within a tolerance (see `MediaCodecsSpec`);
+  *  - GIF incl. ANIMATED multi-frame: encode (ImageIO sequence writer
+  *    with an exact 256-gray palette — no quantization) + full decode +
+  *    per-frame sampled decode, so frame sampling runs against a real
+  *    multi-frame container.
   *
   * These replace the deterministic fakes in `Multimodal` for sniffable
-  * inputs; formats that genuinely need an external codec library
-  * (H.264 and other video codecs) still fall back to the clearly-marked
-  * stub. Encoders exist for the same formats so round-trips are testable
-  * hermetically.
+  * inputs; only formats whose codecs genuinely do not exist in the JDK
+  * (H.264/H.265/VP9/AV1 and other true video codecs) fall back to the
+  * clearly-marked stub. Encoders exist for the same formats so
+  * round-trips are testable hermetically.
   *
   * Reference context: unstructured/attachment handling treats media as
   * opaque bytes + metadata (sources/inbox/__init__.py:99-173,
@@ -347,6 +351,165 @@ object MediaCodecs {
     JpegInfo(w, h, nCh, sum)
   }
 
+  // ------------------------------------------------------------------ GIF
+
+  final case class GifInfo(width: Int, height: Int, nFrames: Int, pixSum: Long)
+
+  /** GIF LZW stream in the classic "uncompressed" style: every pixel is
+    * emitted as its own 9-bit literal code, with a CLEAR every 200 codes
+    * so the decoder's table never grows past 9-bit width. No compression,
+    * but a fully valid LZW stream every GIF decoder accepts — and the
+    * palette indices pass through VERBATIM, which is the point.
+    */
+  private def gifLzwLiteral(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 9 / 8 + 16)
+    var cur = 0L; var nbits = 0
+    def emit(code: Int): Unit = {
+      cur |= (code.toLong << nbits); nbits += 9
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    val CLEAR = 256; val END = 257
+    emit(CLEAR)
+    var count = 0
+    data.foreach { b =>
+      emit(b & 0xff)
+      count += 1
+      // decoder table = 258 + codes-since-clear - 1; stay well under 511
+      if (count == 200) { emit(CLEAR); count = 0 }
+    }
+    emit(END)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Animated multi-frame GIF89a encoder, container hand-written like the
+    * PNG/BMP/WAV encoders — a REAL multi-frame container with an EXACT
+    * 256-gray global palette. (The JDK's ImageIO GIF *writer* compacts
+    * the palette to the used colors and remaps indices, which destroys
+    * value-faithfulness; writing the container directly keeps decoded
+    * samples equal to the generator formula bit-for-bit, so an external
+    * oracle can recompute the pixel sums. The ImageIO *reader* decodes
+    * this file like any other GIF.) `f(frame, x, y)` is the 0-255 gray.
+    */
+  def encodeGifGrayFrames(width: Int, height: Int, nFrames: Int,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
+    require(nFrames >= 1, "at least one frame")
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff, "dims fit u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) } // little-endian
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    u8(0xf7) // global color table, 8-bit resolution, 256 entries
+    u8(0); u8(0) // background index, aspect
+    (0 until 256).foreach { i => u8(i); u8(i); u8(i) } // exact gray ramp
+    (0 until nFrames).foreach { fr =>
+      // graphics control extension: 10 ms delay, no transparency
+      u8(0x21); u8(0xf9); u8(4); u8(0); u16(1); u8(0); u8(0)
+      // image descriptor: full-frame, no local table, not interlaced
+      u8(0x2c); u16(0); u16(0); u16(width); u16(height); u8(0)
+      u8(8) // LZW minimum code size
+      val pixels = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { pixels(y * width + x) = (f(fr, x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      val lzw = gifLzwLiteral(pixels)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        u8(n); out.write(lzw, off, n); off += n
+      }
+      u8(0) // block terminator
+    }
+    u8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Sum of R+G+B over every pixel of a decoded frame (gray frames sum to
+    * 3× the gray total) — the same exact-integer invariant the other
+    * image decoders report.
+    */
+  private def frameRgbSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Full multi-frame GIF decode: frame count via `getNumImages(true)`,
+    * pixel sum across ALL frames. One reader open per blob.
+    */
+  def decodeGif(bytes: Array[Byte]): GifInfo = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "GIF with no frames")
+      var sum = 0L; var w = 0; var h = 0
+      var i = 0
+      while (i < n) {
+        val frame = reader.read(i)
+        if (i == 0) { w = frame.getWidth; h = frame.getHeight }
+        sum += frameRgbSum(frame)
+        i += 1
+      }
+      GifInfo(w, h, n, sum)
+    } finally {
+      try reader.dispose() finally iis.close()
+    }
+  }
+
+  /** Frame COUNT only — parses container structure, decodes no pixels:
+    * the cheap metadata probe a sampling plan wants before deciding
+    * which frames to pay for.
+    */
+  def gifFrameCount(bytes: Array[Byte]): Int = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      reader.getNumImages(true)
+    } finally {
+      try reader.dispose() finally iis.close()
+    }
+  }
+
+  /** Decode ONLY the requested frames of a GIF — the frame-sampling
+    * kernel. One reader open per blob; out-of-range indices are skipped
+    * (a sampling plan computed from stale metadata must not kill the
+    * batch). Returns (frameIdx, width, height, rgbSum) per decoded frame.
+    */
+  def decodeGifFrames(bytes: Array[Byte], idxs: Seq[Int]): Seq[(Int, Int, Int, Long)] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      idxs.filter(i => i >= 0 && i < n).map { i =>
+        val frame = reader.read(i)
+        (i, frame.getWidth, frame.getHeight, frameRgbSum(frame))
+      }
+    } finally {
+      try reader.dispose() finally iis.close()
+    }
+  }
+
   // --------------------------------------------------------------- resize
 
   final case class ResizedImage(bytes: Array[Byte], width: Int, height: Int, format: String)
@@ -415,6 +578,13 @@ object MediaCodecs {
           bytes(2) == 0xff.toByte) {
         val j = decodeJpeg(bytes)
         MediaInfo(id, "jpeg", j.width, j.height, j.width.toLong * j.height, j.pixSum)
+      } else if (bytes.length >= 4 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+          bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte) {
+        val g = decodeGif(bytes)
+        // n_units = pixels decoded across ALL frames (w*h*nFrames), the
+        // multi-frame analogue of the single-image w*h
+        MediaInfo(id, "gif", g.width, g.height,
+          g.width.toLong * g.height * g.nFrames, g.pixSum)
       } else MediaInfo(id, "unknown", 0, 0, bytes.length.toLong, 0L)
     } catch {
       case scala.util.control.NonFatal(_) =>

@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus the Spark-side plumbing for
   * decode / feature-extract stages.
   *
-  * WAV/BMP/PNG/JPEG decode is REAL (JDK-only codecs in `MediaCodecs`,
-  * including `javax.imageio` for JPEG); only formats needing an external
-  * codec library (H.264 and other video) use the clearly-marked
+  * WAV/BMP/PNG/JPEG/GIF decode is REAL (JDK-only codecs in `MediaCodecs`,
+  * including `javax.imageio` for JPEG and multi-frame animated GIF —
+  * `sampleFrames` does real frame extraction); only true video codecs the
+  * JDK does not ship (H.264/H.265/VP9/AV1) use the clearly-marked
   * deterministic fake (`fakeDecodeKernel`). Everything around the kernels
   * — schema, batch iteration via mapPartitions, partition sizing — is
   * real and is what matters at 100 TB: media blobs must never be
@@ -116,6 +117,37 @@ object Multimodal {
       col(idCol),
       explode(frameSampleIndices(col(nFramesCol), stride)).as("frame_idx"),
     )
+
+  case class FrameFeatures(id: Long, frame_idx: Int, width: Int, height: Int, pix_sum: Long)
+
+  /** REAL frame sampling against a real multi-frame container (animated
+    * GIF — the one the JDK decodes; true video codecs are the remaining
+    * stub). The kernel derives the sample indices from the container's
+    * OWN frame count inside the partition — no plan join, no blob
+    * movement: one narrow map, one reader open per blob, only every
+    * `stride`-th frame decoded. Non-GIF or corrupt blobs contribute no
+    * rows instead of failing the batch.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): Dataset[FrameFeatures] = {
+    require(stride >= 1, "stride >= 1")
+    implicit val enc: Encoder[FrameFeatures] = Encoders.product[FrameFeatures]
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val isGif = bytes != null && bytes.length >= 4 &&
+            bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+            bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte
+          if (!isGif) Iterator.empty
+          else try {
+            val n = MediaCodecs.gifFrameCount(bytes) // header walk, no pixel decode
+            MediaCodecs.decodeGifFrames(bytes, 0 until n by stride)
+              .iterator.map { case (i, w, h, s) => FrameFeatures(id, i, w, h, s) }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }
+  }
 
   case class ResizedMedia(id: Long, content: Array[Byte], width: Int, height: Int)
 

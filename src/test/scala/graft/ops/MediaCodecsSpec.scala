@@ -269,6 +269,33 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(resizeImage(encodeWavPcm16(8000, Array[Short](1, 2, 3)), 50).isEmpty)
   }
 
+  test("animated GIF round-trip: frame count, dims, exact palette-faithful pixel sums") {
+    def v(f: Int, x: Int, y: Int): Int = (f * 37 + 7 * x + 11 * y) % 256
+    val gif = encodeGifGrayFrames(9, 6, 4, v)
+    val info = decodeGif(gif)
+    assert(info.width == 9 && info.height == 6 && info.nFrames == 4)
+    // exact: gray palette writes values verbatim; decoded RGB sums to 3*v
+    val expected = 3L * (for (f <- 0 until 4; y <- 0 until 6; x <- 0 until 9) yield v(f, x, y)).sum
+    assert(info.pixSum == expected, s"${info.pixSum} vs $expected")
+    // frame count probe decodes no pixels but agrees
+    assert(gifFrameCount(gif) == 4)
+    // sniff dispatch: n_units = pixels across all frames
+    val any = decodeAny(7, gif)
+    assert(any.format == "gif" && any.n_units == 9L * 6 * 4 && any.content_sum == expected)
+  }
+
+  test("sampled GIF frame decode equals the full decode on the sampled subset") {
+    def v(f: Int, x: Int, y: Int): Int = (f * 19 + 3 * x + 5 * y) % 256
+    val gif = encodeGifGrayFrames(5, 4, 7, v)
+    val sampled = decodeGifFrames(gif, Seq(0, 2, 4, 6, 99, -1)) // out-of-range skipped
+    assert(sampled.map(_._1) == Seq(0, 2, 4, 6))
+    sampled.foreach { case (i, w, h, s) =>
+      assert(w == 5 && h == 4)
+      val exp = 3L * (for (y <- 0 until 4; x <- 0 until 5) yield v(i, x, y)).sum
+      assert(s == exp, s"frame $i: $s vs $exp")
+    }
+  }
+
   test("decodeAny quarantines malformed blobs as 'corrupt' instead of throwing") {
     // truncated WAV (valid magic, body cut mid-header)
     val wav = decodeAny(1, encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(20))
