@@ -4,7 +4,8 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for p in glob.glob(f'{sf}/*.parquet'):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    pat = f'{p}/*.parquet' if os.path.isdir(p) else p  # Spark dir outputs (e.g. ScaleData)
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{pat}'")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 ok, bad = [], []
 for q in sorted(os.listdir(out)):
