@@ -1978,39 +1978,54 @@ object SparkEntry {
   }
 
   /** CTE chain replaying `Dedup.nearDupPairs` INCLUDING the degenerate-
-    * bucket cap: band buckets over `cap` docs are split by the md5-derived
-    * refinement hash (60 bits of md5 of the full signature — the exact
-    * value the Spark side computes via conv/substring), and sub-buckets
-    * still over the cap pair as a star around their min-id hub. The oracle
-    * therefore stays hash-identical at EVERY scale factor, including the
-    * ones where the cap actually engages. Emits the CTE list (no WITH
-    * keyword) ending in `verified(id_a, id_b, jac)` filtered to the
-    * threshold.
+    * bucket cap: band buckets over `cap` docs are regrouped by the
+    * md5-derived refinement key — 60 bits of the OTHER band's bucket md5,
+    * the exact locality-preserving per-band value the Spark side computes
+    * via conv/substring — and refinement groups still over the cap pair
+    * as a star around their min-id hub. The oracle therefore stays hash-identical
+    * at EVERY scale factor, including the ones where the cap actually
+    * engages. Emits the CTE list (no WITH keyword) ending in
+    * `verified(id_a, id_b, jac)` filtered to the threshold.
     */
-  private def cappedNearDupCtes(mod: Int, threshold: Double, cap: Int = 1000): String = {
+  private def cappedNearDupCtes(mod: Int, threshold: Double, cap: Int = 1000,
+      cellSize: Int = 64): String = {
+    val cell = math.min(cellSize, cap) // mirrors Dedup's effective-cell clamp
     val s = (0 until 4).map(i =>
       s"list_min(list_transform(ws, w -> md5('$i:' || w))) AS s$i").mkString(", ")
     s"""base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
        |  FROM documents WHERE doc_id % $mod = 0),
        |sigs AS (SELECT doc_id, ws, $s FROM base),
-       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
-       |  CAST('0x' || substr(md5(s0 || '|' || s1 || '|' || s2 || '|' || s3), 1, 15) AS BIGINT) AS refine
+       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1
        |  FROM sigs),
-       |bands AS (SELECT doc_id, 0 AS band, b0 AS h, refine FROM bnd
-       |  UNION ALL SELECT doc_id, 1, b1, refine FROM bnd),
+       |bands AS (SELECT doc_id, 0 AS band, b0 AS h,
+       |    CAST('0x' || substr(b1, 1, 15) AS BIGINT) AS refine FROM bnd
+       |  UNION ALL SELECT doc_id, 1, b1,
+       |    CAST('0x' || substr(b0, 1, 15) AS BIGINT) FROM bnd),
        |bsize AS (SELECT band, h, count(*) AS n FROM bands GROUP BY 1, 2),
        |withn AS (SELECT bands.*, n FROM bands JOIN bsize USING (band, h)),
        |sane AS (SELECT * FROM withn WHERE n <= $cap),
        |sanepairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM sane x JOIN sane y
        |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-       |big AS (SELECT *, refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub FROM withn WHERE n > $cap),
-       |substats AS (SELECT band, h, sub, count(*) AS m, min(doc_id) AS hub FROM big GROUP BY 1, 2, 3),
-       |bigj AS (SELECT big.*, m, hub FROM big JOIN substats USING (band, h, sub)),
-       |bigpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM bigj x JOIN bigj y
-       |  ON x.band = y.band AND x.h = y.h AND x.sub = y.sub AND x.doc_id < y.doc_id
-       |    AND (x.m <= $cap OR x.doc_id = x.hub)),
+       |big AS (SELECT *, refine AS sub FROM withn WHERE n > $cap),
+       |substats AS (SELECT band, h, sub, count(*) AS m FROM big GROUP BY 1, 2, 3),
+       |bigj AS (SELECT big.*, m FROM big JOIN substats USING (band, h, sub)),
+       |smallg AS (SELECT * FROM bigj WHERE m <= $cap),
+       |smallpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM smallg x JOIN smallg y
+       |  ON x.band = y.band AND x.h = y.h AND x.sub = y.sub AND x.doc_id < y.doc_id),
+       |overg AS (SELECT *, CAST('0x' || substr(md5(band || ':' || doc_id), 1, 15) AS BIGINT)
+       |    % CAST(ceil(m / $cell.0) AS BIGINT) AS cell FROM bigj WHERE m > $cap),
+       |cellstats AS (SELECT band, h, sub, cell, count(*) AS cm, min(doc_id) AS chub
+       |  FROM overg GROUP BY 1, 2, 3, 4),
+       |overgc AS (SELECT overg.*, cm, chub FROM overg JOIN cellstats USING (band, h, sub, cell)),
+       |cellpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM overgc x JOIN overgc y
+       |  ON x.band = y.band AND x.h = y.h AND x.sub = y.sub AND x.cell = y.cell
+       |    AND x.doc_id < y.doc_id AND (x.cm <= $cap OR x.doc_id = x.chub)),
+       |chainpairs AS (SELECT least(a.chub, b.chub) AS id_a, greatest(a.chub, b.chub) AS id_b
+       |  FROM cellstats a JOIN cellstats b
+       |  ON a.band = b.band AND a.h = b.h AND a.sub = b.sub AND b.cell = a.cell + 1),
        |cand AS (SELECT DISTINCT id_a, id_b FROM
-       |  (SELECT * FROM sanepairs UNION ALL SELECT * FROM bigpairs)),
+       |  (SELECT * FROM sanepairs UNION ALL SELECT * FROM smallpairs
+       |   UNION ALL SELECT * FROM cellpairs UNION ALL SELECT * FROM chainpairs)),
        |verified AS (SELECT * FROM (SELECT id_a, id_b,
        |    len(list_intersect(a.ws, b.ws)) / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
        |  FROM cand JOIN bnd a ON a.doc_id = id_a JOIN bnd b ON b.doc_id = id_b)
@@ -2024,34 +2039,52 @@ object SparkEntry {
     * shape but for the batch-vs-index cross join.
     */
   private def incrementalNearDupSql(universeMod: Int, batchMod: Int,
-      threshold: Double, cap: Int): String = {
+      threshold: Double, cap: Int, cellSize: Int = 64): String = {
+    val cell = math.min(cellSize, cap) // mirrors Dedup's effective-cell clamp
     val s = (0 until 4).map(i =>
       s"list_min(list_transform(ws, w -> md5('$i:' || w))) AS s$i").mkString(", ")
     s"""WITH ubase AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
        |  FROM documents WHERE doc_id % $universeMod = 0),
        |sigs AS (SELECT doc_id, ws, $s FROM ubase),
-       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
-       |  CAST('0x' || substr(md5(s0 || '|' || s1 || '|' || s2 || '|' || s3), 1, 15) AS BIGINT) AS refine
+       |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1
        |  FROM sigs),
-       |bands AS (SELECT doc_id, 0 AS band, b0 AS h, refine FROM bnd
-       |  UNION ALL SELECT doc_id, 1, b1, refine FROM bnd),
+       |bands AS (SELECT doc_id, 0 AS band, b0 AS h,
+       |    CAST('0x' || substr(b1, 1, 15) AS BIGINT) AS refine FROM bnd
+       |  UNION ALL SELECT doc_id, 1, b1,
+       |    CAST('0x' || substr(b0, 1, 15) AS BIGINT) FROM bnd),
        |cbands AS (SELECT * FROM bands WHERE doc_id % $batchMod != 0),
        |bbands AS (SELECT * FROM bands WHERE doc_id % $batchMod = 0),
        |bsize AS (SELECT band, h, count(*) AS n FROM cbands GROUP BY 1, 2),
        |sanec AS (SELECT cbands.* FROM cbands JOIN bsize USING (band, h) WHERE n <= $cap),
        |sanepairs AS (SELECT bb.doc_id AS id_a, sc.doc_id AS id_b FROM bbands bb
        |  JOIN sanec sc ON bb.band = sc.band AND bb.h = sc.h),
-       |bigc AS (SELECT cbands.*, n, refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub
+       |bigc AS (SELECT cbands.*, n, refine AS sub
        |  FROM cbands JOIN bsize USING (band, h) WHERE n > $cap),
-       |substats AS (SELECT band, h, sub, count(*) AS m, min(doc_id) AS hub
-       |  FROM bigc GROUP BY 1, 2, 3),
-       |bigj AS (SELECT bigc.*, m, hub FROM bigc JOIN substats USING (band, h, sub)),
-       |bigb AS (SELECT bb.doc_id, bb.band, bb.h,
-       |    bb.refine % CAST(ceil(n / $cap.0) AS BIGINT) AS sub
-       |  FROM bbands bb JOIN bsize USING (band, h) WHERE n > $cap),
-       |bigpairs AS (SELECT bigb.doc_id AS id_a, bigj.doc_id AS id_b FROM bigb
-       |  JOIN bigj ON bigb.band = bigj.band AND bigb.h = bigj.h AND bigb.sub = bigj.sub
-       |    AND (bigj.m <= $cap OR bigj.doc_id = bigj.hub)),
+       |substats AS (SELECT band, h, sub, count(*) AS m FROM bigc GROUP BY 1, 2, 3),
+       |bigj AS (SELECT bigc.*, m FROM bigc JOIN substats USING (band, h, sub)),
+       |sanet AS (SELECT band, h, sub, CAST(-1 AS BIGINT) AS cell, doc_id
+       |  FROM bigj WHERE m <= $cap),
+       |overg AS (SELECT *, CAST('0x' || substr(md5(band || ':' || doc_id), 1, 15) AS BIGINT)
+       |    % CAST(ceil(m / $cell.0) AS BIGINT) AS cell FROM bigj WHERE m > $cap),
+       |cellstats AS (SELECT band, h, sub, cell, count(*) AS cm, min(doc_id) AS chub
+       |  FROM overg GROUP BY 1, 2, 3, 4),
+       |cellt AS (SELECT o.band, o.h, o.sub, o.cell, o.doc_id FROM overg o
+       |  JOIN cellstats cs ON o.band = cs.band AND o.h = cs.h AND o.sub = cs.sub
+       |    AND o.cell = cs.cell
+       |  WHERE cs.cm <= $cap OR o.doc_id = cs.chub),
+       |targets AS (SELECT * FROM sanet UNION ALL SELECT * FROM cellt),
+       |bigb AS (SELECT bb.doc_id, bb.band, bb.h, bb.refine AS sub, ss.m
+       |  FROM bbands bb JOIN bsize ON bsize.band = bb.band AND bsize.h = bb.h
+       |  LEFT JOIN substats ss ON ss.band = bb.band AND ss.h = bb.h AND ss.sub = bb.refine
+       |  WHERE bsize.n > $cap),
+       |bigbc AS (SELECT doc_id, band, h, sub,
+       |  CASE WHEN m IS NULL OR m <= $cap THEN CAST(-1 AS BIGINT)
+       |       ELSE CAST('0x' || substr(md5(band || ':' || doc_id), 1, 15) AS BIGINT)
+       |         % CAST(ceil(m / $cell.0) AS BIGINT) END AS cell
+       |  FROM bigb),
+       |bigpairs AS (SELECT bigbc.doc_id AS id_a, targets.doc_id AS id_b FROM bigbc
+       |  JOIN targets ON bigbc.band = targets.band AND bigbc.h = targets.h
+       |    AND bigbc.sub = targets.sub AND bigbc.cell = targets.cell),
        |cand AS (SELECT DISTINCT id_a, id_b FROM
        |  (SELECT * FROM sanepairs UNION ALL SELECT * FROM bigpairs)),
        |verified AS (SELECT * FROM (SELECT id_a, id_b,

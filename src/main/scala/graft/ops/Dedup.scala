@@ -243,16 +243,28 @@ object Dedup {
     * two defenses, applied only above the cap (buckets at or under it are
     * joined exactly as before — identical output):
     *
-    *  1. split by a SIGNATURE REFINEMENT — the hash of the document's full
-    *     minhash signature — into ceil(n/maxBucketSize) sub-buckets,
-    *     capping heterogeneous buckets at O(n·maxBucketSize) pair work;
-    *  2. sub-buckets STILL over the cap hold documents with identical full
-    *     signatures (typically byte-identical boilerplate — a refinement
-    *     split can never separate them), so they pair as a STAR around the
-    *     minimum id: n−1 pairs instead of n²/2. Jaccard then verifies each
-    *     spoke, and the downstream connected-components clustering restores
-    *     the full group through the hub — dedup semantics survive, the
-    *     quadratic straggler doesn't.
+    *  1. regrouped by a SIGNATURE REFINEMENT — the exact value of the
+    *     NEXT band's bucket hash (adaptive band widening: membership in a
+    *     degenerate 2-row band escalates to a 4-row match requirement).
+    *     The key is LOCALITY-PRESERVING: a true near-dup pair agrees on
+    *     the widened key with probability t^(2·rowsPerBand) per band
+    *     (0.66 at t=0.9, r=2 — and every band retry re-rolls an
+    *     independent key), while unrelated co-bucketed docs scatter into
+    *     distinct groups, so refinement groups at or under the cap pair
+    *     ALL-PAIRS at O(n·maxBucketSize) bucket work — this recovers
+    *     scattered twin pairs inside a heterogeneous mega-bucket. With a
+    *     single band there is no "next" band; the refinement key falls
+    *     back to the full-signature hash;
+    *  2. groups STILL over the cap are minhash-saturated (a tiny shared
+    *     vocabulary can give thousands of non-duplicate docs identical
+    *     signatures — a broad-Jaccard mixture no signature-derived key
+    *     separates), so each is split by a BAND-SALTED pseudo-random hash
+    *     into cells of ~64 docs paired all-pairs per cell, the salts
+    *     making the per-band retries independent; consecutive cell hubs
+    *     are chained so homogeneous mega-groups still cluster into one
+    *     component downstream. Jaccard verification keeps the output
+    *     exact; work stays linear in the group size — dedup semantics
+    *     survive, the quadratic straggler doesn't.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -265,16 +277,23 @@ object Dedup {
   ): DataFrame = {
     val sigs = minhashSignature(df, textCol, numHashes)
     val numBands = numHashes / rowsPerBand
-    // refinement hash from the md5 family (NOT xxhash64): 60 bits of the
-    // full-signature md5 as a nonnegative long, so an external SQL engine
-    // can replay the over-cap sub-bucket assignment bit-for-bit — the
-    // capped path stays oracle-verifiable at the scale where it engages
-    val refine = conv(substring(
-      md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)), 1, 15), 16, 10)
+    // refinement key from the md5 family (NOT xxhash64): 60 bits of an md5
+    // as a nonnegative long, so an external SQL engine can replay the
+    // over-cap sub-bucket assignment bit-for-bit — the capped path stays
+    // oracle-verifiable at the scale where it engages. Per band b the key
+    // is the NEXT band's bucket hash (locality-preserving, see scaladoc);
+    // with one band it falls back to the full-signature md5.
+    def bandMd5(b: Int) = md5(concat_ws("|",
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"sig_$r")): _*))
+    def md5ToLong60(h: Column) = conv(substring(h, 1, 15), 16, 10)
       .cast(org.apache.spark.sql.types.LongType)
+    def refine(b: Int) =
+      if (numBands == 1) md5ToLong60(
+        md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)))
+      else md5ToLong60(bandMd5((b + 1) % numBands))
     val bands = (0 until numBands).map { b =>
-      val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
-      sigs.select(lit(b).as("band"), h.as("bucket_hash"), col(idCol).as("__id"), refine.as("__refine"))
+      sigs.select(lit(b).as("band"), bandMd5(b).as("bucket_hash"),
+        col(idCol).as("__id"), refine(b).as("__refine"))
     }
     val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
     verifyJaccard(df, idCol, textCol, candidates, threshold)
@@ -298,10 +317,15 @@ object Dedup {
   ): DataFrame = {
     val sigs = minhashSignatureFast(df, textCol, numHashes)
     val numBands = numHashes / rowsPerBand
+    // same locality-preserving refinement as the md5 path: next band's
+    // bucket hash (full-signature hash when there is only one band)
+    def bandHash(b: Int) =
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    def refine(b: Int) =
+      if (numBands == 1) xxhash64(col("sig")) else bandHash((b + 1) % numBands)
     val bands = (0 until numBands).map { b =>
-      sigs.select(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket_hash"),
-        col(idCol).as("__id"), xxhash64(col("sig")).as("__refine"))
+      sigs.select(lit(b).as("band"), bandHash(b).as("bucket_hash"),
+        col(idCol).as("__id"), refine(b).as("__refine"))
     }
     val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
     verifyJaccard(df, idCol, textCol, candidates, threshold)
@@ -312,7 +336,8 @@ object Dedup {
     * (band, bucket_hash, __id, __refine).
     */
   private def cappedCandidatePairs(
-      bands: Seq[DataFrame], numBands: Int, maxBucketSize: Int): DataFrame = {
+      bands: Seq[DataFrame], numBands: Int, maxBucketSize: Int,
+      cellSize: Int = 64): DataFrame = {
     // Bucket sizes via a partially-aggregated groupBy (map-side combine:
     // only (band, hash, count) triples shuffle) instead of a window — a
     // window here sorts the ENTIRE banded union inside each partition,
@@ -346,28 +371,99 @@ object Dedup {
           col("x.bucket_hash") === col("y.bucket_hash") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    // over-cap rows: refinement split into ceil(n/cap) sub-buckets, then
-    // sub-bucket stats (size + hub) for the star fallback
+    // LEVEL 2 — over-cap rows regroup by the EXACT refinement value:
+    // docs that also agree on the next band, i.e. on twice the minhash
+    // evidence (adaptive band widening: a degenerate 2-row band escalates
+    // to a 4-row match requirement). Groups at or under the cap pair
+    // all-pairs; this is where scattered twin pairs inside a
+    // heterogeneous mega-bucket are recovered. A pmod-of-refine split
+    // into ~n/cap sub-buckets was measured strictly worse here (sf1
+    // 10×-tiled corpus: 1041/5124 dup-docs uncovered): locality clumps
+    // near-dup groups into one residue class whose single star hub is an
+    // arbitrary doc of the mixture.
     val big = bandsU
       .join(broadcast(overCap), Seq("band", "bucket_hash"))
-      .withColumn("__sub",
-        pmod(col("__refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
+      .withColumn("__sub", col("__refine"))
     val subStats = big
       .groupBy(col("band"), col("bucket_hash"), col("__sub"))
-      .agg(count(lit(1)).as("__m"), min(col("__id")).as("__hub"))
+      .agg(count(lit(1)).as("__m"))
     val bigB = big
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
-      .select(col("band"), col("bucket_hash"), col("__sub"), col("__id"), col("__m"), col("__hub"))
-    val bigPairs = bigB.as("x")
-      .join(bigB.as("y"),
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__id"), col("__m"))
+    // branch decisions are applied BEFORE each self-join, not as post-join
+    // filters: a hash join on the group key evaluates every within-key row
+    // combination against its residual predicate, so filtering afterwards
+    // would still pay m² predicate evaluations for a degenerate m-row
+    // group even when the bounded output is linear
+    val smallSub = bigB.filter(col("__m") <= maxBucketSize)
+    val smallPairs = smallSub.as("x")
+      .join(smallSub.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket_hash") === col("y.bucket_hash") &&
           col("x.__sub") === col("y.__sub") &&
-          col("x.__id") < col("y.__id") &&
-          // star fallback: an over-cap sub-bucket pairs only hub ↔ spoke
-          (col("x.__m") <= maxBucketSize || col("x.__id") === col("x.__hub")))
+          col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    val rawCandidates = sanePairs.unionByName(bigPairs)
+    // LEVEL 3 — refinement groups STILL over the cap (minhash saturation:
+    // a tiny shared vocabulary gives thousands of docs identical
+    // signatures, so no signature-derived key can split them further, yet
+    // the group is a broad-Jaccard MIXTURE, not one duplicate family).
+    // Split the group by a BAND-SALTED pseudo-random md5 into cells of
+    // ~`cellSize` docs and pair all-pairs within a cell: a doc whose true
+    // partners make up fraction f of its group finds one in-cell with
+    // p = 1−(1−f)^(cellSize−1) per band, and because the salt differs per
+    // band the retries are INDEPENDENT even when every band yields the
+    // identical group — the single-star design had zero retry diversity
+    // there and left 20% of dup-docs uncovered (sf1, 10×-tiled). Work is
+    // m·cellSize/2 per group per band; the salt is md5-family, so an
+    // external SQL engine replays the cell assignment bit-for-bit.
+    //
+    // A cell target above the bucket cap would put every cell on the
+    // star-only path (cells of `cellSize` docs all exceed the cap), so
+    // the effective cell size is clamped to the cap.
+    val effCell = math.min(cellSize, maxBucketSize)
+    val overG = bigB.filter(col("__m") > maxBucketSize)
+      .withColumn("__cell", pmod(
+        conv(substring(md5(concat_ws(":", col("band"), col("__id"))), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType),
+        ceil(col("__m") / lit(effCell.toDouble)).cast("long")))
+    val cellStats = overG
+      .groupBy(col("band"), col("bucket_hash"), col("__sub"), col("__cell"))
+      .agg(count(lit(1)).as("__cm"), min(col("__id")).as("__chub"))
+    val overC = overG
+      .join(cellStats, Seq("band", "bucket_hash", "__sub", "__cell"))
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__cell"),
+        col("__id"), col("__cm"), col("__chub"))
+    val saneCell = overC.filter(col("__cm") <= maxBucketSize)
+    val cellPairs = saneCell.as("x")
+      .join(saneCell.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket_hash") === col("y.bucket_hash") &&
+          col("x.__sub") === col("y.__sub") &&
+          col("x.__cell") === col("y.__cell") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    // freak over-cap cell (possible only via extreme hash skew): star
+    // around the cell's min id keeps the output linear
+    val cellHubs = overC.filter(col("__cm") > maxBucketSize && col("__id") === col("__chub"))
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__cell"), col("__id").as("id_a"))
+    val cellSpokes = overC.filter(col("__cm") > maxBucketSize && col("__id") =!= col("__chub"))
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__cell"), col("__id").as("id_b"))
+    val starPairs = cellSpokes.join(cellHubs, Seq("band", "bucket_hash", "__sub", "__cell"))
+      .select(col("id_a"), col("id_b"))
+    // stitch consecutive cells through their hubs (cell k ↔ cell k+1, one
+    // pair per boundary) so a genuinely homogeneous mega-group — identical
+    // boilerplate sliced into many cells — still clusters into ONE
+    // connected component downstream instead of one per cell
+    val chainPairs = cellStats.as("a")
+      .join(cellStats.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket_hash") === col("b.bucket_hash") &&
+          col("a.__sub") === col("b.__sub") &&
+          col("b.__cell") === col("a.__cell") + 1)
+      .select(least(col("a.__chub"), col("b.__chub")).as("id_a"),
+        greatest(col("a.__chub"), col("b.__chub")).as("id_b"))
+    val rawCandidates = sanePairs.unionByName(smallPairs).unionByName(cellPairs)
+      .unionByName(starPairs).unionByName(chainPairs)
     // a pair can repeat only across bands — with one band it's already unique
     if (numBands > 1) rawCandidates.distinct() else rawCandidates
   }
@@ -402,22 +498,30 @@ object Dedup {
 
   /** Persistable LSH index rows for a document set: one
     * (band, bucket_hash, refine, id) row per document per band, where
-    * `refine` is the 60-bit md5 of the full signature used for the
-    * over-cap sub-bucket split (same value `nearDupPairs` computes, so
-    * the capped incremental join stays oracle-replicable). Write this
+    * `refine` is the 60-bit md5 of the NEXT band's bucket hash (the
+    * full-signature md5 with a single band) used for the over-cap
+    * sub-bucket split — the same per-band value `nearDupPairs` computes,
+    * so the capped incremental join stays oracle-replicable. Indexes
+    * persisted by an older full-signature-refine build must be rebuilt
+    * (the refine semantics are part of the index format). Write this
     * to parquet partitioned/sorted however the store likes; readers
     * only ever hash-join it on (band, bucket_hash).
     */
   def lshIndexRows(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignature(df, textCol, numHashes)
-    val refine = conv(substring(
-      md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)), 1, 15), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
     val numBands = numHashes / rowsPerBand
+    def bandMd5(b: Int) = md5(concat_ws("|",
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"sig_$r")): _*))
+    def md5ToLong60(h: Column) = conv(substring(h, 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    def refine(b: Int) =
+      if (numBands == 1) md5ToLong60(
+        md5(concat_ws("|", (0 until numHashes).map(i => col(s"sig_$i")): _*)))
+      else md5ToLong60(bandMd5((b + 1) % numBands))
     val bands = (0 until numBands).map { b =>
-      val h = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
-      sigs.select(lit(b).as("band"), h.as("bucket_hash"), refine.as("refine"), col(idCol).as("id"))
+      sigs.select(lit(b).as("band"), bandMd5(b).as("bucket_hash"),
+        refine(b).as("refine"), col(idCol).as("id"))
     }
     bands.reduce(_.unionByName(_))
   }
@@ -446,11 +550,12 @@ object Dedup {
     *
     * Index buckets over `maxBucketSize` (site boilerplate surviving in
     * the corpus) get the same two bounded defenses as `nearDupPairs`:
-    * a refinement split — the batch doc probes only the sub-bucket its
-    * own signature hashes into — and, for sub-buckets still over the
-    * cap (identical full signatures), a hub-only probe: matching the
-    * bucket's min-id representative answers "is this batch doc a dup
-    * of the boilerplate group" without touching the other n−1 copies.
+    * a locality-preserving refinement split (next band's bucket hash) —
+    * the batch doc probes only the sub-bucket its own signature hashes
+    * into — and, for sub-buckets still over the cap (docs agreeing on
+    * two consecutive bands), a hub-only probe: matching the sub-bucket's
+    * min-id representative answers "is this batch doc a dup of the
+    * boilerplate group" without touching the other n−1 copies.
     * Work per batch doc is O(maxBucketSize) per matching bucket, never
     * O(bucket).
     */
@@ -465,6 +570,7 @@ object Dedup {
       threshold: Double,
       maxBucketSize: Int = 1000,
       broadcastRowCap: Long = 4000000L,
+      cellSize: Int = 64,
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bBands = lshIndexRows(batch, idCol, textCol, numHashes, rowsPerBand)
@@ -487,22 +593,52 @@ object Dedup {
       .select(col("__bid").as("id_a"), col("id").as("id_b"))
     val bigIdx = index
       .join(broadcast(overCap), Seq("band", "bucket_hash"))
-      .withColumn("__sub",
-        pmod(col("refine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
+      .withColumn("__sub", col("refine"))
     val subStats = bigIdx
       .groupBy(col("band"), col("bucket_hash"), col("__sub"))
-      .agg(count(lit(1)).as("__m"), min(col("id")).as("__hub"))
-    // the batch doc hashes into the same sub-bucket rule as index rows
-    val bigPairs = bigIdx
+      .agg(count(lit(1)).as("__m"))
+    val bigIdxM = bigIdx
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
+    // the batch doc probes the refinement group its own next-band hash
+    // names: every row of a group at or under the cap, and — for
+    // saturated over-cap groups — the rows of the band-salted cell the
+    // batch doc's own id hashes into (plus that cell's min-id hub when
+    // even the cell is over cap). Cell membership of index rows is keyed
+    // by the INDEX doc's id under the same salt, so the probe meets a
+    // ~cellSize pseudo-random sample of the group per band, independent
+    // across bands — the same three-level defense as `nearDupPairs`,
+    // pre-filtered BEFORE the join so over-cap groups never re-
+    // materialize per batch doc.
+    val effCell = math.min(cellSize, maxBucketSize) // cells must fit the cap
+    def cellOf(idC: Column) = pmod(
+      conv(substring(md5(concat_ws(":", col("band"), idC)), 1, 15), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType),
+      ceil(col("__m") / lit(effCell.toDouble)).cast("long"))
+    val saneTargets = bigIdxM.filter(col("__m") <= maxBucketSize)
+      // sane groups match on the group key alone; a constant cell joins
+      // every batch probe row for that group (batch side mirrors this)
+      .select(col("band"), col("bucket_hash"), col("__sub"), lit(-1L).as("__cell"), col("id"))
+    val overIdx = bigIdxM.filter(col("__m") > maxBucketSize)
+      .withColumn("__cell", cellOf(col("id")))
+    val cellStats = overIdx
+      .groupBy(col("band"), col("bucket_hash"), col("__sub"), col("__cell"))
+      .agg(count(lit(1)).as("__cm"), min(col("id")).as("__chub"))
+    val cellTargets = overIdx
+      .join(cellStats, Seq("band", "bucket_hash", "__sub", "__cell"))
+      .filter(col("__cm") <= maxBucketSize || col("id") === col("__chub"))
+      .select(col("band"), col("bucket_hash"), col("__sub"), col("__cell"), col("id"))
+    val idxTargets = saneTargets.unionByName(cellTargets)
+    val bigPairs = idxTargets
       .join(gated(bBands.join(broadcast(overCap), Seq("band", "bucket_hash"))
-          .withColumn("__bsub",
-            pmod(col("__brefine"), ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long")))
-          .select(col("band"), col("bucket_hash"), col("__bsub"), col("__bid")),
+          .join(broadcast(subStats.withColumnRenamed("__sub", "__brefine")),
+            Seq("band", "bucket_hash", "__brefine"), "left")
+          .withColumn("__cell",
+            when(col("__m").isNull || col("__m") <= maxBucketSize, lit(-1L))
+              .otherwise(cellOf(col("__bid"))))
+          .select(col("band"), col("bucket_hash"), col("__brefine").as("__sub"),
+            col("__cell"), col("__bid")),
           nBandRows, broadcastRowCap),
-        Seq("band", "bucket_hash"))
-      .filter(col("__sub") === col("__bsub") &&
-        (col("__m") <= maxBucketSize || col("id") === col("__hub")))
+        Seq("band", "bucket_hash", "__sub", "__cell"))
       .select(col("__bid").as("id_a"), col("id").as("id_b"))
     val raw = sanePairs.unionByName(bigPairs)
     val cand = (if (numBands > 1) raw.distinct() else raw).localCheckpoint(true)
