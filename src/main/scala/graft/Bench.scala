@@ -46,12 +46,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // a swallowed per-query failure must NOT masquerade as a fast run (an
+    // OOM-killed query once recorded 0.03 s in a scale bench) — failures
+    // are surfaced in an additive "errors" key and billed as-is
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val secs = (1 to 2).map { _ =>
         cleanSlate()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(160)).replaceAll("[\"\\\\\n]", " ")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> secs.min
@@ -59,7 +67,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
     // stdout capture has proven lossy for 87 per-query entries (BENCH_r04
     // recorded a truncated tail and "parsed": null) — also write the line
