@@ -15,21 +15,14 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  /** Table reader. The synthetic `events` table carries parquet
-    * TIMESTAMP(NANOS) which Spark has no native type for; it is read as
-    * nanos-long (`nanosAsLong`) and converted to a microsecond timestamp
-    * (the data is µs-aligned, so the conversion is exact and matches the
-    * DuckDB oracle's view of the column).
+  /** Table reader. The `events.ts` parquet encoding has changed across
+    * testdata generations (TIMESTAMP(NANOS)-as-long, then µs NTZ);
+    * `EventTime.readTable` normalizes every encoding to a canonical
+    * microsecond TimestampType so no query here depends on the physical
+    * encoding.
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
-    }
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    EventTime.readTable(s, s"$dir/$name.parquet")
 
   /** Run `body` with a temporarily lowered shuffle-partition count: the
     * streaming contract queries process ~10⁵ rows, where 32 state-store
@@ -45,20 +38,12 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  /** Streaming twin of `t` for the events table: file stream source with
-    * the nanos-long schema, converted to a µs timestamp for watermarking.
+  /** Streaming twin of `t` for the events table: stream schema derived
+    * from the batch footer (never hard-coded to one ts encoding), then
+    * the same normalization to a µs TimestampType for watermarking.
     */
-  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    s.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(s"$dir/[e]vents.parquet") // glob form: the file source needs a directory basePath
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def streamEvents(s: SparkSession, dir: String): DataFrame =
+    EventTime.streamTable(s, dir, "events.parquet")
 
   /** Literal cast to the column's own (possibly NTZ) timestamp type. */
   private def tsLit(df: DataFrame, colName: String, v: String): Column =
@@ -582,6 +567,31 @@ object SparkEntry {
       val corpus = emb.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
       Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // the same seam composed with the SCALE-path ANN: text → embed → IVF
+    // cell assign → probe → bounded top-k (the reference's parse → embed
+    // → index → query flow, sources/unstructured_data/__init__.py:19-103,
+    // in its 100 TB shape — brute force above is the contract baseline
+    // and OOMs at sf10; this is the plan that survives). Centroid
+    // components are ±0.125 (exact binary fraction) so cell assignment,
+    // probe order, and within-cell cosine all replay bit-exactly in SQL;
+    // scaling the ±1/√dim quantizer to ±0.125 preserves every argmax.
+    "q_embed_ivf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val queries = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        cents, nProbe = 2, k = 5)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
         .orderBy("q_id", "rank")
     }),
@@ -1261,7 +1271,7 @@ object SparkEntry {
       val ev = t(s, dir, "events").filter(col("event_id") < 3000)
       val raw = ev.select(col("event_id"),
         when(col("event_id") % 2 === 0,
-          (unix_micros(col("ts")) / 1000).cast("long").cast("string"))
+          (tsMicros(col("ts")) / 1000).cast("long").cast("string"))
           .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS")).as("created_raw"))
       raw.select(col("event_id"), Soql.normalizeDatetime(col("created_raw")).as("created"))
         .groupBy(to_date(col("created")).as("day"))
@@ -1853,6 +1863,41 @@ object SparkEntry {
       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       .replaceAll("\n", " ")
 
+  /** SQL replica of q_embed_ivf: the embedAnnSql vector derivation (hashed
+    * BoW, dim 32) feeding the annIvfSql probe mechanics (fixed-centroid
+    * argmax assignment with ties to the larger cell, top-2 probe, cosine
+    * rank within probed cells). The ±0.125 centroid components and the
+    * integer-count vectors keep every comparison exact, so the composed
+    * seam gates bit-for-bit like its two parents.
+    */
+  private def embedIvfSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |q AS (SELECT doc_id AS q_id, vec AS v FROM vecs WHERE doc_id % 100 = 0),
+       |c AS (SELECT doc_id AS n_id, vec AS v FROM vecs WHERE doc_id % 100 <> 0),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM c),
+       |probed AS (SELECT q_id, v, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell))
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** Full-fidelity SQL replica of q_ann_lsh: the same ±1 hyperplane
     * literals produce the same sign-pattern signature; bucketing and
     * within-bucket ranking then mirror Similarity.lshTopK exactly.
@@ -2385,6 +2430,7 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersSql,
 
     "q_embed_ann" -> embedAnnSql,
+    "q_embed_ivf" -> embedIvfSql,
 
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,

@@ -20,8 +20,12 @@ object Temporal {
     * the exchange.
     */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapMs: Long): DataFrame = {
+    // cast first: unix_millis rejects TIMESTAMP_NTZ, and the cast is a
+    // no-op for TimestampType / value-preserving for NTZ under the UTC
+    // session — so the operator accepts either event-time encoding
+    val tsMs = (c: Column) => unix_millis(c.cast(org.apache.spark.sql.types.TimestampType))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
-    val gap = unix_millis(col(tsCol)) - unix_millis(lag(col(tsCol), 1).over(w))
+    val gap = tsMs(col(tsCol)) - tsMs(lag(col(tsCol), 1).over(w))
     df.withColumn("__new_session", when(gap.isNull || gap > gapMs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
