@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * finds them, digests do not), which stresses the LSH cap/refinement
   * and incremental-index paths rather than just the exact-digest
   * groupBy. n_chars is recomputed to stay consistent with the text.
-  * Events keep their raw ns-long ts column verbatim; embedding vectors
+  * Events keep their raw ts column verbatim in whatever parquet encoding
+  * the source dir carries (ns-long or µs-NTZ — `EventTime.readTable`
+  * normalizes at read time); embedding vectors
   * repeat unchanged (ANN ties across copies break deterministically by
   * id on both engines).
   */

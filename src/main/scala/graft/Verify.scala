@@ -19,13 +19,23 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    // self-check ledger: EVERY query gets a row (ok or the error), so a
+    // query that errors at analysis can never silently vanish from the
+    // round's correctness picture (in r6 two broken queries were only
+    // discoverable by diffing r5-vs-r6 result keys)
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = (e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).take(200))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val selfJson = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/self_check.json"), selfJson)
+    // also mirror into the repo so the artifact survives the round even if
+    // the driver only collects stdout/CORRECTNESS
+    try Files.writeString(Paths.get("VERIFY_SELF.json"), selfJson) catch { case _: Throwable => () }
     spark.stop()
   }
 }

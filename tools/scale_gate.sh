@@ -1,0 +1,35 @@
+#!/bin/bash
+# One-command sf1 scale-proof regression gate (BASELINE.md "sf1 scale-proof").
+#
+# Tiles sf0.1 x10 with graft.ScaleData, runs the scale-sensitive contract
+# family through graft.Verify at sf1, and hash-compares against the DuckDB
+# oracle — the caps, broadcast gates and refinement paths all ENGAGE at this
+# size, where the sf0.01 driver gate leaves them cold. Record the result as a
+# round row in BASELINE.md.
+#
+# q_dedup_minhash_fast is deliberately NOT in the gate family: at sf1 its
+# degenerate-bucket cap engages and the operator emits a bounded subset of the
+# brute-force-truth oracle BY DESIGN — its sf1 quality is measured by the
+# precision/coverage study in BASELINE.md (0 violations, 99.4% coverage), not
+# by hash equality.
+#
+# Usage: tools/scale_gate.sh   (env: SF1=/tmp/sf1 OUT=/tmp/verify_sf1 CPUS=32)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1="${SF1:-/tmp/sf1}"
+OUT="${OUT:-/tmp/verify_sf1}"
+CPUS="${CPUS:-32}"
+FAMILY=q_ann_cosine,q_ann_ivf,q_ann_ivfpq,q_ann_lsh,q_ann_lsh_probe,q_compact,q_corpus_pipeline,q_dedup_clusters,q_dedup_exact,q_dedup_incremental,q_dedup_pipeline,q_embed_ann,q_embed_ivf,q_stream_dedup_corpus,q_token_budget
+
+if [ ! -d "$SF1/documents.parquet" ]; then
+  echo "[scale_gate] tiling sf0.1 x10 -> $SF1"
+  SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.ScaleData /root/testdata/sf0.1 $SF1 10" 2>&1 | grep '\[scale\]'
+fi
+
+echo "[scale_gate] verifying family at sf1"
+SPARK_GRAFT_ONLY="$FAMILY" SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep '\[verify\]' || true
+
+echo "[scale_gate] oracle compare"
+python3 tools/compare_oracle.py "$SF1" "$OUT"
