@@ -48,16 +48,32 @@ final class QueueBridge[T](capacity: Int = 1000) {
   /** Consume the whole stream as DataFrame batches (JSON rows → inferred
     * schema), invoking `load` per batch — extract/load interleave exactly
     * like the reference's pipeline-on-a-thread.
+    *
+    * Schema is inferred on the FIRST batch only and locked in for the
+    * rest of the drain (the same contract every streaming source imposes:
+    * one schema per run). Per-batch re-inference doubles the Spark jobs —
+    * an extra full pass over every batch — for a guarantee nothing
+    * downstream can use anyway, since a mid-drain schema change would
+    * break the loader's union/merge target regardless.
     */
   def drainBatches(spark: SparkSession, batchSize: Int = 10, readTimeoutMs: Long = 1000)(
       toJson: T => String)(load: DataFrame => Unit): Int = {
     import spark.implicits._
     var batches = 0
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
     var next = nextBatch(batchSize, readTimeoutMs)
     while (next.isDefined) {
       val items = next.get
       if (items.nonEmpty) {
-        load(spark.read.json(spark.createDataset(items.map(toJson))))
+        val ds = spark.createDataset(items.map(toJson))
+        val df = schema match {
+          case Some(sch) => spark.read.schema(sch).json(ds)
+          case None =>
+            val first = spark.read.json(ds)
+            schema = Some(first.schema)
+            first
+        }
+        load(df)
         batches += 1
       }
       next = nextBatch(batchSize, readTimeoutMs)
