@@ -70,6 +70,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("embed→IVF composes the seam with the scale-path index: cell equi-join, k-bounded reduction") {
+    // the 100 TB shape of parse→embed→index→query: the probe must be an
+    // equi join on the IVF cell (never the all-pairs shape the brute-force
+    // baseline is allowed) and the top-k must partial-aggregate through
+    // the k-bounded buffer so the one exchange carries O(k) per query/task
+    val plan = finalPlan(ran("q_embed_ivf"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"embed→IVF must join on cell, not all-pairs:\n${plan.take(2000)}")
+    assert(plan.contains("partial_bounded_top_k"), plan.take(2000))
+  }
+
   test("merge upsert's anti-join broadcasts the update keys at runtime (AQE)") {
     // sf0.001 has no events past the batch split — AQE then eliminates the
     // join outright (good, but not the shape under test); sf0.01 has both
