@@ -42,7 +42,11 @@ STAMPS = {
     "q_shared_spans": 1.93,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
-    "q_dedup_pipeline": 2.75,   # round-4/5 isolated steady-state 2.7-2.8 s
+    "q_dedup_pipeline": 4.74,   # round-7 re-stamp: isolated min-of-2 AFTER the
+                                # r6 three-level degenerate-bucket defense (the
+                                # computation grew — more candidates verified,
+                                # buying the 94.2%->99.4% sf1 coverage move;
+                                # pre-defense isolated steady state was 2.7-2.8)
 }
 
 def main(paths):
