@@ -596,6 +596,27 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // the LSH-bucketed composition of the same seam: text → embed →
+    // sign-LSH bucket join → bounded top-k. With the ±1 hyperplanes and
+    // integer-count vectors every signature bit is an exact integer
+    // comparison, so bucketing + within-bucket ranking replay bit-for-bit
+    // in SQL. Together with q_embed_ivf this gives the embedding kernel
+    // both scale-path index families the ANN suite ships.
+    "q_embed_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val queries = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      Similarity.lshTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        dim = 32, nBits = 4, k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // brute-force cosine top-k ANN baseline
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1493,6 +1514,30 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // image near-dup dedup: BMP blobs synthesized per event in groups of
+    // five near-identical variants (same base gradient, +0..4 gray offset
+    // that wraps at 256) → real ImageIO decode → 64-bit average-hash over
+    // the 8×8 nearest-neighbor grid → banded Hamming buckets → exact
+    // Hamming verify. The training-data image-dedup op: blobs never
+    // shuffle, candidates come from an equi join, and the oracle
+    // recomputes pixels, grid, bits, bands, buckets, and Hamming from the
+    // same closed-form formulas — bit-for-bit.
+    "q_image_dedup" -> ((s, dir) => {
+      import graft.ops.{Dedup, MediaCodecs}
+      import s.implicits._
+      val blobs = t(s, dir, "events").filter(col("event_id") < 400)
+        .select(col("event_id")).as[Long]
+        .map { e =>
+          val base = e / 5
+          val w = (8 + base % 9).toInt; val h = (8 + base % 7).toInt
+          (e, MediaCodecs.encodeBmp24(w, h, (x, y) => {
+            val v = ((base * 17 + 7 * x + 11 * y + e % 5) % 256).toInt; (v, v, v)
+          }))
+        }.toDF("media_id", "content")
+      Dedup.imageNearDups(blobs, "media_id", "content", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
     // bools) → header mapping + type inference + serial-date conversion →
@@ -1894,6 +1939,34 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY q_id
        |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
        |  FROM probed JOIN assigned USING (cell))
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  /** SQL replica of q_embed_lsh: the embedAnnSql vector derivation feeding
+    * the annLshSql sign-signature bucketing (dim-32 planes). Integer dot
+    * products make every signature bit exact.
+    */
+  private def embedLshSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = 32, nBits = 4)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vec, ${sqlVec(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |qs AS (SELECT doc_id AS q_id, vec, $sig AS sig FROM vecs WHERE doc_id % 100 = 0),
+       |cs AS (SELECT doc_id AS n_id, vec, $sig AS sig FROM vecs WHERE doc_id % 100 <> 0),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qs.vec, cs.vec) DESC, n_id) AS rank
+       |  FROM qs JOIN cs USING (sig))
        |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       .replaceAll("\n", " ")
   }
@@ -2431,6 +2504,7 @@ object SparkEntry {
 
     "q_embed_ann" -> embedAnnSql,
     "q_embed_ivf" -> embedIvfSql,
+    "q_embed_lsh" -> embedLshSql,
 
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
@@ -2805,6 +2879,24 @@ object SparkEntry {
         |  CAST(4 + e % 13 AS BIGINT) AS width, CAST(3 + u % 9 AS BIGINT) AS height,
         |  CAST(3 * sum((e + 5*f + 7*x + 11*y) % 256) AS BIGINT) AS pix_sum
         |FROM frxy GROUP BY e, u, f ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    "q_image_dedup" ->
+      """WITH src AS (SELECT event_id AS e FROM events WHERE event_id < 400),
+        |dims AS (SELECT e, 8 + (e // 5) % 9 AS w, 8 + (e // 5) % 7 AS h FROM src),
+        |grid AS (SELECT e, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
+        |  FROM dims CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
+        |gray AS (SELECT e, gi, gj, ((e // 5) * 17 + 7 * x + 11 * y + e % 5) % 256 AS g FROM grid),
+        |tot AS (SELECT e, SUM(g) AS s FROM gray GROUP BY e),
+        |bits AS (SELECT gray.e AS e, gj * 8 + gi AS bp, CASE WHEN 64 * g > s THEN 1 ELSE 0 END AS bit
+        |  FROM gray JOIN tot ON gray.e = tot.e),
+        |bands AS (SELECT e, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
+        |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+        |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+        |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     "q_sheets_serial" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** Deduplication operators for training-data pipelines, all expressed as
   * declarative plans so Catalyst handles partial aggregation and AQE
@@ -826,6 +827,50 @@ object Dedup {
       val odd = size(filter(hs, h => substring(h, i + 1, 1).isin(oddDigits: _*)))
       when(odd * 2 > n, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Image near-duplicate pairs via perceptual average-hash + banded
+    * Hamming buckets: decode + hash in ONE narrow mapPartitions (blobs
+    * never shuffle; undecodable blobs quarantine silently), then pair
+    * only within (band, 16-bit key) buckets — by pigeonhole any pair
+    * within Hamming distance ≤ 3 agrees on at least one of the 4 bands,
+    * so candidate generation is an equi join (never all-pairs) and exact
+    * Hamming verification touches bucket-mates only. The image analogue
+    * of the SimHash text path; at corpus scale the only thing that
+    * shuffles is (id, 4 smallint keys) — the hash table is materialized
+    * once (eager localCheckpoint) so the decode kernel runs exactly one
+    * pass no matter how many band scans read it.
+    */
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4, "4 bands guarantee recall only for maxDist <= 3")
+    val schema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__bands", ArrayType(IntegerType))))
+    val hashed = df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          MediaCodecs.aHashBands(r.getAs[Array[Byte]](1))
+            .map(bs => Row(r.getLong(0), bs.toSeq))
+        }
+      }(Encoders.row(schema))
+      .localCheckpoint(true)
+    val bandRows = (0 until 4).map { b =>
+      hashed.select(lit(b).as("__band"), element_at(col("__bands"), b + 1).as("__key"),
+        col("__id"), col("__bands"))
+    }.reduce(_.unionByName(_))
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__bands").as("__ba"), col("y.__bands").as("__bb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        expr("aggregate(zip_with(__ba, __bb, (a, b) -> bit_count(a ^ b)), 0, (s, v) -> s + v)")
+          .cast(LongType))
+      .filter(col("hamming") <= maxDist)
+      .drop("__ba", "__bb")
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH-ish id buckets —

@@ -548,6 +548,48 @@ object MediaCodecs {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit perceptual average-hash of an image blob, returned as four
+    * 16-bit band values (band k = hash bits 16k..16k+15) — the shape the
+    * banded Hamming bucket join consumes, and sign-safe for external SQL
+    * engines (a packed int64 would put bit 63 in the sign position).
+    * Decode is `javax.imageio` (PNG/BMP/JPEG/GIF); gray = (r+g+b)/3
+    * (integer); the 8×8 grid samples nearest-neighbor at (i·w/8, j·h/8),
+    * which is what makes the hash dimension-invariant (scaled variants of
+    * an image sample the same relative positions); bit j·8+i sets iff
+    * 64·gray > gridSum — the strict mean comparison without a division.
+    * Returns None for undecodable blobs (caller quarantines).
+    */
+  def aHashBands(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(iis)
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Int](64)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val rgb = img.getRGB(i * w / 8, j * h / 8)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            g(j * 8 + i) = gray; sum += gray
+            i += 1
+          }
+          j += 1
+        }
+        val bands = new Array[Int](4)
+        var b = 0
+        while (b < 64) {
+          if (64L * g(b) > sum) bands(b / 16) |= 1 << (b % 16)
+          b += 1
+        }
+        Some(bands)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------------------------- sniff dispatch
 
   /** Uniform decode result across formats: images report width/height and
