@@ -841,7 +841,8 @@ object Dedup {
     * once (eager localCheckpoint) so the decode kernel runs exactly one
     * pass no matter how many band scans read it.
     */
-  def imageNearDups(df: DataFrame, idCol: String, binCol: String, maxDist: Int = 3): DataFrame = {
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String, maxDist: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist < 4, "4 bands guarantee recall only for maxDist <= 3")
     val schema = StructType(Seq(
       StructField("__id", LongType),
@@ -858,13 +859,38 @@ object Dedup {
       hashed.select(lit(b).as("__band"), element_at(col("__bands"), b + 1).as("__key"),
         col("__id"), col("__bands"))
     }.reduce(_.unionByName(_))
-    bandRows.as("x")
-      .join(bandRows.as("y"),
+    // degenerate-bucket cap (the image corpus analogue of the text path's
+    // cappedCandidatePairs): real corpora carry mega-masses of identical
+    // hashes — blank images, boilerplate thumbnails — whose all-pairs
+    // join is O(m²). Buckets over the cap fall back to a star around the
+    // bucket's min id: for the dominant identical-hash mass the star
+    // verifies at hamming 0 and downstream clustering recovers the full
+    // component through the hub, so bounded work costs recall only for
+    // the rare non-identical over-cap co-residents. overCap is tiny by
+    // construction and broadcasts; sane buckets pay nothing new.
+    val overCap = bandRows
+      .groupBy(col("__band"), col("__key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("__band"), col("__key"))
+    val sane = bandRows.join(broadcast(overCap), Seq("__band", "__key"), "left_anti")
+    val sanePairs = sane.as("x")
+      .join(sane.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         col("x.__bands").as("__ba"), col("y.__bands").as("__bb"))
+    val big = bandRows.join(broadcast(overCap), Seq("__band", "__key"))
+    val hubs = big.groupBy(col("__band"), col("__key"))
+      .agg(min(col("__id")).as("__hub"))
+    val starPairs = big.join(broadcast(hubs), Seq("__band", "__key"))
+      .filter(col("__id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("__id").as("id_b"), col("__band"), col("__key"))
+      .join(hashed.select(col("__id").as("id_a"), col("__bands").as("__ba")), Seq("id_a"))
+      .join(hashed.select(col("__id").as("id_b"), col("__bands").as("__bb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ba"), col("__bb"))
+    sanePairs.unionByName(starPairs)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         expr("aggregate(zip_with(__ba, __bb, (a, b) -> bit_count(a ^ b)), 0, (s, v) -> s + v)")

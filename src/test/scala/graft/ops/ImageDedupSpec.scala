@@ -45,6 +45,21 @@ class ImageDedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L || a == 4L || b == 4L })
   }
 
+  test("degenerate-bucket cap: an identical-hash mega-mass stars around its min id, bounded work") {
+    // 50 identical blank images (the real-corpus degenerate case) + one
+    // distinct gradient; cap 8 forces the star fallback. The mass must
+    // yield exactly the 49 hub spokes at hamming 0 (not C(50,2) = 1225
+    // all-pairs), which downstream clustering closes into one component.
+    val blank = MediaCodecs.encodeBmp24(8, 8, (_, _) => (128, 128, 128))
+    val imgs = (1L to 50L).map(_ -> blank) :+ (99L -> MediaCodecs.encodeBmp24(10, 9, gradient(10, 9)))
+    val pairs = Dedup.imageNearDups(imgs.toDF("media_id", "content"),
+      "media_id", "content", maxDist = 3, maxBucketSize = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.length == 49)
+    assert(pairs.forall { case (a, _, h) => a == 1L && h == 0L })
+    assert(pairs.map(_._2).toSet == (2L to 50L).toSet)
+  }
+
   test("a pair within distance 3 always shares a band (pigeonhole recall guarantee)") {
     // construct two hashes differing in exactly 3 bits spread over 3 bands:
     // they still share the 4th band, so the banded join must emit the pair
