@@ -40,6 +40,8 @@ STAMPS = {
     "q_token_budget": 1.17, "q_stream_join": 2.85, "q_compact": 2.96,
     "q_ann_ivfpq": 4.56, "q_ann_project": 1.17, "q_stream_dedup_corpus": 5.72,
     "q_shared_spans": 1.93,
+    # round-7 additions (isolated min-of-2, BASELINE.md round-7 notes)
+    "q_embed_ivf": 0.89, "q_embed_lsh": 0.71, "q_image_dedup": 0.98,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_dedup_pipeline": 4.74,   # round-7 re-stamp: isolated min-of-2 AFTER the
