@@ -51,6 +51,25 @@ object SparkEntry {
 
   private def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** BMP fixture for the image-dedup family: one blob per event (< 400),
+    * in groups of five near-identical variants — same base gradient, a
+    * +0..4 gray offset that wraps at 256 — synthesized on executors from
+    * closed-form formulas so the DuckDB oracle can recompute every pixel.
+    */
+  private def imageBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.MediaCodecs
+    t(s, dir, "events").filter(col("event_id") < 400)
+      .select(col("event_id")).as[Long]
+      .map { e =>
+        val base = e / 5
+        val w = (8 + base % 9).toInt; val h = (8 + base % 7).toInt
+        (e, MediaCodecs.encodeBmp24(w, h, (x, y) => {
+          val v = ((base * 17 + 7 * x + 11 * y + e % 5) % 256).toInt; (v, v, v)
+        }))
+      }.toDF("media_id", "content")
+  }
+
   private val dec18_2 = DecimalType(18, 2)
   private val dec18_4 = DecimalType(18, 4)
 
@@ -1522,20 +1541,19 @@ object SparkEntry {
     // shuffle, candidates come from an equi join, and the oracle
     // recomputes pixels, grid, bits, bands, buckets, and Hamming from the
     // same closed-form formulas — bit-for-bit.
-    "q_image_dedup" -> ((s, dir) => {
-      import graft.ops.{Dedup, MediaCodecs}
-      import s.implicits._
-      val blobs = t(s, dir, "events").filter(col("event_id") < 400)
-        .select(col("event_id")).as[Long]
-        .map { e =>
-          val base = e / 5
-          val w = (8 + base % 9).toInt; val h = (8 + base % 7).toInt
-          (e, MediaCodecs.encodeBmp24(w, h, (x, y) => {
-            val v = ((base * 17 + 7 * x + 11 * y + e % 5) % 256).toInt; (v, v, v)
-          }))
-        }.toDF("media_id", "content")
-      Dedup.imageNearDups(blobs, "media_id", "content", maxDist = 3)
-        .orderBy("id_a", "id_b")
+    "q_image_dedup" -> ((s, dir) =>
+      Dedup.imageNearDups(imageBlobs(s, dir), "media_id", "content", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // image dedup clustering: the near-dup pairs close into connected
+    // components (alternating-star / driver union-find crossover, same
+    // machinery as q_dedup_clusters) — the op a pipeline actually wants:
+    // one representative per visual family. Oracle = the pair SQL plus a
+    // recursive-CTE transitive closure labeling each image with the min
+    // reachable id.
+    "q_image_clusters" -> ((s, dir) => {
+      val pairs = Dedup.imageNearDups(imageBlobs(s, dir), "media_id", "content", maxDist = 3)
+      Dedup.clusterPairs(pairs).orderBy("id")
     }),
 
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
@@ -1907,6 +1925,29 @@ object SparkEntry {
       |  ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, n_id) AS rank FROM q, c)
       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       .replaceAll("\n", " ")
+
+  /** Shared CTE chain for the image-dedup oracles: recompute the BMP
+    * fixture's pixels, the 8×8 sample grid, the average-hash bits, the
+    * four 16-bit band keys, banded candidate buckets, and exact Hamming —
+    * the full `MediaCodecs.aHashBands` + `Dedup.imageNearDups` path,
+    * bit-for-bit from the synthesis formulas.
+    */
+  private def imagePairCtes: String =
+    """src AS (SELECT event_id AS e FROM events WHERE event_id < 400),
+      |dims AS (SELECT e, 8 + (e // 5) % 9 AS w, 8 + (e // 5) % 7 AS h FROM src),
+      |grid AS (SELECT e, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
+      |  FROM dims CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
+      |gray AS (SELECT e, gi, gj, ((e // 5) * 17 + 7 * x + 11 * y + e % 5) % 256 AS g FROM grid),
+      |tot AS (SELECT e, SUM(g) AS s FROM gray GROUP BY e),
+      |bits AS (SELECT gray.e AS e, gj * 8 + gi AS bp, CASE WHEN 64 * g > s THEN 1 ELSE 0 END AS bit
+      |  FROM gray JOIN tot ON gray.e = tot.e),
+      |bands AS (SELECT e, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
+      |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+      |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+      |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** SQL replica of q_embed_ivf: the embedAnnSql vector derivation (hashed
     * BoW, dim 32) feeding the annIvfSql probe mechanics (fixed-centroid
@@ -2881,22 +2922,18 @@ object SparkEntry {
         |FROM frxy GROUP BY e, u, f ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
     "q_image_dedup" ->
-      """WITH src AS (SELECT event_id AS e FROM events WHERE event_id < 400),
-        |dims AS (SELECT e, 8 + (e // 5) % 9 AS w, 8 + (e // 5) % 7 AS h FROM src),
-        |grid AS (SELECT e, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
-        |  FROM dims CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
-        |gray AS (SELECT e, gi, gj, ((e // 5) * 17 + 7 * x + 11 * y + e % 5) % 256 AS g FROM grid),
-        |tot AS (SELECT e, SUM(g) AS s FROM gray GROUP BY e),
-        |bits AS (SELECT gray.e AS e, gj * 8 + gi AS bp, CASE WHEN 64 * g > s THEN 1 ELSE 0 END AS bit
-        |  FROM gray JOIN tot ON gray.e = tot.e),
-        |bands AS (SELECT e, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
-        |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
-        |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
-        |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
-        |  GROUP BY 1, 2)
+      s"""WITH $imagePairCtes
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    "q_image_clusters" ->
+      s"""WITH RECURSIVE $imagePairCtes,
+        |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
 
     "q_sheets_serial" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
