@@ -691,6 +691,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // recall@k of the IVF scale path against the exact brute-force
+    // baseline — THE tuning metric for nProbe (and the check the
+    // reference flow implies: does the index find what exact search
+    // finds). Both rankings are deterministic, so even the quality
+    // measurement itself is oracle-gated end-to-end.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("vec_id") >= 13)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val centroids = graft.ops.Similarity.fixedCentroids(dim = 64, k = 8)
+      val ivf = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        centroids, nProbe = 2, k = 5)
+      val brute = Similarity.bruteForceTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+      Similarity.recallAtK(ivf, brute, "q_id", "n_id").orderBy("q_id")
+    }),
+
     // IVF-PQ ANN: coarse-cell probe + asymmetric-distance shortlist over
     // m-byte codes + exact rerank (the memory-bound FAISS shape; raw
     // vectors touched only for the shortlist). Fixed quantizer + fixed
@@ -2078,6 +2096,38 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_ann_recall: the annIvfSql probe ranking and the
+    * brute-force ranking recomputed side by side, recall = |ivf ∩ brute|
+    * / |brute| per query (the double division is the same IEEE operation
+    * in both engines, so even the fractions hash-match).
+    */
+  private def annRecallSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 64, k = 8)
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 13),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM c),
+       |probed AS (SELECT q_id, v, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |iscored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell)),
+       |ivf AS (SELECT q_id, n_id FROM iscored WHERE rank <= 5),
+       |bscored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, n_id) AS rank FROM q, c),
+       |brute AS (SELECT q_id, n_id FROM bscored WHERE rank <= 5),
+       |hits AS (SELECT b.q_id, count(*) AS h FROM brute b
+       |  JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id GROUP BY 1),
+       |tot AS (SELECT q_id, count(*) AS t FROM brute GROUP BY 1)
+       |SELECT tot.q_id AS q_id, CAST(coalesce(h, 0) AS DOUBLE) / t AS recall
+       |FROM tot LEFT JOIN hits ON hits.q_id = tot.q_id ORDER BY tot.q_id""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** Full-fidelity SQL replica of q_ann_ivfpq: fixed-centroid cell
     * assignment + probe (as annIvfSql), per-subspace PQ codes by argmax
     * dot against the ±0.125 codebook literals (ties to the larger cid,
@@ -2551,6 +2601,7 @@ object SparkEntry {
     "q_ann_lsh_probe" -> annLshProbeSql,
 
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_recall" -> annRecallSql,
 
     "q_ann_ivfpq" -> annIvfPqSql,
 

@@ -42,6 +42,7 @@ STAMPS = {
     "q_shared_spans": 1.93,
     # round-7 additions (isolated min-of-2, BASELINE.md round-7 notes)
     "q_embed_ivf": 0.89, "q_embed_lsh": 0.71, "q_image_dedup": 0.98,
+    "q_image_clusters": 1.87, "q_ann_recall": 0.87,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_dedup_pipeline": 4.74,   # round-7 re-stamp: isolated min-of-2 AFTER the
