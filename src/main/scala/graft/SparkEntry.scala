@@ -636,6 +636,43 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: text → embed → nearest fixed centroid
+    // (the cluster step) → within-cluster greedy drop of any doc with a
+    // smaller-id cosine-0.75 neighbor. threshold² = 9/16 and the
+    // integer-count vectors keep the drop decision exact (dot² vs
+    // 9/16·|a|²·|b|² — products of exact integers), so keep/drop gates
+    // bit-for-bit per document. At corpus scale the centroid count grows
+    // with the corpus (SemDeDup's contract), keeping the per-cell pair
+    // join bounded; the join itself is an equi hash join on cell id.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      graft.ops.Dedup.semanticDedup(emb, "doc_id", "embedding", cents, threshold = 0.75)
+        .orderBy("doc_id")
+    }),
+
+    // cluster-balanced diversity sampling: the same semantic cells, top-3
+    // docs per cell by (n_chars desc, doc_id asc) through the map-side
+    // bounded BoundedTopK aggregate — per-cluster quotas for the training
+    // mix, the embedding-space analog of stratifiedExact's language quotas.
+    "q_cluster_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      graft.ops.Corpus.clusterBalancedSample(emb, "doc_id", "embedding", cents,
+        perCluster = 3, scoreCol = col("n_chars"))
+        .select(col("cell"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("cell", "rank")
+    }),
+
     // brute-force cosine top-k ANN baseline
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -927,6 +964,22 @@ object SparkEntry {
       val ev = docs.filter(col("doc_id") % 97 === 0)
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       graft.ops.Corpus.contamination(train, ev, "doc_id", "text", n = 8, hashFn = md5)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-variant decontamination: the same train/eval split probed
+    // against a 64 Kbit Bloom bitmap (k=3 salted-md5 positions, ~20% fill
+    // at sf0.1 so real false positives are exercised). The constant-size
+    // bitmap broadcast is the 100 TB path when the eval/blocklist side
+    // outgrows contamination's count-gated gram broadcast; over-counting
+    // is the Bloom FP rate, replayed bit-exactly by the oracle's
+    // set-bit join.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Corpus.bloomContamination(train, ev, "doc_id", "text", n = 8,
+        mBits = 1 << 16, k = 3)
         .orderBy("doc_id")
     }),
 
@@ -2030,6 +2083,67 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_semantic_dedup: the embedAnnSql vector derivation,
+    * the embedIvfSql centroid assignment (argmax dot, ties to the larger
+    * cell), then the greedy keep-first drop rule as an EXISTS-style
+    * self-join. The cosine test is replayed as dot² >= 9/16·|a|²·|b|² —
+    * every operand an exact integer — so keep/drop matches bit-for-bit.
+    */
+  private def semanticDedupSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT doc_id, vec,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(v.vec, cv) DESC, cell DESC LIMIT 1) AS cell FROM vecs v),
+       |dropped AS (SELECT DISTINCT b.doc_id FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.doc_id < b.doc_id
+       |  AND list_dot_product(a.vec, b.vec) > 0
+       |  AND list_dot_product(a.vec, b.vec) * list_dot_product(a.vec, b.vec)
+       |      >= 0.5625 * list_dot_product(a.vec, a.vec) * list_dot_product(b.vec, b.vec))
+       |SELECT s.doc_id, CAST(s.cell AS BIGINT) AS cell,
+       |  CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+       |ORDER BY s.doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** SQL replica of q_cluster_sample: same vectors + centroid assignment,
+    * then a per-cell row_number over (n_chars desc, doc_id) capped at 3 —
+    * the window replay of the BoundedTopK ordering contract.
+    */
+  private def clusterSampleSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT doc_id,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(v.vec, cv) DESC, cell DESC LIMIT 1) AS cell FROM vecs v),
+       |scored AS (SELECT a.doc_id, CAST(a.cell AS BIGINT) AS cell,
+       |  CAST(d.n_chars AS DOUBLE) AS score,
+       |  row_number() OVER (PARTITION BY a.cell ORDER BY d.n_chars DESC, a.doc_id) AS rk
+       |  FROM assigned a JOIN documents d USING (doc_id))
+       |SELECT cell, CAST(rk AS BIGINT) AS rank, doc_id, score
+       |FROM scored WHERE rk <= 3 ORDER BY cell, rank""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** Full-fidelity SQL replica of q_ann_lsh: the same ±1 hyperplane
     * literals produce the same sign-pattern signature; bucketing and
     * within-bucket ranking then mirror Similarity.lshTopK exactly.
@@ -2596,6 +2710,8 @@ object SparkEntry {
     "q_embed_ann" -> embedAnnSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_lsh" -> embedLshSql,
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_cluster_sample" -> clusterSampleSql,
 
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,
@@ -2784,6 +2900,31 @@ object SparkEntry {
         |       ELSE a.n_contaminated / CAST(a.n_ngrams AS DOUBLE) END AS contamination
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_decontaminate_bloom" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM ws),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        |  FROM pos WHERE i + 7 <= len(w)),
+        |js(j) AS (VALUES (0), (1), (2)),
+        |evp AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p
+        |  FROM grams, js WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+        |tpos AS (SELECT doc_id, g,
+        |  CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p FROM tg, js),
+        |tchk AS (SELECT doc_id, g, count(DISTINCT p) AS np,
+        |  count(DISTINCT CASE WHEN p IN (SELECT p FROM evp) THEN p END) AS nm
+        |  FROM tpos GROUP BY doc_id, g),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM tchk WHERE np = nm GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM tg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(c.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN coalesce(c.n_ngrams, 0) = 0 THEN 0.0
+        |       ELSE coalesce(h.n_contaminated, 0) / CAST(c.n_ngrams AS DOUBLE) END AS contamination
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_multimodal_meta" ->

@@ -58,7 +58,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/self_check.json"), selfJson)
     // also mirror into the repo so the artifact survives the round even if
     // the driver only collects stdout/CORRECTNESS
-    try Files.writeString(Paths.get("VERIFY_SELF.json"), selfJson) catch { case _: Throwable => () }
+    // (full runs only — a SPARK_GRAFT_ONLY subset run must not shrink the
+    // repo's committed ledger to its filter)
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("VERIFY_SELF.json"), selfJson) catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -35,6 +35,33 @@ object Corpus {
   def hashSample(df: DataFrame, idCol: String, mod: Int, keep: Int = 0): DataFrame =
     df.filter(pmod(xxhash64(col(idCol)), lit(mod)) === keep)
 
+  /** Cluster-balanced diversity sample: assign each embedding to its
+    * nearest coarse centroid (`Similarity.ivfAssign` — a narrow map over a
+    * broadcast centroid list), then keep the `perCluster` best rows of
+    * each semantic cluster by (`scoreCol` desc, id asc). The per-cluster
+    * selection is the native `BoundedTopK` aggregate, so each map task
+    * ships at most perCluster × cells rows into the one shuffle — no
+    * window sort over full clusters, no skew from a hot cluster. Use
+    * after dedup to keep the training mix from over-representing one
+    * semantic region (the embedding-space analog of `stratifiedExact`'s
+    * per-language quotas).
+    *
+    * `idCol` must be LongType (the BoundedTopK buffer contract). Returns
+    * (cell, rank, idCol, score) — rank is 1-based within the cluster.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], perCluster: Int, scoreCol: Column): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, vecCol, centroids)
+      .select(col("__cell").cast("long").as("cell"), col(idCol),
+        scoreCol.cast("double").as("__score"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(graft.functions.BoundedTopK.topK(col("__score"), col(idCol), perCluster).as("__top"))
+      .select(col("cell"), posexplode(col("__top")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.i").as(idCol), col("col.s").as("score"))
+  }
+
   /** Pack documents into fixed-budget context windows: documents are laid
     * out in a deterministic order (`idCol`) and the running token total
     * assigns each doc to bin floor(tokens_before / budget). Documents
@@ -266,6 +293,76 @@ object Corpus {
     * shuffled hash join with identical output instead of dying on the
     * broadcast limit.
     */
+  /** Bloom-filter decontamination: same contract shape as `contamination`,
+    * but the eval-side membership structure is an m-bit Bloom bitmap — k
+    * bit positions per n-gram from j-salted md5 hashes (the standard
+    * k-independent-hash Bloom construction) — instead of the gram set
+    * itself. The bitmap is m/64 longs, a CONSTANT-size broadcast no
+    * matter how large the eval/blocklist corpus grows (where
+    * `contamination`'s eval broadcast is count-gated on corpus size); the
+    * price is the Bloom false-positive rate, which only ever
+    * OVER-counts contamination — the safe direction for decontamination.
+    *
+    * Fully declarative and codegen-friendly: positions are column
+    * expressions, the bitmap is a bit_or aggregate over 64-bit word
+    * indices densified once via map_from_entries (one row of m/64
+    * longs), and the probe is a broadcast single-row cross join plus a
+    * forall over element_at bit tests. Bloom semantics — including
+    * false positives — replay exactly in SQL: a gram hits iff every one
+    * of its k md5-derived positions is in the eval corpus's set-bit
+    * set, so the oracle gate is bit-exact, not approximate. (md5 rather
+    * than xxhash64 is what makes the positions replayable in the
+    * oracle; a production run can swap any hash in `posFor`.)
+    */
+  def bloomContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 20,
+      k: Int = 3,
+  ): DataFrame = {
+    require(mBits >= 64, "mBits must be at least one word")
+    require(k >= 1, "k must be positive")
+    val nWords = (mBits + 63) / 64
+    // j-salted 60-bit md5 positions; values < 2^20 keep the double-typed
+    // division in the word/bit split exact
+    def posFor(gram: Column): Column = array((0 until k).map { j =>
+      pmod(conv(substring(md5(concat(lit(s"$j:"), gram)), 1, 15), 16, 10).cast("long"),
+        lit(mBits.toLong))
+    }: _*)
+    val gramsOf = (c: Column) => ngramHashes(c, n, g => g) // gram STRINGS
+    val bitmap = eval
+      .select(explode(gramsOf(col(textCol))).as("__g"))
+      .select(explode(posFor(col("__g"))).as("__p"))
+      .select(floor(col("__p") / 64).cast("long").as("__w"),
+        call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__b"))
+      .groupBy("__w").agg(expr("bit_or(__b)").as("__bits"))
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits")))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(nWords - 1L)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bm"))
+    val trainGrams = train
+      .select(col(idCol), explode(gramsOf(col(textCol))).as("__g"))
+    val hits = trainGrams
+      .crossJoin(broadcast(bitmap))
+      .filter(forall(posFor(col("__g")), p =>
+        call_function("shiftright", element_at(col("__bm"), floor(p / 64).cast("int") + 1),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) =!= 0))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    train
+      .select(col(idCol), size(gramsOf(col(textCol))).cast("long").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("contamination"),
+      )
+  }
+
   def contamination(
       train: DataFrame,
       eval: DataFrame,

@@ -916,4 +916,53 @@ object Dedup {
     pairs
       .withColumn("cosine", Similarity.dot(col(vecA), col(vecB)) / (col(normA) * col(normB)))
       .filter(col("cosine") >= threshold)
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540; the embedding-space analog of the reference's
+    * document near-dup flows): assign each embedding to its nearest coarse
+    * centroid (max dot product, ties to the larger cell id — same
+    * convention as `Similarity.ivfAssign`), then within each cluster drop
+    * every document that has a smaller-id neighbor with cosine >=
+    * `threshold` (the greedy keep-first rule). Returns one row per input
+    * doc: (idCol, cell, kept 0/1).
+    *
+    * Scale posture: the pair space is an equi hash join on cell id —
+    * never a corpus-wide all-pairs. SemDeDup's contract is that the
+    * centroid count grows with the corpus (the paper uses 110k clusters
+    * for LAION-440M) so per-cluster membership stays bounded; callers
+    * with adversarially hot clusters should pre-split them through the
+    * capped-bucket defenses used by the banded LSH path above.
+    *
+    * Exactness: the cosine test compares dot(a,b)^2 >= threshold^2 *
+    * |a|^2 * |b|^2 (guarded by dot > 0), which involves only products of
+    * exact integers when vectors are integer-valued and threshold^2 is a
+    * binary fraction (e.g. 0.75^2 = 9/16) — so the decision replays
+    * bit-for-bit in a SQL oracle. Zero-norm vectors (empty docs) are
+    * never dropped: cosine is undefined there and the dot > 0 guard
+    * excludes them.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive (dot > 0 guard assumes it)")
+    val t2 = threshold * threshold
+    val assigned = Similarity.ivfAssign(emb, vecCol, centroids)
+      .select(col(idCol), col(vecCol),
+        col("__cell").cast(LongType).as("cell"),
+        Similarity.dot(col(vecCol), col(vecCol)).as("__n2"))
+    val a = assigned.select(col(idCol).as("__id_a"), col("cell"),
+      col(vecCol).as("__v_a"), col("__n2").as("__n2_a"))
+    val b = assigned.select(col(idCol).as("__id_b"), col("cell"),
+      col(vecCol).as("__v_b"), col("__n2").as("__n2_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .withColumn("__dot", Similarity.dot(col("__v_a"), col("__v_b")))
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") >= lit(t2) * col("__n2_a") * col("__n2_b"))
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("__dropped").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
 }
