@@ -636,6 +636,68 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // continuous retrieval: the q_embed_ivf pipeline with the query side
+    // arriving as a STREAM — corpus embedded + IVF-assigned once (the
+    // static index), each micro-batch of new documents embedded through
+    // the client seam and probed via foreachBatch, results appended.
+    // Per-query results are independent of micro-batch boundaries, so the
+    // landed set hash-matches the batch oracle (embedIvfSql verbatim).
+    "q_stream_embed_probe" -> ((s, dir) => {
+      import graft.streaming.StreamingRetrieval
+      val root = java.nio.file.Files.createTempDirectory("graft_sretr").toString
+      val docs = t(s, dir, "documents")
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      val corpus = graft.ops.Embedding.embedDocuments(
+        docs.filter(col("doc_id") % 100 =!= 0).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      val index = Similarity.ivfAssign(corpus, "n_vec", cents).localCheckpoint(true)
+      withFewShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .parquet(s"$dir/[d]ocuments.parquet")
+          .filter(col("doc_id") % 100 === 0)
+          .select("doc_id", "text")
+        val q = StreamingRetrieval.start(stream, index, "doc_id", "text", cents,
+          dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$root/out").orderBy("q_id", "rank")
+    }),
+
+    // two-stage retrieval: embed → IVF top-20 recall → cross-encoder-seam
+    // rerank (token-set Jaccard canned client) → top-5. The rerank kernel
+    // only ever sees the bounded candidate list (20 × queries rows), which
+    // is what makes a per-pair model call affordable at corpus scale.
+    // Integer intersection/union counts keep every score and rank
+    // comparison bit-exact in the oracle replay.
+    "q_rerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = graft.ops.Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val queries = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      val stage1 = Similarity.ivfTopK(corpus, queries, "n_id", "n_vec", "q_id", "q_vec",
+        cents, nProbe = 2, k = 20)
+        .select("q_id", "n_id")
+      val texts = docs.select(col("doc_id"), col("text"))
+      val cand = stage1
+        .join(texts.select(col("doc_id").as("q_id"), col("text").as("q_text")), "q_id")
+        .join(texts.select(col("doc_id").as("n_id"), col("text").as("n_text")), "n_id")
+      graft.ops.Rerank.rerankTopK(cand, "q_id", "q_text", "n_id", "n_text", k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SemDeDup-style semantic dedup: text → embed → nearest fixed centroid
     // (the cluster step) → within-cluster greedy drop of any doc with a
     // smaller-id cosine-0.75 neighbor. threshold² = 9/16 and the
@@ -2116,6 +2178,51 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_rerank: the embedIvfSql pipeline widened to a
+    * top-20 candidate list, then token-set Jaccard (|A∩B| via
+    * |A|+|B|−|A∪B| over distinct token lists — exact integers) and the
+    * top-5 rerank window. Score ties break by candidate id, matching the
+    * BoundedTopK ordering contract.
+    */
+  private def rerankSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |q AS (SELECT doc_id AS q_id, vec AS v FROM vecs WHERE doc_id % 100 = 0),
+       |c AS (SELECT doc_id AS n_id, vec AS v FROM vecs WHERE doc_id % 100 <> 0),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM c),
+       |probed AS (SELECT q_id, v, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell)),
+       |cand AS (SELECT q_id, n_id FROM scored WHERE rank <= 20),
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tw FROM documents),
+       |jac AS (SELECT cand.q_id, cand.n_id,
+       |  len(qt.tw) + len(nt.tw) - len(list_distinct(list_concat(qt.tw, nt.tw))) AS inter,
+       |  len(list_distinct(list_concat(qt.tw, nt.tw))) AS uni
+       |  FROM cand JOIN tok qt ON qt.doc_id = cand.q_id JOIN tok nt ON nt.doc_id = cand.n_id),
+       |rr AS (SELECT q_id, n_id,
+       |  CASE WHEN uni = 0 THEN 0.0 ELSE inter / CAST(uni AS DOUBLE) END AS score,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY (CASE WHEN uni = 0 THEN 0.0 ELSE inter / CAST(uni AS DOUBLE) END) DESC, n_id) AS rk
+       |  FROM jac)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, n_id, score
+       |FROM rr WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** SQL replica of q_cluster_sample: same vectors + centroid assignment,
     * then a per-cell row_number over (n_chars desc, doc_id) capped at 3 —
     * the window replay of the BoundedTopK ordering contract.
@@ -2712,6 +2819,10 @@ object SparkEntry {
     "q_embed_lsh" -> embedLshSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_cluster_sample" -> clusterSampleSql,
+    "q_rerank" -> rerankSql,
+    // per-query results don't depend on micro-batch boundaries, so the
+    // streamed probe replays the batch embed→IVF oracle verbatim
+    "q_stream_embed_probe" -> embedIvfSql,
 
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,

@@ -249,8 +249,26 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])],
       nProbe: Int,
       k: Int,
+  ): DataFrame =
+    ivfTopKPreAssigned(ivfAssign(corpus, corpusVec, centroids), queries,
+      corpusId, corpusVec, queryId, queryVec, centroids, nProbe, k)
+
+  /** As `ivfTopK` but the corpus side already carries its `__cell`
+    * assignment (from `ivfAssign`) — the streaming/incremental shape,
+    * where the index is assigned (and persisted/checkpointed) ONCE and
+    * every micro-batch of queries probes it without re-deriving cells.
+    */
+  def ivfTopKPreAssigned(
+      assigned: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      centroids: Seq[(Int, Array[Double])],
+      nProbe: Int,
+      k: Int,
   ): DataFrame = {
-    val assigned = ivfAssign(corpus, corpusVec, centroids)
     // per query: the nProbe best cells (driver-free — computed as array expr)
     val cellScores = array(centroids.map { case (cid, cvec) =>
       struct(dot(col(queryVec), typedlit(cvec.toSeq)).as("sim"), lit(cid).as("cell"))

@@ -43,6 +43,9 @@ STAMPS = {
     # round-7 additions (isolated min-of-2, BASELINE.md round-7 notes)
     "q_embed_ivf": 0.89, "q_embed_lsh": 0.71, "q_image_dedup": 0.98,
     "q_image_clusters": 1.87, "q_ann_recall": 0.87,
+    "q_semantic_dedup": 0.40, "q_cluster_sample": 0.77,
+    "q_decontaminate_bloom": 0.37, "q_rerank": 1.66,
+    "q_stream_embed_probe": 1.45,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_dedup_pipeline": 4.74,   # round-7 re-stamp: isolated min-of-2 AFTER the
