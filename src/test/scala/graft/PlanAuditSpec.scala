@@ -103,6 +103,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup pairs on the cell key; cluster sampling reduces through the bounded buffer") {
+    val sd = finalPlan(ran("q_semantic_dedup"))
+    assert(!sd.contains("BroadcastNestedLoopJoin") && !sd.contains("CartesianProduct"),
+      s"SemDeDup pair space must be a cell equi-join, not all-pairs:\n${sd.take(2000)}")
+    val cs = finalPlan(ran("q_cluster_sample"))
+    assert(cs.contains("partial_bounded_top_k") && !cs.contains("partial_collect_list"),
+      s"per-cluster quotas must partial-aggregate k-bounded:\n${cs.take(2000)}")
+  }
+
+  test("rerank's final reduction is k-bounded; bloom probe broadcasts only the one-row bitmap") {
+    val rr = finalPlan(ran("q_rerank"))
+    assert(rr.contains("partial_bounded_top_k"), rr.take(2000))
+    val bl = finalPlan(ran("q_decontaminate_bloom"))
+    // exactly one nested-loop is ALLOWED here: the single-row bitmap
+    // cross join (inner side is one array row — O(1) per probe task);
+    // anything more means a gram-level all-pairs crept in
+    val bnlj = bl.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1 && !bl.contains("CartesianProduct"),
+      s"bloom probe must only cross-join the one-row bitmap (found $bnlj BNLJ):\n${bl.take(2000)}")
+  }
+
   test("sequence packing is one window over one shuffle") {
     val plan = finalPlan(ran("q_pack_sequences"))
     // exchanges: one for the window partition key, one for the final
