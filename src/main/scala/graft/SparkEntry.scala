@@ -899,6 +899,17 @@ object SparkEntry {
       t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
     }),
 
+    // Gopher document-quality gate: the Rae et al. 2021 heuristic rule
+    // set as per-doc named flags + the conjunction — kept as flags so a
+    // curation run reports WHY documents fell. One narrow codegen'd pass.
+    "q_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ok_word_count"), col("ok_mean_word_len"),
+          col("ok_hash_ratio"), col("ok_ellipsis_ratio"), col("ok_bullet_lines"),
+          col("ok_ellipsis_lines"), col("ok_alpha_words"), col("ok_stopwords"), col("pass"))
+        .orderBy("doc_id")
+    }),
+
     // language-ID heuristic: marker scores + argmax
     "q_langid" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
@@ -1043,6 +1054,22 @@ object SparkEntry {
       graft.ops.Corpus.bloomContamination(train, ev, "doc_id", "text", n = 8,
         mBits = 1 << 16, k = 3)
         .orderBy("doc_id")
+    }),
+
+    // Count-Min-Sketch token frequencies: probe-side tokens estimated
+    // from a fixed-memory 3×1024 sketch of the corpus token stream —
+    // constant-size broadcast where the exact frequency table is
+    // corpus-sized. Estimates only over-count; with the narrow width the
+    // collision path is genuinely exercised, and every collision replays
+    // exactly in the oracle's (row, position) count join, so the sketch
+    // gates bit-for-bit (est vs true_cnt gap = measured sketch error).
+    "q_token_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Corpus.cmsTokenCounts(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", width = 1024, depth = 3)
+        .orderBy("token")
     }),
 
     // multimodal: binary column + typed metadata struct
@@ -2896,6 +2923,33 @@ object SparkEntry {
         | 1.0 - len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS repetition_ratio
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
+    "q_gopher_filter" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS nw,
+        |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ml,
+        |  len(regexp_extract_all(text, '#')) AS nh,
+        |  len(regexp_extract_all(text, '\.\.\.')) AS ne,
+        |  string_split(text, chr(10)) AS ls,
+        |  string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS c1,
+        |  CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1 ELSE 0 END AS c2,
+        |  CASE WHEN nh / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END AS c3,
+        |  CASE WHEN ne / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END AS c4,
+        |  CASE WHEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*'))) / CAST(len(ls) AS DOUBLE) <= 0.9 THEN 1 ELSE 0 END AS c5,
+        |  CASE WHEN len(list_filter(ls, l -> ends_with(l, '...'))) / CAST(len(ls) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END AS c6,
+        |  CASE WHEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(nw AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END AS c7,
+        |  CASE WHEN len(list_filter(w, t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2 THEN 1 ELSE 0 END AS c8
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(c1 AS BIGINT) AS ok_word_count, CAST(c2 AS BIGINT) AS ok_mean_word_len,
+        |  CAST(c3 AS BIGINT) AS ok_hash_ratio, CAST(c4 AS BIGINT) AS ok_ellipsis_ratio,
+        |  CAST(c5 AS BIGINT) AS ok_bullet_lines, CAST(c6 AS BIGINT) AS ok_ellipsis_lines,
+        |  CAST(c7 AS BIGINT) AS ok_alpha_words, CAST(c8 AS BIGINT) AS ok_stopwords,
+        |  CAST(c1 * c2 * c3 * c4 * c5 * c6 * c7 * c8 AS BIGINT) AS pass
+        |FROM g ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_langid" -> langidSql,
 
     "q_tokens" ->
@@ -3012,6 +3066,19 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_token_sketch" ->
+      """WITH ct AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 97 <> 0),
+        |js(j) AS (VALUES (0), (1), (2)),
+        |cells AS (SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT) % 1024 AS p,
+        |  CAST(count(*) AS BIGINT) AS n FROM ct, js GROUP BY 1, 2),
+        |pt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id % 97 = 0),
+        |pp AS (SELECT token, j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 1024 AS p FROM pt, js),
+        |est AS (SELECT pp.token, min(coalesce(cells.n, 0)) AS est
+        |  FROM pp LEFT JOIN cells ON cells.j = pp.j AND cells.p = pp.p GROUP BY pp.token),
+        |tc AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS true_cnt FROM ct GROUP BY 1)
+        |SELECT e.token, CAST(e.est AS BIGINT) AS est, coalesce(tc.true_cnt, 0) AS true_cnt
+        |FROM est e LEFT JOIN tc USING (token) ORDER BY token""".stripMargin.replaceAll("\n", " "),
 
     "q_decontaminate_bloom" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -363,6 +363,60 @@ object Corpus {
       )
   }
 
+  /** Count-Min-Sketch token frequencies: estimate every probe token's
+    * corpus frequency from a FIXED-memory sketch — depth `d` salted-md5
+    * rows × width `w` counters — instead of a corpus-sized frequency
+    * table. The classic Cormode–Muthukrishnan bound applies: estimates
+    * only ever OVER-count (hash collisions add, never subtract), with
+    * error ≤ N/w at confidence 1−(1/2)^d. At 100 TB the sketch is the
+    * only corpus-stats structure that broadcasts at constant size — the
+    * exact per-token table it replaces is itself corpus-sized.
+    *
+    * Same declarative construction as `bloomContamination`: counter
+    * cells are a (row, position) count aggregate densified once into a
+    * single d·w-long array, the probe is a broadcast single-row cross
+    * join + `least` over d positioned reads. Everything — including
+    * every collision — replays exactly in SQL, so the sketch gates
+    * bit-for-bit against the oracle rather than within a tolerance.
+    *
+    * Returns one row per distinct probe token: (token, est, true_cnt)
+    * with est ≥ true_cnt always; the gap IS the measured sketch error.
+    */
+  def cmsTokenCounts(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      width: Int = 1 << 16,
+      depth: Int = 3,
+  ): DataFrame = {
+    require(width >= 2 && depth >= 1, "need at least a 2-wide, 1-deep sketch")
+    def posOf(tok: Column, j: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10).cast("long"),
+        lit(width.toLong))
+    // token stream WITH multiplicity (frequencies, not membership)
+    val toks = corpus.select(explode(split(col(textCol), " ", -1)).as("__t"))
+    val sketch = toks
+      .select(explode(array((0 until depth).map(j =>
+        (lit(j.toLong) * width + posOf(col("__t"), j)).as(s"c$j")): _*)).as("__cell"))
+      .groupBy("__cell").agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(col("__cell"), col("__n")))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(depth.toLong * width - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__cms"))
+    val probeToks = probe
+      .select(explode(array_distinct(split(col(textCol), " ", -1))).as("token"))
+      .distinct()
+    val estCol =
+      if (depth == 1) element_at(col("__cms"), posOf(col("token"), 0).cast("int") + 1)
+      else least((0 until depth).map(j =>
+        element_at(col("__cms"), (lit(j.toLong) * width + posOf(col("token"), j)).cast("int") + 1)): _*)
+    val trueCnt = toks.groupBy(col("__t").as("token")).agg(count(lit(1)).as("true_cnt"))
+    probeToks
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), estCol.as("est"))
+      .join(trueCnt, Seq("token"), "left")
+      .select(col("token"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+  }
+
   def contamination(
       train: DataFrame,
       eval: DataFrame,

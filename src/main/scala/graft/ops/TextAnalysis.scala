@@ -47,6 +47,53 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", §A1.1.2
+    * — the public heuristic gate most large-corpus pipelines start from):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratios
+    * (# and ellipsis), bullet-line / ellipsis-line fractions, the
+    * alphabetic-word fraction, and minimum stop-word presence. Returns
+    * one named boolean flag per rule plus the conjunction — keep the
+    * flags, not just the verdict, so a curation run can report WHY
+    * documents fell (the reference's enrichment step reports per-check
+    * fields the same way). All flags are codegen'd column expressions:
+    * a single narrow pass, no UDFs, no shuffle.
+    */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val nw = size(w)
+    val meanLen = (length(text) - (nw - lit(1))).cast("double") / nw.cast("double")
+    val lines = split(text, "\n", -1)
+    val nl = size(lines)
+    val bulletLines = size(filter(lines, l => substring(l, 1, 1).isin("-", "*")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(w, t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(w,
+      t => t.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+    Seq(
+      "ok_word_count" -> (nw >= 50 && nw <= 100000),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_hash_ratio" ->
+        (regexp_count(text, lit("#")).cast("double") / nw.cast("double") <= 0.1),
+      "ok_ellipsis_ratio" ->
+        (regexp_count(text, lit("\\.\\.\\.")).cast("double") / nw.cast("double") <= 0.1),
+      "ok_bullet_lines" -> (bulletLines.cast("double") / nl.cast("double") <= 0.9),
+      "ok_ellipsis_lines" -> (ellipsisLines.cast("double") / nl.cast("double") <= 0.3),
+      "ok_alpha_words" -> (alphaWords.cast("double") / nw.cast("double") >= 0.8),
+      "ok_stopwords" -> (stopHits >= 2),
+    )
+  }
+
+  /** The Gopher gate as 0/1 flag columns plus the overall `pass`. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    val flags = gopherFlags(col(textCol))
+    val flagged = flags.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c.cast("long"))
+    }
+    flagged.withColumn("pass",
+      flags.map { case (n, _) => col(n) === 1L }.reduce(_ && _).cast("long"))
+  }
+
   /** Marker-word language-ID: score each language by marker hits, pick argmax
     * (first language wins ties). A real system swaps the marker table for
     * char-n-gram profiles; the operator shape (broadcast marker map,
