@@ -35,18 +35,25 @@ object BenchSemantic {
       .localCheckpoint(true)
     val nDocs = emb.count()
 
+    val cap = sys.env.getOrElse("SPARK_GRAFT_SEM_CAP", "1000").toInt
     for (k <- Seq(8, 64, 256)) {
       val cents = Similarity.fixedCentroids(dim = 32, k = k)
         .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
-      // pair-space size: Σ per-cell C(n,2) — the work the dedup join does
-      val cells = Similarity.ivfAssign(emb, "embedding", cents)
-        .groupBy("__cell").count()
-        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0)
+      // uncapped pair-space size: Σ per-cell C(n,2) — what the dedup join
+      // WOULD do without the in-operator cell cap. coalesce guards the
+      // empty-frame case (bad SPARK_GRAFT_SF_DIR) against a cryptic NPE.
+      val cellSizes = Similarity.ivfAssign(emb, "embedding", cents)
+        .groupBy("__cell").count().localCheckpoint(true)
+      val rawPairs = cellSizes
+        .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)).as("p"))
+        .collect()(0).getDouble(0)
+      val capped = cellSizes.filter(col("count") > cap).count()
       val t0 = System.nanoTime()
-      val dropped = Dedup.semanticDedup(emb, "doc_id", "embedding", cents, threshold = 0.75)
+      val dropped = Dedup.semanticDedup(emb, "doc_id", "embedding", cents, threshold = 0.75,
+        maxCellSize = cap)
         .filter(col("kept") === 0).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[semantic] docs=$nDocs%d k=$k%d pairSpace=${cells / 1e6}%.1fM dropped=$dropped%d secs=$secs%.2f")
+      println(f"[semantic] docs=$nDocs%d k=$k%d rawPairSpace=${rawPairs / 1e6}%.1fM cap=$cap%d cappedCells=$capped%d dropped=$dropped%d secs=$secs%.2f")
     }
     spark.stop()
   }

@@ -699,13 +699,17 @@ object SparkEntry {
     }),
 
     // SemDeDup-style semantic dedup: text → embed → nearest fixed centroid
-    // (the cluster step) → within-cluster greedy drop of any doc with a
+    // (the cluster step) → within-cluster drop of any doc with a
     // smaller-id cosine-0.75 neighbor. threshold² = 9/16 and the
     // integer-count vectors keep the drop decision exact (dot² vs
     // 9/16·|a|²·|b|² — products of exact integers), so keep/drop gates
-    // bit-for-bit per document. At corpus scale the centroid count grows
-    // with the corpus (SemDeDup's contract), keeping the per-cell pair
-    // join bounded; the join itself is an equi hash join on cell id.
+    // bit-for-bit per document. The in-operator cell-pair cap (md5
+    // sub-split + hub chain for cells over maxCellSize) bounds the one
+    // remaining quadratic cliff; cap 60 against 500 docs / 8 cells at
+    // sf0.01 means BOTH branches — sane exact cells and capped
+    // sub-split cells — run and hash-gate here, and at sf1 every cell
+    // is capped. The oracle replays the md5 sub-cell assignment
+    // bit-for-bit (60 bits of md5 as a nonnegative long).
     "q_semantic_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = graft.ops.Embedding.embedDocuments(
@@ -713,7 +717,8 @@ object SparkEntry {
         .localCheckpoint(true)
       val cents = Similarity.fixedCentroids(dim = 32, k = 8)
         .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
-      graft.ops.Dedup.semanticDedup(emb, "doc_id", "embedding", cents, threshold = 0.75)
+      graft.ops.Dedup.semanticDedup(emb, "doc_id", "embedding", cents, threshold = 0.75,
+        maxCellSize = 60)
         .orderBy("doc_id")
     }),
 
@@ -2174,9 +2179,15 @@ object SparkEntry {
 
   /** SQL replica of q_semantic_dedup: the embedAnnSql vector derivation,
     * the embedIvfSql centroid assignment (argmax dot, ties to the larger
-    * cell), then the greedy keep-first drop rule as an EXISTS-style
-    * self-join. The cosine test is replayed as dot² >= 9/16·|a|²·|b|² —
-    * every operand an exact integer — so keep/drop matches bit-for-bit.
+    * cell), then the any-smaller-id drop rule over the CAPPED pair space:
+    * cells at or under maxCellSize=60 pair all-pairs; cells over it are
+    * md5-sub-split into ceil(n/60) sub-cells (the same
+    * 60-bits-of-md5-as-long family the Spark operator uses, replayed
+    * here as ('0x'||substr(md5(...),1,15))::BIGINT) paired within, plus
+    * every sub-cell hub star-compared against the cell's min-id hub.
+    * The cosine test is
+    * replayed as dot² >= 9/16·|a|²·|b|² — every operand an exact
+    * integer — so keep/drop matches bit-for-bit, capped branch included.
     */
   private def semanticDedupSql: String = {
     val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
@@ -2193,13 +2204,32 @@ object SparkEntry {
        |  GROUP BY d.doc_id),
        |cents(cell, cv) AS (VALUES $centRows),
        |assigned AS (SELECT doc_id, vec,
-       |  (SELECT cell FROM cents ORDER BY list_dot_product(v.vec, cv) DESC, cell DESC LIMIT 1) AS cell FROM vecs v),
-       |dropped AS (SELECT DISTINCT b.doc_id FROM assigned a JOIN assigned b
-       |  ON a.cell = b.cell AND a.doc_id < b.doc_id
-       |  AND list_dot_product(a.vec, b.vec) > 0
-       |  AND list_dot_product(a.vec, b.vec) * list_dot_product(a.vec, b.vec)
-       |      >= 0.5625 * list_dot_product(a.vec, a.vec) * list_dot_product(b.vec, b.vec))
-       |SELECT s.doc_id, CAST(s.cell AS BIGINT) AS cell,
+       |  CAST((SELECT cell FROM cents ORDER BY list_dot_product(v.vec, cv) DESC, cell DESC LIMIT 1) AS BIGINT) AS cell FROM vecs v),
+       |szs AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY cell),
+       |asg AS (SELECT a.doc_id, a.vec, a.cell,
+       |  CASE WHEN s.cn > 60 THEN
+       |    CAST(('0x' || substr(md5('sem:' || CAST(a.cell AS VARCHAR) || ':' || CAST(a.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % CAST(ceil(s.cn / 60.0) AS BIGINT)
+       |  ELSE NULL END AS sub
+       |  FROM assigned a JOIN szs s USING (cell)),
+       |sane_pairs AS (SELECT a.vec AS va, b.vec AS vb, b.doc_id AS idb
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.doc_id < b.doc_id
+       |  WHERE a.sub IS NULL AND b.sub IS NULL),
+       |sub_pairs AS (SELECT a.vec AS va, b.vec AS vb, b.doc_id AS idb
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.sub = b.sub AND a.doc_id < b.doc_id),
+       |hubs AS (SELECT cell, sub, min(doc_id) AS hid FROM asg WHERE sub IS NOT NULL GROUP BY cell, sub),
+       |cellhub AS (SELECT cell, min(hid) AS chid FROM hubs GROUP BY cell),
+       |star_pairs AS (SELECT av.vec AS va, bv.vec AS vb, h.hid AS idb
+       |  FROM hubs h JOIN cellhub c USING (cell)
+       |  JOIN asg av ON av.doc_id = c.chid
+       |  JOIN asg bv ON bv.doc_id = h.hid
+       |  WHERE h.hid <> c.chid),
+       |pairs AS (SELECT * FROM sane_pairs UNION ALL SELECT * FROM sub_pairs UNION ALL SELECT * FROM star_pairs),
+       |dropped AS (SELECT DISTINCT idb AS doc_id FROM pairs
+       |  WHERE list_dot_product(va, vb) > 0
+       |  AND list_dot_product(va, vb) * list_dot_product(va, vb)
+       |      >= 0.5625 * list_dot_product(va, va) * list_dot_product(vb, vb))
+       |SELECT s.doc_id, s.cell,
        |  CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM assigned s LEFT JOIN dropped d ON s.doc_id = d.doc_id
        |ORDER BY s.doc_id""".stripMargin.replaceAll("\n", " ")

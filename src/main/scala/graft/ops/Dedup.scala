@@ -922,16 +922,42 @@ object Dedup {
     * document near-dup flows): assign each embedding to its nearest coarse
     * centroid (max dot product, ties to the larger cell id — same
     * convention as `Similarity.ivfAssign`), then within each cluster drop
-    * every document that has a smaller-id neighbor with cosine >=
-    * `threshold` (the greedy keep-first rule). Returns one row per input
-    * doc: (idCol, cell, kept 0/1).
+    * every document that has an examined smaller-id neighbor with cosine
+    * >= `threshold`. Returns one row per input doc: (idCol, cell,
+    * kept 0/1).
+    *
+    * Drop rule, precisely: a doc is dropped when ANY smaller-id doc in
+    * its examined pair space is over-threshold — including neighbors
+    * that were themselves dropped. On a similarity chain a~b, b~c (a!~c)
+    * this drops both b and c: transitive-closure-ish, deliberately
+    * MORE aggressive than sequential greedy (which would keep c).
+    * Sequential greedy needs an iteration whose depth is the chain
+    * length — unbounded passes at corpus scale — while this rule is one
+    * deterministic pass that replays exactly in a SQL oracle; SemDeDup's
+    * keep-one-per-duplicate-group intent is preserved (every group keeps
+    * its min-id member, borderline chain tails may over-drop).
     *
     * Scale posture: the pair space is an equi hash join on cell id —
     * never a corpus-wide all-pairs. SemDeDup's contract is that the
     * centroid count grows with the corpus (the paper uses 110k clusters
-    * for LAION-440M) so per-cluster membership stays bounded; callers
-    * with adversarially hot clusters should pre-split them through the
-    * capped-bucket defenses used by the banded LSH path above.
+    * for LAION-440M) so per-cluster membership stays bounded — but a
+    * fixed centroid list on a grown corpus (or one adversarially hot
+    * centroid) makes one cell quadratic, so cells over `maxCellSize`
+    * get the same two-branch defense as the banded LSH path above:
+    *
+    *  - cells at or under the cap run EXACTLY the uncapped pair join —
+    *    identical output, zero extra columns or shuffles;
+    *  - cells OVER the cap are split by a pseudo-random md5 of the doc
+    *    id into ceil(n/maxCellSize) sub-cells paired all-pairs within
+    *    (work per cell O(n·maxCellSize), never C(n,2)), and every
+    *    sub-cell hub (min id per sub-cell) is star-compared against the
+    *    cell's min-id hub, so a homogeneous mega-cell — one giant
+    *    duplicate family — still keeps exactly ONE doc: spokes drop
+    *    against their sub-hub, hubs drop against the cell hub (= the
+    *    cell's global min id). The md5 split is
+    *    60-bits-of-md5-as-long (same family as the LSH cap), so an
+    *    external SQL engine replays the sub-cell assignment
+    *    bit-for-bit and the capped path stays oracle-verifiable.
     *
     * Exactness: the cosine test compares dot(a,b)^2 >= threshold^2 *
     * |a|^2 * |b|^2 (guarded by dot > 0), which involves only products of
@@ -942,19 +968,67 @@ object Dedup {
     * excludes them.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Double])], threshold: Double): DataFrame = {
+      centroids: Seq[(Int, Array[Double])], threshold: Double,
+      maxCellSize: Int = 1000): DataFrame = {
     require(threshold > 0, "threshold must be positive (dot > 0 guard assumes it)")
+    require(maxCellSize >= 2, "maxCellSize must be at least 2")
     val t2 = threshold * threshold
+    // materialize the assignment once: the size pass, both branches and
+    // the final kept join all read it (k dots per row otherwise re-run)
     val assigned = Similarity.ivfAssign(emb, vecCol, centroids)
       .select(col(idCol), col(vecCol),
         col("__cell").cast(LongType).as("cell"),
         Similarity.dot(col(vecCol), col(vecCol)).as("__n2"))
-    val a = assigned.select(col(idCol).as("__id_a"), col("cell"),
-      col(vecCol).as("__v_a"), col("__n2").as("__n2_a"))
-    val b = assigned.select(col(idCol).as("__id_b"), col("cell"),
-      col(vecCol).as("__v_b"), col("__n2").as("__n2_b"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("__id_a") < col("__id_b"))
+      .localCheckpoint(true)
+    // cell sizes via map-side-combined groupBy; only cells OVER the cap
+    // survive the filter, so overCap is tiny by construction + broadcasts
+    val overCap = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxCellSize)
+    def sideA(df: DataFrame, keys: Seq[String]) = df.select(
+      keys.map(col) :+ col(idCol).as("__id_a") :+
+        col(vecCol).as("__v_a") :+ col("__n2").as("__n2_a"): _*)
+    def sideB(df: DataFrame, keys: Seq[String]) = df.select(
+      keys.map(col) :+ col(idCol).as("__id_b") :+
+        col(vecCol).as("__v_b") :+ col("__n2").as("__n2_b"): _*)
+    def pairsWithin(df: DataFrame, keys: Seq[String]) =
+      sideA(df, keys).join(sideB(df, keys), keys)
+        .filter(col("__id_a") < col("__id_b"))
+    // sane cells: exactly the uncapped pair join
+    val sane = assigned.join(broadcast(overCap), Seq("cell"), "left_anti")
+    val sanePairs = pairsWithin(sane, Seq("cell"))
+    // over-cap cells: md5 sub-split into ceil(n/cap) sub-cells
+    val big = assigned.join(broadcast(overCap), Seq("cell"))
+      .withColumn("__sub", pmod(
+        conv(substring(md5(concat_ws(":", lit("sem"), col("cell"), col(idCol))), 1, 15), 16, 10)
+          .cast(LongType),
+        ceil(col("__cn") / lit(maxCellSize.toDouble)).cast(LongType)))
+    val subPairs = pairsWithin(big, Seq("cell", "__sub"))
+    // hub star: every sub-cell hub (min id per sub-cell) is compared
+    // against the CELL's min-id hub — one extra comparison per sub-cell,
+    // linear work. A chain (hub k vs k+1, dropping the larger) does NOT
+    // work for a drop rule: non-adjacent hubs are never compared, so a
+    // small-id hub ranked first survives even in a homogeneous mega-cell.
+    // The star guarantees the homogeneous case keeps exactly one doc:
+    // spokes drop within their sub-cell against their hub, every other
+    // hub drops against the cell hub (= the cell's global min id, since
+    // the cell hub is min over sub minima).
+    val hubs = big.groupBy(col("cell"), col("__sub"))
+      .agg(min(col(idCol)).as("__hid"))
+    val cellHub = hubs.groupBy(col("cell")).agg(min(col("__hid")).as("__chid"))
+    val hubVecs = assigned.select(col(idCol).as("__hid"),
+      col(vecCol).as("__hv"), col("__n2").as("__hn2"))
+    val starPairs = hubs.join(cellHub, Seq("cell"))
+      .filter(col("__hid") =!= col("__chid"))
+      .select(col("__chid").as("__id_a"), col("__hid").as("__id_b"))
+      .join(hubVecs.withColumnRenamed("__hid", "__id_a")
+        .withColumnRenamed("__hv", "__v_a").withColumnRenamed("__hn2", "__n2_a"), Seq("__id_a"))
+      .join(hubVecs.withColumnRenamed("__hid", "__id_b")
+        .withColumnRenamed("__hv", "__v_b").withColumnRenamed("__hn2", "__n2_b"), Seq("__id_b"))
+    val examined = sanePairs.select("__id_a", "__id_b", "__v_a", "__v_b", "__n2_a", "__n2_b")
+      .unionByName(subPairs.select("__id_a", "__id_b", "__v_a", "__v_b", "__n2_a", "__n2_b"))
+      .unionByName(starPairs.select("__id_a", "__id_b", "__v_a", "__v_b", "__n2_a", "__n2_b"))
+    val dropped = examined
       .withColumn("__dot", Similarity.dot(col("__v_a"), col("__v_b")))
       .filter(col("__dot") > 0 &&
         col("__dot") * col("__dot") >= lit(t2) * col("__n2_a") * col("__n2_b"))

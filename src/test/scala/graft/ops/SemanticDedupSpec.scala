@@ -45,6 +45,44 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("semanticDedup capped path: a homogeneous mega-cell keeps exactly one doc") {
+    // 40 identical vectors in cell 0 with cap 5 -> 8 sub-cells; spokes drop
+    // against sub hubs, hub chain collapses hubs to the global min id
+    val mega = (1L to 40L).map(i => (i, Seq(4.0, 0.0))) :+ (99L, Seq(0.0, 5.0))
+    val out = Dedup.semanticDedup(mega.toDF("id", "vec"), "id", "vec", cents,
+      threshold = 0.75, maxCellSize = 5)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    assert(out.size == 41)
+    val keptIds = out.collect { case (id, 1L) => id }.toSet
+    assert(keptIds == Set(1L, 99L), s"kept=$keptIds")
+  }
+
+  test("semanticDedup capped path never examines cross-sub non-hub pairs: distinct families per sub stay kept") {
+    // cap forces sub-splitting of a cell whose members are all DISSIMILAR:
+    // nothing should drop (sub-split only shrinks the examined pair space)
+    val spread = Seq(
+      (1L, Seq(9.0, 1.0)), (2L, Seq(9.0, -1.0)), (3L, Seq(9.0, 3.0)),
+      (4L, Seq(9.0, -3.0)), (5L, Seq(9.0, 5.0)), (6L, Seq(9.0, -5.0)),
+    ).filter { case (_, v) => v.head > 0 } // all cell 0
+    val uncapped = Dedup.semanticDedup(spread.toDF("id", "vec"), "id", "vec", cents,
+      threshold = 0.9999)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    val capped = Dedup.semanticDedup(spread.toDF("id", "vec"), "id", "vec", cents,
+      threshold = 0.9999, maxCellSize = 2)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    assert(uncapped.values.forall(_ == 1L))
+    assert(capped == uncapped)
+  }
+
+  test("semanticDedup cells at or under the cap match the uncapped output exactly") {
+    val uncapped = Dedup.semanticDedup(vecs.toDF("id", "vec"), "id", "vec", cents, threshold = 0.75)
+      .select("id", "cell", "kept").as[(Long, Long, Long)].collect().toSet
+    val bigCap = Dedup.semanticDedup(vecs.toDF("id", "vec"), "id", "vec", cents,
+      threshold = 0.75, maxCellSize = 100)
+      .select("id", "cell", "kept").as[(Long, Long, Long)].collect().toSet
+    assert(bigCap == uncapped)
+  }
+
   test("clusterBalancedSample keeps the per-cell quota ordered by score desc then id asc") {
     val scored = Seq(
       (1L, Seq(4.0, 0.0), 10.0), (2L, Seq(8.0, 0.0), 20.0), (3L, Seq(3.0, 1.0), 20.0),
