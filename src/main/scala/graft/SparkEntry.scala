@@ -1822,6 +1822,44 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.1 row 5 + §2.4 (sql_database destination merge): live JDBC
+    // delete-insert merge against embedded Derby — batch 1 creates the
+    // table, batch 2 overlaps it with doubled+tripled prices (in-batch
+    // dedup_sort desc picks _seq=3), marks keys %7==0 hard-deleted, and
+    // the merged state is read back via a partitioned JDBC scan. The
+    // merge itself runs destination-side (staged table + transactional
+    // DELETE/INSERT), the reference's merge-load shape.
+    "q_jdbc_merge" -> ((s, dir) => {
+      import graft.connectors.db.{JdbcMerge, JdbcSource}
+      import graft.core.{Disposition, TableHints}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_derby_m")
+      System.setProperty("derby.system.home", tmp.toString)
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val cfg = JdbcSource.JdbcConfig(url, "GRAFT_ORDERS")
+      val hints = TableHints("graft_orders", Disposition.Merge,
+        primaryKey = Seq("o_orderkey"), dedupSort = Some(("_seq", true)),
+        hardDeleteCol = Some("_del"))
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val b1 = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("_seq", lit(1L))
+        .withColumn("_del", lit(null).cast("string"))
+      JdbcMerge.write(s, b1, cfg, hints)
+      val b2base = orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+      val b2 = b2base.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_seq", lit(2L))
+        .unionByName(b2base.withColumn("o_totalprice", col("o_totalprice") * 3)
+          .withColumn("_seq", lit(3L)))
+        .withColumn("_del",
+          when(col("o_orderkey") % 7 === 0, lit("x")).otherwise(lit(null).cast("string")))
+      JdbcMerge.write(s, b2, cfg, hints)
+      JdbcSource.read(s, cfg.copy(
+          partitionColumn = Some("\"o_orderkey\""), numPartitions = 4))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("_seq"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2.1 row 4 (kinesis): two-wave shard read through the dict-valued
     // per-shard sequence cursor — wave 1 bounded, cursor committed, wave 2
     // resumes strictly after it; union must equal the source exactly (no
@@ -3227,6 +3265,18 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 3000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_jdbc_merge" ->
+      """WITH b1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(1 AS BIGINT) AS _seq FROM orders WHERE o_orderkey < 1000),
+        |b2w AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3 AS o_totalprice,
+        |  CAST(3 AS BIGINT) AS _seq FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500),
+        |final AS (
+        |  SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2w)
+        |  UNION ALL
+        |  SELECT * FROM b2w WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, _seq
+        |FROM final ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
 
     "q_fleet_pipeline" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
