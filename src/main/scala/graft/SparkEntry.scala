@@ -991,6 +991,76 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the FULL curation DAG — the end-to-end 100 TB training-data shape,
+    // every round-7 op composed into one flow: gopher quality gate →
+    // corpus line dedup (drop docs left under 30 surviving words) →
+    // minhash-LSH near-dup (drop the larger id of each verified pair) →
+    // capped semantic dedup (cell cap 60 — the sub-split defense runs
+    // INSIDE the composition) → Bloom decontamination vs the held-out
+    // eval slice → domain-mix acceptance coins → per-language packing.
+    // Each stage consumes the survivor set of the previous one, so cap
+    // interactions (LSH bucket cap feeding the semantic cell cap,
+    // Bloom FPs shrinking the mix pool) surface here, and the single
+    // oracle SQL replays all seven stages bit-for-bit.
+    "q_curation_pipeline" -> ((s, dir) => {
+      import graft.ops.Corpus
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+      val pool = docs.filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "lang", "source", "text", "n_chars")
+      // 1. quality gate
+      val s1 = TextAnalysis.gopherFilter(pool, "text")
+        .filter(col("pass") === 1)
+        .select(pool.columns.map(col): _*)
+      // 2. corpus-wide line dedup at 10-word-chunk granularity (the
+      // synthetic docs carry no newlines, and word granularity would
+      // annihilate a shared-vocabulary corpus — chunks are the honest
+      // boilerplate unit here); docs keeping under 3 first-occurrence
+      // chunks drop
+      val ws = split(col("text"), " ")
+      val lined = concat_ws("\n", transform(
+        sequence(lit(0), ceil(size(ws) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10)))))
+      val keptCounts = Dedup.dedupLines(
+        s1.select(col("doc_id"), lined.as("text")), "doc_id", "text", sep = "\n")
+        .filter(col("n_kept") >= 3).select("doc_id")
+      val s2 = s1.join(keptCounts, Seq("doc_id"))
+      // 3. near-dup: verified LSH pairs, larger id drops. 0.95 because
+      // the synthetic corpus shares one tiny vocabulary — distinct-word
+      // Jaccard saturates, and 0.8 would flag most pairs as dups
+      val ndPairs = Dedup.nearDupPairs(s2, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.95)
+      val s3 = s2.join(ndPairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 4. capped semantic dedup over the survivors' embeddings
+      val emb = graft.ops.Embedding.embedDocuments(
+        s3.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      // 0.875 = 7/8, threshold² = 49/64 — still a binary fraction, so
+      // the drop decision stays oracle-exact; 0.75 saturates here for
+      // the same shared-vocabulary reason as the Jaccard stage
+      val semKept = graft.ops.Dedup.semanticDedup(emb, "doc_id", "embedding", cents,
+        threshold = 0.875, maxCellSize = 60)
+        .filter(col("kept") === 1).select("doc_id")
+      val s4 = s3.join(semKept, Seq("doc_id"))
+      // 5. Bloom decontamination vs the eval slice
+      val cleanIds = Corpus.bloomContamination(s4, ev, "doc_id", "text", n = 8,
+        mBits = 1 << 16, k = 3)
+        .filter(col("n_contaminated") === 0).select("doc_id")
+      val s5 = s4.join(cleanIds, Seq("doc_id"))
+      // 6. domain mix, 7. pack
+      val s6 = Corpus.mixDomains(s5, "source", "doc_id",
+        Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.15, "src3" -> 0.125,
+          "src4" -> 0.125, "src5" -> 0.1, "src6" -> 0.1, "src7" -> 0.05),
+        totalRows = 120L, seed = "cur")
+      Corpus.packSequences(s6.select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "n_chars", budget = 8192L, packKey = Some("lang"))
+        .select(col("doc_id"), col("lang"), col("source"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // batch sessionization: 30-min inactivity gap per user, one keyed
     // window shuffle (batch twin of EventStreams.sessionize)
     "q_sessionize_batch" -> ((s, dir) => {
@@ -2273,6 +2343,121 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_curation_pipeline: all seven stages — gopher gate,
+    * corpus line dedup, capped LSH near-dup (via `cappedNearDupCtes`
+    * re-pointed at the stage-2 survivor CTE), capped semantic dedup (the
+    * semanticDedupSql CTEs over the stage-3 survivors), Bloom
+    * decontamination, domain-mix coins and the per-language pack cumsum —
+    * in one statement. Every constant (caps, thresholds, seeds, bitmap
+    * geometry) matches the Spark query; every pseudo-random draw is
+    * md5-family, so the whole DAG replays bit-for-bit.
+    */
+  private def curationPipelineSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    val nearDup = cappedNearDupCtes(1, 0.95, from = Some("s2"))
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |pool AS MATERIALIZED (SELECT doc_id, lang, source, text, n_chars FROM documents WHERE doc_id % 97 <> 0),
+       |gf AS (SELECT doc_id,
+       |  len(string_split(text, ' ')) AS nw,
+       |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ml,
+       |  len(regexp_extract_all(text, '#')) AS nh,
+       |  len(regexp_extract_all(text, '\\.\\.\\.')) AS ne,
+       |  string_split(text, chr(10)) AS ls,
+       |  string_split(text, ' ') AS w
+       |  FROM pool),
+       |gp AS (SELECT doc_id FROM gf WHERE
+       |  nw >= 50 AND nw <= 100000
+       |  AND ml >= 3.0 AND ml <= 10.0
+       |  AND nh / CAST(nw AS DOUBLE) <= 0.1
+       |  AND ne / CAST(nw AS DOUBLE) <= 0.1
+       |  AND len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*'))) / CAST(len(ls) AS DOUBLE) <= 0.9
+       |  AND len(list_filter(ls, l -> ends_with(l, '...'))) / CAST(len(ls) AS DOUBLE) <= 0.3
+       |  AND len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(nw AS DOUBLE) >= 0.8
+       |  AND len(list_filter(w, t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2),
+       |s1 AS MATERIALIZED (SELECT pool.* FROM pool JOIN gp USING (doc_id)),
+       |lws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
+       |ld AS (SELECT doc_id, ci AS pos,
+       |    array_to_string(list_slice(ws, ci * 10 + 1, ci * 10 + 10), ' ') AS ln
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS ci FROM lws)),
+       |ldr AS (SELECT *, row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn FROM ld),
+       |keptw AS (SELECT doc_id, count(*) AS n_kept FROM ldr WHERE rn = 1 GROUP BY doc_id),
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN keptw USING (doc_id) WHERE n_kept >= 3),
+       |$nearDup,
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM verified),
+       |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s3),
+       |hsem AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hsem GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM s3) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT doc_id, vec,
+       |  CAST((SELECT cell FROM cents ORDER BY list_dot_product(v.vec, cv) DESC, cell DESC LIMIT 1) AS BIGINT) AS cell FROM vecs v),
+       |szs AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY cell),
+       |asg AS MATERIALIZED (SELECT a.doc_id, a.vec, a.cell,
+       |  CASE WHEN s.cn > 60 THEN
+       |    CAST(('0x' || substr(md5('sem:' || CAST(a.cell AS VARCHAR) || ':' || CAST(a.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % CAST(ceil(s.cn / 60.0) AS BIGINT)
+       |  ELSE NULL END AS sub
+       |  FROM assigned a JOIN szs s USING (cell)),
+       |sem_sane AS (SELECT a.vec AS va, b.vec AS vb, b.doc_id AS idb
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.doc_id < b.doc_id
+       |  WHERE a.sub IS NULL AND b.sub IS NULL),
+       |sem_sub AS (SELECT a.vec AS va, b.vec AS vb, b.doc_id AS idb
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.sub = b.sub AND a.doc_id < b.doc_id),
+       |sem_hubs AS (SELECT cell, sub, min(doc_id) AS hid FROM asg WHERE sub IS NOT NULL GROUP BY cell, sub),
+       |sem_chub AS (SELECT cell, min(hid) AS chid FROM sem_hubs GROUP BY cell),
+       |sem_star AS (SELECT av.vec AS va, bv.vec AS vb, h.hid AS idb
+       |  FROM sem_hubs h JOIN sem_chub c USING (cell)
+       |  JOIN asg av ON av.doc_id = c.chid
+       |  JOIN asg bv ON bv.doc_id = h.hid
+       |  WHERE h.hid <> c.chid),
+       |sem_pairs AS (SELECT * FROM sem_sane UNION ALL SELECT * FROM sem_sub UNION ALL SELECT * FROM sem_star),
+       |sem_drop AS (SELECT DISTINCT idb AS doc_id FROM sem_pairs
+       |  WHERE list_dot_product(va, vb) > 0
+       |  AND list_dot_product(va, vb) * list_dot_product(va, vb)
+       |      >= 0.765625 * list_dot_product(va, va) * list_dot_product(vb, vb)),
+       |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+       |bws AS (SELECT doc_id, string_split(text, ' ') AS w FROM s4),
+       |bpos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM bws),
+       |bgr AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+       |  FROM bpos WHERE i + 7 <= len(w)),
+       |ews AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+       |eps AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM ews),
+       |egr AS (SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS g
+       |  FROM eps WHERE i + 7 <= len(w)),
+       |js(j) AS (VALUES (0), (1), (2)),
+       |evp AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p
+       |  FROM egr, js),
+       |bposn AS (SELECT doc_id, g,
+       |  CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p FROM bgr, js),
+       |bchk AS (SELECT doc_id, g, count(DISTINCT p) AS np,
+       |  count(DISTINCT CASE WHEN p IN (SELECT p FROM evp) THEN p END) AS nm
+       |  FROM bposn GROUP BY doc_id, g),
+       |hits AS (SELECT DISTINCT doc_id FROM bchk WHERE np = nm),
+       |s5 AS MATERIALIZED (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |cnt AS (SELECT source, count(*) AS c FROM s5 GROUP BY 1),
+       |rates AS (SELECT source, least(1.0, CAST(120 AS DOUBLE) *
+       |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.15 WHEN 'src2' THEN 0.15
+       |    WHEN 'src3' THEN 0.125 WHEN 'src4' THEN 0.125 WHEN 'src5' THEN 0.1
+       |    WHEN 'src6' THEN 0.1 WHEN 'src7' THEN 0.05 ELSE 0.0 END) / c) AS r
+       |  FROM cnt),
+       |s6 AS (SELECT s5.* FROM s5 JOIN rates USING (source)
+       |  WHERE CAST(CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |    / CAST(1152921504606846976 AS DOUBLE) < r)
+       |SELECT doc_id, lang, source, CAST(floor((SUM(n_chars) OVER (
+       |  PARTITION BY lang ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 8192.0) AS BIGINT) AS pack_id
+       |FROM s6 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** SQL replica of q_rerank: the embedIvfSql pipeline widened to a
     * top-20 candidate list, then token-set Jaccard (|A∩B| via
     * |A|+|B|−|A∪B| over distinct token lists — exact integers) and the
@@ -2513,12 +2698,13 @@ object SparkEntry {
     * `verified(id_a, id_b, jac)` filtered to the threshold.
     */
   private def cappedNearDupCtes(mod: Int, threshold: Double, cap: Int = 1000,
-      cellSize: Int = 64): String = {
+      cellSize: Int = 64, from: Option[String] = None): String = {
     val cell = math.min(cellSize, cap) // mirrors Dedup's effective-cell clamp
+    val src = from.getOrElse(s"documents WHERE doc_id % $mod = 0")
     val s = (0 until 4).map(i =>
       s"list_min(list_transform(ws, w -> md5('$i:' || w))) AS s$i").mkString(", ")
     s"""base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-       |  FROM documents WHERE doc_id % $mod = 0),
+       |  FROM $src),
        |sigs AS (SELECT doc_id, ws, $s FROM base),
        |bnd AS (SELECT doc_id, ws, md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1
        |  FROM sigs),
@@ -2913,6 +3099,7 @@ object SparkEntry {
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_lsh" -> embedLshSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_cluster_sample" -> clusterSampleSql,
     "q_rerank" -> rerankSql,
     // per-query results don't depend on micro-batch boundaries, so the
