@@ -1008,10 +1008,16 @@ object SparkEntry {
       val ev = docs.filter(col("doc_id") % 97 === 0)
       val pool = docs.filter(col("doc_id") % 97 =!= 0)
         .select("doc_id", "lang", "source", "text", "n_chars")
+      // each stage frame is materialized once (eager localCheckpoint —
+      // the Spark twin of the oracle's MATERIALIZED CTEs): every stage
+      // feeds at least two downstream consumers, and without the
+      // checkpoint each branch re-executes the whole upstream DAG
+      // (measured 21.7 s -> the checkpointed plan at sf0.1)
       // 1. quality gate
       val s1 = TextAnalysis.gopherFilter(pool, "text")
         .filter(col("pass") === 1)
         .select(pool.columns.map(col): _*)
+        .localCheckpoint(true)
       // 2. corpus-wide line dedup at 10-word-chunk granularity (the
       // synthetic docs carry no newlines, and word granularity would
       // annihilate a shared-vocabulary corpus — chunks are the honest
@@ -1024,7 +1030,7 @@ object SparkEntry {
       val keptCounts = Dedup.dedupLines(
         s1.select(col("doc_id"), lined.as("text")), "doc_id", "text", sep = "\n")
         .filter(col("n_kept") >= 3).select("doc_id")
-      val s2 = s1.join(keptCounts, Seq("doc_id"))
+      val s2 = s1.join(keptCounts, Seq("doc_id")).localCheckpoint(true)
       // 3. near-dup: verified LSH pairs, larger id drops. 0.95 because
       // the synthetic corpus shares one tiny vocabulary — distinct-word
       // Jaccard saturates, and 0.8 would flag most pairs as dups
@@ -1032,6 +1038,7 @@ object SparkEntry {
         numHashes = 4, rowsPerBand = 2, threshold = 0.95)
       val s3 = s2.join(ndPairs.select(col("id_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // 4. capped semantic dedup over the survivors' embeddings
       val emb = graft.ops.Embedding.embedDocuments(
         s3.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
@@ -1044,12 +1051,12 @@ object SparkEntry {
       val semKept = graft.ops.Dedup.semanticDedup(emb, "doc_id", "embedding", cents,
         threshold = 0.875, maxCellSize = 60)
         .filter(col("kept") === 1).select("doc_id")
-      val s4 = s3.join(semKept, Seq("doc_id"))
+      val s4 = s3.join(semKept, Seq("doc_id")).localCheckpoint(true)
       // 5. Bloom decontamination vs the eval slice
       val cleanIds = Corpus.bloomContamination(s4, ev, "doc_id", "text", n = 8,
         mBits = 1 << 16, k = 3)
         .filter(col("n_contaminated") === 0).select("doc_id")
-      val s5 = s4.join(cleanIds, Seq("doc_id"))
+      val s5 = s4.join(cleanIds, Seq("doc_id")).localCheckpoint(true)
       // 6. domain mix, 7. pack
       val s6 = Corpus.mixDomains(s5, "source", "doc_id",
         Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.15, "src3" -> 0.125,

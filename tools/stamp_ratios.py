@@ -46,8 +46,16 @@ STAMPS = {
     "q_semantic_dedup": 0.40, "q_cluster_sample": 0.77,
     "q_decontaminate_bloom": 0.37, "q_rerank": 1.66,
     "q_stream_embed_probe": 1.45,
+    # round-8 additions (isolated min-of-2, BASELINE.md round-8 notes)
+    "q_gopher_filter": 0.30, "q_token_sketch": 1.36,
+    "q_jdbc_merge": 1.14, "q_curation_pipeline": 6.41,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
+    "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
+                                # in-operator cell-pair cap (cap 60 engages at
+                                # sf0.1 — extra size/sub-split/hub stages cost
+                                # ~0.6 s fixed here and bound the sf1 cell at
+                                # O(n*cap) instead of C(n,2); uncapped was 0.40)
     "q_dedup_pipeline": 4.74,   # round-7 re-stamp: isolated min-of-2 AFTER the
                                 # r6 three-level degenerate-bucket defense (the
                                 # computation grew — more candidates verified,
