@@ -666,7 +666,8 @@ object SparkEntry {
           dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
         q.processAllAvailable(); q.stop()
       }
-      s.read.parquet(s"$root/out").orderBy("q_id", "rank")
+      // batch_id is the sink's idempotency partition, not part of the result
+      s.read.parquet(s"$root/out").select("q_id", "rank", "n_id").orderBy("q_id", "rank")
     }),
 
     // two-stage retrieval: embed → IVF top-20 recall → cross-encoder-seam

@@ -268,6 +268,7 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])],
       nProbe: Int,
       k: Int,
+      broadcastQueries: Boolean = true,
   ): DataFrame = {
     // per query: the nProbe best cells (driver-free — computed as array expr)
     val cellScores = array(centroids.map { case (cid, cvec) =>
@@ -277,8 +278,15 @@ object Similarity {
       .withColumn("__cells", slice(reverse(array_sort(cellScores)), 1, nProbe))
       .withColumn("__cell", explode(expr("transform(__cells, c -> c.cell)")))
       .drop("__cells")
+    // The query side is normally tiny (interactive probes / one micro
+    // batch) and broadcasts; callers with a potentially LARGE query frame
+    // (a backlogged stream's first trigger, a batch backfill) pass
+    // broadcastQueries = false after a count-gate and the join degrades
+    // to a shuffled hash join — same result, no single-node
+    // materialization of the query side.
+    val qSide = if (broadcastQueries) broadcast(qCells) else qCells.hint("shuffle_hash")
     val scored = assigned
-      .join(broadcast(qCells), "__cell")
+      .join(qSide, "__cell")
       .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
     boundedTopK(scored, queryId, corpusId, "cosine", k, "rank")
   }

@@ -13,19 +13,60 @@ import graft.ops.{Embedding, Similarity}
   * crawl document against the curated corpus online".
   *
   * Per micro-batch the work is O(batch): the embed kernel is a narrow
-  * mapPartitions over the batch, cell probing broadcasts only the batch's
-  * (tiny) query side into an equi join against the index cells, and the
-  * reduction is the map-side-bounded BoundedTopK. The index is assigned
-  * ONCE by the caller (`Similarity.ivfAssign`, checkpointed/persisted) —
-  * no per-batch index recompute, which is what lets a 100 TB corpus serve
-  * an indefinite stream. foreachBatch + append sink: re-delivered batches
-  * under the streaming checkpoint rewrite the same deterministic rows.
+  * mapPartitions over the batch, cell probing joins the batch's query
+  * side into an equi join against the index cells — broadcast while the
+  * batch is small, degrading to a shuffled hash join above
+  * `broadcastRowCap` rows (a backlogged stream's first trigger can carry
+  * the whole backlog; same count-gate discipline as the incremental
+  * dedup path) — and the reduction is the map-side-bounded BoundedTopK.
+  * The index is assigned ONCE by the caller (`Similarity.ivfAssign`,
+  * checkpointed/persisted) — no per-batch index recompute, which is what
+  * lets a 100 TB corpus serve an indefinite stream.
   *
-  * Results are per-query deterministic and independent of micro-batch
-  * boundaries: each query row's top-k depends only on the static index,
-  * so any arrival-order/batching replays to the same landed set.
+  * Exactly-once landing: each micro-batch writes to its own
+  * `batch_id=N` partition with dynamic partition overwrite, so a batch
+  * re-delivered after a failure between the write and the streaming
+  * checkpoint commit OVERWRITES its own partition instead of appending a
+  * duplicate copy. Results are per-query deterministic and independent
+  * of micro-batch boundaries: each query row's top-k depends only on the
+  * static index, so any arrival-order/batching replays to the same
+  * landed set.
   */
 object StreamingRetrieval {
+
+  /** Land one micro-batch of documents into `outPath/batch_id=<id>/`.
+    * Idempotent per batchId: a replay overwrites its own partition
+    * (dynamic partition overwrite — untouched batch partitions survive).
+    */
+  def landBatch(
+      batch: DataFrame,
+      batchId: Long,
+      assignedIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      centroids: Seq[(Int, Array[Double])],
+      dim: Int,
+      nProbe: Int,
+      k: Int,
+      outPath: String,
+      broadcastRowCap: Long = 4000000L,
+  ): Unit = {
+    // localCheckpoint: the embed kernel runs once; both the count-gate
+    // and the probe join read the materialized batch.
+    val queries = Embedding.embedDocuments(batch, idCol, textCol, dim)
+      .filter(col("embedding").isNotNull)
+      .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+      .localCheckpoint(true)
+    Similarity.ivfTopKPreAssigned(assignedIndex, queries,
+      "n_id", "n_vec", "q_id", "q_vec", centroids, nProbe, k,
+      broadcastQueries = queries.count() <= broadcastRowCap)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+  }
 
   def start(
       docs: DataFrame, // streaming (idCol, textCol)
@@ -38,18 +79,13 @@ object StreamingRetrieval {
       k: Int,
       outPath: String,
       checkpoint: String,
+      broadcastRowCap: Long = 4000000L,
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val queries = Embedding.embedDocuments(batch, idCol, textCol, dim)
-          .filter(col("embedding").isNotNull)
-          .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
-        Similarity.ivfTopKPreAssigned(assignedIndex, queries,
-          "n_id", "n_vec", "q_id", "q_vec", centroids, nProbe, k)
-          .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, assignedIndex, idCol, textCol, centroids,
+          dim, nProbe, k, outPath, broadcastRowCap)
       }
       .start()
 }

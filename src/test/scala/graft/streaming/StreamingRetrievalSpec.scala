@@ -53,6 +53,38 @@ class StreamingRetrievalSpec extends SparkTestBase {
     assert(landed.map(_._1).subsetOf(Set(100L, 200L, 300L, 400L)) && landed.map(_._1).size >= 3)
   }
 
+  test("a re-delivered micro-batch overwrites its own partition — no duplicate rows") {
+    val root = tmpDir("sretr_replay")
+    val corpus = Embedding.embedDocuments(
+      (1L to 20L).map(i => (i, s"tok$i alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+    val index = Similarity.ivfAssign(corpus, "n_vec", cents).localCheckpoint(true)
+    val b0 = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((200L, "gamma delta")).toDF("doc_id", "text")
+    StreamingRetrieval.landBatch(b0, 0L, index, "doc_id", "text", cents, 4, 1, 3, s"$root/out")
+    StreamingRetrieval.landBatch(b1, 1L, index, "doc_id", "text", cents, 4, 1, 3, s"$root/out")
+    val before = spark.read.parquet(s"$root/out")
+      .select("q_id", "rank", "n_id").collect().toSeq.sortBy(_.toString)
+    // failure between write and checkpoint commit => batch 0 re-delivered
+    StreamingRetrieval.landBatch(b0, 0L, index, "doc_id", "text", cents, 4, 1, 3, s"$root/out")
+    val after = spark.read.parquet(s"$root/out")
+      .select("q_id", "rank", "n_id").collect().toSeq.sortBy(_.toString)
+    assert(after == before) // replay rewrote batch 0; batch 1 untouched
+  }
+
+  test("ivfTopKPreAssigned gated off broadcast returns identical results") {
+    val vecs = (1L to 30L).map(i => (i, Seq((i % 5).toDouble, 1.0, 0.0, (i % 3).toDouble)))
+      .toDF("n_id", "n_vec")
+    val qs = Seq((91L, Seq(1.0, 1.0, 0.0, 0.0)), (92L, Seq(0.0, 1.0, 0.0, 2.0)))
+      .toDF("q_id", "q_vec")
+    val assigned = Similarity.ivfAssign(vecs, "n_vec", cents)
+    def run(b: Boolean) = Similarity.ivfTopKPreAssigned(assigned, qs,
+      "n_id", "n_vec", "q_id", "q_vec", cents, nProbe = 2, k = 4, broadcastQueries = b)
+      .select("q_id", "rank", "n_id").collect().toSet
+    assert(run(true) == run(false))
+  }
+
   test("ivfTopKPreAssigned on an assigned corpus equals ivfTopK on the raw corpus") {
     val vecs = (1L to 30L).map(i => (i, Seq((i % 5).toDouble, 1.0, 0.0, (i % 3).toDouble)))
       .toDF("n_id", "n_vec")
