@@ -670,6 +670,45 @@ object SparkEntry {
       s.read.parquet(s"$root/out").select("q_id", "rank", "n_id").orderBy("q_id", "rank")
     }),
 
+    // continuous retrieval over a GROWING index (the crawl → probe →
+    // index loop): wave 1 of the stream (doc_id % 200 == 0) probes the
+    // base corpus index and then JOINS it as a batch-delta partition;
+    // wave 2 (doc_id % 200 == 100) arrives in the next micro-batch and
+    // retrieves wave-1 stream documents alongside the base corpus.
+    // Probe-then-append: each batch sees strictly earlier batches
+    // (batch_id < its own), so the landed set is a deterministic
+    // function of wave membership and replays in the SQL oracle as a
+    // cwave < wave join predicate.
+    "q_stream_index_delta" -> ((s, dir) => {
+      import graft.streaming.StreamingRetrieval
+      val root = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+      val docs = t(s, dir, "documents")
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      val corpus = graft.ops.Embedding.embedDocuments(
+        docs.filter(col("doc_id") % 100 =!= 0).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      StreamingRetrieval.bootstrapIndex(
+        Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+      withFewShufflePartitions(s, 8) {
+        docs.filter(col("doc_id") % 200 === 0).select("doc_id", "text")
+          .write.mode("append").parquet(s"$root/stream")
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType))))
+          .parquet(s"$root/stream")
+        val q = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
+          cents, dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
+        q.processAllAvailable() // batch 0 = wave 1
+        docs.filter(col("doc_id") % 200 === 100).select("doc_id", "text")
+          .write.mode("append").parquet(s"$root/stream")
+        q.processAllAvailable() // batch 1 = wave 2
+        q.stop()
+      }
+      s.read.parquet(s"$root/out").select("q_id", "rank", "n_id").orderBy("q_id", "rank")
+    }),
+
     // two-stage retrieval: embed → IVF top-20 recall → cross-encoder-seam
     // rerank (token-set Jaccard canned client) → top-5. The rerank kernel
     // only ever sees the bounded candidate list (20 × queries rows), which
@@ -2265,6 +2304,46 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_stream_index_delta: embedIvfSql widened with wave
+    * visibility — stream queries carry wave 1 (doc_id % 200 == 0) or
+    * wave 2 (% 200 == 100); the corpus side is the base corpus (cwave 0)
+    * plus the wave-1 stream docs (cwave 1), and a query only scores
+    * corpus rows with cwave < wave (probe-then-append: each micro-batch
+    * sees strictly earlier batches). Same exact-arithmetic guarantees as
+    * embedIvfSql, so the growing-index stream gates bit-for-bit.
+    */
+  private def streamIndexDeltaSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.idx = d.i
+       |  GROUP BY d.doc_id),
+       |q AS (SELECT doc_id AS q_id, vec AS v,
+       |  CASE WHEN doc_id % 200 = 0 THEN 1 ELSE 2 END AS wave
+       |  FROM vecs WHERE doc_id % 100 = 0),
+       |c AS (SELECT doc_id AS n_id, vec AS v,
+       |  CASE WHEN doc_id % 100 <> 0 THEN 0 ELSE 1 END AS cwave
+       |  FROM vecs WHERE doc_id % 100 <> 0 OR doc_id % 200 = 0),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v, cwave,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(c.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM c),
+       |probed AS (SELECT q_id, v, wave, p.cell
+       |  FROM q, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(q.v, cv) DESC, cell DESC LIMIT 2) p),
+       |scored AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell) WHERE assigned.cwave < probed.wave)
+       |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** SQL replica of q_embed_lsh: the embedAnnSql vector derivation feeding
     * the annLshSql sign-signature bucketing (dim-32 planes). Integer dot
     * products make every signature bit exact.
@@ -3113,6 +3192,7 @@ object SparkEntry {
     // per-query results don't depend on micro-batch boundaries, so the
     // streamed probe replays the batch embed→IVF oracle verbatim
     "q_stream_embed_probe" -> embedIvfSql,
+    "q_stream_index_delta" -> streamIndexDeltaSql,
 
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_probe" -> annLshProbeSql,

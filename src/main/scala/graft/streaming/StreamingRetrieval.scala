@@ -68,6 +68,95 @@ object StreamingRetrieval {
       .parquet(outPath)
   }
 
+  /** Bootstrap a GROWING index table: the base corpus's `ivfAssign`
+    * output lands as the `batch_id=-1` seed partition; each later stream
+    * batch appends its own delta partition (`landAndIndexBatch`).
+    */
+  def bootstrapIndex(assigned: DataFrame, indexPath: String): Unit =
+    assigned.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+
+  /** One micro-batch of the crawl → probe → index loop (the reference's
+    * unstructured_data ingest-then-query flow made continuous): embed the
+    * batch, probe the index AS OF PRIOR BATCHES (strictly `batch_id <
+    * batchId` — probe-then-append, so results are a deterministic
+    * function of batch membership), land per-doc top-k, then append the
+    * batch's own assigned vectors as the index's `batch_id=<id>` delta
+    * partition. Later batches retrieve THIS batch's documents.
+    *
+    * Both writes are dynamic-partition overwrites keyed by batchId, so a
+    * re-delivered batch rewrites its results AND its index delta in
+    * place — no duplicate result rows, no duplicate index entries — and
+    * the `batch_id < batchId` probe filter keeps the replay's probe
+    * space identical even when the crashed attempt had already landed
+    * its delta. Per-batch work is O(batch): the index grows but is only
+    * ever equi-joined on cell (partition-pruned parquet scan), never
+    * recomputed.
+    */
+  def landAndIndexBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      centroids: Seq[(Int, Array[Double])],
+      dim: Int,
+      nProbe: Int,
+      k: Int,
+      outPath: String,
+      broadcastRowCap: Long = 4000000L,
+  ): Unit = {
+    val s = batch.sparkSession
+    val emb = Embedding.embedDocuments(batch, idCol, textCol, dim)
+      .filter(col("embedding").isNotNull)
+      .localCheckpoint(true)
+    val queries = emb.select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+    val index = s.read.parquet(indexPath)
+      .filter(col("batch_id") < batchId)
+      .select("n_id", "n_vec", "__cell")
+    Similarity.ivfTopKPreAssigned(index, queries,
+      "n_id", "n_vec", "q_id", "q_vec", centroids, nProbe, k,
+      broadcastQueries = queries.count() <= broadcastRowCap)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+    Similarity.ivfAssign(
+      emb.select(col(idCol).as("n_id"), col("embedding").as("n_vec")), "n_vec", centroids)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
+  }
+
+  /** Continuous retrieval over a GROWING index: each micro-batch probes
+    * the corpus plus every earlier stream batch, then joins the index
+    * itself. `bootstrapIndex` must have seeded `indexPath`.
+    */
+  def startIndexed(
+      docs: DataFrame, // streaming (idCol, textCol)
+      indexPath: String, // bootstrapped growing index table
+      idCol: String,
+      textCol: String,
+      centroids: Seq[(Int, Array[Double])],
+      dim: Int,
+      nProbe: Int,
+      k: Int,
+      outPath: String,
+      checkpoint: String,
+      broadcastRowCap: Long = 4000000L,
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAndIndexBatch(batch, batchId, indexPath, idCol, textCol, centroids,
+          dim, nProbe, k, outPath, broadcastRowCap)
+      }
+      .start()
+
   def start(
       docs: DataFrame, // streaming (idCol, textCol)
       assignedIndex: DataFrame, // static ivfAssign output: (n_id, n_vec, __cell)

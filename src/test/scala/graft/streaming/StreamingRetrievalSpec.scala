@@ -73,6 +73,65 @@ class StreamingRetrievalSpec extends SparkTestBase {
     assert(after == before) // replay rewrote batch 0; batch 1 untouched
   }
 
+  test("growing index: wave-2 queries retrieve wave-1 stream documents") {
+    val root = tmpDir("sretr_delta")
+    val docsDir = s"$root/docs"
+    // base corpus (alpha) assigns to cell 0; the zeta wave docs assign to
+    // cell 1, so cross-wave retrieval is isolated from the base corpus
+    val corpusDocs = (1L to 10L).map(i => (i, "alpha alpha")).toDF("doc_id", "text")
+    val corpus = Embedding.embedDocuments(corpusDocs, "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+
+    // wave 1 lands before the stream sees wave 2: two deterministic batches
+    Seq((100L, "zeta zeta zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docsDir)
+    val q = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
+      cents, dim = 4, nProbe = 1, k = 3, s"$root/out", s"$root/ckpt")
+    q.processAllAvailable()
+    Seq((200L, "zeta zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    q.processAllAvailable(); q.stop()
+
+    val landed = spark.read.parquet(s"$root/out")
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    // wave-1 query 100 probed the base-only index: its cell (centroid 1)
+    // is empty there, so it lands nothing. Wave-2 query 200 probes the
+    // same cell and retrieves the wave-1 STREAM doc 100 — and ONLY it:
+    // the base corpus lives in the other cell, proving the probe read the
+    // batch-0 index delta rather than the bootstrap partition alone.
+    assert(landed == Set((200L, 1L, 100L)), s"landed=$landed")
+    // index now holds base + both deltas, partition-pruned by batch_id
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() == 12)
+    assert(idx.filter(col("batch_id") === -1L).count() == 10)
+  }
+
+  test("a re-delivered indexed batch rewrites results and index delta in place") {
+    val root = tmpDir("sretr_delta_replay")
+    val corpus = Embedding.embedDocuments(
+      (1L to 10L).map(i => (i, "alpha")).toDF("doc_id", "text"), "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+    val b0 = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
+      cents, 4, 1, 3, s"$root/out")
+    val out1 = spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString)
+    val idx1 = spark.read.parquet(s"$root/index").count()
+    // crash between write and checkpoint commit => same batch re-delivered;
+    // the probe must NOT see the crashed attempt's own index delta
+    StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
+      cents, 4, 1, 3, s"$root/out")
+    assert(spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString) == out1)
+    assert(spark.read.parquet(s"$root/index").count() == idx1)
+  }
+
   test("ivfTopKPreAssigned gated off broadcast returns identical results") {
     val vecs = (1L to 30L).map(i => (i, Seq((i % 5).toDouble, 1.0, 0.0, (i % 3).toDouble)))
       .toDF("n_id", "n_vec")
