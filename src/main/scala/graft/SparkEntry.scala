@@ -521,6 +521,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-doc SUBWORD token counts through the tokenizer seam: greedy
+    // fixed-merge-table BPE in a narrow mapPartitions kernel with a
+    // per-partition word-count cache — zero shuffle; the oracle replays
+    // every merge decision via a recursive CTE over the distinct vocab
+    "q_tokens_bpe" -> ((s, dir) =>
+      graft.ops.Tokenize.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // the BPE counts feeding the distributed token-budget cumsum — the
+    // trainer-facing composition: budget by what the model will SEE, not
+    // by whitespace words
+    "q_bpe_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = graft.ops.Tokenize.tokenCounts(d, "doc_id", "text")
+      val joined = d.select(col("doc_id"), col("n_chars")).join(counts, Seq("doc_id"))
+      graft.ops.Corpus.tokenBudgetSelect(joined, "doc_id", "n_tokens", "n_chars", budget = 8000L)
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide line dedup (CCNet-style first-occurrence-wins,
     // reassembled in order). The synthetic docs have no newlines, so the
     // contract runs at word granularity (sep=" ") — same explode →
@@ -2304,6 +2324,54 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** Shared CTE chain for the BPE oracles: the FIXED merge table (rendered
+    * from the Scala tokenizer — single source of truth), the distinct
+    * vocabulary, and a recursive replay of the greedy apply loop: each
+    * iteration joins the lowest-rank pair present in the word's current
+    * symbol list and rewrites the list merging ALL its occurrences in one
+    * parallel pass (exact because no rule has left == right, so
+    * occurrences never overlap). Terminal symbol count per word =
+    * min(len) over iterations (lengths strictly decrease); per-doc totals
+    * sum the per-word counts.
+    */
+  private def bpeCtes: String = {
+    val rows = graft.ops.Tokenize.FixedBpeTokenizer.merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    s"""merges(rank, a, b) AS (VALUES $rows),
+       |w0 AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+       |bpe(w, syms) AS (
+       |  SELECT w, string_split(w, '') FROM w0
+       |  UNION ALL
+       |  SELECT s.w,
+       |    list_filter(
+       |      list_transform(range(1, len(s.syms) + 1), i ->
+       |        CASE WHEN i < len(s.syms) AND s.syms[i] = m.a AND s.syms[i + 1] = m.b THEN m.a || m.b
+       |             WHEN i > 1 AND s.syms[i - 1] = m.a AND s.syms[i] = m.b THEN NULL
+       |             ELSE s.syms[i] END),
+       |      x -> x IS NOT NULL)
+       |  FROM (SELECT w, syms,
+       |          (SELECT min(m2.rank) FROM merges m2
+       |            WHERE len(list_filter(range(1, len(syms)), i -> syms[i] = m2.a AND syms[i + 1] = m2.b)) > 0) AS br
+       |        FROM bpe) s
+       |  JOIN merges m ON m.rank = s.br),
+       |wcounts AS (SELECT w, min(len(syms)) AS n_tok FROM bpe GROUP BY w),
+       |doc_words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |totals AS (SELECT d.doc_id, CAST(coalesce(sum(c.n_tok), 0) AS BIGINT) AS n_tokens
+       |  FROM doc_words d LEFT JOIN wcounts c ON d.w = c.w GROUP BY 1)""".stripMargin
+  }
+
+  private def tokensBpeSql: String =
+    s"WITH RECURSIVE ${bpeCtes} SELECT doc_id, n_tokens FROM totals ORDER BY doc_id"
+      .replaceAll("\n", " ")
+
+  private def bpeBudgetSql: String =
+    s"""WITH RECURSIVE ${bpeCtes}
+       |SELECT doc_id, n_tokens, n_chars FROM (
+       |  SELECT d.doc_id, t.n_tokens, d.n_chars,
+       |    sum(t.n_tokens) OVER (ORDER BY d.n_chars DESC, d.doc_id) AS cum
+       |  FROM documents d JOIN totals t USING (doc_id))
+       |WHERE cum <= 8000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_stream_index_delta: embedIvfSql widened with wave
     * visibility — stream queries carry wave 1 (doc_id % 200 == 0) or
     * wave 2 (% 200 == 100); the corpus side is the base corpus (cwave 0)
@@ -3140,6 +3208,8 @@ object SparkEntry {
         |        OVER (ORDER BY n_chars DESC, doc_id) AS cum
         |      FROM documents)
         |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_tokens_bpe" -> tokensBpeSql,
+    "q_bpe_budget" -> bpeBudgetSql,
     "q_line_dedup" ->
       """WITH lines AS (SELECT doc_id,
         |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
