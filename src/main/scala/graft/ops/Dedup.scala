@@ -277,6 +277,7 @@ object Dedup {
       maxBucketSize: Int = 1000,
   ): DataFrame = {
     val sigs = minhashSignature(df, textCol, numHashes)
+      .withColumn("__sz", size(wordSet(col(textCol))))
     val numBands = numHashes / rowsPerBand
     // refinement key from the md5 family (NOT xxhash64): 60 bits of an md5
     // as a nonnegative long, so an external SQL engine can replay the
@@ -294,9 +295,10 @@ object Dedup {
       else md5ToLong60(bandMd5((b + 1) % numBands))
     val bands = (0 until numBands).map { b =>
       sigs.select(lit(b).as("band"), bandMd5(b).as("bucket_hash"),
-        col(idCol).as("__id"), refine(b).as("__refine"))
+        col(idCol).as("__id"), refine(b).as("__refine"), col("__sz"))
     }
-    val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
+    val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize,
+      sizeGate = Some(threshold))
     verifyJaccard(df, idCol, textCol, candidates, threshold)
   }
 
@@ -315,8 +317,26 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
       maxBucketSize: Int = 1000,
+  ): DataFrame =
+    verifyJaccard(df, idCol, textCol,
+      fastCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, maxBucketSize,
+        sizeGate = Some(threshold)),
+      threshold)
+
+  /** The candidate stage of `nearDupPairsFast`, exposed for stage-level
+    * profiling (BenchMinhash) — identical plan, no verification.
+    */
+  private[graft] def fastCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int = 1000,
+      sizeGate: Option[Double] = None, // pass Some(threshold) to prune at generation
   ): DataFrame = {
     val sigs = minhashSignatureFast(df, textCol, numHashes)
+      .withColumn("__sz", size(wordSet(col(textCol))))
     val numBands = numHashes / rowsPerBand
     // same locality-preserving refinement as the md5 path: next band's
     // bucket hash (full-signature hash when there is only one band)
@@ -326,19 +346,34 @@ object Dedup {
       if (numBands == 1) xxhash64(col("sig")) else bandHash((b + 1) % numBands)
     val bands = (0 until numBands).map { b =>
       sigs.select(lit(b).as("band"), bandHash(b).as("bucket_hash"),
-        col(idCol).as("__id"), refine(b).as("__refine"))
+        col(idCol).as("__id"), refine(b).as("__refine"), col("__sz"))
     }
-    val candidates = cappedCandidatePairs(bands, numBands, maxBucketSize)
-    verifyJaccard(df, idCol, textCol, candidates, threshold)
+    cappedCandidatePairs(bands, numBands, maxBucketSize, sizeGate = sizeGate)
   }
 
   /** Candidate pairs within (band, bucket_hash) buckets, with the
     * degenerate-bucket cap applied. Inputs are per-band frames of
-    * (band, bucket_hash, __id, __refine).
+    * (band, bucket_hash, __id, __refine[, __sz]).
+    *
+    * `sizeGate = Some(t)`: apply the verify stage's length-ratio filter
+    * (J(A,B) >= t forces t <= |A|/|B| <= 1/t) INSIDE each pair
+    * self-join, on the `__sz` word-set-size column the band rows carry.
+    * Output-preserving — it removes only pairs the verifier's identical
+    * filter would drop — but it prunes at generation, before the
+    * cross-band union, the distinct() and the word-set fetch join, which
+    * is where the candidate volume actually lives (sf1 measured: the
+    * sane-bucket joins emit 4.4M pairs of which 3% verify; the ratio
+    * test kills size-mismatched pairs for the cost of two int compares
+    * already inside the join's row loop).
     */
   private def cappedCandidatePairs(
       bands: Seq[DataFrame], numBands: Int, maxBucketSize: Int,
-      cellSize: Int = 64): DataFrame = {
+      cellSize: Int = 64, sizeGate: Option[Double] = None): DataFrame = {
+    val ratioOk: Column = sizeGate.map { t =>
+      col("x.__sz").cast("double") >= lit(t) * col("y.__sz") &&
+        col("y.__sz").cast("double") >= lit(t) * col("x.__sz")
+    }.getOrElse(lit(true))
+    val szCols: Seq[Column] = if (sizeGate.isDefined) Seq(col("__sz")) else Nil
     // Bucket sizes via a partially-aggregated groupBy (map-side combine:
     // only (band, hash, count) triples shuffle) instead of a window — a
     // window here sorts the ENTIRE banded union inside each partition,
@@ -365,12 +400,12 @@ object Dedup {
       .filter(col("__n") > maxBucketSize)
     val sane = bandsU
       .join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
-      .select(col("band"), col("bucket_hash"), col("__id"))
+      .select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*)
     val sanePairs = sane.as("x")
       .join(sane.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket_hash") === col("y.bucket_hash") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__id") < col("y.__id") && ratioOk)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     // LEVEL 2 — over-cap rows regroup by the EXACT refinement value:
     // docs that also agree on the next band, i.e. on twice the minhash
@@ -390,7 +425,8 @@ object Dedup {
       .agg(count(lit(1)).as("__m"))
     val bigB = big
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
-      .select(col("band"), col("bucket_hash"), col("__sub"), col("__id"), col("__m"))
+      .select(Seq(col("band"), col("bucket_hash"), col("__sub"), col("__id"),
+        col("__m")) ++ szCols: _*)
     // branch decisions are applied BEFORE each self-join, not as post-join
     // filters: a hash join on the group key evaluates every within-key row
     // combination against its residual predicate, so filtering afterwards
@@ -402,7 +438,7 @@ object Dedup {
         col("x.band") === col("y.band") &&
           col("x.bucket_hash") === col("y.bucket_hash") &&
           col("x.__sub") === col("y.__sub") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__id") < col("y.__id") && ratioOk)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     // LEVEL 3 — refinement groups STILL over the cap (minhash saturation:
     // a tiny shared vocabulary gives thousands of docs identical
@@ -432,8 +468,8 @@ object Dedup {
       .agg(count(lit(1)).as("__cm"), min(col("__id")).as("__chub"))
     val overC = overG
       .join(cellStats, Seq("band", "bucket_hash", "__sub", "__cell"))
-      .select(col("band"), col("bucket_hash"), col("__sub"), col("__cell"),
-        col("__id"), col("__cm"), col("__chub"))
+      .select(Seq(col("band"), col("bucket_hash"), col("__sub"), col("__cell"),
+        col("__id"), col("__cm"), col("__chub")) ++ szCols: _*)
     val saneCell = overC.filter(col("__cm") <= maxBucketSize)
     val cellPairs = saneCell.as("x")
       .join(saneCell.as("y"),
@@ -441,7 +477,7 @@ object Dedup {
           col("x.bucket_hash") === col("y.bucket_hash") &&
           col("x.__sub") === col("y.__sub") &&
           col("x.__cell") === col("y.__cell") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__id") < col("y.__id") && ratioOk)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     // freak over-cap cell (possible only via extreme hash skew): star
     // around the cell's min id keeps the output linear
