@@ -975,6 +975,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity quality scoring: a quantized bigram LM
+    // trained on the doc_id % 3 reference slice scores EVERY document in
+    // whole bits (integer-exact — no floating log anywhere), and the
+    // kept flag applies a rational bits-per-bigram bound (109/20 = 5.45,
+    // inside the corpus's 5.3–5.6 band so the cut actually discriminates)
+    "q_perplexity_lm" -> ((s, dir) => {
+      import graft.ops.LanguageModel
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.trainBigramLm(docs.filter(col("doc_id") % 3 === 0), "text")
+      LanguageModel.perplexityBits(docs, "doc_id", "text", lm)
+        .withColumn("kept", LanguageModel.keptFlag(bitsNum = 109L, bitsDen = 20L))
+        .orderBy("doc_id")
+    }),
+
     // language-ID heuristic: marker scores + argmax
     "q_langid" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
@@ -2372,6 +2386,35 @@ object SparkEntry {
        |  FROM documents d JOIN totals t USING (doc_id))
        |WHERE cum <= 8000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_perplexity_lm: re-derive the quantized bigram LM
+    * from scratch — reference-slice unigram/bigram counts, V, then per
+    * doc-bigram a = c12+1, b = c1+V, m = ceil(b/a) in INTEGER division,
+    * q = ceil(log2 m) via the bit length of m−1 (`bin` string — both
+    * engines expose it, no floating log), summed per doc. Unseen-context
+    * fallback c1 = 0 and the zero-bigram vacuous keep replay exactly;
+    * the kept flag is the 109/20 bits-per-bigram cross-multiplication.
+    */
+  private def perplexityLmSql: String =
+    """WITH ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+      |refw AS (SELECT unnest(string_split(text, ' ')) AS w FROM ref),
+      |uni AS (SELECT w, count(*) AS c1 FROM refw GROUP BY w),
+      |voc AS (SELECT count(*) AS v FROM uni),
+      |refl AS (SELECT string_split(text, ' ') AS l FROM ref),
+      |refb AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM refl)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM refb GROUP BY 1, 2),
+      |docl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |docb AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM docl)),
+      |sc AS (SELECT d.doc_id, coalesce(b.c12, 0) + 1 AS a, coalesce(u.c1, 0) + (SELECT v FROM voc) AS bb
+      |  FROM docb d LEFT JOIN big b USING (w1, w2) LEFT JOIN uni u ON d.w1 = u.w),
+      |qq AS (SELECT doc_id, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS q
+      |  FROM (SELECT doc_id, (bb + a - 1) // a AS m FROM sc)),
+      |agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS bits, CAST(count(*) AS BIGINT) AS n_bigrams FROM qq GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.bits, 0) AS bits, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  CAST(CASE WHEN coalesce(a.bits, 0) * 20 <= 109 * coalesce(a.n_bigrams, 0)
+      |    OR coalesce(a.n_bigrams, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_stream_index_delta: embedIvfSql widened with wave
     * visibility — stream queries carry wave 1 (doc_id % 200 == 0) or
     * wave 2 (% 200 == 100); the corpus side is the base corpus (cwave 0)
@@ -3210,6 +3253,7 @@ object SparkEntry {
         |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
+    "q_perplexity_lm" -> perplexityLmSql,
     "q_line_dedup" ->
       """WITH lines AS (SELECT doc_id,
         |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
