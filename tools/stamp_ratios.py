@@ -49,6 +49,8 @@ STAMPS = {
     # round-8 additions (isolated min-of-2, BASELINE.md round-8 notes)
     "q_gopher_filter": 0.30, "q_token_sketch": 1.36,
     "q_jdbc_merge": 1.14, "q_curation_pipeline": 6.41,
+    "q_tokens_bpe": 0.39, "q_bpe_budget": 1.06,
+    "q_stream_index_delta": 3.70, "q_perplexity_lm": 1.22,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
