@@ -569,6 +569,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Lee et al. exact-substring REMOVAL over the corpus: every token
+    // position covered by a k-gram window whose global first occurrence
+    // is elsewhere gets cut; planted 20-word twins (doc_id+1e6) lose
+    // their copied prefix while the originals survive whole
+    "q_substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+      Dedup.removeDuplicateSpans(base.unionByName(twins), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
@@ -3290,6 +3304,31 @@ object SparkEntry {
         |  GROUP BY id_a, id_b, diag, grp)
         |SELECT id_a, id_b, max(span) AS max_span FROM runs
         |GROUP BY 1, 2 HAVING max(span) >= 10 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q_substring_dedup" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS text
+        |  FROM documents WHERE doc_id % 30 = 0),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM d WHERE len(ws) >= 8)),
+        |f AS (SELECT gram, min(doc_id * 1000000 + pos) AS fk FROM g GROUP BY 1),
+        |cutw AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+        |  WHERE g.doc_id * 1000000 + g.pos <> f.fk),
+        |cutp AS (SELECT DISTINCT doc_id, wpos FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM cutw)),
+        |wrd AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT wrd.doc_id, wrd.wpos, wrd.tok FROM wrd
+        |  ANTI JOIN cutp c ON (wrd.doc_id = c.doc_id AND wrd.wpos = c.wpos)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wpos) AS text,
+        |  count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(reb.text, '') AS text,
+        |  CAST(len(d.ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d LEFT JOIN reb USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_dedup_minhash" -> minhashBandSql,
 
     "q_dedup_minhash_fast" -> minhashFastPairsSql,

@@ -818,6 +818,65 @@ object Dedup {
       .filter(col("max_span") >= minSpan)
   }
 
+  /** Corpus-level exact-substring REMOVAL (the other half of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * suffix-array pass CUTS duplicated spans rather than dropping
+    * documents). Distributed formulation: a token position is cut when it
+    * is covered by any k-gram window whose (id, pos) is NOT the global
+    * first occurrence of that k-gram — so of every duplicated run of
+    * >= k tokens exactly one copy (the minimum (id, pos) one) survives,
+    * including self-repeats within a single document. Returns one row per
+    * input document: (id, rewritten text, n_words, n_kept); documents
+    * shorter than k tokens emit no windows and pass through whole.
+    *
+    * Plan shape at 100 TB — all linear, no pairwise join anywhere (the
+    * pairwise shape lives in `sharedSpans`; this op is the one you run
+    * over the full corpus): positional k-gram explode → groupBy(gram)
+    * min-struct with map-side combine (only (gram, min id, min pos)
+    * survives the map side) → hash join back on the gram key (no extra
+    * exchange — both sides already partitioned by it; a boilerplate
+    * mega-gram is a skewed join key, which AQE skew-split handles,
+    * never a quadratic pair space) → cut windows explode into at most
+    * k positions each (bounded amplification, only on duplicated
+    * regions) → one keyed shuffle on the doc id to reassemble. The
+    * groupBy/join key is the gram STRING, exactly what the oracle
+    * replays; `hashKeys=true` switches both to xxhash64(gram) — 8-byte
+    * shuffle keys — at astronomically-small deterministic collision
+    * risk, for the real-corpus configuration.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, hashKeys: Boolean = false): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val ws = split(col(textCol), " ")
+    val idx = when(size(ws) >= k, sequence(lit(0), size(ws) - k))
+      .otherwise(array().cast("array<int>"))
+    val keyOf = (g: Column) => if (hashKeys) xxhash64(g) else g
+    val grams = df
+      .select(col(idCol).as("__id"),
+        posexplode(transform(idx, i => keyOf(concat_ws(" ", slice(ws, i + 1, lit(k)))))))
+      .toDF("__id", "__pos", "__g")
+    val first = grams.groupBy(col("__g"))
+      .agg(min(struct(col("__id").as("__fid"), col("__pos").as("__fpos"))).as("__first"))
+    val cutPos = grams.join(first, Seq("__g"))
+      .filter(!(col("__first.__fid") === col("__id") && col("__first.__fpos") === col("__pos")))
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
+      .distinct()
+    val words = df
+      .select(col(idCol).as("__id"), posexplode(ws))
+      .toDF("__id", "__wp", "__w")
+    val rebuilt = words.join(cutPos, Seq("__id", "__wp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__wp"), col("__w")))),
+          x => x.getField("__w"))).as("__text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), size(ws).cast("long").as("n_words"))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it
