@@ -1003,6 +1003,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling: hashed-unigram 512-bucket cost tables
+    // (quantized whole-bit, like the perplexity LM) for the doc_id%7
+    // target slice vs the raw pool; top-500 pool docs by integer
+    // importance weight sum(bits_raw - bits_target)
+    "q_dsir_sample" -> ((s, dir) => {
+      import graft.ops.Dsir
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val pool = docs.filter(col("doc_id") % 7 =!= 0)
+      Dsir.importanceSelect(pool, "doc_id", "text", target, buckets = 512, k = 500)
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+    }),
+
     // language-ID heuristic: marker scores + argmax
     "q_langid" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
@@ -3268,6 +3281,28 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_dsir_sample" ->
+      """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 7 = 0),
+        |tc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,
+        |  CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1),
+        |tn AS (SELECT count(*) AS n FROM tt),
+        |rt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 7 <> 0),
+        |rc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,
+        |  CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY 1),
+        |rn AS (SELECT count(*) AS n FROM rt),
+        |bk AS (SELECT unnest(generate_series(0, 511)) AS b),
+        |tbits AS (SELECT b, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS bits
+        |  FROM (SELECT bk.b, ((SELECT n FROM tn) + 512 + coalesce(tc.c, 0)) // (coalesce(tc.c, 0) + 1) AS m
+        |        FROM bk LEFT JOIN tc USING (b))),
+        |rbits AS (SELECT b, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS bits
+        |  FROM (SELECT bk.b, ((SELECT n FROM rn) + 512 + coalesce(rc.c, 0)) // (coalesce(rc.c, 0) + 1) AS m
+        |        FROM bk LEFT JOIN rc USING (b))),
+        |sc AS (SELECT r.doc_id, rb.bits - tb.bits AS d
+        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b FROM rt) r
+        |  JOIN tbits tb ON tb.b = r.b JOIN rbits rb ON rb.b = r.b)
+        |SELECT doc_id, CAST(sum(d) AS BIGINT) AS weight_bits,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM sc GROUP BY 1 ORDER BY weight_bits DESC, doc_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
     "q_line_dedup" ->
       """WITH lines AS (SELECT doc_id,
         |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
