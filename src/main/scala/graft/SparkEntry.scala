@@ -1003,6 +1003,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quantized tf-idf lexical retrieval: 6-word queries from the doc_id
+    // % 97 slice against the rest of the corpus, integer score
+    // sum(qtf * tf * idf_bits), k-bounded top-10 per query
+    "q_lexical_topk" -> ((s, dir) => {
+      import graft.ops.Lexical
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+      Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // hybrid retrieval: Borda fusion of the dense ANN ranking (hashed-BoW
+    // embed + brute cosine, the q_embed_ann mechanics) with the sparse
+    // tf-idf ranking over the SAME %100 query/corpus split — the
+    // standard two-tower + keyword union, rank-only and integer-exact
+    "q_hybrid_rank" -> ((s, dir) => {
+      import graft.ops.{Embedding, Lexical}
+      val docs = t(s, dir, "documents")
+      val emb = Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val qv = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val cv = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      val ann = Similarity.bruteForceTopK(cv, qv, "n_id", "n_vec", "q_id", "q_vec", k = 5)
+        .select(col("q_id"), col("n_id"), col("rank"))
+      val lex = Lexical.topKDocs(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("text").as("q_text")),
+        "q_id", "q_text", k = 5)
+        .select(col("q_id"), col("doc_id").as("n_id"), col("rank"))
+      Lexical.bordaFuse(Seq(ann, lex), "q_id", "n_id", "rank", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // DSIR importance resampling: hashed-unigram 512-bucket cost tables
     // (quantized whole-bit, like the perplexity LM) for the doc_id%7
     // target slice vs the raw pool; top-500 pool docs by integer
@@ -3281,6 +3321,64 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_lexical_topk" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c) GROUP BY 1, 2),
+        |q AS (SELECT doc_id AS q_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
+        |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
+        |  FROM qt JOIN post USING (term) JOIN idf ON idf.term = post.term GROUP BY 1, 2),
+        |rk AS (SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "q_hybrid_rank" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+        |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+        |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS cc
+        |  FROM hs GROUP BY 1, 2),
+        |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+        |vecs AS (SELECT d.doc_id, list(coalesce(comp.cc, 0.0) ORDER BY d.i) AS vec
+        |  FROM dims d LEFT JOIN comp ON comp.doc_id = d.doc_id AND comp.idx = d.i
+        |  GROUP BY d.doc_id),
+        |qv AS (SELECT doc_id AS q_id, vec FROM vecs WHERE doc_id % 100 = 0),
+        |cv AS (SELECT doc_id AS n_id, vec FROM vecs WHERE doc_id % 100 <> 0),
+        |annr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY list_cosine_similarity(qv.vec, cv.vec) DESC, n_id) AS rank FROM qv, cv),
+        |ann AS (SELECT q_id, n_id, rank FROM annr WHERE rank <= 5),
+        |cd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+        |nn AS (SELECT count(*) AS n FROM cd),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd) GROUP BY 1, 2),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents WHERE doc_id % 100 = 0) GROUP BY 1, 2),
+        |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
+        |  FROM qt JOIN post USING (term) JOIN idf ON idf.term = post.term GROUP BY 1, 2),
+        |lexr AS (SELECT q_id, doc_id AS n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |lex AS (SELECT q_id, n_id, rank FROM lexr WHERE rank <= 5),
+        |pts AS (SELECT q_id, n_id, 6 - rank AS p FROM ann
+        |  UNION ALL SELECT q_id, n_id, 6 - rank AS p FROM lex),
+        |fused AS (SELECT q_id, n_id, CAST(sum(p) AS BIGINT) AS points FROM pts GROUP BY 1, 2),
+        |fr AS (SELECT q_id, n_id, points,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY points DESC, n_id) AS rank FROM fused)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, points
+        |FROM fr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
     "q_dsir_sample" ->
       """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 7 = 0),
         |tc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval and rank fusion — the sparse half of a
+  * hybrid retrieval stack next to [[Similarity]]'s dense ANN: tf-idf
+  * top-k over an inverted-index shape, and Borda-count fusion of
+  * multiple rankings (the integer-exact stand-in for reciprocal-rank
+  * fusion: same rank-only inputs, same "rewards agreement" behavior,
+  * but the fused score is a small integer that replays exactly in SQL).
+  * Reference analog: the vectorstore retrieval flow the unstructured
+  * source feeds (sources/unstructured_data/helpers.py:20-91) — its
+  * lexical/keyword complement.
+  *
+  * Exactness: idf is quantized to whole bits exactly as [[LanguageModel]]
+  * and [[Dsir]] quantize probabilities — idf_bits(term) =
+  * ceil(log2((N+1)/(df+1))) computed integer-only — so a document's
+  * score sum(qtf * tf * idf_bits) is a BIGINT and ordering disputes
+  * with the oracle are impossible.
+  *
+  * Scale shape: postings and idf are both keyed by term — ONE shuffle
+  * each, joined without a further exchange; the query side is
+  * count-gated to broadcast (query sets are small; a corpus-sized query
+  * frame falls back to the term-keyed shuffled join); the per-query
+  * reduction is the k-bounded [[graft.functions.BoundedTopK]], so the
+  * final shuffle carries O(k × mapTasks × queries), never the scored
+  * candidate set. No window over the corpus anywhere.
+  */
+object Lexical {
+
+  private def gated(df: DataFrame, rows: Long, cap: Long): DataFrame =
+    if (rows <= cap) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Whole-bit quantized idf table: (term, idf_bits) for every distinct
+    * corpus term, idf_bits = bit length of m-1 for
+    * m = ceil((N+1)/(df+1)) — 0 for terms in every document, growing by
+    * 1 per idf doubling.
+    */
+  def idfBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
+      .select(col("term"),
+        when(col("__m") <= 1L, lit(0L))
+          .otherwise(length(bin(col("__m") - 1)).cast("long")).as("idf_bits"))
+  }
+
+  /** Top-k corpus docs per query by the integer tf-idf score
+    * sum(qtf * tf * idf_bits) over shared terms, ties broken by doc id.
+    * Returns (qidCol, rank, idCol, score).
+    */
+  def topKDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      broadcastRowCap: Long = 4000000L,
+  ): DataFrame = {
+    val postings = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    val qt = queries
+      .select(col(qidCol), explode(split(col(qtextCol), " ")).as("term"))
+      .groupBy(col(qidCol), col("term")).agg(count(lit(1)).as("__qtf"))
+      .localCheckpoint(true) // counted for the gate, then joined
+    val scored = postings
+      .join(idfBits(docs, idCol, textCol), Seq("term")) // both term-keyed: no extra exchange
+      .join(gated(qt, qt.count(), broadcastRowCap), Seq("term"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__qtf") * col("__tf") * col("idf_bits")).cast("double").as("__s"))
+    Similarity.boundedTopK(scored, qidCol, idCol, "__s", k, "rank")
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
+        col("__s").cast("long").as("score"))
+  }
+
+  /** Borda-count fusion of rank lists: each list awards k - rank + 1
+    * points to its documents, fused score is the integer point sum
+    * across lists, output is the top-k by (points desc, doc id asc).
+    * Lists are (qidCol, docCol, rankCol) frames with ranks in 1..k.
+    */
+  def bordaFuse(
+      lists: Seq[DataFrame],
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking")
+    val pts = lists
+      .map(_.select(col(qidCol), col(docCol),
+        (lit(k.toLong) - col(rankCol) + 1L).as("__pts")))
+      .reduce(_ unionByName _)
+      .groupBy(col(qidCol), col(docCol))
+      .agg(sum(col("__pts")).cast("double").as("__s"))
+    Similarity.boundedTopK(pts, qidCol, docCol, "__s", k, "rank")
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(docCol),
+        col("__s").cast("long").as("points"))
+  }
+}

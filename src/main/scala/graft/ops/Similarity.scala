@@ -48,7 +48,7 @@ object Similarity {
     * default.) Both comparators match the window order (score desc,
     * id asc) exactly, so all paths are bit-identical.
     */
-  private def boundedTopK(
+  private[graft] def boundedTopK(
       scored: DataFrame,
       queryId: String,
       corpusId: String,

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** tf-idf lexical retrieval: quantized idf values, integer scoring with
+  * query/corpus term multiplicity, bounded top-k order, Borda fusion.
+  */
+class LexicalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple apple banana"),
+    (2L, "apple cherry"),
+    (3L, "banana cherry cherry"),
+    (4L, "durian"),
+  ).toDF("doc_id", "text")
+
+  test("idfBits quantizes ceil(log2((N+1)/(df+1))) per term") {
+    val idf = Lexical.idfBits(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    // N=4: df=2 -> m=ceil(5/3)=2 -> 1 bit; df=1 -> m=3 -> 2 bits
+    assert(idf == Map("apple" -> 1L, "banana" -> 1L, "cherry" -> 1L, "durian" -> 2L))
+  }
+
+  test("topKDocs scores sum(qtf*tf*idf_bits), ranks by score desc then id") {
+    val queries = Seq((100L, "apple cherry cherry")).toDF("q_id", "q_text")
+    val got = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // doc1: apple tf2*idf1*qtf1 = 2; doc2: 1*1*1 + 1*1*2(qtf) = 3; doc3: cherry 2*1*2 = 4
+    assert(got == Seq((100L, 1L, 3L, 4L), (100L, 2L, 2L, 3L), (100L, 3L, 1L, 2L)))
+  }
+
+  test("query side off-broadcast is identical") {
+    val queries = Seq((100L, "apple cherry cherry"), (200L, "banana")).toDF("q_id", "q_text")
+    val a = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", 3,
+      broadcastRowCap = 0L).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("bordaFuse awards k-rank+1 per list and breaks point ties by doc id") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("q_id", "doc_id", "rank")
+    val ann = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L)).toDF("q_id", "doc_id", "rank")
+    val got = Lexical.bordaFuse(Seq(lex, ann), "q_id", "doc_id", "rank", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // points: d10 = 3+1 = 4, d20 = 2+3 = 5, d30 = 1, d40 = 2; tie-free here
+    assert(got == Seq((1L, 1L, 20L, 5L), (1L, 2L, 10L, 4L), (1L, 3L, 40L, 2L)))
+  }
+}
