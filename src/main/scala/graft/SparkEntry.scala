@@ -1003,6 +1003,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HyperLogLog vocabulary sketch: 1024 registers of max lowest-set-bit
+    // position over the 60-bit md5 token-hash stream — the constant-size
+    // distinct-count companion to the CMS frequency sketch; every
+    // register (including untouched ones) replays exactly
+    "q_hll_vocab" -> ((s, dir) =>
+      graft.ops.Corpus.hllRegisters(t(s, dir, "documents"), "text", p = 10)
+        .orderBy("register")),
+
     // quantized tf-idf lexical retrieval: 6-word queries from the doc_id
     // % 97 slice against the rest of the corpus, integer score
     // sum(qtf * tf * idf_bits), k-bounded top-10 per query
@@ -3321,6 +3329,16 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_hll_vocab" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |rv AS (SELECT h % 1024 AS r, h // 1024 AS v FROM h),
+        |rho AS (SELECT r, CASE WHEN v = 0 THEN 51 ELSE length(bin(v & (-v))) END AS rho FROM rv),
+        |mx AS (SELECT r, max(rho) AS mr FROM rho GROUP BY 1),
+        |regs AS (SELECT unnest(generate_series(0, 1023)) AS register)
+        |SELECT register, CAST(coalesce(mx.mr, 0) AS BIGINT) AS max_rho
+        |FROM regs LEFT JOIN mx ON mx.r = regs.register
+        |ORDER BY register""".stripMargin.replaceAll("\n", " "),
     "q_lexical_topk" ->
       """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |nn AS (SELECT count(*) AS n FROM c),

@@ -417,6 +417,58 @@ object Corpus {
       .select(col("token"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
   }
 
+  /** HyperLogLog register table for distinct-token (vocabulary) counting
+    * (Flajolet et al. 2007) — the distinct-count companion to
+    * [[cmsTokenCounts]]: 2^p registers of "max position of the lowest
+    * set bit" over the 60-bit md5 hash stream, built by ONE map-side-
+    * combined groupBy whose partial state is at most 2^p rows per task
+    * regardless of corpus size. At 100 TB an exact vocabulary count is
+    * a corpus-sized shuffle (`countDistinct` over every token); the
+    * register table is the constant-size answer with the classic
+    * 1.04/sqrt(m) relative error.
+    *
+    * Register split: bucket = h % 2^p (low p bits), value = h >> p
+    * (60-p bits), rho = bit position of the value's lowest set bit
+    * (1-indexed; the all-zero value caps at 60-p+1). Every register —
+    * including never-touched ones, reported as 0 — is integer-exact
+    * and replays bit-for-bit in a SQL oracle; only the final harmonic-
+    * mean estimate ([[hllEstimate]]) is floating point.
+    */
+  def hllRegisters(corpus: DataFrame, textCol: String, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 20, "need 4 <= p <= 20")
+    val m = 1L << p
+    val maxRho = 60 - p + 1
+    val regs = corpus
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .select(conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
+      .select((col("__h") % m).as("register"), expr(s"__h div ${m}L").as("__v"))
+      .select(col("register"),
+        when(col("__v") === 0L, lit(maxRho.toLong))
+          .otherwise(length(bin(col("__v").bitwiseAND(-col("__v")))).cast("long"))
+          .as("__rho"))
+      .groupBy("register").agg(max("__rho").as("max_rho"))
+    corpus.sparkSession.range(m).select(col("id").as("register"))
+      .join(regs, Seq("register"), "left")
+      .select(col("register"), coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+  }
+
+  /** The standard HLL estimate from a [[hllRegisters]] table: raw
+    * alpha_m * m^2 / sum(2^-M_j), with the small-range linear-counting
+    * correction when raw <= 2.5m and empty registers remain. Two-double
+    * driver reduction of an m-row frame — not a per-row collect.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val row = registers.agg(
+      sum(pow(lit(2.0), -col("max_rho"))).as("z"),
+      sum(when(col("max_rho") === 0L, 1L).otherwise(0L)).as("zeros")).head
+    val z = row.getDouble(0)
+    val zeros = row.getLong(1)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m.toDouble * m.toDouble / z
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
   def contamination(
       train: DataFrame,
       eval: DataFrame,
