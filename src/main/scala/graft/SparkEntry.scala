@@ -1003,6 +1003,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-order (Morton) layout key: 16-bit min/max quantization of
+    // (user_id, event_id) bit-interleaved into one BIGINT — the layout
+    // pass range-partitions and sorts by it (ZOrderSpec pins disjoint
+    // per-file ranges); the contract gates the integer curve itself
+    "q_zorder" -> ((s, dir) =>
+      graft.core.ZOrder.withZValue(t(s, dir, "events"), Seq("user_id", "event_id"), bits = 16)
+        .select(col("event_id"), col("z_value"))
+        .orderBy("event_id")),
+
     // HyperLogLog vocabulary sketch: 1024 registers of max lowest-set-bit
     // position over the 60-bit md5 token-hash stream — the constant-size
     // distinct-count companion to the CMS frequency sketch; every
@@ -3329,6 +3338,17 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_zorder" ->
+      """WITH st AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+        |  min(event_id) AS elo, max(event_id) AS ehi FROM events),
+        |q AS (SELECT event_id,
+        |  least(greatest((user_id - st.ulo) * 65535 // (st.uhi - st.ulo), 0), 65535) AS q0,
+        |  least(greatest((event_id - st.elo) * 65535 // (st.ehi - st.elo), 0), 65535) AS q1
+        |  FROM events, st),
+        |z AS (SELECT event_id,
+        |  CAST(SUM((((q0 >> i) & 1) << (2 * i)) + (((q1 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS z_value
+        |  FROM q, (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY event_id)
+        |SELECT event_id, z_value FROM z ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_hll_vocab" ->
       """WITH h AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
