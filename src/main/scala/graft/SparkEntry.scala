@@ -1003,6 +1003,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact distributed quantiles of the doc-length distribution:
+    // value-histogram + two-level cumulative count (shuffle carries
+    // distinct values, not rows; no global sort/window), integer
+    // rank semantics ceil(pct*n/100) — unlike approx_percentile this
+    // replays exactly
+    "q_quantiles" -> ((s, dir) =>
+      graft.ops.Corpus.exactQuantiles(t(s, dir, "documents"), "n_chars",
+        Seq(1, 10, 25, 50, 75, 90, 99))
+        .orderBy("pct")),
+
     // Z-order (Morton) layout key: 16-bit min/max quantization of
     // (user_id, event_id) bit-interleaved into one BIGINT — the layout
     // pass range-partitions and sorts by it (ZOrderSpec pins disjoint
@@ -3338,6 +3348,14 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_quantiles" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM h),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |ps(pct) AS (VALUES (1), (10), (25), (50), (75), (90), (99))
+        |SELECT CAST(pct AS BIGINT) AS pct, CAST(min(v) AS BIGINT) AS value
+        |FROM cum, ps, n WHERE cum >= (pct * n.n + 99) // 100
+        |GROUP BY pct ORDER BY pct""".stripMargin.replaceAll("\n", " "),
     "q_zorder" ->
       """WITH st AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
         |  min(event_id) AS elo, max(event_id) AS ehi FROM events),

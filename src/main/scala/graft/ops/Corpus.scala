@@ -417,6 +417,59 @@ object Corpus {
       .select(col("token"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
   }
 
+  /** Exact distributed quantiles of an integer column WITHOUT a global
+    * sort: value histogram (one map-side-combined groupBy — the shuffle
+    * carries distinct values, not rows) → two-level cumulative count
+    * (range-bucketed offsets + within-bucket window, the same
+    * decomposition as [[tokenBudgetSelect]], so no single task ever
+    * windows the whole domain) → each requested percentile is the
+    * smallest value whose cumulative count reaches the integer rank
+    * ceil(pct·n/100). Percentiles are INTEGER percents and ranks are
+    * integer arithmetic, so results replay exactly in SQL — unlike
+    * `approx_percentile`, which is both approximate and
+    * implementation-defined. At 100 TB this is THE exact-quantile
+    * shape: cost scales with distinct values, not rows; for a
+    * near-unique domain, quantize first or accept the sketch error of
+    * an approximate method.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      pcts: Seq[Int],
+      buckets: Int = 32,
+  ): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100), "pcts in [0, 100]")
+    val hist = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val n = hist.agg(coalesce(sum("__c"), lit(0L))).head.getLong(0)
+    val cuts = hist.stat
+      .approxQuantile("__v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    def bucketOf(c: Column) = cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(c > lit(cut), 1).otherwise(0)
+    }
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bucketed = hist.withColumn("__b", bucketOf(col("__v").cast("double")))
+    val offsets = bucketed
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__bsum"))
+      .select(col("__b"), coalesce(sum(col("__bsum")).over(wOff), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", sum(col("__c")).over(wLocal) + col("__off"))
+    val targets = df.sparkSession.createDataFrame(
+      pcts.distinct.sorted.map(p => (p.toLong, (p.toLong * n + 99L) / 100L)))
+      .toDF("pct", "__rank")
+    cum.crossJoin(broadcast(targets))
+      .filter(col("__cum") >= col("__rank"))
+      .groupBy(col("pct")).agg(min(col("__v")).as("value"))
+      .select(col("pct"), col("value"))
+  }
+
   /** HyperLogLog register table for distinct-token (vocabulary) counting
     * (Flajolet et al. 2007) — the distinct-count companion to
     * [[cmsTokenCounts]]: 2^p registers of "max position of the lowest
