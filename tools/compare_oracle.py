@@ -2,6 +2,11 @@ import duckdb, json, sys, glob, os
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
+# bounded memory + disk spill: the heaviest sf1 oracle replays (semantic
+# dedup's ~312M pair decisions) otherwise die on container allocation
+# failure instead of spilling
+con.execute("PRAGMA memory_limit='24GB'")
+con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
 for p in glob.glob(f'{sf}/*.parquet'):
     name = os.path.basename(p)[:-8]
     pat = f'{p}/*.parquet' if os.path.isdir(p) else p  # Spark dir outputs (e.g. ScaleData)
