@@ -162,6 +162,52 @@ class PlanAuditSpec extends SparkTestBase {
     assert(winLines.exists(_.contains("__b")), plan.take(3000))
   }
 
+  test("substring removal is linear: gram groupBy + join-back, never a pairwise join") {
+    val plan = finalPlan(ran("q_substring_dedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"span removal must never pair documents:\n${plan.take(2000)}")
+  }
+
+  test("lexical top-k reduces through the bounded buffer with a broadcast query side") {
+    val plan = finalPlan(ran("q_lexical_topk"))
+    assert(plan.contains("partial_bounded_top_k") && !plan.contains("partial_collect_list"),
+      s"per-query reduction must be k-bounded map-side:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small query-term side must broadcast:\n${plan.take(2000)}")
+    val fused = finalPlan(ran("q_hybrid_rank"))
+    assert(fused.contains("partial_bounded_top_k") && !fused.contains("CartesianProduct"),
+      s"fusion must stay k-bounded:\n${fused.take(2000)}")
+  }
+
+  test("DSIR broadcasts both fixed-size cost tables and selects via TakeOrdered, not a sort") {
+    val plan = finalPlan(ran("q_dsir_sample"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered (bounded heaps), not a global sort+limit:\n${plan.take(2000)}")
+  }
+
+  test("perplexity scoring joins the LM with the count-gated broadcast; never all-pairs") {
+    val plan = finalPlan(ran("q_perplexity_lm"))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
+  test("HLL registers partial-aggregate map-side (bounded state), no cartesian anywhere") {
+    val plan = finalPlan(ran("q_hll_vocab"))
+    assert(plan.contains("partial_max") && !plan.contains("CartesianProduct"),
+      s"register max must map-side combine:\n${plan.take(2000)}")
+  }
+
+  test("exact quantiles window only within range buckets over the value HISTOGRAM") {
+    val plan = finalPlan(ran("q_quantiles"))
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("__b")),
+      s"the cumulative-count window must be bucket-partitioned:\n${plan.take(3000)}")
+    // (the histogram's map-side combine lives behind the localCheckpoint
+    // boundary and is not visible in this plan — its shape is pinned by
+    // the groupBy construction itself)
+  }
+
   test("document scan pushes the range filter into the DSv2 store, not a post-filter of a full scan") {
     val plan = finalPlan(ran("q_doc_pushdown"))
     // DocScan.description() surfaces the pushed store filter; both range
