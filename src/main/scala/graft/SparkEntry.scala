@@ -1044,6 +1044,23 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // the lexical SCALE path: champion lists — each term's posting list
+    // truncated to its 32 highest-tf docs by a per-TERM k-bounded
+    // reduction before scoring, so the scored space is queries x
+    // query_terms x 32 regardless of corpus size (the exhaustive branch
+    // grows with queries x postings and dies at sf10)
+    "q_lexical_champion" -> ((s, dir) => {
+      import graft.ops.Lexical
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+      Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text",
+        k = 10, championSize = 32)
+        .orderBy("q_id", "rank")
+    }),
+
     // hybrid retrieval: Borda fusion of the dense ANN ranking (hashed-BoW
     // embed + brute cosine, the q_embed_ann mechanics) with the sparse
     // tf-idf ranking over the SAME %100 query/corpus split — the
@@ -3393,6 +3410,32 @@ object SparkEntry {
         |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
         |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
         |  FROM qt JOIN post USING (term) JOIN idf ON idf.term = post.term GROUP BY 1, 2),
+        |rk AS (SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "q_lexical_champion" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |post0 AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c) GROUP BY 1, 2),
+        |champ AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS cr FROM post0)
+        |  WHERE cr <= 32),
+        |q AS (SELECT doc_id AS q_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT qt.q_id, champ.doc_id FROM qt JOIN champ USING (term)),
+        |sc AS (SELECT cand.q_id, cand.doc_id, sum(qt.qtf * post0.tf * idf.idf_bits) AS score
+        |  FROM cand JOIN qt ON qt.q_id = cand.q_id
+        |  JOIN post0 ON post0.term = qt.term AND post0.doc_id = cand.doc_id
+        |  JOIN idf ON idf.term = qt.term GROUP BY 1, 2),
         |rk AS (SELECT q_id, doc_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score

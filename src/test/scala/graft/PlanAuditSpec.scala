@@ -177,6 +177,12 @@ class PlanAuditSpec extends SparkTestBase {
     val fused = finalPlan(ran("q_hybrid_rank"))
     assert(fused.contains("partial_bounded_top_k") && !fused.contains("CartesianProduct"),
       s"fusion must stay k-bounded:\n${fused.take(2000)}")
+    // the scale path: champion candidate generation must itself reduce
+    // through the bounded buffer (per-term truncation) and never go
+    // all-pairs
+    val ch = finalPlan(ran("q_lexical_champion"))
+    assert(ch.contains("partial_bounded_top_k") && !ch.contains("CartesianProduct"),
+      s"champion lists must be k-bounded per term:\n${ch.take(2000)}")
   }
 
   test("DSIR broadcasts both fixed-size cost tables and selects via TakeOrdered, not a sort") {

@@ -41,6 +41,39 @@ class LexicalSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("champion lists: C >= postings is identical to exhaustive; truncation drops only tf-tail docs") {
+    val queries = Seq((100L, "apple")).toDF("q_id", "q_text")
+    val exhaustive = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val bigC = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", 3,
+      championSize = 100).collect().map(_.toString).sorted.toSeq
+    assert(exhaustive == bigC)
+    // apple postings: doc1 tf2, doc2 tf1 -> champion list of 1 keeps doc1 only
+    val c1 = Lexical.topKDocs(docs, "doc_id", "text", queries, "q_id", "q_text", 3,
+      championSize = 1).select("doc_id").as[Long].collect().toSet
+    assert(c1 == Set(1L))
+  }
+
+  test("champion truncation preserves the exhaustive top-k on a Zipfian corpus") {
+    // the driver testdata has a 31-word vocabulary (every term in ~78% of
+    // docs — all stopwords, no lexical signal), so champion recall there
+    // measures corpus degeneracy, not the method. On a corpus with rare
+    // discriminative terms — the shape real text has — the rare-term
+    // postings fit entirely inside the champion lists and the truncated
+    // ranking IS the exhaustive ranking.
+    val corpus = (0L until 2000L).map { i =>
+      val filler = Seq.fill(6)(s"common${i % 3}").mkString(" ")
+      (i, s"marker${i / 5} $filler") // each marker shared by exactly 5 docs
+    }.toDF("doc_id", "text")
+    val queries = Seq((9001L, "marker7 marker123"), (9002L, "marker300 common1"))
+      .toDF("q_id", "q_text")
+    val ex = Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", 10)
+      .collect().map(_.toString).sorted.toSeq
+    val ch = Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", 10,
+      championSize = 32).collect().map(_.toString).sorted.toSeq
+    assert(ex == ch)
+  }
+
   test("bordaFuse awards k-rank+1 per list and breaks point ties by doc id") {
     val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("q_id", "doc_id", "rank")
     val ann = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L)).toDF("q_id", "doc_id", "rank")
