@@ -989,6 +989,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation DAG v2 — the round-8 stages composed end to end: Gopher
+    // heuristic gate → perplexity-LM quality filter (LM trained on the
+    // %3 slice of the gate's survivors) → exact-substring span removal
+    // (rewritten text, <20-word remnants dropped) → DSIR importance
+    // selection of the top 500 against the %7 target slice. Each stage
+    // frame eagerly checkpointed: every stage feeds multiple downstream
+    // consumers (the LM trains on s1 AND scores s1; DSIR scans s3 three
+    // times), same discipline as q_curation_pipeline
+    "q_curation_v2" -> ((s, dir) => {
+      import graft.ops.{Dsir, LanguageModel}
+      val docs = t(s, dir, "documents")
+      val s1 = TextAnalysis.gopherFilter(docs, "text")
+        .filter(col("pass") === 1)
+        .select("doc_id", "text")
+        .localCheckpoint(true)
+      val lm = LanguageModel.trainBigramLm(s1.filter(col("doc_id") % 3 === 0), "text")
+      val s2 = LanguageModel.perplexityFilter(s1, "doc_id", "text", lm,
+        bitsNum = 109L, bitsDen = 20L)
+        .localCheckpoint(true)
+      val s3 = Dedup.removeDuplicateSpans(s2, "doc_id", "text", k = 8)
+        .filter(col("n_kept") >= 20)
+        .select("doc_id", "text")
+        .localCheckpoint(true)
+      Dsir.importanceSelect(s3, "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), buckets = 512, k = 500)
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+    }),
+
     // CCNet-style perplexity quality scoring: a quantized bigram LM
     // trained on the doc_id % 3 reference slice scores EVERY document in
     // whole bits (integer-exact — no floating log anywhere), and the
@@ -2526,6 +2554,85 @@ object SparkEntry {
       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_curation_v2 — the four round-8 stage oracles
+    * (gopher flags, perplexity LM, substring removal, DSIR) chained as
+    * renamed CTE fragments, each IDENTICAL in construction to its
+    * stand-alone proven oracle, re-rooted on the previous stage's
+    * survivor set instead of `documents`.
+    */
+  private def curationV2Sql: String =
+    """WITH gf AS (SELECT doc_id,
+      |  len(string_split(text, ' ')) AS nw,
+      |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ml,
+      |  len(regexp_extract_all(text, '#')) AS nh,
+      |  len(regexp_extract_all(text, '\.\.\.')) AS ne,
+      |  string_split(text, chr(10)) AS ls,
+      |  string_split(text, ' ') AS w
+      |  FROM documents),
+      |gg AS (SELECT doc_id,
+      |  CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+      |  * CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1 ELSE 0 END
+      |  * CASE WHEN nh / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+      |  * CASE WHEN ne / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*'))) / CAST(len(ls) AS DOUBLE) <= 0.9 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(ls, l -> ends_with(l, '...'))) / CAST(len(ls) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(nw AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(w, t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2 THEN 1 ELSE 0 END AS pass
+      |  FROM gf),
+      |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN gg USING (doc_id) WHERE gg.pass = 1),
+      |plref AS (SELECT text FROM s1 WHERE doc_id % 3 = 0),
+      |plrw AS (SELECT unnest(string_split(text, ' ')) AS w FROM plref),
+      |pluni AS (SELECT w, count(*) AS c1 FROM plrw GROUP BY w),
+      |plvoc AS (SELECT count(*) AS v FROM pluni),
+      |plrl AS (SELECT string_split(text, ' ') AS l FROM plref),
+      |plrb AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM plrl)),
+      |plbig AS (SELECT w1, w2, count(*) AS c12 FROM plrb GROUP BY 1, 2),
+      |pldl AS (SELECT doc_id, string_split(text, ' ') AS l FROM s1),
+      |pldb AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM pldl)),
+      |plsc AS (SELECT d.doc_id, coalesce(b.c12, 0) + 1 AS a, coalesce(u.c1, 0) + (SELECT v FROM plvoc) AS bb
+      |  FROM pldb d LEFT JOIN plbig b USING (w1, w2) LEFT JOIN pluni u ON d.w1 = u.w),
+      |plqq AS (SELECT doc_id, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS q
+      |  FROM (SELECT doc_id, (bb + a - 1) // a AS m FROM plsc)),
+      |plagg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS bits, CAST(count(*) AS BIGINT) AS nb FROM plqq GROUP BY 1),
+      |s2 AS (SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN plagg USING (doc_id)
+      |  WHERE coalesce(plagg.bits, 0) * 20 <= 109 * coalesce(plagg.nb, 0) OR coalesce(plagg.nb, 0) = 0),
+      |srd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+      |srg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM srd WHERE len(ws) >= 8)),
+      |srf AS (SELECT gram, min(doc_id * 1000000 + pos) AS fk FROM srg GROUP BY 1),
+      |srcw AS (SELECT srg.doc_id, srg.pos FROM srg JOIN srf USING (gram)
+      |  WHERE srg.doc_id * 1000000 + srg.pos <> srf.fk),
+      |srcp AS (SELECT DISTINCT doc_id, wpos FROM
+      |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM srcw)),
+      |srw AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS tok
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM srd)),
+      |srk AS (SELECT srw.doc_id, srw.wpos, srw.tok FROM srw
+      |  ANTI JOIN srcp c ON (srw.doc_id = c.doc_id AND srw.wpos = c.wpos)),
+      |srr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wpos) AS text,
+      |  count(*) AS n_kept FROM srk GROUP BY 1),
+      |s3 AS (SELECT doc_id, text FROM srr WHERE n_kept >= 20),
+      |dst AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 7 = 0),
+      |dstc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,
+      |  CAST(count(*) AS BIGINT) AS c FROM dst GROUP BY 1),
+      |dstn AS (SELECT count(*) AS n FROM dst),
+      |dsr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM s3),
+      |dsrc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,
+      |  CAST(count(*) AS BIGINT) AS c FROM dsr GROUP BY 1),
+      |dsrn AS (SELECT count(*) AS n FROM dsr),
+      |dsbk AS (SELECT unnest(generate_series(0, 511)) AS b),
+      |dstb AS (SELECT b, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS bits
+      |  FROM (SELECT dsbk.b, ((SELECT n FROM dstn) + 512 + coalesce(dstc.c, 0)) // (coalesce(dstc.c, 0) + 1) AS m
+      |        FROM dsbk LEFT JOIN dstc USING (b))),
+      |dsrb AS (SELECT b, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS bits
+      |  FROM (SELECT dsbk.b, ((SELECT n FROM dsrn) + 512 + coalesce(dsrc.c, 0)) // (coalesce(dsrc.c, 0) + 1) AS m
+      |        FROM dsbk LEFT JOIN dsrc USING (b))),
+      |dssc AS (SELECT r.doc_id, rb.bits - tb.bits AS d
+      |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b FROM dsr) r
+      |  JOIN dstb tb ON tb.b = r.b JOIN dsrb rb ON rb.b = r.b)
+      |SELECT doc_id, CAST(sum(d) AS BIGINT) AS weight_bits,
+      |  CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM dssc GROUP BY 1 ORDER BY weight_bits DESC, doc_id LIMIT 500""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_stream_index_delta: embedIvfSql widened with wave
     * visibility — stream queries carry wave 1 (doc_id % 200 == 0) or
     * wave 2 (% 200 == 100); the corpus side is the base corpus (cwave 0)
@@ -3365,6 +3472,7 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_curation_v2" -> curationV2Sql,
     "q_quantiles" ->
       """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
         |n AS (SELECT sum(c) AS n FROM h),
