@@ -2354,6 +2354,34 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus").select("doc_id").orderBy("doc_id")
     }),
 
+    // continuous quality gate: the stream form of the curation DAG's
+    // first two stages — Gopher flags + a STATIC perplexity LM (trained
+    // once on the %3 slice) filter each micro-batch statelessly;
+    // batch_id-partition overwrite makes landing idempotent and the
+    // accepted set is batch-boundary independent (the oracle is a pure
+    // batch computation)
+    "q_stream_quality" -> ((s, dir) => {
+      import graft.streaming.StreamingQualityGate
+      import graft.ops.LanguageModel
+      val root = java.nio.file.Files.createTempDirectory("graft_squal").toString
+      val lm = LanguageModel.trainBigramLm(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "text")
+      withFewShufflePartitions(s, 8) {
+        val docs = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .parquet(s"$dir/[d]ocuments.parquet")
+        val q = StreamingQualityGate.start(docs, lm, "doc_id", "text",
+          s"$root/out", s"$root/ckpt", bitsNum = 109L, bitsDen = 20L)
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("bits"), col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // event-time sessionization via flatMapGroupsWithState: sessions closed
     // in-stream (a later event past the gap) plus sessions aged out by the
     // event-time timeout once the watermark passes lastSeen+gap. Timestamps
@@ -3473,6 +3501,44 @@ object SparkEntry {
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
     "q_curation_v2" -> curationV2Sql,
+    "q_stream_quality" ->
+      """WITH gf AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS nw,
+        |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ml,
+        |  len(regexp_extract_all(text, '#')) AS nh,
+        |  len(regexp_extract_all(text, '\.\.\.')) AS ne,
+        |  string_split(text, chr(10)) AS ls,
+        |  string_split(text, ' ') AS w
+        |  FROM documents),
+        |gg AS (SELECT doc_id,
+        |  CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+        |  * CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1 ELSE 0 END
+        |  * CASE WHEN nh / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+        |  * CASE WHEN ne / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+        |  * CASE WHEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*'))) / CAST(len(ls) AS DOUBLE) <= 0.9 THEN 1 ELSE 0 END
+        |  * CASE WHEN len(list_filter(ls, l -> ends_with(l, '...'))) / CAST(len(ls) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END
+        |  * CASE WHEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(nw AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END
+        |  * CASE WHEN len(list_filter(w, t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2 THEN 1 ELSE 0 END AS pass
+        |  FROM gf),
+        |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN gg USING (doc_id) WHERE gg.pass = 1),
+        |plref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |plrw AS (SELECT unnest(string_split(text, ' ')) AS w FROM plref),
+        |pluni AS (SELECT w, count(*) AS c1 FROM plrw GROUP BY w),
+        |plvoc AS (SELECT count(*) AS v FROM pluni),
+        |plrl AS (SELECT string_split(text, ' ') AS l FROM plref),
+        |plrb AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM plrl)),
+        |plbig AS (SELECT w1, w2, count(*) AS c12 FROM plrb GROUP BY 1, 2),
+        |pldl AS (SELECT doc_id, string_split(text, ' ') AS l FROM s1),
+        |pldb AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM pldl)),
+        |plsc AS (SELECT d.doc_id, coalesce(b.c12, 0) + 1 AS a, coalesce(u.c1, 0) + (SELECT v FROM plvoc) AS bb
+        |  FROM pldb d LEFT JOIN plbig b USING (w1, w2) LEFT JOIN pluni u ON d.w1 = u.w),
+        |plqq AS (SELECT doc_id, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS q
+        |  FROM (SELECT doc_id, (bb + a - 1) // a AS m FROM plsc)),
+        |plagg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS bits, CAST(count(*) AS BIGINT) AS nb FROM plqq GROUP BY 1)
+        |SELECT s1.doc_id, coalesce(plagg.bits, 0) AS bits, coalesce(plagg.nb, 0) AS n_bigrams
+        |FROM s1 LEFT JOIN plagg USING (doc_id)
+        |WHERE coalesce(plagg.bits, 0) * 20 <= 109 * coalesce(plagg.nb, 0) OR coalesce(plagg.nb, 0) = 0
+        |ORDER BY s1.doc_id""".stripMargin.replaceAll("\n", " "),
     "q_quantiles" ->
       """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
         |n AS (SELECT sum(c) AS n FROM h),
