@@ -145,4 +145,31 @@ object TableMaintenance {
         fs.delete(m.getPath, false)
       }
   }
+  /** OPTIMIZE-style Z-order re-cluster: a full rewrite of the table
+    * range-partitioned and sorted by the [[ZOrder]] curve of `cols`, so
+    * every output file is a tight box in every listed dimension (the
+    * Delta `OPTIMIZE ... ZORDER BY` equivalent on plain parquet).
+    * Complementary to [[compact]]: compaction fixes FILE COUNT
+    * proportionally to the small-file backlog without moving rows
+    * between key ranges; this pass fixes DATA LAYOUT with a full
+    * rewrite — run it when multi-dimensional scan pruning is worth a
+    * table pass (BenchZOrder: 71x row-group pruning on a 0.37%
+    * 2-D box). Commits through the same staged swap-on-success as the
+    * merge writer, under the same single-writer lease. Returns
+    * (rows, filesAfter).
+    */
+  def optimizeZOrder(spark: SparkSession, path: String, cols: Seq[String],
+      bits: Int = 16, numFiles: Int = 0): (Long, Int) =
+    TableLock.withLock(spark, path,
+      owner = s"zorder:${java.util.UUID.randomUUID()}") {
+      val df = spark.read.parquet(path)
+      val z = ZOrder.withZValue(df, cols, bits)
+      val parted =
+        if (numFiles > 0) z.repartitionByRange(numFiles, org.apache.spark.sql.functions.col("z_value"))
+        else z.repartitionByRange(org.apache.spark.sql.functions.col("z_value"))
+      val clustered = parted.sortWithinPartitions("z_value").drop("z_value")
+      TableWriter.stagedOverwrite(spark, clustered, path)
+      val (fs, dir) = fsOf(spark, path)
+      (spark.read.parquet(path).count(), dataFiles(fs, dir).size)
+    }
 }
