@@ -259,13 +259,21 @@ object TableWriter {
     * renames — not atomic across both, but the stage dir always holds a
     * complete copy, so recovery is possible from either side.
     */
-  def stagedOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def stagedOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit =
+    stagedOverwriteWith(spark, df.write, path)
+
+  /** Staged swap for a caller-configured writer (e.g. carrying parquet
+    * bloom-filter options) — same rename protocol as [[stagedOverwrite]].
+    */
+  def stagedOverwriteWith(spark: SparkSession,
+      writer: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      path: String): Unit = {
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val dest = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(stage)) fs.delete(stage, true)
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    writer.mode(SaveMode.Overwrite).parquet(stage.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dest)) fs.rename(dest, old)
     fs.rename(stage, dest)

@@ -159,7 +159,8 @@ object TableMaintenance {
     * (rows, filesAfter).
     */
   def optimizeZOrder(spark: SparkSession, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 0): (Long, Int) =
+      bits: Int = 16, numFiles: Int = 0,
+      bloomCols: Seq[String] = Nil, bloomNdv: Long = 1000000L): (Long, Int) =
     TableLock.withLock(spark, path,
       owner = s"zorder:${java.util.UUID.randomUUID()}") {
       val df = spark.read.parquet(path)
@@ -168,7 +169,16 @@ object TableMaintenance {
         if (numFiles > 0) z.repartitionByRange(numFiles, org.apache.spark.sql.functions.col("z_value"))
         else z.repartitionByRange(org.apache.spark.sql.functions.col("z_value"))
       val clustered = parted.sortWithinPartitions("z_value").drop("z_value")
-      TableWriter.stagedOverwrite(spark, clustered, path)
+      // point-lookup skipping for high-cardinality UNSORTED columns, the
+      // case z-range stats can't help: parquet bloom filters per row
+      // group (measured: an absent-key probe decodes 0 rows vs the full
+      // table without them). The layout pass is where skipping indexes
+      // belong — they are a property of the written files.
+      val writer = bloomCols.foldLeft(clustered.write) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+      }
+      TableWriter.stagedOverwriteWith(spark, writer, path)
       val (fs, dir) = fsOf(spark, path)
       (spark.read.parquet(path).count(), dataFiles(fs, dir).size)
     }

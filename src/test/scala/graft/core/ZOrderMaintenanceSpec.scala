@@ -36,6 +36,23 @@ class ZOrderMaintenanceSpec extends SparkTestBase {
     assert(scanned < 10000, s"z-ordered layout should prune most row groups, scanned $scanned")
   }
 
+  test("bloomCols add parquet bloom filters: absent-key point probe decodes zero rows") {
+    val dir = tmpDir("graft_zbloom")
+    val path = s"$dir/t"
+    // high-cardinality UNSORTED key: z/min-max stats can't help a point probe
+    val df = spark.range(100000).select(
+      (col("id") % 100).as("a"), (col("id") % 97).as("b"),
+      (xxhash64(col("id")).bitwiseAND(Long.MaxValue) % 100000000L).as("k"))
+    df.repartition(8).write.parquet(path)
+    TableMaintenance.optimizeZOrder(spark, path, Seq("a", "b"),
+      bits = 8, numFiles = 8, bloomCols = Seq("k"), bloomNdv = 100000L)
+    val probe = spark.read.parquet(path).filter(col("k") === 31337L)
+    probe.collect()
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanned == 0L, s"bloom filter should skip every row group, scanned $scanned")
+  }
+
   test("optimizeZOrder excludes concurrent writers via the table lease") {
     val dir = tmpDir("graft_zopt_lock")
     val path = s"$dir/t"
