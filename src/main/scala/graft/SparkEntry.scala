@@ -1031,6 +1031,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WET extraction: deterministic HTML synthesized around each doc
+    // (script/style/comment blocks, a nav anchor, per-word paragraphs),
+    // then stripped back to text with link-density scoring — all
+    // codegen'd regexp passes, no UDF; the oracle is the ground truth
+    // by construction, so any stripping bug breaks the hash
+    "q_html_extract" -> ((s, dir) => {
+      import graft.ops.Html
+      val docs = t(s, dir, "documents")
+      val html = docs.select(col("doc_id"),
+        concat(
+          lit("<html><head><script>var x = '<p>no</p>';</script><style>b{}</style></head><body>"),
+          lit("<ul><li><a href=/d"), col("doc_id"),
+          lit("><b>doc "), col("doc_id"), lit("</b></a></li></ul><p>"),
+          regexp_replace(col("text"), " ", "</p> <p>"),
+          lit("</p><!-- footer --></body></html>")).as("html"))
+      Html.extract(html, "doc_id", "html").orderBy("doc_id")
+    }),
+
     // exact distributed quantiles of the doc-length distribution:
     // value-histogram + two-level cumulative count (shuffle carries
     // distinct values, not rows; no global sort/window), integer
@@ -3501,6 +3519,11 @@ object SparkEntry {
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
     "q_curation_v2" -> curationV2Sql,
+    "q_html_extract" ->
+      """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,
+        |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
+        |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_stream_quality" ->
       """WITH gf AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS nw,
