@@ -1107,6 +1107,29 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // persisted inverted index: build on the base corpus, append a
+    // planted batch (pending rows, candidates until optimize), search —
+    // prefix queries hit base champions, the zzfresh query proves
+    // appended docs are retrievable immediately with union-corpus idf
+    "q_lexical_index" -> ((s, dir) => {
+      import graft.ops.Lexical
+      val root = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 500 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("zzfresh "), col("text")).as("text"))
+      Lexical.Index.build(base, "doc_id", "text", s"$root/idx", championSize = 32)
+      Lexical.Index.append(batch, "doc_id", "text", s"$root/idx")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+        .unionByName(s.createDataFrame(Seq((9999999L, "zzfresh"))).toDF("q_id", "q_text"))
+      Lexical.Index.search(s, s"$root/idx", queries, "q_id", "q_text", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank")
+    }),
+
     // hybrid retrieval: Borda fusion of the dense ANN ranking (hashed-BoW
     // embed + brute cosine, the q_embed_ann mechanics) with the sparse
     // tf-idf ranking over the SAME %100 query/corpus split — the
@@ -3632,6 +3655,40 @@ object SparkEntry {
         |sc AS (SELECT cand.q_id, cand.doc_id, sum(qt.qtf * post0.tf * idf.idf_bits) AS score
         |  FROM cand JOIN qt ON qt.q_id = cand.q_id
         |  JOIN post0 ON post0.term = qt.term AND post0.doc_id = cand.doc_id
+        |  JOIN idf ON idf.term = qt.term GROUP BY 1, 2),
+        |rk AS (SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "q_lexical_index" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |bx AS (SELECT doc_id + 2000000 AS doc_id, 'zzfresh ' || text AS text
+        |  FROM documents WHERE doc_id % 500 = 7),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM bx),
+        |nn AS (SELECT count(*) AS n FROM u),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM u)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |postb AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c) GROUP BY 1, 2),
+        |postx AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM bx) GROUP BY 1, 2),
+        |champ AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS cr FROM postb)
+        |  WHERE cr <= 32),
+        |candsrc AS (SELECT term, doc_id FROM champ UNION ALL SELECT term, doc_id FROM postx),
+        |q AS (SELECT doc_id AS q_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL SELECT 9999999 AS q_id, 'zzfresh' AS q_text),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT qt.q_id, candsrc.doc_id FROM qt JOIN candsrc USING (term)),
+        |postu AS (SELECT * FROM postb UNION ALL SELECT * FROM postx),
+        |sc AS (SELECT cand.q_id, cand.doc_id, sum(qt.qtf * postu.tf * idf.idf_bits) AS score
+        |  FROM cand JOIN qt ON qt.q_id = cand.q_id
+        |  JOIN postu ON postu.term = qt.term AND postu.doc_id = cand.doc_id
         |  JOIN idf ON idf.term = qt.term GROUP BY 1, 2),
         |rk AS (SELECT q_id, doc_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)

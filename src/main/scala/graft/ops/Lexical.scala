@@ -113,6 +113,135 @@ object Lexical {
         col("__s").cast("long").as("score"))
   }
 
+  /** Persisted inverted index — lexical retrieval as a TABLE rather than
+    * a per-query recompute, the same discipline as the persisted IVF/PQ
+    * and LSH indexes: build once (postings with champion ranks, bucketed
+    * by a term hash so a probe prunes partitions; the vocabulary-sized
+    * idf/df table alongside), probe many, append incrementally.
+    *
+    * Layout under `path`:
+    *   postings/  (term, id, tf, crank) partitioned by __tb = md5-bucket
+    *              of term; crank = champion rank within the term at
+    *              build/optimize time, NULL for rows appended since
+    *   idf/       (term, df) — document frequencies; idf_bits derive
+    *              from (df, n) at probe time so appends stay cheap
+    *   meta/      one row: (n_docs)
+    *
+    * Append contract: new batches land as postings with NULL crank (all
+    * candidates until the next optimize — bounded while batches are
+    * small relative to the indexed corpus, exactly the incremental-LSH
+    * trade) and the df/meta tables are rewritten (vocabulary-sized, not
+    * corpus-sized). `optimizeIndex` recomputes champion ranks over the
+    * union, after which the index is IDENTICAL to a fresh build over
+    * the union corpus (spec-pinned).
+    */
+  object Index {
+    private val TermBuckets = 64
+
+    private def termBucket(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(TermBuckets.toLong))
+
+    private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+
+    /** Full postings with champion rank where within the term's tf-top-C
+      * (crank >= 1), NULL otherwise. Appended rows later use crank = 0
+      * ("pending": candidate until the next optimize) — distinct from
+      * both champion and non-champion build rows.
+      */
+    private def withCrank(postings: DataFrame, championSize: Int): DataFrame = {
+      val champ = Similarity.boundedTopK(
+        postings.withColumn("__cs", col("tf").cast("double")),
+        "term", "id", "__cs", championSize, "crank")
+        .select(col("term"), col("id"), col("crank").cast("long").as("crank"))
+      postings.join(champ, Seq("term", "id"), "left")
+        .select(col("term"), col("id"), col("tf"), col("crank"))
+    }
+
+    private def dfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+
+    def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+        championSize: Int): Unit = {
+      val spark = docs.sparkSession
+      withCrank(postingsOf(docs, idCol, textCol), championSize)
+        .withColumn("__tb", termBucket(col("term")))
+        .write.mode("overwrite").partitionBy("__tb").parquet(s"$path/postings")
+      dfOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$path/idf")
+      spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Append a document batch: postings land with NULL crank (always
+      * candidates until the next optimize); df and n_docs are rewritten
+      * from their old values + the batch's — vocabulary-sized work.
+      */
+    def append(batch: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+      val spark = batch.sparkSession
+      postingsOf(batch, idCol, textCol)
+        .withColumn("crank", lit(0L)) // pending: candidate until optimize
+        .withColumn("__tb", termBucket(col("term")))
+        .write.mode("append").partitionBy("__tb").parquet(s"$path/postings")
+      val mergedDf = spark.read.parquet(s"$path/idf")
+        .unionByName(dfOf(batch, idCol, textCol))
+        .groupBy("term").agg(sum("df").as("df"))
+      graft.core.TableWriter.stagedOverwrite(spark, mergedDf, s"$path/idf")
+      val n = spark.read.parquet(s"$path/meta").head.getLong(0) + batch.count()
+      graft.core.TableWriter.stagedOverwrite(spark,
+        spark.createDataFrame(Seq(Tuple1(n))).toDF("n_docs"), s"$path/meta")
+    }
+
+    /** Recompute champion ranks over the full postings — after this the
+      * index is identical to a fresh build over the union corpus.
+      */
+    def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+        championSize: Int): Unit = {
+      val re = withCrank(
+        spark.read.parquet(s"$path/postings").select("term", "id", "tf"), championSize)
+        .withColumn("__tb", termBucket(col("term")))
+      graft.core.TableWriter.stagedOverwriteWith(
+        spark, re.write.partitionBy("__tb"), s"$path/postings")
+    }
+
+    /** Probe: champion/NULL-crank rows nominate candidates, candidates
+      * score EXACTLY against full postings — same guarantee as
+      * [[topKDocs]]'s champion branch, but against the persisted table.
+      */
+    def search(spark: org.apache.spark.sql.SparkSession, path: String,
+        queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+        broadcastRowCap: Long = 4000000L): DataFrame = {
+      val postings = spark.read.parquet(s"$path/postings")
+      val n = spark.read.parquet(s"$path/meta").head.getLong(0)
+      val idf = spark.read.parquet(s"$path/idf")
+        .withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
+        .select(col("term"),
+          when(col("__m") <= 1L, lit(0L))
+            .otherwise(length(bin(col("__m") - 1)).cast("long")).as("idf_bits"))
+      val qt = queries
+        .select(col(qidCol), explode(split(col(qtextCol), " ")).as("term"))
+        .groupBy(col(qidCol), col("term")).agg(count(lit(1)).as("__qtf"))
+        .localCheckpoint(true)
+      val qtGated = gated(qt, qt.count(), broadcastRowCap)
+      // candidates: champion rows (crank >= 1) plus pending appended rows
+      // (crank = 0); non-champion build rows (NULL) only contribute to
+      // the exact scoring join below
+      val nominate = postings.filter(col("crank").isNotNull)
+        .join(qtGated.select(col(qidCol), col("term")), Seq("term"))
+        .select(col(qidCol), col("id")).distinct()
+      val scored = nominate
+        .join(qtGated, Seq(qidCol))
+        .join(postings.select("term", "id", "tf"), Seq("term", "id"))
+        .join(idf, Seq("term"))
+        .groupBy(col(qidCol), col("id"))
+        .agg(sum(col("__qtf") * col("tf") * col("idf_bits")).cast("double").as("__s"))
+      Similarity.boundedTopK(scored, qidCol, "id", "__s", k, "rank")
+        .select(col(qidCol), col("rank").cast("long").as("rank"), col("id"),
+          col("__s").cast("long").as("score"))
+    }
+  }
+
   /** Borda-count fusion of rank lists: each list awards k - rank + 1
     * points to its documents, fused score is the integer point sum
     * across lists, output is the top-k by (points desc, doc id asc).

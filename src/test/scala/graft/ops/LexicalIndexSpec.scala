@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Persisted inverted index: build+search equals the direct champion
+  * retrieval, appended docs are retrievable immediately, and optimize
+  * makes the index identical to a fresh build over the union corpus.
+  */
+class LexicalIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = (0L until 500L).map { i =>
+    val filler = Seq.fill(6)(s"common${i % 3}").mkString(" ")
+    (i, s"marker${i / 5} $filler")
+  }.toDF("doc_id", "text")
+
+  private val queries = Seq((9001L, "marker7 common1"), (9002L, "marker60 marker61"))
+    .toDF("q_id", "q_text")
+
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("build + search == direct champion-list retrieval") {
+    val path = s"${tmpDir("graft_lexidx")}/idx"
+    Lexical.Index.build(corpus, "doc_id", "text", path, championSize = 16)
+    val viaIndex = sorted(
+      Lexical.Index.search(spark, path, queries, "q_id", "q_text", k = 10)
+        .withColumnRenamed("id", "doc_id"))
+    val direct = sorted(
+      Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", 10,
+        championSize = 16))
+    assert(viaIndex == direct)
+  }
+
+  test("appended docs are retrievable immediately with union-corpus idf") {
+    val path = s"${tmpDir("graft_lexidx_app")}/idx"
+    Lexical.Index.build(corpus, "doc_id", "text", path, championSize = 16)
+    val batch = Seq((9000L, "freshterm freshterm common1 common2 common0")).toDF("doc_id", "text")
+    Lexical.Index.append(batch, "doc_id", "text", path)
+    val hits = Lexical.Index.search(spark,
+      path, Seq((1L, "freshterm")).toDF("q_id", "q_text"), "q_id", "q_text", 5)
+    assert(hits.select("id").as[Long].collect().toSeq == Seq(9000L))
+    // df table reflects the union: common1 count grew by one
+    val df1 = spark.read.parquet(s"$path/idf").filter(col("term") === "common1")
+      .select("df").as[Long].head()
+    val base1 = corpus.filter(col("text").contains("common1")).count()
+    assert(df1 == base1 + 1)
+  }
+
+  test("append + optimize == fresh build over the union corpus") {
+    val dir = tmpDir("graft_lexidx_opt")
+    val incPath = s"$dir/inc"; val fullPath = s"$dir/full"
+    val batch = (500L until 550L).map(i => (i, s"marker${i / 5} common1 common1 common2"))
+      .toDF("doc_id", "text")
+    Lexical.Index.build(corpus, "doc_id", "text", incPath, championSize = 16)
+    Lexical.Index.append(batch, "doc_id", "text", incPath)
+    Lexical.Index.optimize(spark, incPath, championSize = 16)
+    Lexical.Index.build(corpus.unionByName(batch), "doc_id", "text", fullPath,
+      championSize = 16)
+    assert(sorted(spark.read.parquet(s"$incPath/postings")) ==
+      sorted(spark.read.parquet(s"$fullPath/postings")))
+    val q = Seq((1L, "marker100 common1 common2")).toDF("q_id", "q_text")
+    assert(sorted(Lexical.Index.search(spark, incPath, q, "q_id", "q_text", 10)) ==
+      sorted(Lexical.Index.search(spark, fullPath, q, "q_id", "q_text", 10)))
+  }
+}
