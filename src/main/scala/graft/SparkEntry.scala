@@ -583,6 +583,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // span-level decontamination: cut exactly the eval-overlapping
+    // 8-gram spans from training docs (the surgical alternative to
+    // q_decontaminate's whole-doc flagging)
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeEvalSpans(
+        docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // SimHash 64-bit fingerprints via the native codegen expression
     // (bit-identical to the HOF form — proven in MinHashExpressionSpec —
     // at one counter array per row instead of per word; no SQL oracle)
@@ -3790,6 +3802,28 @@ object SparkEntry {
         |  GROUP BY id_a, id_b, diag, grp)
         |SELECT id_a, id_b, max(span) AS max_span FROM runs
         |GROUP BY 1, 2 HAVING max(span) >= 10 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q_decontaminate_spans" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |evd AS (SELECT string_split(text, ' ') AS ws FROM ev),
+        |evg AS (SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+        |  FROM (SELECT ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM evd WHERE len(ws) >= 8)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM d WHERE len(ws) >= 8)),
+        |cutw AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN evg USING (gram)),
+        |cutp AS (SELECT DISTINCT doc_id, wpos FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM cutw)),
+        |wrd AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT wrd.doc_id, wrd.wpos, wrd.tok FROM wrd
+        |  ANTI JOIN cutp c ON (wrd.doc_id = c.doc_id AND wrd.wpos = c.wpos)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wpos) AS text,
+        |  count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(reb.text, '') AS text,
+        |  CAST(len(d.ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d LEFT JOIN reb USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q_substring_dedup" ->
       """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL

@@ -877,6 +877,59 @@ object Dedup {
         col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Span-level DECONTAMINATION — [[removeDuplicateSpans]]'s two-corpus
+    * variant and the surgical form of [[graft.ops.Corpus.contamination]]:
+    * instead of flagging or dropping whole training documents that
+    * overlap the eval set, CUT exactly the overlapping spans (every
+    * token position covered by a k-gram window that occurs anywhere in
+    * `eval`) and keep the rest of the document. This is how eval
+    * leakage is actually removed from a pretraining corpus when whole
+    * documents are too valuable to drop.
+    *
+    * Scale shape: the eval gram set is deduplicated and count-gated to
+    * broadcast (eval suites are small; a corpus-sized eval side falls
+    * back to the gram-keyed shuffled semi-join), the train side is one
+    * positional explode + semi-join + bounded k-explode of cut windows +
+    * keyed reassembly — linear, never pairwise, same as the
+    * single-corpus pass. Returns (id, rewritten text, n_words, n_kept).
+    */
+  def removeEvalSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      broadcastRowCap: Long = 4000000L,
+  ): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val ws = split(col(textCol), " ")
+    val idx = when(size(ws) >= k, sequence(lit(0), size(ws) - k))
+      .otherwise(array().cast("array<int>"))
+    def gramsOf(df: DataFrame, id: Column): DataFrame = df
+      .select(id.as("__id"),
+        posexplode(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
+      .toDF("__id", "__pos", "__g")
+    val evalGrams = gramsOf(eval, lit(0L)).select("__g").distinct().localCheckpoint(true)
+    val cutPos = gramsOf(train, col(idCol))
+      .join(gated(evalGrams, evalGrams.count(), broadcastRowCap), Seq("__g"), "left_semi")
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
+      .distinct()
+    val words = train
+      .select(col(idCol).as("__id"), posexplode(ws))
+      .toDF("__id", "__wp", "__w")
+    val rebuilt = words.join(cutPos, Seq("__id", "__wp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__wp"), col("__w")))),
+          x => x.getField("__w"))).as("__text"),
+        count(lit(1)).as("__kept"))
+    train.select(col(idCol), size(ws).cast("long").as("n_words"))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the
     * bit of xxhash64(word), sign of the sum becomes the bit. Built from
     * higher-order functions only (aggregate over the words array), so it

@@ -56,6 +56,29 @@ class SpanRemovalSpec extends SparkTestBase {
     assert(got(9L)._1 == "w")
   }
 
+  test("removeEvalSpans cuts exactly the eval-overlapping spans from train docs") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "keep this a b c d keep that"), // a b c d overlaps eval
+      (2L, "nothing shared here at all"),
+      (3L, "a b c d"),                      // entire doc is eval text
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "x a b c d y")).toDF("doc_id", "text")
+    val got = Dedup.removeEvalSpans(train, eval, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._4))).toMap
+    // windows of doc 1: (keep this a b), ... only (a b c d) occurs in eval
+    assert(got(1L) == (("keep this keep that", 4L)))
+    assert(got(2L) == (("nothing shared here at all", 5L)))
+    assert(got(3L) == (("", 0L)))
+    // off-broadcast path identical
+    val offB = Dedup.removeEvalSpans(train, eval, "doc_id", "text", k = 4,
+      broadcastRowCap = 0L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(offB == got)
+  }
+
   test("hashKeys path is output-identical") {
     val docs = Seq(
       (1L, "a b c d e f g"), (2L, "c d e f g h i"), (3L, "a b c x y z a b c x y z"))
