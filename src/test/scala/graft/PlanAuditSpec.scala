@@ -166,6 +166,19 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = finalPlan(ran("q_substring_dedup"))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"span removal must never pair documents:\n${plan.take(2000)}")
+    // the two-corpus variant: eval grams broadcast into a semi-join
+    val ds = finalPlan(ran("q_decontaminate_spans"))
+    assert(ds.contains("BroadcastHashJoin") && ds.contains("LeftSemi") &&
+      !ds.contains("CartesianProduct"),
+      s"eval gram set must broadcast semi-join:\n${ds.take(2000)}")
+  }
+
+  test("HTML extraction is shuffle-free except the contract's final sort") {
+    val plan = finalPlan(ran("q_html_extract"))
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"extraction must stay narrow (scan-stage work):\n$exchanges exchanges\n${plan.take(2000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SerializeFromObject"),
+      "extraction must be pure codegen column work, no UDF lane")
   }
 
   test("lexical top-k reduces through the bounded buffer with a broadcast query side") {
