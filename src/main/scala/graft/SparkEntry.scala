@@ -2435,6 +2435,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // continuous exact-substring dedup: the q_substring_dedup corpus
+    // streamed as two ascending-id waves (base, then planted twins) —
+    // each batch probes the persisted gram index (batch_id < current,
+    // probe-then-append) and cuts seen spans; the landed result must
+    // hash-match the BATCH span-removal oracle exactly
+    "q_stream_span_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamingSpanDedup
+      val root = java.nio.file.Files.createTempDirectory("graft_sspan").toString
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      docs.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      withFewShufflePartitions(s, 8) {
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val q = StreamingSpanDedup.start(stream, "doc_id", "text", k = 8,
+          s"$root/out", s"$root/idx", s"$root/ckpt")
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("text"), col("n_words"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // event-time sessionization via flatMapGroupsWithState: sessions closed
     // in-stream (a later event past the gap) plus sessions aged out by the
     // event-time timeout once the watermark passes lastSeen+gap. Timestamps
@@ -3812,6 +3839,30 @@ object SparkEntry {
         |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
         |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM d WHERE len(ws) >= 8)),
         |cutw AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN evg USING (gram)),
+        |cutp AS (SELECT DISTINCT doc_id, wpos FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM cutw)),
+        |wrd AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT wrd.doc_id, wrd.wpos, wrd.tok FROM wrd
+        |  ANTI JOIN cutp c ON (wrd.doc_id = c.doc_id AND wrd.wpos = c.wpos)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wpos) AS text,
+        |  count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(reb.text, '') AS text,
+        |  CAST(len(d.ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d LEFT JOIN reb USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_stream_span_dedup" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS text
+        |  FROM documents WHERE doc_id % 30 = 0),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i FROM d WHERE len(ws) >= 8)),
+        |f AS (SELECT gram, min(doc_id * 1000000 + pos) AS fk FROM g GROUP BY 1),
+        |cutw AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+        |  WHERE g.doc_id * 1000000 + g.pos <> f.fk),
         |cutp AS (SELECT DISTINCT doc_id, wpos FROM
         |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM cutw)),
         |wrd AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS tok

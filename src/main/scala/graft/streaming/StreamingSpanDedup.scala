@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Dedup
+
+/** Continuous exact-substring dedup: the streaming form of
+  * [[Dedup.removeDuplicateSpans]]. Each micro-batch cuts every k-gram
+  * window that (a) occurred in ANY earlier batch — probed against the
+  * persisted gram index — or (b) duplicates an earlier (id, pos) window
+  * within the batch itself, lands the rewritten documents, and appends
+  * its OWN distinct new grams to the index. A stream arriving in
+  * ascending id order therefore lands exactly what the batch operator
+  * would produce over the whole corpus (the same equivalence the
+  * near-dup StreamingDedupSink pins), and every span survives in
+  * exactly one copy across the entire stream's lifetime.
+  *
+  * Scale shape per batch: the batch's gram keys are distinct-projected
+  * and count-gated to broadcast, so the index — which is corpus-sized,
+  * as any exact-substring structure must be — is read in ONE
+  * left-semi/anti pass per batch (the same trade the incremental LSH
+  * index makes); everything else is the linear span-removal plan. Gram
+  * keys are xxhash64 of the gram string: 8-byte index rows instead of
+  * text, at astronomically-small deterministic collision risk.
+  *
+  * Idempotence is the probe-then-append discipline of the growing IVF
+  * index: BOTH the results and the index delta land in `batch_id=N`
+  * partitions with dynamic partition overwrite, and the probe reads
+  * strictly `batch_id < batchId` — so a batch re-delivered after a
+  * crash between write and checkpoint commit neither sees its own
+  * half-landed grams nor duplicates its rows; the replay's cut
+  * decisions and output are bit-identical.
+  */
+object StreamingSpanDedup {
+
+  private def gramKeys(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val idx = when(size(ws) >= k, sequence(lit(0), size(ws) - k))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("__id"),
+      posexplode(transform(idx, i => xxhash64(concat_ws(" ", slice(ws, i + 1, lit(k)))))))
+      .toDF("__id", "__pos", "__g")
+  }
+
+  /** Process one micro-batch: cut seen/duplicate spans, land rewritten
+    * docs under `outPath/batch_id=<id>`, append new grams to
+    * `indexPath`.
+    */
+  def landBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      outPath: String,
+      indexPath: String,
+      broadcastRowCap: Long = 4000000L,
+  ): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    val grams = gramKeys(batch, idCol, textCol, k).localCheckpoint(true)
+    val batchGramSet = grams.select("__g").distinct().localCheckpoint(true)
+    val nKeys = batchGramSet.count()
+    def gate(df: DataFrame): DataFrame =
+      if (nKeys <= broadcastRowCap) broadcast(df) else df.hint("shuffle_hash")
+    // grams already published by earlier batches: ONE pass over the index,
+    // batch keys broadcast into it
+    val seen =
+      if (haveIndex)
+        spark.read.parquet(indexPath)
+          .filter(col("batch_id") < batchId) // probe-then-append: never see own/future deltas
+          .select("__g")
+          .join(gate(batchGramSet), Seq("__g"), "left_semi")
+          .distinct().localCheckpoint(true)
+      else spark.emptyDataFrame.select(lit(0L).as("__g")).filter(lit(false))
+    val first = grams.groupBy(col("__g"))
+      .agg(min(struct(col("__id").as("__fid"), col("__pos").as("__fpos"))).as("__first"))
+    val cutPos = grams
+      .join(gate(seen.select(col("__g"), lit(1).as("__seen"))), Seq("__g"), "left")
+      .join(first, Seq("__g"))
+      .filter(col("__seen").isNotNull ||
+        !(col("__first.__fid") === col("__id") && col("__first.__fpos") === col("__pos")))
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
+      .distinct()
+    val ws = split(col(textCol), " ")
+    val words = batch.select(col(idCol).as("__id"), posexplode(ws)).toDF("__id", "__wp", "__w")
+    val rebuilt = words.join(cutPos, Seq("__id", "__wp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__wp"), col("__w")))),
+        x => x.getField("__w"))).as("__text"),
+        count(lit(1)).as("__kept"))
+    batch.select(col(idCol), size(ws).cast("long").as("n_words"))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+    // the batch's distinct grams become "seen" for every later batch;
+    // own-partition overwrite keeps replays idempotent
+    batchGramSet.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
+  }
+
+  def start(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      outPath: String,
+      indexPath: String,
+      checkpoint: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, idCol, textCol, k, outPath, indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

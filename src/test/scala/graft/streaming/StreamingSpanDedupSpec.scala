@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+
+/** Continuous substring dedup: the landed stream result equals the batch
+  * span-removal over the whole corpus when ids arrive in order, and
+  * later waves lose spans already published by earlier ones.
+  */
+class StreamingSpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x y z a b c d e w v"),      // shares a 5-token run with doc 1
+    (3L, "p q r s t u p q r s t u"),  // self-repeat
+    (10L, "a b c d e f g h"),         // exact copy of doc 1, later wave
+    (11L, "fresh words only here now"),
+  )
+
+  test("streamed waves land exactly the batch span-removal result") {
+    val dir = tmpDir("graft_sspan")
+    // two waves as separate files, ascending ids
+    docs.filter(_._1 < 10).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    docs.filter(_._1 >= 10).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = StreamingSpanDedup.start(stream, "doc_id", "text", k = 5,
+      s"$dir/out", s"$dir/idx", s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    val landed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text", "n_words", "n_kept")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, hashKeys = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(landed == batch)
+    // the copy in wave 2 lost everything; the fresh doc survived whole
+    val byId = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(byId(10L) == 0L && byId(11L) == 5L)
+  }
+
+  test("re-delivered batch replays bit-identically: results AND index unchanged") {
+    val dir = tmpDir("graft_sspan_idem")
+    val w0 = docs.take(3).toDF("doc_id", "text")
+    StreamingSpanDedup.landBatch(w0, 0L, "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
+    val once = spark.read.parquet(s"$dir/out").collect().map(_.toString).sorted.toSeq
+    val idxOnce = spark.read.parquet(s"$dir/idx").collect().map(_.toString).sorted.toSeq
+    // crash-and-replay: the batch re-runs with its own delta already landed
+    StreamingSpanDedup.landBatch(w0, 0L, "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/out").collect().map(_.toString).sorted.toSeq == once)
+    assert(spark.read.parquet(s"$dir/idx").collect().map(_.toString).sorted.toSeq == idxOnce)
+  }
+}
