@@ -1071,6 +1071,18 @@ object SparkEntry {
         Seq(1, 10, 25, 50, 75, 90, 99))
         .orderBy("pct")),
 
+    // grouped corpus stats: per-language length quantiles and
+    // per-language HLL vocabulary registers (the standard corpus report,
+    // group key riding the same machinery)
+    "q_quantiles_by" -> ((s, dir) =>
+      graft.ops.Corpus.exactQuantilesBy(t(s, dir, "documents"), "lang", "n_chars",
+        Seq(10, 50, 90))
+        .orderBy("lang", "pct")),
+
+    "q_vocab_by" -> ((s, dir) =>
+      graft.ops.Corpus.hllRegistersBy(t(s, dir, "documents"), "lang", "text", p = 8)
+        .orderBy("lang", "register")),
+
     // Z-order (Morton) layout key: 16-bit min/max quantization of
     // (user_id, event_id) bit-interleaved into one BIGINT — the layout
     // pass range-partitions and sorts by it (ZOrderSpec pins disjoint
@@ -3643,6 +3655,26 @@ object SparkEntry {
         |  CAST(SUM((((q0 >> i) & 1) << (2 * i)) + (((q1 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS z_value
         |  FROM q, (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY event_id)
         |SELECT event_id, z_value FROM z ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_quantiles_by" ->
+      """WITH h AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |n AS (SELECT lang, sum(c) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h),
+        |ps(pct) AS (VALUES (10), (50), (90))
+        |SELECT cum.lang, CAST(pct AS BIGINT) AS pct, CAST(min(v) AS BIGINT) AS value
+        |FROM cum JOIN n USING (lang), ps WHERE cum * 100 >= pct * n.n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q_vocab_by" ->
+      """WITH h AS (SELECT lang, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |rv AS (SELECT lang, h % 256 AS r, h // 256 AS v FROM h),
+        |rho AS (SELECT lang, r, CASE WHEN v = 0 THEN 53 ELSE length(bin(v & (-v))) END AS rho FROM rv),
+        |mx AS (SELECT lang, r, max(rho) AS mr FROM rho GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |regs AS (SELECT lang, register FROM langs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS register))
+        |SELECT regs.lang, regs.register, CAST(coalesce(mx.mr, 0) AS BIGINT) AS max_rho
+        |FROM regs LEFT JOIN mx ON mx.lang = regs.lang AND mx.r = regs.register
+        |ORDER BY regs.lang, regs.register""".stripMargin.replaceAll("\n", " "),
     "q_hll_vocab" ->
       """WITH h AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),

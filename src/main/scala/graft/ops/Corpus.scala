@@ -382,6 +382,71 @@ object Corpus {
     * Returns one row per distinct probe token: (token, est, true_cnt)
     * with est ≥ true_cnt always; the gap IS the measured sketch error.
     */
+  /** Grouped exact quantiles — [[exactQuantiles]] per group key (length
+    * distributions per language/source, the standard corpus report).
+    * Same machinery with the group key riding every stage: the histogram
+    * is (group, value) keyed, the cumulative window partitions by group
+    * (never wider than one group's value domain), per-group totals come
+    * from the histogram itself, and the percentile lookup is a broadcast
+    * join. Returns (groupCol, pct, value).
+    */
+  def exactQuantilesBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int],
+  ): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100), "pcts in [0, 100]")
+    val hist = df.select(col(groupCol).as("__grp"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__grp", "__v").agg(count(lit(1)).as("__c"))
+    val totals = hist.groupBy("__grp").agg(sum("__c").as("__n"))
+    val w = Window.partitionBy(col("__grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val ps = df.sparkSession.createDataFrame(pcts.distinct.sorted.map(Tuple1(_)))
+      .toDF("pct").select(col("pct").cast("long").as("pct"))
+    cum.join(broadcast(totals), Seq("__grp"))
+      .crossJoin(broadcast(ps))
+      .filter(col("__cum") * 100L >= col("pct") * col("__n"))
+      .groupBy(col("__grp").as(groupCol), col("pct"))
+      .agg(min(col("__v")).as("value"))
+  }
+
+  /** Grouped HLL registers — [[hllRegisters]] per group key (per-domain
+    * vocabulary size at constant memory per group). One map-side-combined
+    * groupBy with at most groups × 2^p partial rows per task; group
+    * tables merge across corpora with the [[hllMerge]] identity (same
+    * register-max, now keyed). Returns (groupCol, register, max_rho) —
+    * dense per observed group.
+    */
+  def hllRegistersBy(
+      corpus: DataFrame,
+      groupCol: String,
+      textCol: String,
+      p: Int = 10,
+  ): DataFrame = {
+    require(p >= 4 && p <= 20, "need 4 <= p <= 20")
+    val m = 1L << p
+    val maxRho = 60 - p + 1
+    val regs = corpus
+      .select(col(groupCol).as("__grp"), explode(split(col(textCol), " ")).as("__t"))
+      .select(col("__grp"),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
+      .select(col("__grp"), (col("__h") % m).as("register"), expr(s"__h div ${m}L").as("__v"))
+      .select(col("__grp"), col("register"),
+        when(col("__v") === 0L, lit(maxRho.toLong))
+          .otherwise(length(bin(col("__v").bitwiseAND(-col("__v")))).cast("long"))
+          .as("__rho"))
+      .groupBy("__grp", "register").agg(max("__rho").as("max_rho"))
+    val groups = corpus.select(col(groupCol).as("__grp")).distinct()
+    groups
+      .crossJoin(corpus.sparkSession.range(m).select(col("id").as("register")))
+      .join(regs, Seq("__grp", "register"), "left")
+      .select(col("__grp").as(groupCol), col("register"),
+        coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+  }
+
   /** Sketch UNION algebra — what makes fixed-size sketches compose at
     * fleet scale: per-corpus (or per-partition, per-day, per-source)
     * sketches built independently merge into the sketch OF THE UNION,
