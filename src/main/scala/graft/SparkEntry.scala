@@ -1071,6 +1071,24 @@ object SparkEntry {
         Seq(1, 10, 25, 50, 75, 90, 99))
         .orderBy("pct")),
 
+    // the corpus report: one row per language — doc/token counts, exact
+    // median length, and the integer HLL register sum (the vocabulary
+    // sketch's exact fingerprint; the float estimate derives from the
+    // registers and is spec-tested, not hashed)
+    "q_corpus_report" -> ((s, dir) => {
+      import graft.ops.Corpus
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val medians = Corpus.exactQuantilesBy(docs, "lang", "n_chars", Seq(50))
+        .select(col("lang"), col("value").as("p50_chars"))
+      val vocab = Corpus.hllRegistersBy(docs, "lang", "text", p = 8)
+        .groupBy(col("lang")).agg(sum(col("max_rho")).as("vocab_rho_sum"))
+      counts.join(medians, Seq("lang")).join(vocab, Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // grouped corpus stats: per-language length quantiles and
     // per-language HLL vocabulary registers (the standard corpus report,
     // group key riding the same machinery)
@@ -3655,6 +3673,23 @@ object SparkEntry {
         |  CAST(SUM((((q0 >> i) & 1) << (2 * i)) + (((q1 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS z_value
         |  FROM q, (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY event_id)
         |SELECT event_id, z_value FROM z ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_corpus_report" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |n AS (SELECT lang, sum(c) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h),
+        |med AS (SELECT cum.lang, CAST(min(v) AS BIGINT) AS p50_chars
+        |  FROM cum JOIN n USING (lang) WHERE cum * 100 >= 50 * n.n GROUP BY 1),
+        |hh AS (SELECT lang, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |rho AS (SELECT lang, h % 256 AS r,
+        |  CASE WHEN h // 256 = 0 THEN 53 ELSE length(bin((h // 256) & (-(h // 256)))) END AS rho FROM hh),
+        |mx AS (SELECT lang, r, max(rho) AS mr FROM rho GROUP BY 1, 2),
+        |voc AS (SELECT lang, CAST(sum(mr) AS BIGINT) AS vocab_rho_sum FROM mx GROUP BY 1)
+        |SELECT cnt.lang, cnt.n_docs, cnt.n_tokens, med.p50_chars, voc.vocab_rho_sum
+        |FROM cnt JOIN med USING (lang) JOIN voc USING (lang)
+        |ORDER BY cnt.lang""".stripMargin.replaceAll("\n", " "),
     "q_quantiles_by" ->
       """WITH h AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
         |n AS (SELECT lang, sum(c) AS n FROM h GROUP BY 1),
