@@ -43,9 +43,12 @@ object BenchMinhash {
       Dedup.minhashSignatureFast(docs, "text", 16).count()
     }
     // stage 2: capped banded candidates (includes its own signature pass —
-    // report the delta as banding cost)
+    // report the delta as banding cost). The sizeGate MUST match what
+    // nearDupPairsFast passes, or candSecs measures a different (ungated,
+    // more expensive) plan and verify_secs = full - cand misattributes
     val (nCand, candSecs) = timed {
-      Dedup.fastCandidatePairs(docs, "doc_id", "text", 16, 2, 1000).count()
+      Dedup.fastCandidatePairs(docs, "doc_id", "text", 16, 2, 1000,
+        sizeGate = Some(0.9)).count()
     }
     // stage 3: full query (candidates + exact verify)
     val (nVer, fullSecs) = timed {

@@ -221,13 +221,21 @@ object JdbcMerge {
     finally st.close()
   }
 
+  /** Existence probe via JDBC metadata — NOT a probe query with a blanket
+    * SQLException catch: a transient destination error (lock timeout,
+    * permissions) must surface, because merge() downgrades to a blind
+    * first-load append when this returns false, and a false negative
+    * would silently duplicate every key in the destination.
+    */
   def tableExists(cfg: JdbcSource.JdbcConfig, table: String): Boolean =
     withConnection(cfg) { conn =>
-      try {
-        val st = conn.createStatement()
-        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
-        finally st.close()
-      } catch { case _: java.sql.SQLException => false }
+      // unquoted identifiers are case-normalized by the destination
+      // (Derby/Postgres: upper/lower); check both plus verbatim
+      val names = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      names.exists { n =>
+        val rs = conn.getMetaData.getTables(null, null, n, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
     }
 
   private def columnsOf(conn: Connection, table: String): Set[String] = {

@@ -31,11 +31,22 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
     if (hi <= lo) lit(0L)
     else {
-      // integral div, not floor-of-double: the scaled numerator can pass
-      // 2^53 on a wide-range column and double rounding would mis-bin
-      val q = (coalesce(v.cast("long"), lit(lo)) - lo) * ((1L << bits) - 1)
-      val d = call_function("div", q, lit(hi - lo)).cast("long")
-      least(greatest(d, lit(0L)), lit((1L << bits) - 1))
+      val mask = (1L << bits) - 1
+      // (v - lo) * mask must not wrap: Long overflow here is SILENT in
+      // Spark and produces garbage z-values (a broken layout with no
+      // error), while the SQL oracle would throw. Pre-shift the domain
+      // deterministically instead: dropping `shift` low bits before
+      // scaling changes nothing — the quantizer keeps only the top
+      // `bits` bits of the range anyway (shift only engages past a
+      // ~2^47 range, e.g. snowflake ids or epoch-nanos).
+      val range = hi - lo
+      var shift = 0
+      while (((range >> shift) + 1) > Long.MaxValue / (mask + 1)) shift += 1
+      val vShifted = call_function("shiftright",
+        coalesce(v.cast("long"), lit(lo)) - lo, lit(shift))
+      val q = vShifted * mask
+      val d = call_function("div", q, lit(range >> shift)).cast("long")
+      least(greatest(d, lit(0L)), lit(mask))
     }
   }
 

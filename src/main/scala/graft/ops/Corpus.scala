@@ -363,6 +363,48 @@ object Corpus {
       )
   }
 
+  /** Sketch UNION algebra — what makes fixed-size sketches compose at
+    * fleet scale: per-corpus (or per-partition, per-day, per-source)
+    * sketches built independently merge into the sketch OF THE UNION,
+    * exactly. CMS cells add; HLL registers max. Both identities are
+    * deterministic here (same hash family, integer state), so
+    * merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit — pinned
+    * by `SketchMergeSpec`, not just approximately true.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("__cms").as("__a"))
+      .crossJoin(b.select(col("__cms").as("__b"))) // both single-row
+      .select(zip_with(col("__a"), col("__b"), (x, y) => x + y).as("__cms"))
+
+  /** Per-register max of two [[hllRegisters]] tables = the register
+    * table of the union corpus.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("register").agg(max("max_rho").as("max_rho"))
+
+  /** The CMS counter array of a corpus's token stream as a ONE-ROW frame
+    * (column `__cms`, length depth×width) — the broadcastable, mergeable
+    * ([[cmsMerge]]) representation `cmsTokenCounts` probes.
+    */
+  def cmsSketch(
+      corpus: DataFrame,
+      textCol: String,
+      width: Int = 1 << 16,
+      depth: Int = 3,
+  ): DataFrame = {
+    require(width >= 2 && depth >= 1, "need at least a 2-wide, 1-deep sketch")
+    def posOf(tok: Column, j: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10).cast("long"),
+        lit(width.toLong))
+    corpus.select(explode(split(col(textCol), " ", -1)).as("__t"))
+      .select(explode(array((0 until depth).map(j =>
+        (lit(j.toLong) * width + posOf(col("__t"), j)).as(s"c$j")): _*)).as("__cell"))
+      .groupBy("__cell").agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(col("__cell"), col("__n")))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(depth.toLong * width - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__cms"))
+  }
+
   /** Count-Min-Sketch token frequencies: estimate every probe token's
     * corpus frequency from a FIXED-memory sketch — depth `d` salted-md5
     * rows × width `w` counters — instead of a corpus-sized frequency
@@ -445,48 +487,6 @@ object Corpus {
       .join(regs, Seq("__grp", "register"), "left")
       .select(col("__grp").as(groupCol), col("register"),
         coalesce(col("max_rho"), lit(0L)).as("max_rho"))
-  }
-
-  /** Sketch UNION algebra — what makes fixed-size sketches compose at
-    * fleet scale: per-corpus (or per-partition, per-day, per-source)
-    * sketches built independently merge into the sketch OF THE UNION,
-    * exactly. CMS cells add; HLL registers max. Both identities are
-    * deterministic here (same hash family, integer state), so
-    * merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit — pinned
-    * by `SketchMergeSpec`, not just approximately true.
-    */
-  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("__cms").as("__a"))
-      .crossJoin(b.select(col("__cms").as("__b"))) // both single-row
-      .select(zip_with(col("__a"), col("__b"), (x, y) => x + y).as("__cms"))
-
-  /** Per-register max of two [[hllRegisters]] tables = the register
-    * table of the union corpus.
-    */
-  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("register").agg(max("max_rho").as("max_rho"))
-
-  /** The CMS counter array of a corpus's token stream as a ONE-ROW frame
-    * (column `__cms`, length depth×width) — the broadcastable, mergeable
-    * ([[cmsMerge]]) representation `cmsTokenCounts` probes.
-    */
-  def cmsSketch(
-      corpus: DataFrame,
-      textCol: String,
-      width: Int = 1 << 16,
-      depth: Int = 3,
-  ): DataFrame = {
-    require(width >= 2 && depth >= 1, "need at least a 2-wide, 1-deep sketch")
-    def posOf(tok: Column, j: Int): Column =
-      pmod(conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10).cast("long"),
-        lit(width.toLong))
-    corpus.select(explode(split(col(textCol), " ", -1)).as("__t"))
-      .select(explode(array((0 until depth).map(j =>
-        (lit(j.toLong) * width + posOf(col("__t"), j)).as(s"c$j")): _*)).as("__cell"))
-      .groupBy("__cell").agg(count(lit(1)).as("__n"))
-      .agg(map_from_entries(collect_list(struct(col("__cell"), col("__n")))).as("__m"))
-      .select(transform(sequence(lit(0L), lit(depth.toLong * width - 1)),
-        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__cms"))
   }
 
   def cmsTokenCounts(

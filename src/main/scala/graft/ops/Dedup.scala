@@ -572,7 +572,7 @@ object Dedup {
     * degrades to a shuffled hash join — same result, no single-node
     * materialization of the batch.
     */
-  private def gated(df: DataFrame, rows: Long, cap: Long): DataFrame =
+  private[graft] def gated(df: DataFrame, rows: Long, cap: Long): DataFrame =
     if (rows <= cap) broadcast(df) else df.hint("shuffle_hash")
 
   /** Verified near-dup pairs between an incoming batch and an indexed
@@ -861,6 +861,18 @@ object Dedup {
       .filter(!(col("__first.__fid") === col("__id") && col("__first.__fpos") === col("__pos")))
       .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
       .distinct()
+    cutAndReassemble(df, idCol, textCol, cutPos)
+  }
+
+  /** Shared tail of every span-cut operator (single-corpus removal,
+    * eval-span decontamination, the streaming sink): drop the word
+    * positions in `cutPos` ((__id, __wp) rows) and reassemble each
+    * document in order — ONE implementation so the three operators'
+    * oracle equivalences can never drift apart.
+    */
+  private[graft] def cutAndReassemble(df: DataFrame, idCol: String, textCol: String,
+      cutPos: DataFrame): DataFrame = {
+    val ws = split(col(textCol), " ")
     val words = df
       .select(col(idCol).as("__id"), posexplode(ws))
       .toDF("__id", "__wp", "__w")
@@ -914,20 +926,7 @@ object Dedup {
       .join(gated(evalGrams, evalGrams.count(), broadcastRowCap), Seq("__g"), "left_semi")
       .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
       .distinct()
-    val words = train
-      .select(col(idCol).as("__id"), posexplode(ws))
-      .toDF("__id", "__wp", "__w")
-    val rebuilt = words.join(cutPos, Seq("__id", "__wp"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__wp"), col("__w")))),
-          x => x.getField("__w"))).as("__text"),
-        count(lit(1)).as("__kept"))
-    train.select(col(idCol), size(ws).cast("long").as("n_words"))
-      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
-        col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+    cutAndReassemble(train, idCol, textCol, cutPos)
   }
 
   /** 64-bit SimHash from the word multiset: for each bit, sum +1/-1 by the

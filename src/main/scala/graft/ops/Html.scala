@@ -24,13 +24,20 @@ object Html {
     * fundamental entities plus nbsp decoded; whitespace collapsed and
     * trimmed.
     */
-  def stripTags(html: Column): Column = {
-    val noBlocks = regexp_replace(
+  /** Markup with script/style/comment BLOCKS removed (content and all) —
+    * the text-bearing markup both [[stripTags]] and [[linkDensity]]
+    * derive from, so an anchor inside a commented-out nav or a script
+    * string never counts as anchor text.
+    */
+  private def withoutBlocks(html: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
         "(?is)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+
+  def stripTags(html: Column): Column = {
+    val noTags = regexp_replace(withoutBlocks(html), "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&", // amp LAST: && round-trips
@@ -44,8 +51,8 @@ object Html {
     * it stays one narrow pass.
     */
   def linkDensity(html: Column): Column = {
-    val anchorText = stripTags(
-      concat_ws(" ", regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))))
+    val anchorText = stripTags(concat_ws(" ",
+      regexp_extract_all(withoutBlocks(html), lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))))
     val allText = stripTags(html)
     when(length(allText) === 0, lit(0.0))
       .otherwise(length(anchorText).cast("double") / length(allText))

@@ -49,9 +49,12 @@ object LanguageModel {
     * c1 is denormalized onto the bigram rows so scoring's smoothed-
     * probability numerator and denominator come from ONE join when the
     * bigram is present. The unigram table rides along for the
-    * unseen-bigram fallback.
+    * unseen-bigram fallback. Row counts are computed ONCE here, where
+    * the tables are freshly checkpointed, so scoring a static model
+    * per micro-batch never pays count jobs on the hot path.
     */
-  final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame, vocab: Long)
+  final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame, vocab: Long,
+      bigramRowCount: Long, unigramRowCount: Long)
 
   def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
     val words = ref.select(explode(split(col(textCol), " ")).as("w"))
@@ -61,7 +64,7 @@ object LanguageModel {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
       .localCheckpoint(true)
-    BigramLm(big, uni.select(col("w").as("w1"), col("c1")), vocab)
+    BigramLm(big, uni.select(col("w").as("w1"), col("c1")), vocab, big.count(), vocab)
   }
 
   /** Per-doc quantized cross-entropy: (idCol, bits, n_bigrams) for EVERY
@@ -77,12 +80,11 @@ object LanguageModel {
       broadcastRowCap: Long = 4000000L,
   ): DataFrame = {
     def gated(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= broadcastRowCap) broadcast(df) else df.hint("shuffle_hash")
-    val bigN = lm.bigrams.count() // free post-checkpoint
-    val uniN = lm.unigrams.count()
+      Dedup.gated(df, rows, broadcastRowCap)
     val pairs = bigramRows(docs, idCol, textCol)
-      .join(gated(lm.bigrams, bigN), Seq("w1", "w2"), "left")
-      .join(gated(lm.unigrams.withColumnRenamed("c1", "__uc1"), uniN), Seq("w1"), "left")
+      .join(gated(lm.bigrams, lm.bigramRowCount), Seq("w1", "w2"), "left")
+      .join(gated(lm.unigrams.withColumnRenamed("c1", "__uc1"), lm.unigramRowCount),
+        Seq("w1"), "left")
     // a = c12 + 1, b = c1 + V; m = ceil(b / a); q = ceil(log2 m).
     // `div` (integral), never `/`: b can exceed a double's exact range
     // on a real corpus and ceil-of-float would mis-quantize near powers

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * and [[Dsir]] quantize probabilities — idf_bits(term) =
   * ceil(log2((N+1)/(df+1))) computed integer-only — so a document's
   * score sum(qtf * tf * idf_bits) is a BIGINT and ordering disputes
-  * with the oracle are impossible.
+  * with the oracle are impossible while scores stay under 2^53 (the
+  * ranking aggregate carries them as integer-valued doubles; a corpus
+  * would need ~10^12-token documents to break that bound).
   *
   * Scale shape: postings and idf are both keyed by term — ONE shuffle
   * each, joined without a further exchange; the query side is
@@ -29,8 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object Lexical {
 
+  // the one count-gated broadcast helper, shared with the dedup family
   private def gated(df: DataFrame, rows: Long, cap: Long): DataFrame =
-    if (rows <= cap) broadcast(df) else df.hint("shuffle_hash")
+    Dedup.gated(df, rows, cap)
 
   /** Whole-bit quantized idf table: (term, idf_bits) for every distinct
     * corpus term, idf_bits = bit length of m-1 for

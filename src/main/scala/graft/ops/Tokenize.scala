@@ -126,6 +126,12 @@ object Tokenize {
       client: TokenizerClient = FixedBpeTokenizer,
       cacheCap: Int = 1 << 20,
   ): DataFrame = {
+    // reject non-numeric ids at ANALYSIS time: a silent cast of a string
+    // id yields nulls and the kernel would die with an opaque executor
+    // NPE instead of this message
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tokenCounts needs a numeric id column ('$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString})")
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("n_tokens", LongType)))

@@ -85,18 +85,7 @@ object StreamingSpanDedup {
         !(col("__first.__fid") === col("__id") && col("__first.__fpos") === col("__pos")))
       .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__wp"))
       .distinct()
-    val ws = split(col(textCol), " ")
-    val words = batch.select(col(idCol).as("__id"), posexplode(ws)).toDF("__id", "__wp", "__w")
-    val rebuilt = words.join(cutPos, Seq("__id", "__wp"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__wp"), col("__w")))),
-        x => x.getField("__w"))).as("__text"),
-        count(lit(1)).as("__kept"))
-    batch.select(col(idCol), size(ws).cast("long").as("n_words"))
-      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
-        col("n_words"), coalesce(col("__kept"), lit(0L)).as("n_kept"))
+    Dedup.cutAndReassemble(batch, idCol, textCol, cutPos)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -25,6 +25,14 @@ class ZOrderSpec extends SparkTestBase {
     assert(df.select(ZOrder.quantize(col("v"), 5L, 5L, 8)).as[Long].collect().forall(_ == 0L))
   }
 
+  test("quantize survives ranges past 2^47 without Long wrap (pre-shift engages)") {
+    val lo = 0L; val hi = Long.MaxValue / 2
+    val df = Seq(lo, hi / 2, hi).toDF("v")
+    val q = df.select(ZOrder.quantize(col("v"), lo, hi, 16).as("q")).as[Long].collect().toSeq
+    assert(q.forall(x => x >= 0L && x <= 65535L), s"wrapped: $q")
+    assert(q == q.sorted && q.head == 0L && q.last == 65535L && q(1) >= 32700L && q(1) <= 32800L)
+  }
+
   test("z-curve locality: close points share high bits, far points do not") {
     val df = Seq((10L, 10L), (11L, 11L), (1000L, 1000L)).toDF("a", "b")
     val z = ZOrder.withZValue(df, Seq("a", "b"), bits = 10)

@@ -39,6 +39,12 @@ class HtmlSpec extends SparkTestBase {
     assert(dens(1L) > 0.8 && dens(2L) < 0.2)
   }
 
+  test("anchors inside script/comment blocks never count as anchor text") {
+    val h = "<script>var x = '<a>aaaaaaaaaa</a>';</script><!-- <a>bbb</a> -->hi there"
+    val d = Seq(h).toDF("h").select(Html.linkDensity(col("h"))).as[Double].head()
+    assert(d == 0.0)
+  }
+
   test("extract emits text, length and density per row") {
     val got = Html.extract(
       Seq((7L, "<p>Some text</p>")).toDF("doc_id", "html"), "doc_id", "html")
