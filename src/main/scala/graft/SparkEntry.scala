@@ -1071,6 +1071,15 @@ object SparkEntry {
         Seq(1, 10, 25, 50, 75, 90, 99))
         .orderBy("pct")),
 
+    // weighted Poisson sampling: inclusion probability min(1, k*w/W)
+    // with w = n_chars — integer arithmetic end to end (20-bit
+    // md5-uniform), so a SAMPLING operator gates bit-for-bit
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.Corpus.weightedPoissonSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", expectedK = 500)
+        .orderBy("doc_id")),
+
     // the corpus report: one row per language — doc/token counts, exact
     // median length, and the integer HLL register sum (the vocabulary
     // sketch's exact fingerprint; the float estimate derives from the
@@ -3673,6 +3682,12 @@ object SparkEntry {
         |  CAST(SUM((((q0 >> i) & 1) << (2 * i)) + (((q1 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS z_value
         |  FROM q, (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY event_id)
         |SELECT event_id, z_value FROM z ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT sum(n_chars) AS total FROM documents)
+        |SELECT doc_id, n_chars FROM documents, w
+        |WHERE (CAST(('0x' || substr(md5('wps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  % 1048576) * w.total < 500 * n_chars * 1048576
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_corpus_report" ->
       """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),

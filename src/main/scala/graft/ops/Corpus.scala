@@ -424,6 +424,34 @@ object Corpus {
     * Returns one row per distinct probe token: (token, est, true_cnt)
     * with est ≥ true_cnt always; the gap IS the measured sketch error.
     */
+  /** Weighted Poisson sampling: keep each row independently with
+    * inclusion probability min(1, k·w_i / W) — expected sample size k,
+    * probabilities proportional to weight (the Horvitz–Thompson
+    * primitive behind weighted corpus mixes: sample documents
+    * proportional to quality score or token count without a global
+    * sort). The "randomness" is a 20-bit md5-uniform of the id — stable
+    * across runs and cluster sizes, and the keep decision
+    * u · W < k · w · 2^20 is INTEGER arithmetic end to end (u < 2^20,
+    * so the products stay far inside a BIGINT for any real corpus
+    * weight total), which is what lets a sampling operator gate
+    * bit-for-bit against a SQL oracle at all. One tiny aggregate for W;
+    * the decision itself is a narrow map — no shuffle.
+    */
+  def weightedPoissonSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      expectedK: Long,
+      salt: String = "wps",
+  ): DataFrame = {
+    require(expectedK > 0, "expectedK must be positive")
+    val total = df.agg(coalesce(sum(col(weightCol).cast("long")), lit(0L))).head.getLong(0)
+    require(total > 0, "weight total must be positive")
+    val u = pmod(conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(1L << 20))
+    df.filter(u * total < lit(expectedK) * col(weightCol).cast("long") * (1L << 20))
+  }
+
   /** Grouped exact quantiles — [[exactQuantiles]] per group key (length
     * distributions per language/source, the standard corpus report).
     * Same machinery with the group key riding every stage: the histogram
