@@ -132,6 +132,34 @@ object StreamingRetrieval {
       .parquet(indexPath)
   }
 
+  /** Index OPTIMIZE — the IVF lifecycle's third verb next to bootstrap
+    * and per-batch append, mirroring `Lexical.Index.optimize` and the
+    * z-order table pass: re-train centroids on the CURRENT contents
+    * (deterministic k-means: id-ordered init, fixed iterations),
+    * re-assign every vector, and compact all delta partitions into one
+    * fresh `batch_id=-1` seed via the staged swap. Run it when stream
+    * growth has drifted the cell balance (hot cells degrade probe
+    * pruning exactly like an unbalanced LSH bucket); after it, probes
+    * scan one balanced partition set and the next stream batch appends
+    * from `batch_id=0` semantics again. Returns the new centroids —
+    * the caller must probe with THESE from now on.
+    */
+  def optimizeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      k: Int,
+      maxIter: Int = 5,
+  ): Seq[(Int, Array[Double])] = {
+    val all = spark.read.parquet(indexPath).select("n_id", "n_vec")
+      .localCheckpoint(true) // read fully BEFORE the swap overwrites the dir
+    val cents = Similarity.kmeansCentroids(all, "n_id", "n_vec", k, maxIter)
+    val reassigned = Similarity.ivfAssign(all, "n_vec", cents)
+      .withColumn("batch_id", lit(-1L))
+    graft.core.TableWriter.stagedOverwriteWith(
+      spark, reassigned.write.partitionBy("batch_id"), indexPath)
+    cents
+  }
+
   /** Continuous retrieval over a GROWING index: each micro-batch probes
     * the corpus plus every earlier stream batch, then joins the index
     * itself. `bootstrapIndex` must have seeded `indexPath`.

@@ -158,4 +158,40 @@ class StreamingRetrievalSpec extends SparkTestBase {
       .select("q_id", "rank", "n_id").collect().toSet
     assert(direct == pre)
   }
+  test("optimizeIndex compacts deltas into a re-trained seed; probes match fresh assignment") {
+    val root = tmpDir("sretr_opt")
+    val vecs = (1L to 60L).map { i =>
+      val v = if (i % 2 == 0) Array(1.0, 0.0, 0.0, i / 100.0) else Array(0.0, 1.0, i / 100.0, 0.0)
+      (i, v)
+    }
+    val base = vecs.take(40).toDF("n_id", "n_vec")
+    val delta = vecs.drop(40).toDF("n_id", "n_vec")
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(base, "n_vec", cents), s"$root/idx")
+    Similarity.ivfAssign(delta, "n_vec", cents).withColumn("batch_id", lit(3L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$root/idx")
+
+    val newCents = StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
+    val back = spark.read.parquet(s"$root/idx")
+    // one seed partition, every vector present exactly once
+    assert(back.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(back.count() == 60L && back.select("n_id").distinct().count() == 60L)
+    // stored assignment == fresh assignment under the returned centroids
+    val fresh = Similarity.ivfAssign(vecs.toDF("n_id", "n_vec"), "n_vec", newCents)
+      .select(col("n_id"), col("__cell")).as[(Long, Int)].collect().toMap
+    val stored = back.select(col("n_id"), col("__cell")).as[(Long, Int)].collect().toMap
+    assert(stored == fresh)
+    // probes against the optimized index equal probes against the fresh assignment
+    val queries = Seq((900L, Array(1.0, 0.0, 0.0, 0.0)), (901L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("q_id", "q_vec")
+    val viaIdx = Similarity.ivfTopKPreAssigned(
+      back.select("n_id", "n_vec", "__cell"), queries,
+      "n_id", "n_vec", "q_id", "q_vec", newCents, nProbe = 1, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Similarity.ivfTopKPreAssigned(
+      Similarity.ivfAssign(vecs.toDF("n_id", "n_vec"), "n_vec", newCents), queries,
+      "n_id", "n_vec", "q_id", "q_vec", newCents, nProbe = 1, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIdx == direct)
+  }
 }
