@@ -736,7 +736,7 @@ object SparkEntry {
         "doc_id", "text", dim = 32)
         .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
       StreamingRetrieval.bootstrapIndex(
-        Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+        Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/index")
       withFewShufflePartitions(s, 8) {
         docs.filter(col("doc_id") % 200 === 0).select("doc_id", "text")
           .write.mode("append").parquet(s"$root/stream")
@@ -744,8 +744,9 @@ object SparkEntry {
           .schema(StructType(Seq(
             StructField("doc_id", LongType), StructField("text", StringType))))
           .parquet(s"$root/stream")
+        // probe centroids come from the index's own meta/ — no caller state
         val q = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
-          cents, dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
+          dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
         q.processAllAvailable() // batch 0 = wave 1
         docs.filter(col("doc_id") % 200 === 100).select("doc_id", "text")
           .write.mode("append").parquet(s"$root/stream")

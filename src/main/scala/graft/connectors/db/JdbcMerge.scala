@@ -229,12 +229,38 @@ object JdbcMerge {
     */
   def tableExists(cfg: JdbcSource.JdbcConfig, table: String): Boolean =
     withConnection(cfg) { conn =>
+      val md = conn.getMetaData
+      // getTables takes LIKE patterns: '_'/'%' in a real table name act
+      // as wildcards, and 'sch.tbl' must be split into the
+      // (schemaPattern, tablePattern) arguments or it never matches.
+      // Escape when the driver declares an escape string (Derby returns
+      // "" — none), and ALWAYS verify exact TABLE_NAME/TABLE_SCHEM
+      // equality on the returned rows: a wildcard over-match must not
+      // report a table that doesn't exist (and the escape-less path must
+      // not report T7DATA for a probe of T7_ATA).
+      val escOpt = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+      def quote(s: String): String = escOpt.fold(s)(e =>
+        s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%"))
+      val (schemaOpt, bare) = table.lastIndexOf('.') match {
+        case -1 => (None, table)
+        case i  => (Some(table.substring(0, i)), table.substring(i + 1))
+      }
       // unquoted identifiers are case-normalized by the destination
       // (Derby/Postgres: upper/lower); check both plus verbatim
-      val names = Seq(table, table.toUpperCase, table.toLowerCase).distinct
-      names.exists { n =>
-        val rs = conn.getMetaData.getTables(null, null, n, Array("TABLE"))
-        try rs.next() finally rs.close()
+      def variants(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      val pairs = for {
+        s <- schemaOpt.map(sc => variants(sc).map(Some(_))).getOrElse(Seq(None))
+        t <- variants(bare)
+      } yield (s, t)
+      pairs.exists { case (s, t) =>
+        val rs = md.getTables(null, s.map(quote).orNull, quote(t), Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_NAME") == t &&
+              s.forall(_ == rs.getString("TABLE_SCHEM"))
+          found
+        } finally rs.close()
       }
     }
 

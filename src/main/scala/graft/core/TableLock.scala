@@ -205,8 +205,21 @@ object TableLock {
     * (recovery heals, compaction) and not something callers can size.
     */
   def withLock[T](spark: SparkSession, tablePath: String, owner: String,
-      staleMs: Long = 15L * 60 * 1000)(f: => T): T = {
-    val lease = acquire(spark, tablePath, owner, staleMs)
+      staleMs: Long = 15L * 60 * 1000, waitMs: Long = 0L)(f: => T): T = {
+    // bounded wait: a holder that is merely BUSY (not crashed) releases
+    // well before staleMs — polling acquire lets a streaming micro-batch
+    // queue behind an in-flight OPTIMIZE instead of failing the stream
+    val deadline = System.currentTimeMillis() + waitMs
+    def acquireWaiting(): Lease =
+      try acquire(spark, tablePath, owner, staleMs)
+      catch {
+        case e: LockHeldException if System.currentTimeMillis() < deadline =>
+          log.info(s"table $tablePath held; retrying acquire for " +
+            s"${deadline - System.currentTimeMillis()} ms more (${e.getMessage})")
+          Thread.sleep(200)
+          acquireWaiting()
+      }
+    val lease = acquireWaiting()
     val interval = math.max(1L, staleMs / 3)
     val heartbeat = new Thread(() => {
       var live = true

@@ -38,15 +38,35 @@ object ZOrder {
       // deterministically instead: dropping `shift` low bits before
       // scaling changes nothing — the quantizer keeps only the top
       // `bits` bits of the range anyway (shift only engages past a
-      // ~2^47 range, e.g. snowflake ids or epoch-nanos).
-      val range = hi - lo
+      // ~2^47 range, e.g. snowflake ids or epoch-nanos). The range and
+      // shift are computed in BigInt so neither `hi - lo` (which wraps
+      // for signed domains spanning more than Long.MaxValue) nor the
+      // `+ 1` guard (which wraps at range == Long.MaxValue) can
+      // overflow on the driver.
+      val bigRange = BigInt(hi) - BigInt(lo)
       var shift = 0
-      while (((range >> shift) + 1) > Long.MaxValue / (mask + 1)) shift += 1
-      val vShifted = call_function("shiftright",
-        coalesce(v.cast("long"), lit(lo)) - lo, lit(shift))
-      val q = vShifted * mask
-      val d = call_function("div", q, lit(range >> shift)).cast("long")
-      least(greatest(d, lit(0L)), lit(mask))
+      while ((bigRange >> shift) + 1 > BigInt(Long.MaxValue / (mask + 1))) shift += 1
+      val (vShifted, denom) =
+        if (bigRange.isValidLong) {
+          // v - lo itself fits a Long: shift after subtracting, which is
+          // the historical (oracle-replayed) formula.
+          (call_function("shiftright",
+            coalesce(v.cast("long"), lit(lo)) - lo, lit(shift)),
+            bigRange.toLong >> shift)
+        } else {
+          // v - lo would wrap: shift the OPERANDS first (arithmetic
+          // shift = floor-div by 2^shift keeps ordering), then subtract
+          // in the narrowed domain where everything fits.
+          (call_function("shiftright",
+            coalesce(v.cast("long"), lit(lo)), lit(shift)) - lit(lo >> shift),
+            (hi >> shift) - (lo >> shift))
+        }
+      if (denom <= 0L) lit(0L)
+      else {
+        val q = vShifted * mask
+        val d = call_function("div", q, lit(denom)).cast("long")
+        least(greatest(d, lit(0L)), lit(mask))
+      }
     }
   }
 

@@ -431,11 +431,15 @@ object Corpus {
     * proportional to quality score or token count without a global
     * sort). The "randomness" is a 20-bit md5-uniform of the id — stable
     * across runs and cluster sizes, and the keep decision
-    * u · W < k · w · 2^20 is INTEGER arithmetic end to end (u < 2^20,
-    * so the products stay far inside a BIGINT for any real corpus
-    * weight total), which is what lets a sampling operator gate
-    * bit-for-bit against a SQL oracle at all. One tiny aggregate for W;
-    * the decision itself is a narrow map — no shuffle.
+    * u · W < k · w · 2^20 is exact integer arithmetic end to end, which
+    * is what lets a sampling operator gate bit-for-bit against a SQL
+    * oracle at all. The products are computed in DECIMAL(38,0), not
+    * BIGINT: u < 2^20, so u·W needs up to 20+63 bits — a corpus
+    * weighted by n_chars at the 100 TB scale pushes W past 2^43 and
+    * would silently wrap a 64-bit product (corrupting the sample with
+    * no error), while 38-digit decimal holds ~126 bits and stays exact.
+    * One tiny aggregate for W; the decision itself is a narrow map — no
+    * shuffle.
     */
   def weightedPoissonSample(
       df: DataFrame,
@@ -449,7 +453,9 @@ object Corpus {
     require(total > 0, "weight total must be positive")
     val u = pmod(conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("long"), lit(1L << 20))
-    df.filter(u * total < lit(expectedK) * col(weightCol).cast("long") * (1L << 20))
+    val dec = "decimal(38,0)"
+    df.filter(u.cast(dec) * lit(total).cast(dec) <
+      lit(expectedK).cast(dec) * col(weightCol).cast("long").cast(dec) * lit(1L << 20).cast(dec))
   }
 
   /** Grouped exact quantiles — [[exactQuantiles]] per group key (length

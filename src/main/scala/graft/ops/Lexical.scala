@@ -40,15 +40,18 @@ object Lexical {
     * m = ceil((N+1)/(df+1)) — 0 for terms in every document, growing by
     * 1 per idf doubling.
     */
-  def idfBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = docs.count()
-    docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
+  def idfBits(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    idfBitsFromDf(
+      docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df")),
+      docs.count())
+
+  /** (term, idf_bits) from an already-computed (term, df) frame. */
+  private def idfBitsFromDf(df: DataFrame, n: Long): DataFrame =
+    df.withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
       .select(col("term"),
         when(col("__m") <= 1L, lit(0L))
           .otherwise(length(bin(col("__m") - 1)).cast("long")).as("idf_bits"))
-  }
 
   /** Top-k corpus docs per query by the integer tf-idf score
     * sum(qtf * tf * idf_bits) over shared terms, ties broken by doc id.
@@ -81,15 +84,22 @@ object Lexical {
       championSize: Int = 0,
       broadcastRowCap: Long = 4000000L,
   ): DataFrame = {
+    // checkpointed once: the idf derivation below and every join read the
+    // materialized postings — ONE corpus tokenize + shuffle total (df per
+    // term is just the postings' per-term row count, since postings are
+    // already (term, id)-distinct; a separate idfBits pass would tokenize
+    // the corpus a second time)
     val allPostings = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
     val qt = queries
       .select(col(qidCol), explode(split(col(qtextCol), " ")).as("term"))
       .groupBy(col(qidCol), col("term")).agg(count(lit(1)).as("__qtf"))
       .localCheckpoint(true) // counted for the gate, then joined
     val qtGated = gated(qt, qt.count(), broadcastRowCap)
-    val idf = idfBits(docs, idCol, textCol)
+    val idf = idfBitsFromDf(
+      allPostings.groupBy("term").agg(count(lit(1)).as("df")), docs.count())
     val scored =
       if (championSize <= 0)
         allPostings
@@ -122,24 +132,55 @@ object Lexical {
     * by a term hash so a probe prunes partitions; the vocabulary-sized
     * idf/df table alongside), probe many, append incrementally.
     *
-    * Layout under `path`:
-    *   postings/  (term, id, tf, crank) partitioned by __tb = md5-bucket
-    *              of term; crank = champion rank within the term at
-    *              build/optimize time, NULL for rows appended since
-    *   idf/       (term, df) — document frequencies; idf_bits derive
-    *              from (df, n) at probe time so appends stay cheap
-    *   meta/      one row: (n_docs)
+    * Layout under `path` — every sub-table partitioned by an
+    * append-batch id `__ab` (-1 = build/optimize output, >= 0 = one
+    * append batch), the same batch-keyed discipline as the streaming
+    * sinks:
+    *   postings/  (term, id, tf, crank) partitioned by (__ab, __tb),
+    *              __tb = md5-bucket of term; crank = champion rank
+    *              within the term at build/optimize time (pending
+    *              append rows use crank = 0)
+    *   idf/       (term, df) partitioned by __ab — per-batch document
+    *              frequency DELTAS; probes sum across batches
+    *              (vocabulary-sized work)
+    *   meta/      (n_docs) partitioned by __ab — per-batch doc counts;
+    *              probes sum
     *
-    * Append contract: new batches land as postings with NULL crank (all
-    * candidates until the next optimize — bounded while batches are
-    * small relative to the indexed corpus, exactly the incremental-LSH
-    * trade) and the df/meta tables are rewritten (vocabulary-sized, not
-    * corpus-sized). `optimizeIndex` recomputes champion ranks over the
-    * union, after which the index is IDENTICAL to a fresh build over
-    * the union corpus (spec-pinned).
+    * Append contract: a batch lands all three deltas under its OWN
+    * `__ab = appendId` partitions with dynamic partition overwrite, so
+    * a crashed-and-retried append (same appendId) overwrites itself
+    * instead of duplicating posting/df rows. Postings commit first: a
+    * crash before the idf/meta deltas leaves df and n_docs lagging the
+    * appended docs (idf_bits slightly stale at probe time) until the
+    * append is retried or `optimize` runs — never duplicated, never
+    * over-counted. Appended postings are all candidates until the next
+    * optimize (bounded while batches are small relative to the indexed
+    * corpus, exactly the incremental-LSH trade). `optimize` recomputes
+    * champion ranks over the union and compacts every sub-table back to
+    * a single `__ab = -1` partition, after which the index is IDENTICAL
+    * to a fresh build over the union corpus (spec-pinned).
+    *
+    * Single-writer discipline: `build`/`append`/`optimize` all run under
+    * the same [[graft.core.TableLock]] lease keyed on the index ROOT, so
+    * an `optimize` staged swap can never race a live `append` (the swap
+    * replaces whole directories — an unlocked interleave would silently
+    * drop the in-flight append partition, the exact failure class the
+    * lease was built for on data tables).
     */
   object Index {
     private val TermBuckets = 64
+
+    /** Lease wait: a busy holder (an optimize mid-swap) releases in
+      * bounded time, so queue briefly instead of failing the batch job;
+      * a crashed holder is taken over at the lease's staleMs regardless.
+      */
+    private val LockWaitMs = 60L * 1000
+
+    private def locked[T](spark: org.apache.spark.sql.SparkSession, path: String,
+        verb: String)(f: => T): T =
+      graft.core.TableLock.withLock(spark, path,
+        owner = s"lexical-index-$verb:${java.util.UUID.randomUUID()}",
+        waitMs = LockWaitMs)(f)
 
     private def termBucket(c: Column): Column =
       pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(TermBuckets.toLong))
@@ -167,45 +208,70 @@ object Lexical {
         .groupBy("term").agg(count(lit(1)).as("df"))
 
     def build(docs: DataFrame, idCol: String, textCol: String, path: String,
-        championSize: Int): Unit = {
+        championSize: Int): Unit = locked(docs.sparkSession, path, "build") {
       val spark = docs.sparkSession
       withCrank(postingsOf(docs, idCol, textCol), championSize)
+        .withColumn("__ab", lit(-1L))
         .withColumn("__tb", termBucket(col("term")))
-        .write.mode("overwrite").partitionBy("__tb").parquet(s"$path/postings")
-      dfOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$path/idf")
+        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(s"$path/postings")
+      dfOf(docs, idCol, textCol).withColumn("__ab", lit(-1L))
+        .write.mode("overwrite").partitionBy("__ab").parquet(s"$path/idf")
       spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
-        .write.mode("overwrite").parquet(s"$path/meta")
+        .withColumn("__ab", lit(-1L))
+        .write.mode("overwrite").partitionBy("__ab").parquet(s"$path/meta")
     }
 
-    /** Append a document batch: postings land with NULL crank (always
-      * candidates until the next optimize); df and n_docs are rewritten
-      * from their old values + the batch's — vocabulary-sized work.
+    /** Append a document batch under its own `__ab = appendId`
+      * partitions: postings land with crank = 0 (always candidates until
+      * the next optimize), df and n_docs land as per-batch deltas.
+      * Idempotent per appendId — a retry after a crash overwrites the
+      * same partitions and heals any half-landed state; idf/meta lag the
+      * postings only inside the crash window (see the layout contract).
       */
-    def append(batch: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    def append(batch: DataFrame, idCol: String, textCol: String, path: String,
+        appendId: Long = 0L): Unit = locked(batch.sparkSession, path, "append") {
+      require(appendId >= 0L, s"appendId must be >= 0 (-1 is the build partition): $appendId")
       val spark = batch.sparkSession
       postingsOf(batch, idCol, textCol)
         .withColumn("crank", lit(0L)) // pending: candidate until optimize
+        .withColumn("__ab", lit(appendId))
         .withColumn("__tb", termBucket(col("term")))
-        .write.mode("append").partitionBy("__tb").parquet(s"$path/postings")
-      val mergedDf = spark.read.parquet(s"$path/idf")
-        .unionByName(dfOf(batch, idCol, textCol))
-        .groupBy("term").agg(sum("df").as("df"))
-      graft.core.TableWriter.stagedOverwrite(spark, mergedDf, s"$path/idf")
-      val n = spark.read.parquet(s"$path/meta").head.getLong(0) + batch.count()
-      graft.core.TableWriter.stagedOverwrite(spark,
-        spark.createDataFrame(Seq(Tuple1(n))).toDF("n_docs"), s"$path/meta")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab", "__tb").parquet(s"$path/postings")
+      dfOf(batch, idCol, textCol).withColumn("__ab", lit(appendId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab").parquet(s"$path/idf")
+      spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
+        .withColumn("__ab", lit(appendId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab").parquet(s"$path/meta")
     }
 
-    /** Recompute champion ranks over the full postings — after this the
+    /** Recompute champion ranks over the full postings and compact every
+      * sub-table to a single `__ab = -1` partition — after this the
       * index is identical to a fresh build over the union corpus.
       */
     def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
-        championSize: Int): Unit = {
+        championSize: Int): Unit = locked(spark, path, "optimize") {
       val re = withCrank(
         spark.read.parquet(s"$path/postings").select("term", "id", "tf"), championSize)
+        .withColumn("__ab", lit(-1L))
         .withColumn("__tb", termBucket(col("term")))
       graft.core.TableWriter.stagedOverwriteWith(
-        spark, re.write.partitionBy("__tb"), s"$path/postings")
+        spark, re.write.partitionBy("__ab", "__tb"), s"$path/postings")
+      val df = spark.read.parquet(s"$path/idf")
+        .groupBy("term").agg(sum("df").as("df")).withColumn("__ab", lit(-1L))
+        .localCheckpoint(true) // read fully before the swap drops the source
+      graft.core.TableWriter.stagedOverwriteWith(
+        spark, df.write.partitionBy("__ab"), s"$path/idf")
+      val n = spark.read.parquet(s"$path/meta")
+        .agg(sum("n_docs")).head.getLong(0)
+      graft.core.TableWriter.stagedOverwriteWith(
+        spark, spark.createDataFrame(Seq(Tuple1(n))).toDF("n_docs")
+          .withColumn("__ab", lit(-1L)).write.partitionBy("__ab"), s"$path/meta")
     }
 
     /** Probe: champion/NULL-crank rows nominate candidates, candidates
@@ -216,8 +282,11 @@ object Lexical {
         queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
         broadcastRowCap: Long = 4000000L): DataFrame = {
       val postings = spark.read.parquet(s"$path/postings")
-      val n = spark.read.parquet(s"$path/meta").head.getLong(0)
+      // per-batch deltas sum to the union-corpus df and n_docs —
+      // vocabulary-sized (idf) and batch-count-sized (meta) work
+      val n = spark.read.parquet(s"$path/meta").agg(sum("n_docs")).head.getLong(0)
       val idf = spark.read.parquet(s"$path/idf")
+        .groupBy("term").agg(sum("df").as("df"))
         .withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
         .select(col("term"),
           when(col("__m") <= 1L, lit(0L))

@@ -154,6 +154,12 @@ object Tokenize {
               }
               acc + c.longValue()
             }
+          // same opaque-executor-NPE hazard the analysis-time type
+          // require guards against, but per-row: a null id must name
+          // the column, not die inside getLong
+          if (r.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"tokenCounts: null id in column '$idCol' — filter null ids before tokenizing")
           Row(r.getLong(0), n)
         }
         new Iterator[Row] {

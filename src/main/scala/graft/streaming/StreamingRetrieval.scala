@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.{Embedding, Similarity}
@@ -31,8 +31,38 @@ import graft.ops.{Embedding, Similarity}
   * of micro-batch boundaries: each query row's top-k depends only on the
   * static index, so any arrival-order/batching replays to the same
   * landed set.
+  *
+  * GROWING index layout under `indexPath` (mirrors `Lexical.Index`):
+  *   vectors/  (n_id, n_vec, __cell) partitioned by batch_id
+  *             (-1 = bootstrap/optimize seed, >= 0 = stream deltas)
+  *   meta/     (cell, vec) — the centroids the vectors are CURRENTLY
+  *             assigned under. Persisted with the index so a restart (or
+  *             any probe) reads centroids from disk instead of trusting
+  *             the caller to remember the output of the last
+  *             `optimizeIndex` — stale in-memory centroids against a
+  *             re-assigned index would silently mis-probe.
+  *
+  * Single-writer discipline: the per-batch index append and
+  * `optimizeIndex` both run under the same [[graft.core.TableLock]]
+  * lease keyed on `indexPath`, so an OPTIMIZE staged swap (which
+  * replaces the whole vectors/ dir) can never race a live stream's
+  * delta append — an unlocked interleave would silently drop the
+  * in-flight `batch_id=N` partition. Micro-batches WAIT (bounded) for
+  * an in-flight optimize rather than failing the stream.
   */
 object StreamingRetrieval {
+
+  /** How long a micro-batch queues behind an in-flight optimize before
+    * failing the stream (an optimize over a 100 TB index is minutes of
+    * cluster work; a crashed holder is taken over at the lease's
+    * staleMs regardless).
+    */
+  private val BatchLockWaitMs = 10L * 60 * 1000
+
+  private def locked[T](spark: SparkSession, indexPath: String, verb: String,
+      waitMs: Long = 0L)(f: => T): T =
+    graft.core.TableLock.withLock(spark, indexPath,
+      owner = s"ivf-index-$verb:${java.util.UUID.randomUUID()}", waitMs = waitMs)(f)
 
   /** Land one micro-batch of documents into `outPath/batch_id=<id>/`.
     * Idempotent per batchId: a replay overwrites its own partition
@@ -69,12 +99,36 @@ object StreamingRetrieval {
   }
 
   /** Bootstrap a GROWING index table: the base corpus's `ivfAssign`
-    * output lands as the `batch_id=-1` seed partition; each later stream
-    * batch appends its own delta partition (`landAndIndexBatch`).
+    * output lands as the `batch_id=-1` seed partition of `vectors/`, and
+    * the centroids it was assigned under land in `meta/`; each later
+    * stream batch appends its own delta partition (`landAndIndexBatch`).
     */
-  def bootstrapIndex(assigned: DataFrame, indexPath: String): Unit =
+  def bootstrapIndex(assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
+      indexPath: String): Unit = {
     assigned.withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$indexPath/vectors")
+    writeCentroids(assigned.sparkSession, centroids, s"$indexPath/meta",
+      staged = false)
+  }
+
+  /** The centroids the index's vectors are currently assigned under —
+    * the ONLY correct probe centroids for this index. k rows; a driver
+    * collect by design.
+    */
+  def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$indexPath/meta")
+      .orderBy("cell")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toSeq
+
+  private def writeCentroids(spark: SparkSession, centroids: Seq[(Int, Array[Double])],
+      metaPath: String, staged: Boolean): Unit = {
+    val df = spark.createDataFrame(centroids.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "vec").coalesce(1)
+    if (staged) graft.core.TableWriter.stagedOverwrite(spark, df, metaPath)
+    else df.write.mode("overwrite").parquet(metaPath)
+  }
 
   /** One micro-batch of the crawl → probe → index loop (the reference's
     * unstructured_data ingest-then-query flow made continuous): embed the
@@ -82,7 +136,9 @@ object StreamingRetrieval {
     * batchId` — probe-then-append, so results are a deterministic
     * function of batch membership), land per-doc top-k, then append the
     * batch's own assigned vectors as the index's `batch_id=<id>` delta
-    * partition. Later batches retrieve THIS batch's documents.
+    * partition. Later batches retrieve THIS batch's documents. Probe
+    * centroids come from the index's own `meta/` — a restart or a
+    * just-finished optimize needs no caller-side state.
     *
     * Both writes are dynamic-partition overwrites keyed by batchId, so a
     * re-delivered batch rewrites its results AND its index delta in
@@ -91,7 +147,8 @@ object StreamingRetrieval {
     * space identical even when the crashed attempt had already landed
     * its delta. Per-batch work is O(batch): the index grows but is only
     * ever equi-joined on cell (partition-pruned parquet scan), never
-    * recomputed.
+    * recomputed. The whole read-probe-append runs under the index lease
+    * so an optimize can't swap the dir out from underneath it.
     */
   def landAndIndexBatch(
       batch: DataFrame,
@@ -99,19 +156,19 @@ object StreamingRetrieval {
       indexPath: String,
       idCol: String,
       textCol: String,
-      centroids: Seq[(Int, Array[Double])],
       dim: Int,
       nProbe: Int,
       k: Int,
       outPath: String,
       broadcastRowCap: Long = 4000000L,
-  ): Unit = {
+  ): Unit = locked(batch.sparkSession, indexPath, "append", waitMs = BatchLockWaitMs) {
     val s = batch.sparkSession
+    val centroids = readCentroids(s, indexPath)
     val emb = Embedding.embedDocuments(batch, idCol, textCol, dim)
       .filter(col("embedding").isNotNull)
       .localCheckpoint(true)
     val queries = emb.select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
-    val index = s.read.parquet(indexPath)
+    val index = s.read.parquet(s"$indexPath/vectors")
       .filter(col("batch_id") < batchId)
       .select("n_id", "n_vec", "__cell")
     Similarity.ivfTopKPreAssigned(index, queries,
@@ -129,7 +186,7 @@ object StreamingRetrieval {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .parquet(indexPath)
+      .parquet(s"$indexPath/vectors")
   }
 
   /** Index OPTIMIZE — the IVF lifecycle's third verb next to bootstrap
@@ -137,39 +194,48 @@ object StreamingRetrieval {
     * z-order table pass: re-train centroids on the CURRENT contents
     * (deterministic k-means: id-ordered init, fixed iterations),
     * re-assign every vector, and compact all delta partitions into one
-    * fresh `batch_id=-1` seed via the staged swap. Run it when stream
+    * fresh `batch_id=-1` seed via the staged swap — then persist the new
+    * centroids in `meta/` so every later probe (including a process
+    * restart) reads the matching centroids from disk. Run it when stream
     * growth has drifted the cell balance (hot cells degrade probe
     * pruning exactly like an unbalanced LSH bucket); after it, probes
     * scan one balanced partition set and the next stream batch appends
-    * from `batch_id=0` semantics again. Returns the new centroids —
-    * the caller must probe with THESE from now on.
+    * from `batch_id=0` semantics again. Runs under the index lease:
+    * a live stream's delta append queues behind the swap instead of
+    * being silently dropped by it. Returns the new centroids for
+    * convenience; `meta/` is the source of truth.
     */
   def optimizeIndex(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       indexPath: String,
       k: Int,
       maxIter: Int = 5,
-  ): Seq[(Int, Array[Double])] = {
-    val all = spark.read.parquet(indexPath).select("n_id", "n_vec")
+  ): Seq[(Int, Array[Double])] = locked(spark, indexPath, "optimize") {
+    val all = spark.read.parquet(s"$indexPath/vectors").select("n_id", "n_vec")
       .localCheckpoint(true) // read fully BEFORE the swap overwrites the dir
     val cents = Similarity.kmeansCentroids(all, "n_id", "n_vec", k, maxIter)
     val reassigned = Similarity.ivfAssign(all, "n_vec", cents)
       .withColumn("batch_id", lit(-1L))
     graft.core.TableWriter.stagedOverwriteWith(
-      spark, reassigned.write.partitionBy("batch_id"), indexPath)
+      spark, reassigned.write.partitionBy("batch_id"), s"$indexPath/vectors")
+    // vectors first, then the centroids they are now assigned under: a
+    // crash between the two leaves meta/ describing the OLD assignment
+    // of a NEW layout — re-running optimize heals it; the lease keeps
+    // probes-with-append from interleaving either way
+    writeCentroids(spark, cents, s"$indexPath/meta", staged = true)
     cents
   }
 
   /** Continuous retrieval over a GROWING index: each micro-batch probes
     * the corpus plus every earlier stream batch, then joins the index
-    * itself. `bootstrapIndex` must have seeded `indexPath`.
+    * itself. `bootstrapIndex` must have seeded `indexPath`; probe
+    * centroids always come from the index's `meta/`.
     */
   def startIndexed(
       docs: DataFrame, // streaming (idCol, textCol)
       indexPath: String, // bootstrapped growing index table
       idCol: String,
       textCol: String,
-      centroids: Seq[(Int, Array[Double])],
       dim: Int,
       nProbe: Int,
       k: Int,
@@ -180,7 +246,7 @@ object StreamingRetrieval {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landAndIndexBatch(batch, batchId, indexPath, idCol, textCol, centroids,
+        landAndIndexBatch(batch, batchId, indexPath, idCol, textCol,
           dim, nProbe, k, outPath, broadcastRowCap)
       }
       .start()

@@ -31,8 +31,17 @@ import graft.ops.Dedup
   * crash between write and checkpoint commit neither sees its own
   * half-landed grams nor duplicates its rows; the replay's cut
   * decisions and output are bit-identical.
+  *
+  * The gram index is a growing table like any other: each batch's
+  * probe-then-append runs under the [[graft.core.TableLock]] lease on
+  * `indexPath` (bounded wait), so table maintenance — a
+  * `TableMaintenance.compact` of the index's small per-batch files,
+  * which takes the same lease — can never interleave its rewrite with
+  * a live batch's probe or delta append.
   */
 object StreamingSpanDedup {
+
+  private val BatchLockWaitMs = 10L * 60 * 1000
 
   private def gramKeys(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val ws = split(col(textCol), " ")
@@ -56,7 +65,9 @@ object StreamingSpanDedup {
       outPath: String,
       indexPath: String,
       broadcastRowCap: Long = 4000000L,
-  ): Unit = {
+  ): Unit = graft.core.TableLock.withLock(batch.sparkSession, indexPath,
+    owner = s"span-dedup-batch:${java.util.UUID.randomUUID()}",
+    waitMs = BatchLockWaitMs) {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

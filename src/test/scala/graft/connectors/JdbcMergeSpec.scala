@@ -39,6 +39,22 @@ class JdbcMergeSpec extends SparkTestBase {
     assert(out == Set((1L, "a", 1L), (2L, "b3", 3L), (4L, "d", 2L)))
   }
 
+  test("tableExists: wildcards escaped, schema-qualified names resolved") {
+    val hints = TableHints("t7", Disposition.Merge, primaryKey = Seq("id"))
+    JdbcMerge.write(spark, Seq((1L, "a")).toDF("id", "v"), cfg("T7DATA"), hints)
+    assert(JdbcMerge.tableExists(cfg("T7DATA"), "T7DATA"))
+    // '_' must not act as a LIKE wildcard: a probe for T7_ATA must NOT
+    // match the existing T7DATA (a false positive here is benign, but
+    // the same unescaped pattern makes FALSE NEGATIVES for real names
+    // with '_' on metadata stores that anchor patterns differently)
+    assert(!JdbcMerge.tableExists(cfg("T7DATA"), "T7_ATA"))
+    assert(!JdbcMerge.tableExists(cfg("T7DATA"), "T7%"))
+    // schema-qualified probe splits into (schema, table) metadata args
+    // (Derby's default schema for un-authenticated connections is APP)
+    assert(JdbcMerge.tableExists(cfg("T7DATA"), "APP.T7DATA"))
+    assert(!JdbcMerge.tableExists(cfg("T7DATA"), "NOSCHEMA.T7DATA"))
+  }
+
   test("merge_key deletes the key set then inserts the batch (replace-by-key)") {
     val hints = TableHints("t2", Disposition.Merge, mergeKey = Seq("day"))
     val b1 = Seq(("d1", 1L), ("d1", 2L), ("d2", 3L)).toDF("day", "n")

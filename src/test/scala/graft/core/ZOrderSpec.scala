@@ -33,6 +33,17 @@ class ZOrderSpec extends SparkTestBase {
     assert(q == q.sorted && q.head == 0L && q.last == 65535L && q(1) >= 32700L && q(1) <= 32800L)
   }
 
+  test("quantize survives a full-width signed domain (hi - lo wraps a Long)") {
+    // lo < 0 < hi spanning more than Long.MaxValue: hi - lo itself wraps
+    val lo = Long.MinValue + 1; val hi = Long.MaxValue
+    val df = Seq(lo, -1L, 0L, hi / 2, hi).toDF("v")
+    val q = df.select(ZOrder.quantize(col("v"), lo, hi, 16).as("q")).as[Long].collect().toSeq
+    assert(q.forall(x => x >= 0L && x <= 65535L), s"wrapped: $q")
+    assert(q == q.sorted && q.head == 0L && q.last == 65535L)
+    // midpoints land mid-range, not clamped garbage
+    assert(q(1) >= 32500L && q(1) <= 33000L, s"mid=$q")
+  }
+
   test("z-curve locality: close points share high bits, far points do not") {
     val df = Seq((10L, 10L), (11L, 11L), (1000L, 1000L)).toDF("a", "b")
     val z = ZOrder.withZValue(df, Seq("a", "b"), bits = 10)

@@ -42,11 +42,50 @@ class LexicalIndexSpec extends SparkTestBase {
     val hits = Lexical.Index.search(spark,
       path, Seq((1L, "freshterm")).toDF("q_id", "q_text"), "q_id", "q_text", 5)
     assert(hits.select("id").as[Long].collect().toSeq == Seq(9000L))
-    // df table reflects the union: common1 count grew by one
+    // the df deltas sum to the union: common1 count grew by one
     val df1 = spark.read.parquet(s"$path/idf").filter(col("term") === "common1")
-      .select("df").as[Long].head()
+      .agg(sum("df")).as[Long].head()
     val base1 = corpus.filter(col("text").contains("common1")).count()
     assert(df1 == base1 + 1)
+  }
+
+  test("a retried append (same appendId) overwrites itself — no duplicate postings or df") {
+    val path = s"${tmpDir("graft_lexidx_retry")}/idx"
+    Lexical.Index.build(corpus, "doc_id", "text", path, championSize = 16)
+    val batch = Seq((9000L, "freshterm common1")).toDF("doc_id", "text")
+    Lexical.Index.append(batch, "doc_id", "text", path, appendId = 5L)
+    val postings1 = spark.read.parquet(s"$path/postings").count()
+    val df1 = spark.read.parquet(s"$path/idf").agg(sum("df")).as[Long].head()
+    val n1 = spark.read.parquet(s"$path/meta").agg(sum("n_docs")).as[Long].head()
+    // crash-before-checkpoint => the same batch is delivered again
+    Lexical.Index.append(batch, "doc_id", "text", path, appendId = 5L)
+    assert(spark.read.parquet(s"$path/postings").count() == postings1)
+    assert(spark.read.parquet(s"$path/idf").agg(sum("df")).as[Long].head() == df1)
+    assert(spark.read.parquet(s"$path/meta").agg(sum("n_docs")).as[Long].head() == n1)
+    val hits = Lexical.Index.search(spark,
+      path, Seq((1L, "freshterm")).toDF("q_id", "q_text"), "q_id", "q_text", 5)
+    assert(hits.select("id").as[Long].collect().toSeq == Seq(9000L))
+  }
+
+  test("append queues behind a held index lease and loses nothing (optimize interleave)") {
+    val path = s"${tmpDir("graft_lexidx_lock")}/idx"
+    Lexical.Index.build(corpus, "doc_id", "text", path, championSize = 16)
+    // simulate an in-flight optimize holding the index lease
+    val lease = graft.core.TableLock.acquire(spark, path, owner = "spec-optimize")
+    val batch = Seq((9000L, "freshterm common1")).toDF("doc_id", "text")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val append = Future(Lexical.Index.append(batch, "doc_id", "text", path, appendId = 0L))
+    Thread.sleep(1000) // the append must still be waiting on the lease
+    assert(!append.isCompleted, "append must not proceed while the lease is held")
+    lease.release()
+    Await.result(append, 90.seconds)
+    // nothing lost: the appended doc is retrievable, deltas are complete
+    val hits = Lexical.Index.search(spark,
+      path, Seq((1L, "freshterm")).toDF("q_id", "q_text"), "q_id", "q_text", 5)
+    assert(hits.select("id").as[Long].collect().toSeq == Seq(9000L))
+    assert(spark.read.parquet(s"$path/meta").agg(sum("n_docs")).as[Long].head() == 501L)
   }
 
   test("append + optimize == fresh build over the union corpus") {

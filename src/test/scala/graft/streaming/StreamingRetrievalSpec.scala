@@ -82,7 +82,7 @@ class StreamingRetrievalSpec extends SparkTestBase {
     val corpus = Embedding.embedDocuments(corpusDocs, "doc_id", "text", dim = 4)
       .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
     StreamingRetrieval.bootstrapIndex(
-      Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+      Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/index")
 
     // wave 1 lands before the stream sees wave 2: two deterministic batches
     Seq((100L, "zeta zeta zeta")).toDF("doc_id", "text")
@@ -92,7 +92,7 @@ class StreamingRetrievalSpec extends SparkTestBase {
         StructField("doc_id", LongType), StructField("text", StringType))))
       .parquet(docsDir)
     val q = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
-      cents, dim = 4, nProbe = 1, k = 3, s"$root/out", s"$root/ckpt")
+      dim = 4, nProbe = 1, k = 3, s"$root/out", s"$root/ckpt")
     q.processAllAvailable()
     Seq((200L, "zeta zeta")).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(docsDir)
@@ -107,9 +107,13 @@ class StreamingRetrievalSpec extends SparkTestBase {
     // batch-0 index delta rather than the bootstrap partition alone.
     assert(landed == Set((200L, 1L, 100L)), s"landed=$landed")
     // index now holds base + both deltas, partition-pruned by batch_id
-    val idx = spark.read.parquet(s"$root/index")
+    val idx = spark.read.parquet(s"$root/index/vectors")
     assert(idx.count() == 12)
     assert(idx.filter(col("batch_id") === -1L).count() == 10)
+    // the probe centroids are the index's own, persisted at bootstrap
+    assert(StreamingRetrieval.readCentroids(spark, s"$root/index")
+      .map { case (c, v) => (c, v.toSeq) } ==
+      cents.map { case (c, v) => (c, v.toSeq) })
   }
 
   test("a re-delivered indexed batch rewrites results and index delta in place") {
@@ -118,18 +122,18 @@ class StreamingRetrievalSpec extends SparkTestBase {
       (1L to 10L).map(i => (i, "alpha")).toDF("doc_id", "text"), "doc_id", "text", dim = 4)
       .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
     StreamingRetrieval.bootstrapIndex(
-      Similarity.ivfAssign(corpus, "n_vec", cents), s"$root/index")
+      Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/index")
     val b0 = Seq((100L, "alpha beta")).toDF("doc_id", "text")
     StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
-      cents, 4, 1, 3, s"$root/out")
+      4, 1, 3, s"$root/out")
     val out1 = spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString)
-    val idx1 = spark.read.parquet(s"$root/index").count()
+    val idx1 = spark.read.parquet(s"$root/index/vectors").count()
     // crash between write and checkpoint commit => same batch re-delivered;
     // the probe must NOT see the crashed attempt's own index delta
     StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
-      cents, 4, 1, 3, s"$root/out")
+      4, 1, 3, s"$root/out")
     assert(spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString) == out1)
-    assert(spark.read.parquet(s"$root/index").count() == idx1)
+    assert(spark.read.parquet(s"$root/index/vectors").count() == idx1)
   }
 
   test("ivfTopKPreAssigned gated off broadcast returns identical results") {
@@ -167,12 +171,12 @@ class StreamingRetrievalSpec extends SparkTestBase {
     val base = vecs.take(40).toDF("n_id", "n_vec")
     val delta = vecs.drop(40).toDF("n_id", "n_vec")
     StreamingRetrieval.bootstrapIndex(
-      Similarity.ivfAssign(base, "n_vec", cents), s"$root/idx")
+      Similarity.ivfAssign(base, "n_vec", cents), cents, s"$root/idx")
     Similarity.ivfAssign(delta, "n_vec", cents).withColumn("batch_id", lit(3L))
-      .write.mode("append").partitionBy("batch_id").parquet(s"$root/idx")
+      .write.mode("append").partitionBy("batch_id").parquet(s"$root/idx/vectors")
 
     val newCents = StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
-    val back = spark.read.parquet(s"$root/idx")
+    val back = spark.read.parquet(s"$root/idx/vectors")
     // one seed partition, every vector present exactly once
     assert(back.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
     assert(back.count() == 60L && back.select("n_id").distinct().count() == 60L)
@@ -193,5 +197,57 @@ class StreamingRetrievalSpec extends SparkTestBase {
       "n_id", "n_vec", "q_id", "q_vec", newCents, nProbe = 1, k = 3)
       .collect().map(_.toString).sorted.toSeq
     assert(viaIdx == direct)
+    // the optimize persisted ITS centroids: meta/ equals the return value
+    assert(StreamingRetrieval.readCentroids(spark, s"$root/idx")
+      .map { case (c, v) => (c, v.toSeq) } ==
+      newCents.map { case (c, v) => (c, v.toSeq) })
+  }
+
+  test("restart after optimize: a fresh process probes correctly from disk alone") {
+    val root = tmpDir("sretr_restart")
+    val corpus = Embedding.embedDocuments(
+      (1L to 20L).map(i => (i, if (i % 2 == 0) "alpha alpha" else "zeta zeta"))
+        .toDF("doc_id", "text"), "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/idx")
+    // optimize re-trains and RE-ASSIGNS; deliberately DROP the returned
+    // centroids — the footgun this layout removes is a restarted caller
+    // probing a re-assigned index with remembered stale centroids
+    StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
+    // "restart": a batch arrives knowing only the index path
+    val b0 = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/idx", "doc_id", "text",
+      4, 1, 3, s"$root/out")
+    val landed = spark.read.parquet(s"$root/out")
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    // the disk centroids match the re-assigned vectors, so the probe must
+    // equal a fresh probe under those same centroids
+    val diskCents = StreamingRetrieval.readCentroids(spark, s"$root/idx")
+    val queries = Embedding.embedDocuments(b0, "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+    val expect = Similarity.ivfTopKPreAssigned(
+      spark.read.parquet(s"$root/idx/vectors")
+        .filter(col("batch_id") === -1L).select("n_id", "n_vec", "__cell"),
+      queries, "n_id", "n_vec", "q_id", "q_vec", diskCents, nProbe = 1, k = 3)
+      .select(col("q_id"), col("rank").cast("long"), col("n_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(landed == expect && landed.nonEmpty, s"landed=$landed expect=$expect")
+  }
+
+  test("index lease exclusion: optimize cannot start while another writer holds the index") {
+    val root = tmpDir("sretr_lock")
+    val corpus = (1L to 10L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0))).toDF("n_id", "n_vec")
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/idx")
+    val lease = graft.core.TableLock.acquire(spark, s"$root/idx", owner = "spec-holder")
+    try {
+      intercept[graft.core.TableLock.LockHeldException] {
+        StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
+      }
+    } finally lease.release()
+    // released => the same optimize proceeds
+    StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 10L)
   }
 }
