@@ -1062,6 +1062,28 @@ object SparkEntry {
       Html.extract(html, "doc_id", "html").orderBy("doc_id")
     }),
 
+    // PDF text extraction (the reference's headline unstructured file
+    // type): each document becomes a REAL by-hand PDF — 8-word lines,
+    // 3-line pages, even ids Flate-compressed, lines rotating through
+    // literal/hex/TJ string forms — then the JDK-only reader recovers
+    // the text; ground truth is the input by construction, and a planted
+    // corrupt slice (doc_id % 97 = 0) proves the quarantine path
+    "q_pdf_extract" -> ((s, dir) => {
+      import graft.ops.Pdf
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].map { case (id, text) =>
+          val bytes =
+            if (id % 97 == 0) "not a pdf".getBytes("ISO-8859-1")
+            else {
+              val lines = text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+              Pdf.encodePdf(lines.grouped(3).toSeq, compress = id % 2 == 0)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+      Pdf.extract(blobs, "doc_id", "content").orderBy("doc_id")
+    }),
+
     // exact distributed quantiles of the doc-length distribution:
     // value-histogram + two-level cumulative count (shuffle carries
     // distinct values, not rows; no global sort/window), integer
@@ -3626,6 +3648,19 @@ object SparkEntry {
         |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
         |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_pdf_extract" ->
+      """WITH ws AS (SELECT doc_id, w AS word, i, (i - 1) // 8 AS li
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS i FROM documents)),
+        |lns AS (SELECT doc_id, li, string_agg(word, ' ' ORDER BY i) AS line FROM ws GROUP BY 1, 2),
+        |txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text,
+        |  count(*) AS nl FROM lns GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 'corrupt' ELSE 'pdf' END AS format,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST((t.nl + 2) // 3 AS BIGINT) END AS n_pages,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN '' ELSE t.text END AS text,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST(length(t.text) AS BIGINT) END AS n_chars
+        |FROM documents d JOIN txt t USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_stream_quality" ->
       """WITH gf AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS nw,

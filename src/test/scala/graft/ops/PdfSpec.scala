@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** PDF codec: writer→reader round trips (all three string forms, both
+  * filters, escapes, multi-page), honest degrades (unsupported filter,
+  * corrupt blobs), and the DataFrame extraction op.
+  */
+class PdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("round trip: uncompressed and Flate, literal/hex/TJ lines, multi-page") {
+    val pages = Seq(
+      Seq("alpha beta gamma", "delta epsilon", "zeta eta theta iota"),
+      Seq("page two first", "page two second"))
+    for (compress <- Seq(false, true)) {
+      val bytes = Pdf.encodePdf(pages, compress)
+      val info = Pdf.extractText(bytes)
+      assert(info.n_pages == 2L, s"compress=$compress")
+      assert(info.text == pages.flatten.mkString("\n"), s"compress=$compress")
+    }
+  }
+
+  test("string escapes round trip: parens, backslash, octal-able chars") {
+    val lines = Seq("a (nested (deep)) paren", "back\\slash and ) stray")
+    val info = Pdf.extractText(Pdf.encodePdf(Seq(lines), compress = true))
+    assert(info.text == lines.mkString("\n"))
+  }
+
+  test("literal-string escape sequences decode: \\n \\t octal and line continuation") {
+    val content = "BT (AB\\101\\n\\tC) Tj ET".getBytes("ISO-8859-1")
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n2 0 obj\n" +
+      s"<< /Length ${content.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      content ++ "\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1")
+    val info = Pdf.extractText(pdf)
+    assert(info.text == "ABA\n\tC" && info.n_pages == 1L)
+  }
+
+  test("unsupported filter extracts empty text, not garbage; corrupt blobs throw") {
+    val body = Array[Byte](1, 2, 3, 4)
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ body ++ "\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf).text == "")
+    intercept[Exception](Pdf.extractText("not a pdf at all".getBytes("ISO-8859-1")))
+    // truncated Flate stream inside a real header also throws (→ quarantine)
+    val good = Pdf.encodePdf(Seq(Seq("alpha beta gamma delta epsilon zeta")), compress = true)
+    intercept[Exception](Pdf.extractText(good.take(good.length - 40) ++
+      "endstream\n%%EOF".getBytes("ISO-8859-1")))
+  }
+
+  test("an indirect /Length reference falls back to the endstream scan") {
+    val content = "BT (hello world) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n2 0 obj\n" +
+      s"<< /Length 9 0 R >>\nstream\n$content\nendstream\nendobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf).text == "hello world")
+  }
+
+  test("extract op: decodes per row, quarantines corrupt blobs as format=corrupt") {
+    val rows = Seq(
+      (1L, Pdf.encodePdf(Seq(Seq("one two", "three")), compress = false)),
+      (2L, Pdf.encodePdf(Seq(Seq("four"), Seq("five six")), compress = true)),
+      (3L, "garbage".getBytes("ISO-8859-1")))
+    val out = Pdf.extract(rows.toDF("doc_id", "content"), "doc_id", "content")
+      .select("doc_id", "format", "n_pages", "text", "n_chars")
+      .as[(Long, String, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "pdf", 1L, "one two\nthree", 13L),
+      (2L, "pdf", 2L, "four\nfive six", 13L),
+      (3L, "corrupt", 0L, "", 0L)))
+  }
+}
