@@ -113,6 +113,11 @@ object Corpus {
       val b = df.withColumn("__b", bucket)
       val wLocal = Window.partitionBy(col("__b")).orderBy(col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // unpartitioned by design, NOT a scale hazard: this window's input
+      // is the per-bucket AGGREGATE below — at most `buckets` (32) rows
+      // by construction, never corpus rows. (It is exactly what the
+      // two-level cumsum exists to avoid on the full data; the WindowExec
+      // single-partition warning it triggers is a false alarm.)
       val wOff = Window.orderBy(col("__b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
       val offsets = slim.withColumn("__b", bucket)
@@ -166,6 +171,8 @@ object Corpus {
     }
     val wLocal = Window.partitionBy(col("__b")).orderBy(col("__ord").asc_nulls_last, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // unpartitioned by design, NOT a scale hazard: operates on the
+    // per-bucket aggregate (<= `buckets` rows), never corpus rows
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val offsets = slim.withColumn("__b", bucketOf(col("__ord")))
@@ -591,6 +598,8 @@ object Corpus {
     def bucketOf(c: Column) = cuts.foldLeft(lit(0)) { (acc, cut) =>
       acc + when(c > lit(cut), 1).otherwise(0)
     }
+    // unpartitioned by design, NOT a scale hazard: operates on the
+    // per-bucket aggregate (<= `buckets` rows), never corpus rows
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val bucketed = hist.withColumn("__b", bucketOf(col("__v").cast("double")))

@@ -227,6 +227,48 @@ class PlanAuditSpec extends SparkTestBase {
     // the groupBy construction itself)
   }
 
+  test("the global-cumsum offset window computes over the bucket aggregate, not corpus rows") {
+    // the two-level cumsum's one unpartitioned window is bounded by
+    // CONSTRUCTION (<= `buckets` rows); pin that its input really is the
+    // per-__b aggregate so a refactor can't silently point it at raw rows
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(1000).select(col("id").as("doc_id"), (col("id") % 7 + 1).as("toks"))
+    val df = graft.ops.Corpus.packSequences(docs, "doc_id", "toks", budget = 50)
+    df.collect()
+    // unwrap AQE wrappers to a fixed point: the final plan root is a
+    // ResultQueryStageExec whose `plan` holds the real tree, and every
+    // materialized stage nests the same way
+    @scala.annotation.tailrec
+    def core(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => core(a.executedPlan)
+      case q: QueryStageExec        => core(q.plan)
+      case other                    => other
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val c = core(p)
+      c +: c.children.flatMap(expand)
+    }
+    val nodes = expand(df.queryExecution.executedPlan)
+    val unpart = nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpart.nonEmpty, "expected the bucket-offset window in the plan")
+    unpart.foreach { w =>
+      val overAggregate = expand(w).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("__b"))
+        case _ => false
+      }
+      assert(overAggregate,
+        s"the unpartitioned window must read the per-__b aggregate (<= buckets rows):\n$w")
+    }
+    // the corpus-row cumsum window stays partitioned (by __b)
+    assert(nodes.exists { case w: WindowExec => w.partitionSpec.nonEmpty; case _ => false },
+      "the per-row cumsum window must be bucket-partitioned")
+  }
+
   test("document scan pushes the range filter into the DSv2 store, not a post-filter of a full scan") {
     val plan = finalPlan(ran("q_doc_pushdown"))
     // DocScan.description() surfaces the pushed store filter; both range
