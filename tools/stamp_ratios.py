@@ -30,14 +30,14 @@ STAMPS = {
     "q_ann_lsh": 0.38, "q_cdc_pipeline": 0.72,
     # round 4 re-stamps and additions
     "q_dedup_minhash_fast": 1.85, "q_dedup_clusters": 1.95, "q_cdc_poll": 3.28,
-    "q_type_roundtrip": 0.98, "q_stream_window": 1.15, "q_stream_dedup": 1.84,
-    "q_stream_sessionize": 1.83, "q_jdbc_scan": 0.86, "q_doc_pushdown": 0.44,
+    "q_type_roundtrip": 0.98, "q_stream_window": 1.38, "q_stream_dedup": 1.84,
+    "q_stream_sessionize": 1.73, "q_jdbc_scan": 0.86, "q_doc_pushdown": 0.44,
     "q_shard_cursor": 0.77, "q_sheets_serial": 0.74, "q_graphql_flatten": 0.64,
     "q_fleet_pipeline": 1.71, "q_stripe_cursor": 0.71, "q_inbox_cursor": 0.98,
     "q_queue_bridge": 1.62, "q_media_decode": 0.27, "q_soql_unify": 0.20,
     "q_ga_report": 0.35, "q_redact": 0.20, "q_repetition": 0.11,
     "q_stream_merge": 0.78, "q_dedup_incremental": 3.11, "q_line_dedup": 0.35,
-    "q_token_budget": 1.17, "q_stream_join": 2.85, "q_compact": 2.96,
+    "q_token_budget": 1.17, "q_stream_join": 2.94, "q_compact": 2.96,
     "q_ann_ivfpq": 4.56, "q_ann_project": 1.17, "q_stream_dedup_corpus": 5.72,
     "q_shared_spans": 1.93,
     # round-7 additions (isolated min-of-2, BASELINE.md round-7 notes)
