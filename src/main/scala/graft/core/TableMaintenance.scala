@@ -119,6 +119,43 @@ object TableMaintenance {
     (all.size, dataFiles(fs, dir).size)
   }
 
+  /** Leaf partition directories: dirs under `root` that directly hold
+    * `.parquet` data files (the root itself counts when unpartitioned).
+    * Hidden/metadata entries (`_`/`.` prefixed) are skipped, so markers,
+    * staged-swap scratch and `_SUCCESS` never register as partitions.
+    */
+  private def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    val st = fs.listStatus(dir).toSeq.filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val here =
+      if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) Seq(dir)
+      else Seq.empty
+    here ++ st.filter(_.isDirectory).flatMap(s => leafDirs(fs, s.getPath))
+  }
+
+  /** [[compact]] for PARTITIONED tables — every growing table here is
+    * one (merge targets, the streaming sinks' `batch_id=N` layouts, the
+    * gram/vector index deltas), and per-batch appends make each
+    * partition its own small-file factory. Each leaf partition dir runs
+    * the same marker-protocol bin-pack (partition values live in the
+    * dir name, not the files, so rewriting within the dir preserves
+    * them); ONE table lease covers the whole pass, the same lease the
+    * streaming batches take — compaction can never interleave with a
+    * live probe-then-append. Returns summed (filesBefore, filesAfter).
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 16L * 1024 * 1024): (Int, Int) =
+    TableLock.withLock(spark, path,
+      owner = s"compaction:${java.util.UUID.randomUUID()}") {
+      val (fs, dir) = fsOf(spark, path)
+      val results = leafDirs(fs, dir)
+        .map(l => compactLocked(spark, l.toString, targetBytes, minFileBytes))
+      (results.map(_._1).sum, results.map(_._2).sum)
+    }
+
   /** Replay interrupted compaction markers (see protocol above). Safe to
     * call any time; no-op on a clean table.
     */

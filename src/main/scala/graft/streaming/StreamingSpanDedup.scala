@@ -111,6 +111,35 @@ object StreamingSpanDedup {
       .parquet(indexPath)
   }
 
+  /** Gram-index OPTIMIZE: distinct-merge every delta partition strictly
+    * below `upToBatch` into the `batch_id=-1` seed. Batches re-publish
+    * grams earlier batches already hold (each appends its OWN distinct
+    * set), so the index grows with per-batch overlap; the merge
+    * collapses it to the true gram set — probe results for every batch
+    * >= upToBatch are IDENTICAL (semi-join membership is preserved) and
+    * the one index pass per trigger reads fewer, larger partitions.
+    *
+    * `upToBatch` MUST not exceed the stream's last COMMITTED batch id:
+    * a committed batch is never re-delivered, but a replayed
+    * (uncommitted) batch whose own partition had been merged into the
+    * seed would see its own grams as "seen" and cut differently.
+    * Runs under the same index lease as the per-batch probe-then-append
+    * (and `TableMaintenance.compactPartitioned`), so the staged swap can
+    * never drop an in-flight delta.
+    */
+  def optimizeIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      upToBatch: Long): Unit =
+    graft.core.TableLock.withLock(spark, indexPath,
+      owner = s"span-dedup-optimize:${java.util.UUID.randomUUID()}") {
+      val all = spark.read.parquet(indexPath)
+      val merged = all.filter(col("batch_id") < upToBatch)
+        .select("__g").distinct()
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(all.filter(col("batch_id") >= upToBatch))
+      graft.core.TableWriter.stagedOverwriteWith(
+        spark, merged.write.partitionBy("batch_id"), indexPath)
+    }
+
   def start(
       docs: DataFrame,
       idCol: String,

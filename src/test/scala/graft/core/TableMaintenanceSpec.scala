@@ -34,6 +34,29 @@ class TableMaintenanceSpec extends SparkTestBase {
     assert(!fsFor(dir).exists(new Path(dir, ".compact_scratch")))
   }
 
+  test("compactPartitioned bin-packs every leaf partition, preserving partition values") {
+    val dir = tmpDir("compact_part")
+    // three batch_id partitions, five small files each
+    (0 until 3).foreach { b =>
+      (0 until 5).foreach { i =>
+        (i * 50 until (i + 1) * 50).map(j => (j.toLong, b.toLong))
+          .toDF("id", "batch_id").repartition(1)
+          .write.mode("append")
+          .partitionBy("batch_id").parquet(dir)
+      }
+    }
+    val before = spark.read.parquet(dir)
+      .select("id", "batch_id").as[(Long, Long)].collect().sorted.toSeq
+    val (nBefore, nAfter) = TableMaintenance.compactPartitioned(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(nBefore == 15 && nAfter == 3, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+      .select("id", "batch_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    // rows stayed in their partitions (dir names carry the values)
+    assert(parquetFiles(s"$dir/batch_id=1").size == 1)
+  }
+
   test("right-sized files are left alone; a lone small file is not rewritten") {
     val dir = tmpDir("compact_skip")
     landSmallFiles(dir, 1)

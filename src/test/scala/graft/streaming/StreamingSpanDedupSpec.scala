@@ -57,4 +57,64 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/out").collect().map(_.toString).sorted.toSeq == once)
     assert(spark.read.parquet(s"$dir/idx").collect().map(_.toString).sorted.toSeq == idxOnce)
   }
+
+  private def landWaves(dir: String, maintain: Long => Unit): Seq[String] = {
+    val waves = Seq(
+      Seq((1L, "a b c d e f g h"), (2L, "x y z a b c d e w v")),
+      Seq((3L, "p q r s t u p q r s t u"), (4L, "a b c d e only once more")),
+      Seq((10L, "a b c d e f g h"), (11L, "fresh words only here now")),
+      Seq((12L, "x y z a b c d e tail bits")))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      StreamingSpanDedup.landBatch(w.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
+      maintain(i.toLong)
+    }
+    spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text", "n_words", "n_kept")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("optimizeIndex merges committed gram deltas; later batches land identically") {
+    val dir = tmpDir("graft_sspan_opt")
+    val plain = landWaves(s"$dir/plain", _ => ())
+    // optimize after every committed batch: merge everything below it
+    val opt = landWaves(s"$dir/opt", { i =>
+      StreamingSpanDedup.optimizeIndex(spark, s"$dir/opt/idx", upToBatch = i + 1)
+    })
+    assert(opt == plain)
+    // gram MEMBERSHIP is preserved while cross-batch duplicates collapse
+    val plainGrams = spark.read.parquet(s"$dir/plain/idx")
+      .select("__g").distinct().as[Long].collect().toSet
+    val optIdx = spark.read.parquet(s"$dir/opt/idx")
+    assert(optIdx.select("__g").distinct().as[Long].collect().toSet == plainGrams)
+    assert(optIdx.count() == plainGrams.size.toLong) // fully deduped
+    assert(optIdx.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
+  test("compactPartitioned on the gram index: fewer files, identical later batches") {
+    val dir = tmpDir("graft_sspan_compact")
+    val plain = landWaves(s"$dir/plain", _ => ())
+    val compacted = landWaves(s"$dir/cpt", { i =>
+      // tiny threshold so the per-batch part files qualify as small
+      graft.core.TableMaintenance.compactPartitioned(spark, s"$dir/cpt/idx",
+        targetBytes = 1L << 20, minFileBytes = 1L << 20)
+      ()
+    })
+    assert(compacted == plain)
+    assert(spark.read.parquet(s"$dir/cpt/idx").collect().map(_.toString).sorted.toSeq ==
+      spark.read.parquet(s"$dir/plain/idx").collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("gram-index lease excludes a concurrent optimize") {
+    val dir = tmpDir("graft_sspan_lock")
+    StreamingSpanDedup.landBatch(docs.take(2).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
+    val lease = graft.core.TableLock.acquire(spark, s"$dir/idx", owner = "spec-holder")
+    try intercept[graft.core.TableLock.LockHeldException] {
+      StreamingSpanDedup.optimizeIndex(spark, s"$dir/idx", upToBatch = 1L)
+    } finally lease.release()
+    StreamingSpanDedup.optimizeIndex(spark, s"$dir/idx", upToBatch = 1L)
+    assert(spark.read.parquet(s"$dir/idx")
+      .select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
 }
