@@ -65,9 +65,11 @@ object ScaleData {
     // optional 4th arg `zipf[:V]`: replace document text with Zipfian
     // tokens over a V-rank vocabulary (default 20000), token count per
     // doc preserved — same corpus size/lengths, realistic term shape
-    val zipfVocab: Option[Int] = args.lift(3).collect {
+    val zipfVocab: Option[Int] = args.lift(3).map {
       case "zipf"                     => 20000
       case s if s.startsWith("zipf:") => s.stripPrefix("zipf:").toInt
+      case other => throw new IllegalArgumentException(
+        s"unknown ScaleData mode '$other' (expected 'zipf' or 'zipf:<vocab>')")
     }
     val k = kStr.toInt
     require(k >= 1, "k >= 1")

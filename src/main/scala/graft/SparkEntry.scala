@@ -1076,8 +1076,13 @@ object SparkEntry {
           val bytes =
             if (id % 97 == 0) "not a pdf".getBytes("ISO-8859-1")
             else {
-              val lines = text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
-              Pdf.encodePdf(lines.grouped(3).toSeq, compress = id % 2 == 0)
+              // empty words dropped on BOTH sides (here and the oracle):
+              // an all-empty 8-word group would render as an empty PDF
+              // line, which the extractor rightly doesn't emit
+              val words = text.split(" ", -1).filter(_.nonEmpty).toSeq
+              val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+              val pages = if (lines.isEmpty) Seq(Seq("")) else lines.grouped(3).toSeq
+              Pdf.encodePdf(pages, compress = id % 2 == 0)
             }
           (id, bytes)
         }.toDF("doc_id", "content")
@@ -1194,7 +1199,7 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("zzfresh "), col("text")).as("text"))
       Lexical.Index.build(base, "doc_id", "text", s"$root/idx", championSize = 32)
-      Lexical.Index.append(batch, "doc_id", "text", s"$root/idx")
+      Lexical.Index.append(batch, "doc_id", "text", s"$root/idx", appendId = 0L)
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
@@ -3649,18 +3654,20 @@ object SparkEntry {
         |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_pdf_extract" ->
-      """WITH ws AS (SELECT doc_id, w AS word, i, (i - 1) // 8 AS li
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS i FROM documents)),
+      """WITH wl AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |ws AS (SELECT doc_id, w AS word, i, (i - 1) // 8 AS li
+        |  FROM (SELECT doc_id, unnest(ws) AS w,
+        |    unnest(generate_series(1, len(ws))) AS i FROM wl)),
         |lns AS (SELECT doc_id, li, string_agg(word, ' ' ORDER BY i) AS line FROM ws GROUP BY 1, 2),
         |txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text,
         |  count(*) AS nl FROM lns GROUP BY 1)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 97 = 0 THEN 'corrupt' ELSE 'pdf' END AS format,
-        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST((t.nl + 2) // 3 AS BIGINT) END AS n_pages,
-        |  CASE WHEN d.doc_id % 97 = 0 THEN '' ELSE t.text END AS text,
-        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST(length(t.text) AS BIGINT) END AS n_chars
-        |FROM documents d JOIN txt t USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST(coalesce((t.nl + 2) // 3, 1) AS BIGINT) END AS n_pages,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN '' ELSE coalesce(t.text, '') END AS text,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE CAST(coalesce(length(t.text), 0) AS BIGINT) END AS n_chars
+        |FROM documents d LEFT JOIN txt t USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_stream_quality" ->
       """WITH gf AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS nw,

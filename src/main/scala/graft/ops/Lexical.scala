@@ -84,15 +84,17 @@ object Lexical {
       championSize: Int = 0,
       broadcastRowCap: Long = 4000000L,
   ): DataFrame = {
-    // checkpointed once: the idf derivation below and every join read the
+    // cached once: the idf derivation below and every join read the
     // materialized postings — ONE corpus tokenize + shuffle total (df per
     // term is just the postings' per-term row count, since postings are
     // already (term, id)-distinct; a separate idfBits pass would tokenize
-    // the corpus a second time)
+    // the corpus a second time). persist, NOT localCheckpoint: the frame
+    // is corpus-sized, and persist keeps the lineage so a lost executor
+    // recomputes its blocks instead of failing the job unrecoverably
     val allPostings = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qt = queries
       .select(col(qidCol), explode(split(col(qtextCol), " ")).as("term"))
       .groupBy(col(qidCol), col("term")).agg(count(lit(1)).as("__qtf"))
@@ -227,9 +229,16 @@ object Lexical {
       * Idempotent per appendId — a retry after a crash overwrites the
       * same partitions and heals any half-landed state; idf/meta lag the
       * postings only inside the crash window (see the layout contract).
+      *
+      * `appendId` is the caller's batch identity and carries the
+      * semantics: SAME id = retry of the same batch (overwrites itself),
+      * DISTINCT batches MUST use distinct ids — reusing an id for a
+      * different batch replaces the earlier batch's deltas (and only the
+      * term buckets the new batch touches), silently corrupting df and
+      * n_docs. No default, precisely so callers must choose.
       */
     def append(batch: DataFrame, idCol: String, textCol: String, path: String,
-        appendId: Long = 0L): Unit = locked(batch.sparkSession, path, "append") {
+        appendId: Long): Unit = locked(batch.sparkSession, path, "append") {
       require(appendId >= 0L, s"appendId must be >= 0 (-1 is the build partition): $appendId")
       val spark = batch.sparkSession
       postingsOf(batch, idCol, textCol)
@@ -274,9 +283,11 @@ object Lexical {
           .withColumn("__ab", lit(-1L)).write.partitionBy("__ab"), s"$path/meta")
     }
 
-    /** Probe: champion/NULL-crank rows nominate candidates, candidates
-      * score EXACTLY against full postings — same guarantee as
-      * [[topKDocs]]'s champion branch, but against the persisted table.
+    /** Probe: champion rows (crank >= 1) and PENDING appended rows
+      * (crank = 0) nominate candidates — non-champion build rows (NULL
+      * crank) do NOT nominate, they only contribute tf to the exact
+      * scoring join — same guarantee as [[topKDocs]]'s champion branch,
+      * but against the persisted table.
       */
     def search(spark: org.apache.spark.sql.SparkSession, path: String,
         queries: DataFrame, qidCol: String, qtextCol: String, k: Int,

@@ -158,9 +158,16 @@ object Pdf {
         // data starts after the EOL that terminates the `stream` keyword
         val dataStart =
           if (s.startsWith("\r\n", st + 6)) st + 8 else st + 7
-        // honor a DIRECT /Length from the preceding dict; an indirect
+        // the CURRENT stream's dict only: scan back to this object's
+        // `obj` (or the previous stream's `endstream`) so a neighboring
+        // object's /Filter or /Length is never misattributed — a Flate
+        // dict within a fixed lookbehind window would otherwise make us
+        // inflate a plain-text stream (false corrupt) or drop text
+        val dictStart = math.max(0,
+          math.max(s.lastIndexOf("obj", st), s.lastIndexOf("endstream", st)))
+        // honor a DIRECT /Length from this dict; an indirect
         // `/Length 12 0 R` (or garbage) falls back to the endstream scan
-        val dictRegion = s.substring(math.max(0, st - 400), st)
+        val dictRegion = s.substring(dictStart, st)
         // (?!\d) pins the FULL number (no backtracking to a prefix);
         // the second lookahead rejects indirect `/Length 12 0 R` refs
         val lenM = "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r

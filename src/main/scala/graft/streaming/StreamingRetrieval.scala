@@ -113,14 +113,26 @@ object StreamingRetrieval {
 
   /** The centroids the index's vectors are currently assigned under —
     * the ONLY correct probe centroids for this index. k rows; a driver
-    * collect by design.
+    * collect by design. Fails LOUDLY if a crashed `optimizeIndex` left
+    * the vectors/meta pair possibly inconsistent (the `_optimizing`
+    * marker is present): probing a re-assigned index with stale
+    * centroids would silently land wrong top-k forever — the error
+    * names the heal (re-run optimizeIndex).
     */
-  def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] =
+  def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] = {
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"index $indexPath: an optimizeIndex was interrupted between the vector swap and " +
+          "the centroid write — meta/ may describe the OLD assignment of the NEW layout. " +
+          "Re-run optimizeIndex to heal (it re-trains and rewrites both, then clears the marker).")
     spark.read.parquet(s"$indexPath/meta")
       .orderBy("cell")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toSeq
+  }
 
   private def writeCentroids(spark: SparkSession, centroids: Seq[(Int, Array[Double])],
       metaPath: String, staged: Boolean): Unit = {
@@ -216,13 +228,22 @@ object StreamingRetrieval {
     val cents = Similarity.kmeansCentroids(all, "n_id", "n_vec", k, maxIter)
     val reassigned = Similarity.ivfAssign(all, "n_vec", cents)
       .withColumn("batch_id", lit(-1L))
+    // vectors and meta cannot swap in one atomic step (two directories),
+    // so the window between them is FENCED by a marker: it goes up
+    // before the vector swap and comes down only after the matching
+    // centroids are on disk. A crash inside the window leaves the marker
+    // in place and every readCentroids fails loudly ("re-run
+    // optimizeIndex") instead of silently mis-probing a re-assigned
+    // index with stale centroids; re-running heals (vectors are valid
+    // reassigned data, the re-train rewrites both sides, marker drops).
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8")); out.close()
     graft.core.TableWriter.stagedOverwriteWith(
       spark, reassigned.write.partitionBy("batch_id"), s"$indexPath/vectors")
-    // vectors first, then the centroids they are now assigned under: a
-    // crash between the two leaves meta/ describing the OLD assignment
-    // of a NEW layout — re-running optimize heals it; the lease keeps
-    // probes-with-append from interleaving either way
     writeCentroids(spark, cents, s"$indexPath/meta", staged = true)
+    fs.delete(marker, false)
     cents
   }
 

@@ -38,7 +38,7 @@ class LexicalIndexSpec extends SparkTestBase {
     val path = s"${tmpDir("graft_lexidx_app")}/idx"
     Lexical.Index.build(corpus, "doc_id", "text", path, championSize = 16)
     val batch = Seq((9000L, "freshterm freshterm common1 common2 common0")).toDF("doc_id", "text")
-    Lexical.Index.append(batch, "doc_id", "text", path)
+    Lexical.Index.append(batch, "doc_id", "text", path, appendId = 0L)
     val hits = Lexical.Index.search(spark,
       path, Seq((1L, "freshterm")).toDF("q_id", "q_text"), "q_id", "q_text", 5)
     assert(hits.select("id").as[Long].collect().toSeq == Seq(9000L))
@@ -94,7 +94,7 @@ class LexicalIndexSpec extends SparkTestBase {
     val batch = (500L until 550L).map(i => (i, s"marker${i / 5} common1 common1 common2"))
       .toDF("doc_id", "text")
     Lexical.Index.build(corpus, "doc_id", "text", incPath, championSize = 16)
-    Lexical.Index.append(batch, "doc_id", "text", incPath)
+    Lexical.Index.append(batch, "doc_id", "text", incPath, appendId = 0L)
     Lexical.Index.optimize(spark, incPath, championSize = 16)
     Lexical.Index.build(corpus.unionByName(batch), "doc_id", "text", fullPath,
       championSize = 16)

@@ -50,6 +50,27 @@ class PdfSpec extends SparkTestBase {
       "endstream\n%%EOF".getBytes("ISO-8859-1")))
   }
 
+  test("mixed filters: a neighboring object's /FlateDecode is not misattributed") {
+    // Flate text stream immediately followed by an UNCOMPRESSED one —
+    // the second stream's dict region must not inherit the first's
+    // /Filter (that would inflate plain text and falsely quarantine)
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val z = deflate("BT (first line) Tj ET".getBytes("ISO-8859-1"))
+    val plain = "BT (second line) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+      s"2 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+      z ++ ("\nendstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${plain.length} >>\nstream\n$plain\nendstream\nendobj\n%%EOF")
+        .getBytes("ISO-8859-1")
+    val info = Pdf.extractText(pdf)
+    assert(info.text == "first line\nsecond line" && info.n_pages == 1L)
+  }
+
   test("an indirect /Length reference falls back to the endstream scan") {
     val content = "BT (hello world) Tj ET"
     val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n2 0 obj\n" +
