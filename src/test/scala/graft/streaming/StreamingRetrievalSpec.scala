@@ -235,6 +235,34 @@ class StreamingRetrievalSpec extends SparkTestBase {
     assert(landed == expect && landed.nonEmpty, s"landed=$landed expect=$expect")
   }
 
+  test("a crashed optimize leaves the _optimizing fence: probes fail loudly, re-run heals") {
+    val root = tmpDir("sretr_fence")
+    val corpus = Embedding.embedDocuments(
+      (1L to 20L).map(i => (i, if (i % 2 == 0) "alpha alpha" else "zeta zeta"))
+        .toDF("doc_id", "text"), "doc_id", "text", dim = 4)
+      .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+    StreamingRetrieval.bootstrapIndex(
+      Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/idx")
+    // simulate the crash window: vectors swapped, centroids not yet written
+    val marker = new org.apache.hadoop.fs.Path(s"$root/idx", "_optimizing")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true); out.write("crashed".getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalStateException] {
+      StreamingRetrieval.readCentroids(spark, s"$root/idx")
+    }
+    assert(err.getMessage.contains("Re-run optimizeIndex"))
+    // batches go through readCentroids, so they refuse to mis-probe too
+    intercept[IllegalStateException] {
+      StreamingRetrieval.landAndIndexBatch(
+        Seq((100L, "alpha beta")).toDF("doc_id", "text"), 0L, s"$root/idx",
+        "doc_id", "text", 4, 1, 3, s"$root/out")
+    }
+    // the heal the error names: re-running optimize clears the fence
+    StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
+    assert(!fs.exists(marker))
+    assert(StreamingRetrieval.readCentroids(spark, s"$root/idx").size == 2)
+  }
+
   test("index lease exclusion: optimize cannot start while another writer holds the index") {
     val root = tmpDir("sretr_lock")
     val corpus = (1L to 10L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0))).toDF("n_id", "n_vec")
