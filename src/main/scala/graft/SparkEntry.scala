@@ -1089,6 +1089,34 @@ object SparkEntry {
       Pdf.extract(blobs, "doc_id", "content").orderBy("doc_id")
     }),
 
+    // the reference's headline unstructured flow COMPOSED: render the
+    // corpus to real PDFs, parse the text back, and retrieve over the
+    // parsed corpus — the oracle runs tf-idf on the ORIGINAL text, so
+    // the hash gate proves the parse is byte-faithful all the way
+    // through ranking (parsed text == original once line breaks
+    // normalize back to spaces)
+    "q_pdf_pipeline" -> ((s, dir) => {
+      import graft.ops.{Lexical, Pdf}
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val blobs = docs.as[(Long, String)].map { case (id, text) =>
+        val words = text.split(" ", -1).filter(_.nonEmpty).toSeq
+        val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+        val pages = if (lines.isEmpty) Seq(Seq("")) else lines.grouped(3).toSeq
+        (id, Pdf.encodePdf(pages, compress = id % 2 == 0))
+      }.toDF("doc_id", "content")
+      val parsed = Pdf.extract(blobs, "doc_id", "content")
+        .filter(col("format") === "pdf")
+        .select(col("doc_id"), translate(col("text"), "\n", " ").as("text"))
+        .localCheckpoint(true) // render+parse once; corpus and query sides reuse
+      val corpus = parsed.filter(col("doc_id") % 97 =!= 0)
+      val queries = parsed.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+      Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // exact distributed quantiles of the doc-length distribution:
     // value-histogram + two-level cumulative count (shuffle carries
     // distinct values, not rows; no global sort/window), integer
@@ -3778,6 +3806,26 @@ object SparkEntry {
         |SELECT register, CAST(coalesce(mx.mr, 0) AS BIGINT) AS max_rho
         |FROM regs LEFT JOIN mx ON mx.r = regs.register
         |ORDER BY register""".stripMargin.replaceAll("\n", " "),
+    "q_pdf_pipeline" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c) GROUP BY 1, 2),
+        |q AS (SELECT doc_id AS q_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
+        |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
+        |  FROM qt JOIN post USING (term) JOIN idf ON idf.term = post.term GROUP BY 1, 2),
+        |rk AS (SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
     "q_lexical_topk" ->
       """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |nn AS (SELECT count(*) AS n FROM c),

@@ -57,7 +57,7 @@ STAMPS = {
     "q_curation_v2": 6.14, "q_stream_quality": 2.46, "q_html_extract": 0.32, "q_lexical_index": 5.05, "q_decontaminate_spans": 1.03, "q_stream_span_dedup": 6.05,
     "q_quantiles_by": 0.83, "q_vocab_by": 0.53, "q_corpus_report": 0.87, "q_weighted_sample": 0.51,
     # round-9 addition (BENCH_LOCAL_K/L min)
-    "q_pdf_extract": 0.71,
+    "q_pdf_extract": 0.71, "q_pdf_pipeline": 2.92,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
