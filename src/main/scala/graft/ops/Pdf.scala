@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   * literal `(…)` and hex `<…>` strings via `Tj`, `'`, `"` and `TJ`
   * arrays, line moves via `Td`/`TD`/`T*`. That covers
   * machine-generated text PDFs (invoices, reports, exports — the
-  * reference's use case). Out of scope and detected honestly:
-  * cross-reference STREAMS (/Type/ObjStm, PDF 1.5+ packed objects),
-  * non-Flate filters (DCT, LZW), CID/Type0 multi-byte encodings —
+  * reference's use case); PDF 1.5+ object streams (/ObjStm) are
+  * inflated and scanned as dict material, so page counting survives
+  * packed page dicts (content streams are stream objects and cannot be
+  * packed). Out of scope and detected honestly: cross-reference stream
+  * DECODING (/XRef predictors — unneeded, the reader scans objects
+  * directly), non-Flate filters (DCT, LZW), CID/Type0 multi-byte
+  * encodings —
   * those extract as empty text rather than garbage, and malformed
   * blobs quarantine as `format = "corrupt"` (one bad file must never
   * fail a corpus-scale job).
@@ -187,7 +191,13 @@ object Pdf {
           if (dictRegion.contains("/FlateDecode")) inflate(raw)
           else if (dictRegion.contains("/Filter")) Array.emptyByteArray // unsupported filter: skip honestly
           else raw
-        streams += body
+        // PDF 1.5+ object streams pack NON-stream objects (page dicts
+        // among them) inside a compressed payload; page CONTENT streams
+        // are stream objects and can't live there, so for text purposes
+        // an ObjStm is dict material (page counting), never operators
+        if (dictRegion.contains("/ObjStm"))
+          dicts.append(' ').append(new String(body, StandardCharsets.ISO_8859_1))
+        else streams += body
         val es = s.indexOf("endstream", dataEnd)
         if (es < 0) throw new java.io.IOException("unterminated stream")
         pos = es + 9

@@ -71,6 +71,29 @@ class PdfSpec extends SparkTestBase {
     assert(info.text == "first line\nsecond line" && info.n_pages == 1L)
   }
 
+  test("PDF 1.5 object streams: packed page dicts count as pages, never as text") {
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    // two page dicts packed in a compressed ObjStm + one content stream
+    val packed = deflate(
+      ("4 0 5 40 << /Type /Page /Contents 6 0 R >> " +
+        "<< /Type /Page /Contents 6 0 R >>").getBytes("ISO-8859-1"))
+    val content = "BT (packed pages) Tj ET"
+    val pdf = ("%PDF-1.5\n" +
+      s"3 0 obj\n<< /Type /ObjStm /N 2 /Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ packed ++
+      ("\nendstream\nendobj\n" +
+        s"6 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF")
+        .getBytes("ISO-8859-1")
+    val info = Pdf.extractText(pdf)
+    assert(info.n_pages == 2L, s"got ${info.n_pages}")
+    assert(info.text == "packed pages")
+  }
+
   test("an indirect /Length reference falls back to the endstream scan") {
     val content = "BT (hello world) Tj ET"
     val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n2 0 obj\n" +
