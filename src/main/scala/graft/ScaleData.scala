@@ -67,7 +67,11 @@ object ScaleData {
     // doc preserved — same corpus size/lengths, realistic term shape
     val zipfVocab: Option[Int] = args.lift(3).map {
       case "zipf"                     => 20000
-      case s if s.startsWith("zipf:") => s.stripPrefix("zipf:").toInt
+      case s if s.startsWith("zipf:") =>
+        val v = s.stripPrefix("zipf:").toIntOption.getOrElse(
+          throw new IllegalArgumentException(s"bad zipf vocab in '$s' (expected zipf:<int>)"))
+        require(v >= 1, s"zipf vocab must be >= 1: $v")
+        v
       case other => throw new IllegalArgumentException(
         s"unknown ScaleData mode '$other' (expected 'zipf' or 'zipf:<vocab>')")
     }

@@ -745,13 +745,22 @@ object SparkEntry {
             StructField("doc_id", LongType), StructField("text", StringType))))
           .parquet(s"$root/stream")
         // probe centroids come from the index's own meta/ — no caller state
-        val q = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
+        val q1 = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
           dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
-        q.processAllAvailable() // batch 0 = wave 1
+        q1.processAllAvailable() // batch 0 = wave 1 (all files pre-exist)
+        // STOP before landing wave 2: a live trigger polls the directory
+        // and can pick up a PARTIAL file set mid-write, splitting the
+        // wave across micro-batches — and for a growing index, batch
+        // membership IS the result contract. The restart resumes from
+        // the checkpoint and takes the whole wave as batch 1 (and
+        // exercises exactly the restart path the meta/ centroids serve).
+        q1.stop()
         docs.filter(col("doc_id") % 200 === 100).select("doc_id", "text")
           .write.mode("append").parquet(s"$root/stream")
-        q.processAllAvailable() // batch 1 = wave 2
-        q.stop()
+        val q2 = StreamingRetrieval.startIndexed(stream, s"$root/index", "doc_id", "text",
+          dim = 32, nProbe = 2, k = 5, s"$root/out", s"$root/ckpt")
+        q2.processAllAvailable() // batch 1 = wave 2
+        q2.stop()
       }
       s.read.parquet(s"$root/out").select("q_id", "rank", "n_id").orderBy("q_id", "rank")
     }),
@@ -1108,7 +1117,9 @@ object SparkEntry {
       val parsed = Pdf.extract(blobs, "doc_id", "content")
         .filter(col("format") === "pdf")
         .select(col("doc_id"), translate(col("text"), "\n", " ").as("text"))
-        .localCheckpoint(true) // render+parse once; corpus and query sides reuse
+        // render+parse once, corpus and query sides reuse; persist (not
+        // localCheckpoint) — corpus-sized frame, keep lineage recoverable
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpus = parsed.filter(col("doc_id") % 97 =!= 0)
       val queries = parsed.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
@@ -3810,13 +3821,13 @@ object SparkEntry {
       """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |nn AS (SELECT count(*) AS n FROM c),
         |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c)) GROUP BY 1),
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c)) GROUP BY 1),
         |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
         |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
         |post AS (SELECT term, doc_id, count(*) AS tf FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM c) GROUP BY 1, 2),
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c) GROUP BY 1, 2),
         |q AS (SELECT doc_id AS q_id,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q_text
+        |  array_to_string(list_slice(list_filter(string_split(text, ' '), w -> len(w) > 0), 1, 6), ' ') AS q_text
         |  FROM documents WHERE doc_id % 97 = 0),
         |qt AS (SELECT q_id, term, count(*) AS qtf FROM
         |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),

@@ -51,7 +51,7 @@ object Pdf {
   private def hexString(s: String): String =
     s.getBytes(StandardCharsets.ISO_8859_1).map(b => f"${b & 0xff}%02X").mkString
 
-  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+  private[ops] def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
     d.setInput(bytes); d.finish()
     val out = new ByteArrayOutputStream()
@@ -166,9 +166,12 @@ object Pdf {
         // `obj` (or the previous stream's `endstream`) so a neighboring
         // object's /Filter or /Length is never misattributed — a Flate
         // dict within a fixed lookbehind window would otherwise make us
-        // inflate a plain-text stream (false corrupt) or drop text
-        val dictStart = math.max(0,
-          math.max(s.lastIndexOf("obj", st), s.lastIndexOf("endstream", st)))
+        // inflate a plain-text stream (false corrupt) or drop text.
+        // With NEITHER anchor present (tolerant parse of a headerless
+        // object) fall back to a bounded 400-byte window, never the
+        // whole file prefix.
+        val anchor = math.max(s.lastIndexOf("obj", st), s.lastIndexOf("endstream", st))
+        val dictStart = if (anchor >= 0) anchor else math.max(0, st - 400)
         // honor a DIRECT /Length from this dict; an indirect
         // `/Length 12 0 R` (or garbage) falls back to the endstream scan
         val dictRegion = s.substring(dictStart, st)

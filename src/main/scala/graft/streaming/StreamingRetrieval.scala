@@ -109,6 +109,14 @@ object StreamingRetrieval {
       .write.mode("overwrite").partitionBy("batch_id").parquet(s"$indexPath/vectors")
     writeCentroids(assigned.sparkSession, centroids, s"$indexPath/meta",
       staged = false)
+    // a full re-bootstrap writes BOTH sides consistently, so it is also
+    // a heal for a crashed optimize — clear any leftover fence (without
+    // this, rebuilding over a crashed index would keep every probe
+    // throwing on a now-healthy index)
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
+    val fs = marker.getFileSystem(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
   }
 
   /** The centroids the index's vectors are currently assigned under —

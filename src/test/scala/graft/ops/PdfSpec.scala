@@ -54,13 +54,7 @@ class PdfSpec extends SparkTestBase {
     // Flate text stream immediately followed by an UNCOMPRESSED one —
     // the second stream's dict region must not inherit the first's
     // /Filter (that would inflate plain text and falsely quarantine)
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
-      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end(); out.toByteArray
-    }
-    val z = deflate("BT (first line) Tj ET".getBytes("ISO-8859-1"))
+    val z = Pdf.deflate("BT (first line) Tj ET".getBytes("ISO-8859-1"))
     val plain = "BT (second line) Tj ET"
     val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
       s"2 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
@@ -72,14 +66,8 @@ class PdfSpec extends SparkTestBase {
   }
 
   test("PDF 1.5 object streams: packed page dicts count as pages, never as text") {
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
-      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end(); out.toByteArray
-    }
     // two page dicts packed in a compressed ObjStm + one content stream
-    val packed = deflate(
+    val packed = Pdf.deflate(
       ("4 0 5 40 << /Type /Page /Contents 6 0 R >> " +
         "<< /Type /Page /Contents 6 0 R >>").getBytes("ISO-8859-1"))
     val content = "BT (packed pages) Tj ET"
