@@ -188,10 +188,24 @@ object TableLock {
       if (!atomicCreate(fs, path(maxEpoch + 1), lease))
         throw new LockHeldException(s"lost takeover race for $tablePath")
       // GC: strictly-below-max epochs are settled garbage; epochs only
-      // grow, so this can never delete a live lease, however delayed
+      // grow, so this can never delete a live lease, however delayed.
+      // The superseded max itself is TOMBSTONED (rewritten released),
+      // never deleted: deleting every epoch opens a race where a slow
+      // second taker lists an EMPTY dir and wins a fresh e0 alongside
+      // this winner's e(max+1) — two live leases (caught by the
+      // contended-takeover spec under load). After the first acquire the
+      // dir always holds at least one epoch file, so the empty-listing
+      // branch above only ever runs on a virgin table, where the e0
+      // CREATE_NEW race admits exactly one winner.
       files.foreach { case (e, p) =>
-        if (e <= maxEpoch)
+        if (e < maxEpoch)
           try fs.delete(p, false) catch { case _: java.io.IOException => () }
+        else if (e == maxEpoch)
+          try {
+            if (!content.exists(isReleased))
+              overwriteFile(fs, p,
+                s"released=true\nsuperseded-by=e${maxEpoch + 1}\n")
+          } catch { case _: java.io.IOException => () }
       }
       Lease(fs, path(maxEpoch + 1), owner, token)
     }

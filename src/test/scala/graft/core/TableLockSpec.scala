@@ -98,17 +98,20 @@ class TableLockSpec extends SparkTestBase {
   }
 
   test("contended stale takeover admits exactly one winner (epoch chain)") {
-    // Two takers race on the same stale lease. Takeover is an atomic
-    // create of the NEXT epoch file — no rename or delete in any
-    // arbitration path — so exactly one taker can ever win and no racer
-    // can destroy the winner's lease. Repeat to widen the race window.
+    // Takers race on the same stale lease. Takeover is an atomic create
+    // of the NEXT epoch file — no rename or delete in any arbitration
+    // path, and the superseded epoch is TOMBSTONED rather than deleted
+    // (a delete-all GC once let a slow taker list an empty dir and win a
+    // fresh e0 alongside the winner's e1 — caught here under load) — so
+    // exactly one taker can ever win and no racer can destroy the
+    // winner's lease. Three takers + repeats widen the race window.
     for (round <- 1 to 8) {
       val table = s"${tmpDir(s"lock_race_$round")}/t"
       val dead = TableLock.acquire(spark, table, "crashed")
       dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
       val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
       val gate = new java.util.concurrent.CountDownLatch(1)
-      val threads = (1 to 2).map { i =>
+      val threads = (1 to 3).map { i =>
         new Thread(() => {
           gate.await()
           val won =
