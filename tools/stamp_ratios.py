@@ -50,7 +50,7 @@ STAMPS = {
     "q_gopher_filter": 0.30, "q_token_sketch": 1.36,
     "q_jdbc_merge": 1.14, "q_curation_pipeline": 6.41,
     "q_tokens_bpe": 0.39, "q_bpe_budget": 1.06,
-    "q_stream_index_delta": 3.70, "q_perplexity_lm": 1.22,
+    "q_stream_index_delta": 4.47, "q_perplexity_lm": 1.22,
     "q_substring_dedup": 0.50, "q_dsir_sample": 1.86,
     "q_lexical_topk": 1.59, "q_hybrid_rank": 2.42, "q_hll_vocab": 0.34,
     "q_zorder": 0.46, "q_quantiles": 1.22, "q_lexical_champion": 1.38,
