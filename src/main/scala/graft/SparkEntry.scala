@@ -1117,6 +1117,10 @@ object SparkEntry {
       val parsed = Pdf.extract(blobs, "doc_id", "content")
         .filter(col("format") === "pdf")
         .select(col("doc_id"), translate(col("text"), "\n", " ").as("text"))
+        // empty-text docs drop on BOTH sides (oracle: len(ws) > 0): an
+        // empty string splits to [''] and would score empty-term matches
+        // the filtered-word oracle cannot model
+        .filter(length(col("text")) > 0)
         // render+parse once, corpus and query sides reuse; persist (not
         // localCheckpoint) — corpus-sized frame, keep lineage recoverable
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3818,7 +3822,8 @@ object SparkEntry {
         |FROM regs LEFT JOIN mx ON mx.r = regs.register
         |ORDER BY register""".stripMargin.replaceAll("\n", " "),
     "q_pdf_pipeline" ->
-      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  AND len(list_filter(string_split(text, ' '), w -> len(w) > 0)) > 0),
         |nn AS (SELECT count(*) AS n FROM c),
         |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
         |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c)) GROUP BY 1),
@@ -3828,7 +3833,8 @@ object SparkEntry {
         |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c) GROUP BY 1, 2),
         |q AS (SELECT doc_id AS q_id,
         |  array_to_string(list_slice(list_filter(string_split(text, ' '), w -> len(w) > 0), 1, 6), ' ') AS q_text
-        |  FROM documents WHERE doc_id % 97 = 0),
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  AND len(list_filter(string_split(text, ' '), w -> len(w) > 0)) > 0),
         |qt AS (SELECT q_id, term, count(*) AS qtf FROM
         |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
         |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score

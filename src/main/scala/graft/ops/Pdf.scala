@@ -168,10 +168,11 @@ object Pdf {
         // dict within a fixed lookbehind window would otherwise make us
         // inflate a plain-text stream (false corrupt) or drop text.
         // With NEITHER anchor present (tolerant parse of a headerless
-        // object) fall back to a bounded 400-byte window, never the
-        // whole file prefix.
+        // object) fall back to a bounded window — generous enough for a
+        // long dict, never the whole file prefix (which would adopt an
+        // unrelated earlier object's /Filter).
         val anchor = math.max(s.lastIndexOf("obj", st), s.lastIndexOf("endstream", st))
-        val dictStart = if (anchor >= 0) anchor else math.max(0, st - 400)
+        val dictStart = if (anchor >= 0) anchor else math.max(0, st - 4096)
         // honor a DIRECT /Length from this dict; an indirect
         // `/Length 12 0 R` (or garbage) falls back to the endstream scan
         val dictRegion = s.substring(dictStart, st)

@@ -104,19 +104,32 @@ object StreamingRetrieval {
     * stream batch appends its own delta partition (`landAndIndexBatch`).
     */
   def bootstrapIndex(assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
-      indexPath: String): Unit = {
-    assigned.withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$indexPath/vectors")
-    writeCentroids(assigned.sparkSession, centroids, s"$indexPath/meta",
-      staged = false)
-    // a full re-bootstrap writes BOTH sides consistently, so it is also
-    // a heal for a crashed optimize — clear any leftover fence (without
-    // this, rebuilding over a crashed index would keep every probe
-    // throwing on a now-healthy index)
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
-    val fs = marker.getFileSystem(
-      assigned.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
+      indexPath: String): Unit =
+    // under the same lease as append/optimize: an unlocked bootstrap
+    // racing a live optimize could clobber its staged swap and delete
+    // its fence mid-window
+    locked(assigned.sparkSession, indexPath, "bootstrap") {
+      assigned.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(s"$indexPath/vectors")
+      writeCentroids(assigned.sparkSession, centroids, s"$indexPath/meta",
+        staged = false)
+      // a full re-bootstrap writes BOTH sides consistently, so it is
+      // also a heal for a crashed optimize — clear any leftover fence
+      // (without this, rebuilding over a crashed index would keep every
+      // probe throwing on a now-healthy index)
+      clearFence(assigned.sparkSession, indexPath)
+    }
+
+  private def fencePath(spark: SparkSession, indexPath: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def clearFence(spark: SparkSession, indexPath: String): Unit = {
+    val (fs, p) = fencePath(spark, indexPath)
+    fs.delete(p, false) // false-on-missing, never throws for absence
+    ()
   }
 
   /** The centroids the index's vectors are currently assigned under —
@@ -128,8 +141,7 @@ object StreamingRetrieval {
     * names the heal (re-run optimizeIndex).
     */
   def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] = {
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, marker) = fencePath(spark, indexPath)
     if (fs.exists(marker))
       throw new IllegalStateException(
         s"index $indexPath: an optimizeIndex was interrupted between the vector swap and " +
@@ -244,14 +256,13 @@ object StreamingRetrieval {
     // optimizeIndex") instead of silently mis-probing a re-assigned
     // index with stale centroids; re-running heals (vectors are valid
     // reassigned data, the re-train rewrites both sides, marker drops).
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, marker) = fencePath(spark, indexPath)
     val out = fs.create(marker, true)
     out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8")); out.close()
     graft.core.TableWriter.stagedOverwriteWith(
       spark, reassigned.write.partitionBy("batch_id"), s"$indexPath/vectors")
     writeCentroids(spark, cents, s"$indexPath/meta", staged = true)
-    fs.delete(marker, false)
+    clearFence(spark, indexPath)
     cents
   }
 

@@ -114,8 +114,12 @@ class TableLockSpec extends SparkTestBase {
       val threads = (1 to 3).map { i =>
         new Thread(() => {
           gate.await()
+          // staleMs far above any plausible scheduler stall: with a small
+          // staleMs a taker delayed past it could LEGITIMATELY take over
+          // the fresh winner (correct lock behavior, flaky test); the
+          // dead lease's mtime is backdated 120 s so it stays stale
           val won =
-            try { TableLock.acquire(spark, table, s"taker-$i", staleMs = 1000); true }
+            try { TableLock.acquire(spark, table, s"taker-$i", staleMs = 60000); true }
             catch { case _: TableLock.LockHeldException => false }
           results.add(won)
         })
