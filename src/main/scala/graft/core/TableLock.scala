@@ -148,6 +148,15 @@ object TableLock {
       }
   }
 
+  /** Test seams (package-private): invoked inside `acquire` so a spec can
+    * deterministically simulate the lock chain advancing while a taker is
+    * paused between its listing and its create — the split-brain windows
+    * the agree-loop and the post-create verify exist to close. No-ops in
+    * production.
+    */
+  private[core] var testHookAfterList: Seq[(Long, Path)] => Unit = _ => ()
+  private[core] var testHookBeforeCreate: () => Unit = () => ()
+
   def acquire(
       spark: SparkSession,
       tablePath: String,
@@ -162,52 +171,102 @@ object TableLock {
 
     def path(epoch: Long) = new Path(parent, epochPrefix(tablePath) + epoch)
 
-    val files = epochFiles(fs, tablePath)
-    if (files.isEmpty) {
-      if (atomicCreate(fs, path(0L), lease)) Lease(fs, path(0L), owner, token)
-      else throw new LockHeldException(
-        s"table $tablePath is locked by another writer (lost the e0 create race)")
-    } else {
-      val (maxEpoch, maxPath) = files.maxBy(_._1)
-      // read the holder's lease once: released marker, owner (same-owner
-      // reacquire), and a holder description for the failure message
-      val content = try readFile(fs, maxPath)
-      catch { case _: java.io.IOException => None } // vanished/unreadable → legacy garbage, treat stale
-      val takeable = content match {
-        case None => true
-        case Some(c) =>
+    // Arbitration state must be a listing that AGREES with a successful
+    // read of its own max-epoch file (or a genuinely empty listing). A
+    // max-epoch file that vanishes between list and read was superseded
+    // and GC-deleted — the chain advanced PAST this listing, possibly by
+    // several epochs under per-batch acquire/release churn — so a stale
+    // listing must never arbitrate a takeover: creating maxEpoch+1 from
+    // it can succeed (that epoch already existed, was superseded, and was
+    // GC'd) and yield a second live lease below the real holder. Re-list
+    // until listing and read agree; bounded — a chain advancing faster
+    // than we can read it means the lock is simply held.
+    var observed: Option[(Seq[(Long, Path)], Option[(Long, Path, String)])] = None
+    var attempts = 0
+    while (observed.isEmpty) {
+      attempts += 1
+      if (attempts > 50)
+        throw new LockHeldException(
+          s"table $tablePath: lock chain is advancing faster than it can be read " +
+            "(listing and max-epoch read never agreed); treating as held")
+      val files = epochFiles(fs, tablePath)
+      testHookAfterList(files)
+      if (files.isEmpty) observed = Some((files, None))
+      else {
+        val (maxEpoch, maxPath) = files.maxBy(_._1)
+        try readFile(fs, maxPath) match {
+          case Some(c) => observed = Some((files, Some((maxEpoch, maxPath, c))))
+          case None    => () // vanished since the listing: re-list
+        } catch { case _: java.io.IOException => () } // transient read error: re-list
+      }
+    }
+
+    // After a successful create of e(N), confirm N is still the maximum
+    // epoch. A racing taker working from an even fresher listing can have
+    // created a higher epoch in the list→create window (our fresh file is
+    // not takeable, but a taker need not have read it if its own listing
+    // predates our create); the holder is BY DEFINITION the creator of
+    // the highest live epoch, so on seeing a higher one we tombstone our
+    // file and back off rather than proceed as a second writer.
+    def verifyMax(myEpoch: Long): Lease = {
+      val after =
+        try epochFiles(fs, tablePath).map(_._1)
+        catch { case _: java.io.IOException => Seq.empty[Long] }
+      val maxAfter = if (after.isEmpty) myEpoch else after.max
+      if (maxAfter > myEpoch) {
+        try overwriteFile(fs, path(myEpoch),
+          s"released=true\nlost-verify-to=e$maxAfter\nowner=$owner\ntoken=$token\n")
+        catch { case _: java.io.IOException => () }
+        throw new LockHeldException(
+          s"table $tablePath: takeover of e$myEpoch was superseded by e$maxAfter " +
+            "during the create window; backing off")
+      }
+      Lease(fs, path(myEpoch), owner, token)
+    }
+
+    observed.get match {
+      case (_, None) =>
+        // Genuinely empty dir. After the first acquire the dir always
+        // holds at least one epoch file (release and takeover tombstone,
+        // never delete the max), so this is a virgin table where the e0
+        // CREATE_NEW race admits exactly one winner.
+        testHookBeforeCreate()
+        if (atomicCreate(fs, path(0L), lease)) verifyMax(0L)
+        else throw new LockHeldException(
+          s"table $tablePath is locked by another writer (lost the e0 create race)")
+
+      case (files, Some((maxEpoch, maxPath, c))) =>
+        val takeable =
           isReleased(c) ||
             c.linesIterator.contains(s"owner=$owner") ||
             (try System.currentTimeMillis() - fs.getFileStatus(maxPath).getModificationTime > staleMs
              catch { case _: java.io.IOException => true })
-      }
-      if (!takeable)
-        throw new LockHeldException(
-          s"table $tablePath is locked by another writer (${content.get.trim}); " +
-            "concurrent write/compaction would corrupt the staged-swap protocol")
-      if (!atomicCreate(fs, path(maxEpoch + 1), lease))
-        throw new LockHeldException(s"lost takeover race for $tablePath")
-      // GC: strictly-below-max epochs are settled garbage; epochs only
-      // grow, so this can never delete a live lease, however delayed.
-      // The superseded max itself is TOMBSTONED (rewritten released),
-      // never deleted: deleting every epoch opens a race where a slow
-      // second taker lists an EMPTY dir and wins a fresh e0 alongside
-      // this winner's e(max+1) — two live leases (caught by the
-      // contended-takeover spec under load). After the first acquire the
-      // dir always holds at least one epoch file, so the empty-listing
-      // branch above only ever runs on a virgin table, where the e0
-      // CREATE_NEW race admits exactly one winner.
-      files.foreach { case (e, p) =>
-        if (e < maxEpoch)
-          try fs.delete(p, false) catch { case _: java.io.IOException => () }
-        else if (e == maxEpoch)
-          try {
-            if (!content.exists(isReleased))
-              overwriteFile(fs, p,
-                s"released=true\nsuperseded-by=e${maxEpoch + 1}\n")
-          } catch { case _: java.io.IOException => () }
-      }
-      Lease(fs, path(maxEpoch + 1), owner, token)
+        if (!takeable)
+          throw new LockHeldException(
+            s"table $tablePath is locked by another writer (${c.trim}); " +
+              "concurrent write/compaction would corrupt the staged-swap protocol")
+        testHookBeforeCreate()
+        if (!atomicCreate(fs, path(maxEpoch + 1), lease))
+          throw new LockHeldException(s"lost takeover race for $tablePath")
+        val won = verifyMax(maxEpoch + 1)
+        // GC: strictly-below-max epochs are settled garbage; epochs only
+        // grow, so this can never delete a live lease, however delayed.
+        // The superseded max itself is TOMBSTONED (rewritten released),
+        // never deleted: deleting every epoch opens a race where a slow
+        // second taker lists an EMPTY dir and wins a fresh e0 alongside
+        // this winner's e(max+1) — two live leases (caught by the
+        // contended-takeover spec under load).
+        files.foreach { case (e, p) =>
+          if (e < maxEpoch)
+            try fs.delete(p, false) catch { case _: java.io.IOException => () }
+          else if (e == maxEpoch)
+            try {
+              if (!isReleased(c))
+                overwriteFile(fs, p,
+                  s"released=true\nsuperseded-by=e${maxEpoch + 1}\n")
+            } catch { case _: java.io.IOException => () }
+        }
+        won
     }
   }
 
@@ -224,15 +283,22 @@ object TableLock {
     // well before staleMs — polling acquire lets a streaming micro-batch
     // queue behind an in-flight OPTIMIZE instead of failing the stream
     val deadline = System.currentTimeMillis() + waitMs
-    def acquireWaiting(): Lease =
-      try acquire(spark, tablePath, owner, staleMs)
-      catch {
-        case e: LockHeldException if System.currentTimeMillis() < deadline =>
-          log.info(s"table $tablePath held; retrying acquire for " +
-            s"${deadline - System.currentTimeMillis()} ms more (${e.getMessage})")
-          Thread.sleep(200)
-          acquireWaiting()
+    // iterative (not recursive): a catch-position retry is not
+    // tail-call-optimizable, and a full 10-minute wait at 200 ms polls
+    // would otherwise nest ~3,000 stack frames
+    def acquireWaiting(): Lease = {
+      var got: Lease = null
+      while (got == null) {
+        try got = acquire(spark, tablePath, owner, staleMs)
+        catch {
+          case e: LockHeldException if System.currentTimeMillis() < deadline =>
+            log.info(s"table $tablePath held; retrying acquire for " +
+              s"${deadline - System.currentTimeMillis()} ms more (${e.getMessage})")
+            Thread.sleep(200)
+        }
       }
+      got
+    }
     val lease = acquireWaiting()
     val interval = math.max(1L, staleMs / 3)
     val heartbeat = new Thread(() => {

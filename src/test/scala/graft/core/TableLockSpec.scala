@@ -141,6 +141,78 @@ class TableLockSpec extends SparkTestBase {
     }
   }
 
+  private def lockFile(table: String, e: Long): Path =
+    new Path(new Path(table).getParent, new Path(table).getName + "__lock.e" + e)
+
+  private def putLive(fs: org.apache.hadoop.fs.FileSystem, p: Path, owner: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"owner=$owner\ntoken=${java.util.UUID.randomUUID()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("a taker whose max-epoch file vanished mid-takeover re-derives from a fresh listing") {
+    // The chain advancing past a taker's listing (superseded epochs are
+    // tombstoned then GC-deleted) once let the taker treat a vanished max
+    // as takeable and create maxEpoch+1 from the STALE listing — a second
+    // live lease below the real holder. The agree-loop must re-list and
+    // observe the real holder instead.
+    val table = s"${tmpDir("lock_vanish")}/t"
+    val dead = TableLock.acquire(spark, table, "crashed")        // e0, stale
+    dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
+    var fired = false
+    TableLock.testHookAfterList = { files =>
+      if (!fired && files.nonEmpty) {
+        fired = true
+        // chain advances while the taker is paused: e1, e2 come and go
+        // (GC'd); the real holder now sits live at e2; e0 is deleted
+        dead.fs.delete(dead.path, false)
+        putLive(dead.fs, lockFile(table, 2L), "real-holder")
+      }
+    }
+    try {
+      val e = intercept[TableLock.LockHeldException] {
+        TableLock.acquire(spark, table, "slow-taker", staleMs = 60000)
+      }
+      assert(e.getMessage.contains("real-holder"),
+        "the re-derived listing must surface the REAL holder, not a stale-takeover win")
+      assert(!dead.fs.exists(lockFile(table, 1L)),
+        "no split-brain e1 lease may be created from the stale listing")
+      assert(dead.fs.exists(lockFile(table, 2L)), "the real holder's lease survives")
+    } finally TableLock.testHookAfterList = _ => ()
+  }
+
+  test("a takeover create that lands below a fresher winner is detected and tombstoned") {
+    // Between a taker's agreed read and its create, per-batch churn can
+    // advance the chain several epochs and GC the intermediate files; the
+    // taker's CREATE_NEW of maxEpoch+1 then SUCCEEDS (that epoch existed,
+    // was superseded, and was deleted). Post-create verification must see
+    // the higher live epoch, tombstone the orphan win, and back off.
+    val table = s"${tmpDir("lock_verify")}/t"
+    val dead = TableLock.acquire(spark, table, "crashed")        // e0, stale
+    dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
+    var fired = false
+    TableLock.testHookBeforeCreate = () => {
+      if (!fired) {
+        fired = true
+        // chain advances e1→e2→e3 during the taker's pause; GC removes
+        // e0..e2; the real holder is live at e3
+        dead.fs.delete(dead.path, false)
+        putLive(dead.fs, lockFile(table, 3L), "real-holder")
+      }
+    }
+    try {
+      val e = intercept[TableLock.LockHeldException] {
+        TableLock.acquire(spark, table, "slow-taker", staleMs = 60000)
+      }
+      assert(e.getMessage.contains("superseded by e3"), e.getMessage)
+      // the orphan e1 win is tombstoned, never a live second lease
+      val in = dead.fs.open(lockFile(table, 1L))
+      val c = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(c.contains("released=true") && c.contains("lost-verify-to=e3"), c)
+      assert(dead.fs.exists(lockFile(table, 3L)), "the real holder's lease survives")
+    } finally TableLock.testHookBeforeCreate = () => ()
+  }
+
   test("a write cannot interleave with a compaction holding the table, and vice versa") {
     val root = tmpDir("lock_e2e")
     val hints = TableHints(tableName = "t", disposition = Disposition.Replace)
