@@ -36,6 +36,13 @@ object StreamingDedupSink {
 
   private[streaming] final case class Meta(corpusRows: Long, indexRows: Long)
 
+  /** How long a micro-batch queues behind an in-flight index compaction
+    * before failing the stream (mirrors the other index lifecycles'
+    * BatchLockWaitMs; a crashed holder is taken over at the lease's
+    * staleMs regardless).
+    */
+  private val IndexLockWaitMs = 10L * 60 * 1000
+
   private def metaPath(indexPath: String) = new Path(indexPath, "_graft_meta")
   private def intentPath(indexPath: String) = new Path(indexPath, "_graft_intent")
 
@@ -153,17 +160,30 @@ object StreamingDedupSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          // cross-pipeline exclusion on the corpus table, shared with
-          // TableWriter/compaction. The owner is the CHECKPOINT DIR —
-          // stable across restarts and unique per pipeline — so a
-          // restarted query retakes its own crashed lease immediately
-          // (same-owner reacquire) while a second pipeline pointed at the
-          // same corpus fails fast instead of corrupting the
-          // intent/commit protocol. The lease is taken fresh per batch;
-          // withLock's auto-renew heartbeat keeps it live for the whole
-          // batch, so a data-dependent recovery heal or a long micro-batch
-          // is never exposed to third-party stale takeover mid-write.
+          // cross-pipeline exclusion on BOTH tables the batch writes,
+          // shared with TableWriter/compaction. The owner is the
+          // CHECKPOINT DIR — stable across restarts and unique per
+          // pipeline — so a restarted query retakes its own crashed
+          // leases immediately (same-owner reacquire) while a second
+          // pipeline pointed at the same corpus fails fast instead of
+          // corrupting the intent/commit protocol. Leases are taken fresh
+          // per batch; withLock's auto-renew heartbeat keeps them live
+          // for the whole batch, so a data-dependent recovery heal or a
+          // long micro-batch is never exposed to third-party stale
+          // takeover mid-write.
+          //
+          // LOCK ORDER: corpus, then index — every writer that touches
+          // both MUST take them in this order (single-lock holders like
+          // TableMaintenance.compact(indexPath) cannot deadlock against
+          // it). The index lease is keyed on indexPath — the SAME root a
+          // `compact`/`compactPartitioned` of the index locks — so index
+          // compaction cannot interleave its rewrite with this batch's
+          // index probe or its per-batch append; the batch instead queues
+          // (bounded) behind an in-flight compaction. The corpus lease
+          // stays fail-fast: a second pipeline must error, not hang.
           graft.core.TableLock.withLock(s, corpusPath, owner = s"dedup-sink:$checkpointDir") {
+          graft.core.TableLock.withLock(s, indexPath, owner = s"dedup-sink:$checkpointDir",
+            waitMs = IndexLockWaitMs) {
           val fs = new Path(corpusPath).getFileSystem(s.sparkContext.hadoopConfiguration)
           val numBands = numHashes / rowsPerBand
           recoverIfNeeded(s, corpusPath, indexPath, idCol, textCol, numHashes, rowsPerBand)
@@ -200,6 +220,7 @@ object StreamingDedupSink {
             Meta(prev.corpusRows + nSurv, prev.indexRows + nSurv * numBands))
           fs.delete(intentPath(indexPath), false)
           ()
+          }
           }
         }
       }

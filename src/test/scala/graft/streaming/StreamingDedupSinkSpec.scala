@@ -163,6 +163,64 @@ class StreamingDedupSinkSpec extends SparkTestBase {
     held.release()
   }
 
+  test("index compaction and live batches exclude each other; compaction loses nothing") {
+    // The sink leases BOTH tables per batch (corpus, then index). The
+    // index lease is keyed on indexPath — the same root
+    // TableMaintenance.compact(indexPath) locks — so compacting the
+    // per-batch small files of the index can never interleave its
+    // rewrite with a live batch's index probe or append.
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("sdedup_compact")
+    val (corpusPath, indexPath, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    input.addData((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+    val q1 = StreamingDedupSink.start(stream, corpusPath, indexPath,
+      "doc_id", "text", ckpt, threshold = 0.9)
+    q1.processAllAvailable(); q1.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 3L))
+
+    // an in-flight compaction holds the index lease: the next wave's
+    // batch must QUEUE behind it (bounded wait), not fail the stream and
+    // not skip its index append
+    val held = graft.core.TableLock.acquire(spark, indexPath, "compaction")
+    val releaser = new Thread(() => { Thread.sleep(1500); held.release(); () })
+    releaser.start()
+    input.addData((10L, "a b c d"), (11L, "p q r s"))
+    val q2 = StreamingDedupSink.start(stream, corpusPath, indexPath,
+      "doc_id", "text", ckpt, threshold = 0.9)
+    q2.processAllAvailable(); q2.stop()
+    releaser.join(10000)
+    assert(corpusIds(corpusPath) == Set(1L, 3L, 11L),
+      "the batch must complete after the compaction lease is released")
+    assert(spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
+      == Set(1L, 3L, 11L), "the queued batch's index append must land")
+
+    // the inverse: a batch in flight (index lease held) excludes compaction
+    val batchLease = graft.core.TableLock.acquire(spark, indexPath, "dedup-sink:other")
+    intercept[graft.core.TableLock.LockHeldException] {
+      graft.core.TableMaintenance.compact(spark, indexPath)
+    }
+    batchLease.release()
+
+    // compaction between waves: per-batch small files shrink, the
+    // meta/intent sidecar survives (steady-state detection stays a pure
+    // existence check), and the next wave still dedups correctly
+    val (before, after) =
+      graft.core.TableMaintenance.compact(spark, indexPath, minFileBytes = 1024 * 1024)
+    assert(after < before, s"expected the per-batch small files to compact ($before -> $after)")
+    assert(!StreamingDedupSink.recoverIfNeeded(
+      spark, corpusPath, indexPath, "doc_id", "text", 4, 2),
+      "compaction must not destroy the commit sidecar (no heal afterwards)")
+    input.addData((20L, "p q r s"), (21L, "fresh words entirely new"))
+    val q3 = StreamingDedupSink.start(stream, corpusPath, indexPath,
+      "doc_id", "text", ckpt, threshold = 0.9)
+    q3.processAllAvailable(); q3.stop()
+    assert(corpusIds(corpusPath) == Set(1L, 3L, 11L, 21L),
+      "post-compaction: corpus dup dropped, fresh doc kept")
+  }
+
   test("a lost index is rebuilt from the corpus before the next batch dedups") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("sdedup_heal")
