@@ -123,9 +123,16 @@ object Lexical {
           .groupBy(col(qidCol), col(idCol))
           .agg(sum(col("__qtf") * col("__tf") * col("idf_bits")).cast("double").as("__s"))
       }
-    Similarity.boundedTopK(scored, qidCol, idCol, "__s", k, "rank")
+    val out = Similarity.boundedTopK(scored, qidCol, idCol, "__s", k, "rank")
       .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
         col("__s").cast("long").as("score"))
+      // k x queries rows: eagerly materialize the small result so the
+      // corpus-sized postings cache can be RELEASED here instead of
+      // pinning block-manager memory for the session's lifetime
+      // (repeated ad-hoc calls would otherwise accumulate cached corpora)
+      .localCheckpoint(true)
+    allPostings.unpersist(false)
+    out
   }
 
   /** Persisted inverted index — lexical retrieval as a TABLE rather than
@@ -134,19 +141,28 @@ object Lexical {
     * by a term hash so a probe prunes partitions; the vocabulary-sized
     * idf/df table alongside), probe many, append incrementally.
     *
-    * Layout under `path` — every sub-table partitioned by an
+    * Layout under `path` — sub-tables live in per-GENERATION dirs
+    * (`postings@g<N>`, see [[graft.core.Generations]]) committed by an
+    * atomic `_gen.e<N>` marker, and every sub-table is partitioned by an
     * append-batch id `__ab` (-1 = build/optimize output, >= 0 = one
     * append batch), the same batch-keyed discipline as the streaming
     * sinks:
-    *   postings/  (term, id, tf, crank) partitioned by (__ab, __tb),
-    *              __tb = md5-bucket of term; crank = champion rank
-    *              within the term at build/optimize time (pending
-    *              append rows use crank = 0)
-    *   idf/       (term, df) partitioned by __ab — per-batch document
-    *              frequency DELTAS; probes sum across batches
-    *              (vocabulary-sized work)
-    *   meta/      (n_docs) partitioned by __ab — per-batch doc counts;
-    *              probes sum
+    *   postings@gN/  (term, id, tf, crank) partitioned by (__ab, __tb),
+    *                 __tb = md5-bucket of term; crank = champion rank
+    *                 within the term at build/optimize time (pending
+    *                 append rows use crank = 0)
+    *   idf@gN/       (term, df) partitioned by __ab — per-batch document
+    *                 frequency DELTAS; probes sum across batches
+    *                 (vocabulary-sized work)
+    *   meta@gN/      (n_docs) partitioned by __ab — per-batch doc
+    *                 counts; probes sum
+    *
+    * `optimize` writes the WHOLE next generation and then flips the
+    * marker — one atomic create — so an UNLEASED reader (`search` takes
+    * no lock) resolves either the old complete generation or the new
+    * one, never a half-swapped directory and never postings/idf/meta
+    * from different snapshots; GC keeps a one-generation grace for
+    * readers that resolved just before the flip.
     *
     * Append contract: a batch lands all three deltas under its OWN
     * `__ab = appendId` partitions with dynamic partition overwrite, so
@@ -209,18 +225,27 @@ object Lexical {
       docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
 
+    /** Sub-table dir of the current committed generation (spec access). */
+    private[graft] def subDir(spark: org.apache.spark.sql.SparkSession,
+        path: String, sub: String): String =
+      graft.core.Generations.resolve(spark, path, sub)
+
     def build(docs: DataFrame, idCol: String, textCol: String, path: String,
         championSize: Int): Unit = locked(docs.sparkSession, path, "build") {
       val spark = docs.sparkSession
+      val gen = graft.core.Generations.next(spark, path)
+      def d(sub: String) = graft.core.Generations.dir(path, sub, gen)
       withCrank(postingsOf(docs, idCol, textCol), championSize)
         .withColumn("__ab", lit(-1L))
         .withColumn("__tb", termBucket(col("term")))
-        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(d("postings"))
       dfOf(docs, idCol, textCol).withColumn("__ab", lit(-1L))
-        .write.mode("overwrite").partitionBy("__ab").parquet(s"$path/idf")
+        .write.mode("overwrite").partitionBy("__ab").parquet(d("idf"))
       spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
         .withColumn("__ab", lit(-1L))
-        .write.mode("overwrite").partitionBy("__ab").parquet(s"$path/meta")
+        .write.mode("overwrite").partitionBy("__ab").parquet(d("meta"))
+      graft.core.Generations.commit(spark, path, gen)
+      graft.core.Generations.gc(spark, path, gen)
     }
 
     /** Append a document batch under its own `__ab = appendId`
@@ -241,46 +266,58 @@ object Lexical {
         appendId: Long): Unit = locked(batch.sparkSession, path, "append") {
       require(appendId >= 0L, s"appendId must be >= 0 (-1 is the build partition): $appendId")
       val spark = batch.sparkSession
+      // appends land INSIDE the current generation (new __ab partitions;
+      // existing files are never rewritten) — the generation only flips
+      // on build/optimize
+      def d(sub: String) = graft.core.Generations.resolve(spark, path, sub)
       postingsOf(batch, idCol, textCol)
         .withColumn("crank", lit(0L)) // pending: candidate until optimize
         .withColumn("__ab", lit(appendId))
         .withColumn("__tb", termBucket(col("term")))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__ab", "__tb").parquet(s"$path/postings")
+        .partitionBy("__ab", "__tb").parquet(d("postings"))
       dfOf(batch, idCol, textCol).withColumn("__ab", lit(appendId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__ab").parquet(s"$path/idf")
+        .partitionBy("__ab").parquet(d("idf"))
       spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
         .withColumn("__ab", lit(appendId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__ab").parquet(s"$path/meta")
+        .partitionBy("__ab").parquet(d("meta"))
     }
 
     /** Recompute champion ranks over the full postings and compact every
       * sub-table to a single `__ab = -1` partition — after this the
       * index is identical to a fresh build over the union corpus.
+      * Writes the whole NEXT generation, then commits it with one atomic
+      * marker create: no staged swap, no window where a concurrent
+      * reader can see a half-replaced directory or mismatched
+      * postings/idf/meta (reads of the old generation stay valid through
+      * the one-generation GC grace).
       */
     def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
         championSize: Int): Unit = locked(spark, path, "optimize") {
-      val re = withCrank(
-        spark.read.parquet(s"$path/postings").select("term", "id", "tf"), championSize)
+      val gen = graft.core.Generations.currentOrFail(spark, path)
+      def cur(sub: String) = graft.core.Generations.dir(path, sub, gen)
+      def nxt(sub: String) = graft.core.Generations.dir(path, sub, gen + 1)
+      // reading gen N while writing gen N+1: no self-overwrite, so no
+      // pre-read checkpoint needed anywhere
+      withCrank(
+        spark.read.parquet(cur("postings")).select("term", "id", "tf"), championSize)
         .withColumn("__ab", lit(-1L))
         .withColumn("__tb", termBucket(col("term")))
-      graft.core.TableWriter.stagedOverwriteWith(
-        spark, re.write.partitionBy("__ab", "__tb"), s"$path/postings")
-      val df = spark.read.parquet(s"$path/idf")
+        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(nxt("postings"))
+      spark.read.parquet(cur("idf"))
         .groupBy("term").agg(sum("df").as("df")).withColumn("__ab", lit(-1L))
-        .localCheckpoint(true) // read fully before the swap drops the source
-      graft.core.TableWriter.stagedOverwriteWith(
-        spark, df.write.partitionBy("__ab"), s"$path/idf")
-      val n = spark.read.parquet(s"$path/meta")
-        .agg(sum("n_docs")).head.getLong(0)
-      graft.core.TableWriter.stagedOverwriteWith(
-        spark, spark.createDataFrame(Seq(Tuple1(n))).toDF("n_docs")
-          .withColumn("__ab", lit(-1L)).write.partitionBy("__ab"), s"$path/meta")
+        .write.mode("overwrite").partitionBy("__ab").parquet(nxt("idf"))
+      val n = spark.read.parquet(cur("meta")).agg(sum("n_docs")).head.getLong(0)
+      spark.createDataFrame(Seq(Tuple1(n))).toDF("n_docs")
+        .withColumn("__ab", lit(-1L))
+        .write.mode("overwrite").partitionBy("__ab").parquet(nxt("meta"))
+      graft.core.Generations.commit(spark, path, gen + 1)
+      graft.core.Generations.gc(spark, path, gen + 1)
     }
 
     /** Probe: champion rows (crank >= 1) and PENDING appended rows
@@ -292,11 +329,18 @@ object Lexical {
     def search(spark: org.apache.spark.sql.SparkSession, path: String,
         queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
         broadcastRowCap: Long = 4000000L): DataFrame = {
-      val postings = spark.read.parquet(s"$path/postings")
+      // resolve the generation ONCE: postings, idf and meta all come
+      // from the same committed snapshot, and an optimize flipping the
+      // pointer mid-search cannot pull the directories out from under
+      // this (unleased) read — GC keeps the resolved generation alive
+      // through a one-generation grace
+      val gen = graft.core.Generations.currentOrFail(spark, path)
+      def d(sub: String) = graft.core.Generations.dir(path, sub, gen)
+      val postings = spark.read.parquet(d("postings"))
       // per-batch deltas sum to the union-corpus df and n_docs —
       // vocabulary-sized (idf) and batch-count-sized (meta) work
-      val n = spark.read.parquet(s"$path/meta").agg(sum("n_docs")).head.getLong(0)
-      val idf = spark.read.parquet(s"$path/idf")
+      val n = spark.read.parquet(d("meta")).agg(sum("n_docs")).head.getLong(0)
+      val idf = spark.read.parquet(d("idf"))
         .groupBy("term").agg(sum("df").as("df"))
         .withColumn("__m", expr(s"(${n + 1}L + df) div (df + 1L)"))
         .select(col("term"),

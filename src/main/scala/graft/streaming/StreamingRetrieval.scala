@@ -33,14 +33,24 @@ import graft.ops.{Embedding, Similarity}
   * landed set.
   *
   * GROWING index layout under `indexPath` (mirrors `Lexical.Index`):
-  *   vectors/  (n_id, n_vec, __cell) partitioned by batch_id
-  *             (-1 = bootstrap/optimize seed, >= 0 = stream deltas)
-  *   meta/     (cell, vec) — the centroids the vectors are CURRENTLY
-  *             assigned under. Persisted with the index so a restart (or
-  *             any probe) reads centroids from disk instead of trusting
-  *             the caller to remember the output of the last
-  *             `optimizeIndex` — stale in-memory centroids against a
-  *             re-assigned index would silently mis-probe.
+  * per-GENERATION dirs committed by an atomic `_gen.e<N>` marker (see
+  * [[graft.core.Generations]]):
+  *   vectors@gN/  (n_id, n_vec, __cell) partitioned by batch_id
+  *                (-1 = bootstrap/optimize seed, >= 0 = stream deltas)
+  *   meta@gN/     (cell, vec) — the centroids generation N's vectors
+  *                are assigned under. Persisted with the index so a
+  *                restart (or any probe) reads centroids from disk
+  *                instead of trusting the caller to remember the output
+  *                of the last `optimizeIndex` — stale in-memory
+  *                centroids against a re-assigned index would silently
+  *                mis-probe.
+  *
+  * vectors and centroids flip TOGETHER at the marker create, so a
+  * reader can never pair one generation's layout with the other's
+  * centroids — and a crash anywhere inside optimize leaves the previous
+  * generation committed and fully consistent (the old two-directory
+  * `_optimizing` fence window no longer exists; re-running the optimize
+  * overwrites the orphan next-generation dirs and heals).
   *
   * Single-writer discipline: the per-batch index append and
   * `optimizeIndex` both run under the same [[graft.core.TableLock]]
@@ -98,69 +108,54 @@ object StreamingRetrieval {
       .parquet(outPath)
   }
 
+  /** Sub-table dir of the current committed generation (spec access). */
+  private[graft] def subDir(spark: SparkSession, indexPath: String, sub: String): String =
+    graft.core.Generations.resolve(spark, indexPath, sub)
+
   /** Bootstrap a GROWING index table: the base corpus's `ivfAssign`
-    * output lands as the `batch_id=-1` seed partition of `vectors/`, and
-    * the centroids it was assigned under land in `meta/`; each later
-    * stream batch appends its own delta partition (`landAndIndexBatch`).
+    * output lands as the `batch_id=-1` seed partition of the new
+    * generation's vectors, the centroids it was assigned under land in
+    * its meta, and the generation marker commits both at once; each
+    * later stream batch appends its own delta partition
+    * (`landAndIndexBatch`). A re-bootstrap writes (and commits) a whole
+    * fresh generation, so it also heals any crashed prior
+    * bootstrap/optimize.
     */
   def bootstrapIndex(assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
       indexPath: String): Unit =
     // under the same lease as append/optimize: an unlocked bootstrap
-    // racing a live optimize could clobber its staged swap and delete
-    // its fence mid-window
+    // racing a live optimize could interleave generation writes
     locked(assigned.sparkSession, indexPath, "bootstrap") {
+      val spark = assigned.sparkSession
+      val gen = graft.core.Generations.next(spark, indexPath)
       assigned.withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(s"$indexPath/vectors")
-      writeCentroids(assigned.sparkSession, centroids, s"$indexPath/meta",
-        staged = false)
-      // a full re-bootstrap writes BOTH sides consistently, so it is
-      // also a heal for a crashed optimize — clear any leftover fence
-      // (without this, rebuilding over a crashed index would keep every
-      // probe throwing on a now-healthy index)
-      clearFence(assigned.sparkSession, indexPath)
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(graft.core.Generations.dir(indexPath, "vectors", gen))
+      writeCentroids(spark, centroids,
+        graft.core.Generations.dir(indexPath, "meta", gen))
+      graft.core.Generations.commit(spark, indexPath, gen)
+      graft.core.Generations.gc(spark, indexPath, gen)
     }
-
-  private def fencePath(spark: SparkSession, indexPath: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(indexPath, "_optimizing")
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def clearFence(spark: SparkSession, indexPath: String): Unit = {
-    val (fs, p) = fencePath(spark, indexPath)
-    fs.delete(p, false) // false-on-missing, never throws for absence
-    ()
-  }
 
   /** The centroids the index's vectors are currently assigned under —
     * the ONLY correct probe centroids for this index. k rows; a driver
-    * collect by design. Fails LOUDLY if a crashed `optimizeIndex` left
-    * the vectors/meta pair possibly inconsistent (the `_optimizing`
-    * marker is present): probing a re-assigned index with stale
-    * centroids would silently land wrong top-k forever — the error
-    * names the heal (re-run optimizeIndex).
+    * collect by design. The generation marker commits vectors and
+    * centroids together, so these are always the centroids matching the
+    * committed vector layout — a crashed optimize simply leaves the
+    * previous generation current.
     */
-  def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] = {
-    val (fs, marker) = fencePath(spark, indexPath)
-    if (fs.exists(marker))
-      throw new IllegalStateException(
-        s"index $indexPath: an optimizeIndex was interrupted between the vector swap and " +
-          "the centroid write — meta/ may describe the OLD assignment of the NEW layout. " +
-          "Re-run optimizeIndex to heal (it re-trains and rewrites both, then clears the marker).")
-    spark.read.parquet(s"$indexPath/meta")
+  def readCentroids(spark: SparkSession, indexPath: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(graft.core.Generations.resolve(spark, indexPath, "meta"))
       .orderBy("cell")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toSeq
-  }
 
   private def writeCentroids(spark: SparkSession, centroids: Seq[(Int, Array[Double])],
-      metaPath: String, staged: Boolean): Unit = {
-    val df = spark.createDataFrame(centroids.map { case (c, v) => (c, v.toSeq) })
+      metaPath: String): Unit =
+    spark.createDataFrame(centroids.map { case (c, v) => (c, v.toSeq) })
       .toDF("cell", "vec").coalesce(1)
-    if (staged) graft.core.TableWriter.stagedOverwrite(spark, df, metaPath)
-    else df.write.mode("overwrite").parquet(metaPath)
-  }
+      .write.mode("overwrite").parquet(metaPath)
 
   /** One micro-batch of the crawl → probe → index loop (the reference's
     * unstructured_data ingest-then-query flow made continuous): embed the
@@ -195,12 +190,19 @@ object StreamingRetrieval {
       broadcastRowCap: Long = 4000000L,
   ): Unit = locked(batch.sparkSession, indexPath, "append", waitMs = BatchLockWaitMs) {
     val s = batch.sparkSession
-    val centroids = readCentroids(s, indexPath)
+    // one generation for the whole batch: centroids and vectors resolve
+    // from the same committed snapshot (the lease excludes a concurrent
+    // optimize, so the generation cannot flip mid-batch)
+    val gen = graft.core.Generations.currentOrFail(s, indexPath)
+    val vecDir = graft.core.Generations.dir(indexPath, "vectors", gen)
+    val centroids = s.read.parquet(graft.core.Generations.dir(indexPath, "meta", gen))
+      .orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
     val emb = Embedding.embedDocuments(batch, idCol, textCol, dim)
       .filter(col("embedding").isNotNull)
       .localCheckpoint(true)
     val queries = emb.select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
-    val index = s.read.parquet(s"$indexPath/vectors")
+    val index = s.read.parquet(vecDir)
       .filter(col("batch_id") < batchId)
       .select("n_id", "n_vec", "__cell")
     Similarity.ivfTopKPreAssigned(index, queries,
@@ -218,7 +220,7 @@ object StreamingRetrieval {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .parquet(s"$indexPath/vectors")
+      .parquet(vecDir)
   }
 
   /** Index OPTIMIZE — the IVF lifecycle's third verb next to bootstrap
@@ -234,8 +236,12 @@ object StreamingRetrieval {
     * scan one balanced partition set and the next stream batch appends
     * from `batch_id=0` semantics again. Runs under the index lease:
     * a live stream's delta append queues behind the swap instead of
-    * being silently dropped by it. Returns the new centroids for
-    * convenience; `meta/` is the source of truth.
+    * being silently dropped by it. The wait is deliberately asymmetric:
+    * batches queue (bounded) behind an in-flight optimize, but an
+    * optimize racing a live batch fails FAST (`waitMs = 0`) — a
+    * maintenance verb should report contention to its operator, not
+    * silently stall a cluster-sized job slot. Returns the new centroids
+    * for convenience; the index's committed meta is the source of truth.
     */
   def optimizeIndex(
       spark: SparkSession,
@@ -243,26 +249,25 @@ object StreamingRetrieval {
       k: Int,
       maxIter: Int = 5,
   ): Seq[(Int, Array[Double])] = locked(spark, indexPath, "optimize") {
-    val all = spark.read.parquet(s"$indexPath/vectors").select("n_id", "n_vec")
-      .localCheckpoint(true) // read fully BEFORE the swap overwrites the dir
+    val gen = graft.core.Generations.currentOrFail(spark, indexPath)
+    val all = spark.read
+      .parquet(graft.core.Generations.dir(indexPath, "vectors", gen))
+      .select("n_id", "n_vec")
+      .localCheckpoint(true) // k-means is multi-pass: materialize once
     val cents = Similarity.kmeansCentroids(all, "n_id", "n_vec", k, maxIter)
-    val reassigned = Similarity.ivfAssign(all, "n_vec", cents)
+    // the whole next generation — re-assigned vectors AND their matching
+    // centroids — is written first, then committed by ONE atomic marker
+    // create: no cross-directory inconsistency window, and a crash
+    // anywhere before the commit leaves generation `gen` current and
+    // fully consistent (re-running overwrites the orphan dirs and heals)
+    Similarity.ivfAssign(all, "n_vec", cents)
       .withColumn("batch_id", lit(-1L))
-    // vectors and meta cannot swap in one atomic step (two directories),
-    // so the window between them is FENCED by a marker: it goes up
-    // before the vector swap and comes down only after the matching
-    // centroids are on disk. A crash inside the window leaves the marker
-    // in place and every readCentroids fails loudly ("re-run
-    // optimizeIndex") instead of silently mis-probing a re-assigned
-    // index with stale centroids; re-running heals (vectors are valid
-    // reassigned data, the re-train rewrites both sides, marker drops).
-    val (fs, marker) = fencePath(spark, indexPath)
-    val out = fs.create(marker, true)
-    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8")); out.close()
-    graft.core.TableWriter.stagedOverwriteWith(
-      spark, reassigned.write.partitionBy("batch_id"), s"$indexPath/vectors")
-    writeCentroids(spark, cents, s"$indexPath/meta", staged = true)
-    clearFence(spark, indexPath)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(graft.core.Generations.dir(indexPath, "vectors", gen + 1))
+    writeCentroids(spark, cents,
+      graft.core.Generations.dir(indexPath, "meta", gen + 1))
+    graft.core.Generations.commit(spark, indexPath, gen + 1)
+    graft.core.Generations.gc(spark, indexPath, gen + 1)
     cents
   }
 

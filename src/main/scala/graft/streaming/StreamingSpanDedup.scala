@@ -56,6 +56,11 @@ object StreamingSpanDedup {
     * docs under `outPath/batch_id=<id>`, append new grams to
     * `indexPath`.
     */
+  /** Gram table dir of the current committed generation (spec access). */
+  private[graft] def subDir(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, sub: String = "grams"): String =
+    graft.core.Generations.resolve(spark, indexPath, sub)
+
   def landBatch(
       batch: DataFrame,
       batchId: Long,
@@ -69,9 +74,13 @@ object StreamingSpanDedup {
     owner = s"span-dedup-batch:${java.util.UUID.randomUUID()}",
     waitMs = BatchLockWaitMs) {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val haveIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    // grams live in per-generation dirs (grams@gN) committed by an
+    // atomic marker; the first batch seeds generation 0 and commits it
+    // after its delta lands (a crash before the commit replays cleanly:
+    // the replayed delta overwrites its own partition, then commits)
+    val genOpt = graft.core.Generations.current(spark, indexPath)
+    val gramsDir = graft.core.Generations.dir(indexPath, "grams", genOpt.getOrElse(0L))
+    val haveIndex = genOpt.isDefined
     val grams = gramKeys(batch, idCol, textCol, k).localCheckpoint(true)
     val batchGramSet = grams.select("__g").distinct().localCheckpoint(true)
     val nKeys = batchGramSet.count()
@@ -81,7 +90,7 @@ object StreamingSpanDedup {
     // batch keys broadcast into it
     val seen =
       if (haveIndex)
-        spark.read.parquet(indexPath)
+        spark.read.parquet(gramsDir)
           .filter(col("batch_id") < batchId) // probe-then-append: never see own/future deltas
           .select("__g")
           .join(gate(batchGramSet), Seq("__g"), "left_semi")
@@ -108,7 +117,8 @@ object StreamingSpanDedup {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .parquet(indexPath)
+      .parquet(gramsDir)
+    if (genOpt.isEmpty) graft.core.Generations.commit(spark, indexPath, 0L)
   }
 
   /** Gram-index OPTIMIZE: distinct-merge every delta partition strictly
@@ -124,20 +134,30 @@ object StreamingSpanDedup {
     * (uncommitted) batch whose own partition had been merged into the
     * seed would see its own grams as "seen" and cut differently.
     * Runs under the same index lease as the per-batch probe-then-append
-    * (and `TableMaintenance.compactPartitioned`), so the staged swap can
-    * never drop an in-flight delta.
+    * (and `TableMaintenance.compactPartitioned`), so the generation
+    * flip can never drop an in-flight delta. Deliberately asymmetric
+    * wait: batches queue (bounded) behind an in-flight optimize, but an
+    * optimize racing a live batch fails FAST (`waitMs = 0`) — a
+    * maintenance verb should report contention, not stall a job slot.
     */
   def optimizeIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       upToBatch: Long): Unit =
     graft.core.TableLock.withLock(spark, indexPath,
       owner = s"span-dedup-optimize:${java.util.UUID.randomUUID()}") {
-      val all = spark.read.parquet(indexPath)
+      // write the merged NEXT generation, then commit it with one atomic
+      // marker create — no staged swap, and any concurrent unleased
+      // reader keeps scanning the old generation (one-generation GC
+      // grace) instead of hitting a half-replaced directory
+      val gen = graft.core.Generations.currentOrFail(spark, indexPath)
+      val all = spark.read.parquet(graft.core.Generations.dir(indexPath, "grams", gen))
       val merged = all.filter(col("batch_id") < upToBatch)
         .select("__g").distinct()
         .withColumn("batch_id", lit(-1L))
         .unionByName(all.filter(col("batch_id") >= upToBatch))
-      graft.core.TableWriter.stagedOverwriteWith(
-        spark, merged.write.partitionBy("batch_id"), indexPath)
+      merged.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(graft.core.Generations.dir(indexPath, "grams", gen + 1))
+      graft.core.Generations.commit(spark, indexPath, gen + 1)
+      graft.core.Generations.gc(spark, indexPath, gen + 1)
     }
 
   def start(

@@ -107,7 +107,7 @@ class StreamingRetrievalSpec extends SparkTestBase {
     // batch-0 index delta rather than the bootstrap partition alone.
     assert(landed == Set((200L, 1L, 100L)), s"landed=$landed")
     // index now holds base + both deltas, partition-pruned by batch_id
-    val idx = spark.read.parquet(s"$root/index/vectors")
+    val idx = spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/index", "vectors"))
     assert(idx.count() == 12)
     assert(idx.filter(col("batch_id") === -1L).count() == 10)
     // the probe centroids are the index's own, persisted at bootstrap
@@ -127,13 +127,13 @@ class StreamingRetrievalSpec extends SparkTestBase {
     StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
       4, 1, 3, s"$root/out")
     val out1 = spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString)
-    val idx1 = spark.read.parquet(s"$root/index/vectors").count()
+    val idx1 = spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/index", "vectors")).count()
     // crash between write and checkpoint commit => same batch re-delivered;
     // the probe must NOT see the crashed attempt's own index delta
     StreamingRetrieval.landAndIndexBatch(b0, 0L, s"$root/index", "doc_id", "text",
       4, 1, 3, s"$root/out")
     assert(spark.read.parquet(s"$root/out").collect().toSeq.sortBy(_.toString) == out1)
-    assert(spark.read.parquet(s"$root/index/vectors").count() == idx1)
+    assert(spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/index", "vectors")).count() == idx1)
   }
 
   test("ivfTopKPreAssigned gated off broadcast returns identical results") {
@@ -173,10 +173,11 @@ class StreamingRetrievalSpec extends SparkTestBase {
     StreamingRetrieval.bootstrapIndex(
       Similarity.ivfAssign(base, "n_vec", cents), cents, s"$root/idx")
     Similarity.ivfAssign(delta, "n_vec", cents).withColumn("batch_id", lit(3L))
-      .write.mode("append").partitionBy("batch_id").parquet(s"$root/idx/vectors")
+      .write.mode("append").partitionBy("batch_id")
+      .parquet(StreamingRetrieval.subDir(spark, s"$root/idx", "vectors"))
 
     val newCents = StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
-    val back = spark.read.parquet(s"$root/idx/vectors")
+    val back = spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/idx", "vectors"))
     // one seed partition, every vector present exactly once
     assert(back.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
     assert(back.count() == 60L && back.select("n_id").distinct().count() == 60L)
@@ -227,7 +228,7 @@ class StreamingRetrievalSpec extends SparkTestBase {
     val queries = Embedding.embedDocuments(b0, "doc_id", "text", dim = 4)
       .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
     val expect = Similarity.ivfTopKPreAssigned(
-      spark.read.parquet(s"$root/idx/vectors")
+      spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/idx", "vectors"))
         .filter(col("batch_id") === -1L).select("n_id", "n_vec", "__cell"),
       queries, "n_id", "n_vec", "q_id", "q_vec", diskCents, nProbe = 1, k = 3)
       .select(col("q_id"), col("rank").cast("long"), col("n_id"))
@@ -235,32 +236,40 @@ class StreamingRetrievalSpec extends SparkTestBase {
     assert(landed == expect && landed.nonEmpty, s"landed=$landed expect=$expect")
   }
 
-  test("a crashed optimize leaves the _optimizing fence: probes fail loudly, re-run heals") {
-    val root = tmpDir("sretr_fence")
+  test("a crashed optimize (uncommitted next generation) leaves probes consistent; re-run heals") {
+    // the generation marker commits vectors and centroids TOGETHER: a
+    // crash after writing part of generation 1 but before its marker
+    // leaves generation 0 current — probes keep reading a fully
+    // consistent vectors+centroids pair instead of failing or
+    // mis-probing; re-running the optimize overwrites the orphan dirs
+    val root = tmpDir("sretr_crashopt")
     val corpus = Embedding.embedDocuments(
       (1L to 20L).map(i => (i, if (i % 2 == 0) "alpha alpha" else "zeta zeta"))
         .toDF("doc_id", "text"), "doc_id", "text", dim = 4)
       .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
     StreamingRetrieval.bootstrapIndex(
       Similarity.ivfAssign(corpus, "n_vec", cents), cents, s"$root/idx")
-    // simulate the crash window: vectors swapped, centroids not yet written
-    val marker = new org.apache.hadoop.fs.Path(s"$root/idx", "_optimizing")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, true); out.write("crashed".getBytes("UTF-8")); out.close()
-    val err = intercept[IllegalStateException] {
-      StreamingRetrieval.readCentroids(spark, s"$root/idx")
-    }
-    assert(err.getMessage.contains("Re-run optimizeIndex"))
-    // batches go through readCentroids, so they refuse to mis-probe too
-    intercept[IllegalStateException] {
-      StreamingRetrieval.landAndIndexBatch(
-        Seq((100L, "alpha beta")).toDF("doc_id", "text"), 0L, s"$root/idx",
-        "doc_id", "text", 4, 1, 3, s"$root/out")
-    }
-    // the heal the error names: re-running optimize clears the fence
+    // simulate the crash window: generation-1 vectors written (garbage,
+    // to prove no reader touches them), centroids and marker never landed
+    Seq((999L, Seq(9.0, 9.0, 9.0, 9.0), -1L)).toDF("n_id", "n_vec", "batch_id")
+      .write.partitionBy("batch_id")
+      .parquet(graft.core.Generations.dir(s"$root/idx", "vectors", 1L))
+    // probes still resolve generation 0: the bootstrap centroids, the
+    // bootstrap vectors, nothing from the orphan
+    assert(StreamingRetrieval.readCentroids(spark, s"$root/idx")
+      .map { case (c, v) => (c, v.toSeq) } == cents.map { case (c, v) => (c, v.toSeq) })
+    StreamingRetrieval.landAndIndexBatch(
+      Seq((100L, "alpha beta")).toDF("doc_id", "text"), 0L, s"$root/idx",
+      "doc_id", "text", 4, 1, 3, s"$root/out")
+    assert(!spark.read.parquet(s"$root/out").select("n_id").as[Long]
+      .collect().contains(999L), "no probe may read the uncommitted generation")
+    // re-running the optimize overwrites the orphan generation and commits
     StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
-    assert(!fs.exists(marker))
+    assert(graft.core.Generations.current(spark, s"$root/idx").contains(1L))
     assert(StreamingRetrieval.readCentroids(spark, s"$root/idx").size == 2)
+    val vecs = spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/idx", "vectors"))
+    assert(!vecs.select("n_id").as[Long].collect().contains(999L),
+      "the healed generation is re-derived from committed data only")
   }
 
   test("index lease exclusion: optimize cannot start while another writer holds the index") {
@@ -276,6 +285,6 @@ class StreamingRetrievalSpec extends SparkTestBase {
     } finally lease.release()
     // released => the same optimize proceeds
     StreamingRetrieval.optimizeIndex(spark, s"$root/idx", k = 2)
-    assert(spark.read.parquet(s"$root/idx/vectors").count() == 10L)
+    assert(spark.read.parquet(StreamingRetrieval.subDir(spark, s"$root/idx", "vectors")).count() == 10L)
   }
 }

@@ -51,11 +51,11 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     val w0 = docs.take(3).toDF("doc_id", "text")
     StreamingSpanDedup.landBatch(w0, 0L, "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
     val once = spark.read.parquet(s"$dir/out").collect().map(_.toString).sorted.toSeq
-    val idxOnce = spark.read.parquet(s"$dir/idx").collect().map(_.toString).sorted.toSeq
+    val idxOnce = spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/idx")).collect().map(_.toString).sorted.toSeq
     // crash-and-replay: the batch re-runs with its own delta already landed
     StreamingSpanDedup.landBatch(w0, 0L, "doc_id", "text", 5, s"$dir/out", s"$dir/idx")
     assert(spark.read.parquet(s"$dir/out").collect().map(_.toString).sorted.toSeq == once)
-    assert(spark.read.parquet(s"$dir/idx").collect().map(_.toString).sorted.toSeq == idxOnce)
+    assert(spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/idx")).collect().map(_.toString).sorted.toSeq == idxOnce)
   }
 
   private def landWaves(dir: String, maintain: Long => Unit): Seq[String] = {
@@ -83,9 +83,9 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     })
     assert(opt == plain)
     // gram MEMBERSHIP is preserved while cross-batch duplicates collapse
-    val plainGrams = spark.read.parquet(s"$dir/plain/idx")
+    val plainGrams = spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/plain/idx"))
       .select("__g").distinct().as[Long].collect().toSet
-    val optIdx = spark.read.parquet(s"$dir/opt/idx")
+    val optIdx = spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/opt/idx"))
     assert(optIdx.select("__g").distinct().as[Long].collect().toSet == plainGrams)
     assert(optIdx.count() == plainGrams.size.toLong) // fully deduped
     assert(optIdx.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
@@ -101,8 +101,8 @@ class StreamingSpanDedupSpec extends SparkTestBase {
       ()
     })
     assert(compacted == plain)
-    assert(spark.read.parquet(s"$dir/cpt/idx").collect().map(_.toString).sorted.toSeq ==
-      spark.read.parquet(s"$dir/plain/idx").collect().map(_.toString).sorted.toSeq)
+    assert(spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/cpt/idx")).collect().map(_.toString).sorted.toSeq ==
+      spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/plain/idx")).collect().map(_.toString).sorted.toSeq)
   }
 
   test("gram-index lease excludes a concurrent optimize") {
@@ -114,7 +114,7 @@ class StreamingSpanDedupSpec extends SparkTestBase {
       StreamingSpanDedup.optimizeIndex(spark, s"$dir/idx", upToBatch = 1L)
     } finally lease.release()
     StreamingSpanDedup.optimizeIndex(spark, s"$dir/idx", upToBatch = 1L)
-    assert(spark.read.parquet(s"$dir/idx")
+    assert(spark.read.parquet(StreamingSpanDedup.subDir(spark, s"$dir/idx"))
       .select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
   }
 }
