@@ -1128,8 +1128,13 @@ object SparkEntry {
       val queries = parsed.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
-      Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", k = 10)
+      // topKDocs materializes its k x queries result eagerly, so the
+      // parsed-corpus cache can be released before returning instead of
+      // pinning block-manager memory for the session's lifetime
+      val out = Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", k = 10)
         .orderBy("q_id", "rank")
+      parsed.unpersist(false)
+      out
     }),
 
     // exact distributed quantiles of the doc-length distribution:

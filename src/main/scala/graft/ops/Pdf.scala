@@ -334,6 +334,13 @@ object Pdf {
     df.select(col(idCol).cast(LongType), col(pdfCol))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
+          // a null id must name the column (same guard as
+          // Tokenize.tokenCounts) — an opaque executor NPE here would
+          // fail the whole corpus job, violating the one-bad-file
+          // contract the catch below exists for
+          if (r.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"extract: null id in column '$idCol' — filter null ids before extracting")
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           try {

@@ -74,6 +74,29 @@ class LexicalSpec extends SparkTestBase {
     assert(ex == ch)
   }
 
+  test("topKDocs releases its corpus-sized postings cache (no session-lifetime pin)") {
+    // the operator persists the corpus-sized postings frame internally;
+    // it must unpersist it before returning (the k x queries result is
+    // eagerly materialized first). Leftover persistent RDDs after the
+    // call may only be the SMALL localCheckpoints (query terms, result)
+    // — never a corpus-scale block set that accumulates per call.
+    val corpus = (0L until 400L)
+      .map(i => (i, s"w${i % 7} w${i % 11} w${i % 13} filler$i common"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "w3 common"), (2L, "w5 w7")).toDF("q_id", "q_text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text", 5)
+      .collect()
+    assert(got.nonEmpty)
+    val fresh = spark.sparkContext.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+    // ~2000 postings rows would remain cached if the persist leaked;
+    // everything legitimately left behind is tiny
+    fresh.values.foreach { rdd =>
+      assert(rdd.count() <= 50L,
+        s"a corpus-scale cached RDD survived topKDocs: ${rdd.count()} rows (${rdd.name})")
+    }
+  }
+
   test("bordaFuse awards k-rank+1 per list and breaks point ties by doc id") {
     val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("q_id", "doc_id", "rank")
     val ann = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L)).toDF("q_id", "doc_id", "rank")

@@ -103,4 +103,21 @@ class PdfSpec extends SparkTestBase {
       (2L, "pdf", 2L, "four\nfive six", 13L),
       (3L, "corrupt", 0L, "", 0L)))
   }
+
+  test("extract op: a null id names the column instead of an opaque executor NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("content", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(null, Pdf.encodePdf(Seq(Seq("one")), compress = false))), schema)
+    val e = intercept[Exception] {
+      Pdf.extract(df, "doc_id", "content").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("null id in column 'doc_id'"), msgs)
+  }
 }

@@ -3,7 +3,7 @@
 # champion ranking must equal the exhaustive ranking hash-for-hash.
 # Record the printed [zipf_gate] line as a round row in BASELINE.md.
 #
-# Usage: tools/zipf_gate.sh   (env: SF1Z=/tmp/sf1_zipf CPUS=32 C=64)
+# Usage: tools/zipf_gate.sh   (env: SF1Z=/tmp/sf1_zipf CPUS=32 C=128)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
