@@ -131,9 +131,13 @@ object RestEngine {
       pageStop: Seq[com.fasterxml.jackson.databind.JsonNode] => Boolean = _ => false,
   ): Seq[String] = {
     val url0 = client.baseUrl.stripSuffix("/") + "/" + interpolate(endpoint.path, pathVars).stripPrefix("/")
-    val (authParams, authHeaders) = client.auth
-      .map(_.applyTo(endpoint.params ++ extraParams, client.headers))
-      .getOrElse((endpoint.params ++ extraParams, client.headers))
+    // auth applies PER REQUEST, not once per endpoint: a token auth
+    // (OAuth2) can expire mid-pagination and must re-mint, and a NextUrl
+    // hop must not drop a QueryParam credential with the rest of the
+    // page params. Static auths are pure merges, so per-request is free.
+    val baseParams = endpoint.params ++ extraParams
+    def authed(p: Map[String, String]): (Map[String, String], Map[String, String]) =
+      client.auth.map(_.applyTo(p, client.headers)).getOrElse((p, client.headers))
 
     val out = mutable.ArrayBuffer.empty[String]
     var page = 0
@@ -146,14 +150,23 @@ object RestEngine {
     // reference does the same (zendesk talk_api.py:83-89).
     var pageParams: Map[String, String] = endpoint.paginator match {
       case p: Paginator.Offset =>
-        authParams + (p.offsetParam -> "0") + (p.limitParam -> p.pageSize.toString)
-      case p: Paginator.PageNumber => authParams + (p.sizeParam -> p.pageSize.toString)
-      case p: Paginator.Cursor     => authParams + (p.sizeParam -> p.pageSize.toString)
-      case _                       => authParams
+        baseParams + (p.offsetParam -> "0") + (p.limitParam -> p.pageSize.toString)
+      case p: Paginator.PageNumber => baseParams + (p.sizeParam -> p.pageSize.toString)
+      case p: Paginator.Cursor     => baseParams + (p.sizeParam -> p.pageSize.toString)
+      case _                       => baseParams
     }
 
     while (!done && page < endpoint.maxPages) {
-      val resp = transport.get(url, pageParams, authHeaders)
+      val first = { val (rp, rh) = authed(pageParams); transport.get(url, rp, rh) }
+      val resp = client.auth match {
+        case Some(o: Auth.OAuth2) if first.status == 401 =>
+          // expired-early or revoked access token: force a refresh and
+          // retry ONCE with a freshly minted token
+          o.invalidate()
+          val (rp, rh) = authed(pageParams)
+          transport.get(url, rp, rh)
+        case _ => first
+      }
       if (resp.status < 200 || resp.status >= 300)
         throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
       val root = Json.parse(resp.body)

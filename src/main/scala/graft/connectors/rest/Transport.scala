@@ -117,4 +117,81 @@ object Auth {
   final case class QueryParam(name: String, value: String) extends Auth {
     def applyTo(p: Map[String, String], h: Map[String, String]) = (p + (name -> value), h)
   }
+
+  /** OAuth2 bearer auth with expiry-driven refresh — the reference's
+    * OAuth credential classes (sources/zendesk/helpers/credentials.py:32-51,
+    * and dlt-core rest_api's refresh flows) as an engine auth mode.
+    *
+    * Grants: `refreshToken` present → refresh_token grant; absent →
+    * client_credentials. The access token is fetched lazily from
+    * `tokenUrl` (form-encoded POST, standard token JSON), cached until
+    * `expires_in` minus a skew, then re-fetched; a 401 mid-pagination
+    * makes the engine call [[invalidate]] and retry once with a fresh
+    * token (RestEngine.fetchPages).
+    *
+    * Serializable like every Auth (parent fan-out runs transports on
+    * executors); the cache is transient, so each executor fetches its
+    * own token on first use — correct, since tokens are bearer
+    * credentials any holder may mint.
+    */
+  final class OAuth2(
+      tokenUrl: String,
+      clientId: String,
+      clientSecret: String,
+      refreshToken: Option[String] = None,
+      scope: Option[String] = None,
+      transport: HttpTransport = new UrlConnectionTransport(),
+      expirySkewMs: Long = 60000L,
+      now: () => Long = () => System.currentTimeMillis(),
+      /** Where the access token sits in the token response — standard
+        * responses use `access_token`; non-standard token exchanges
+        * (personio's `data.token`) override.
+        */
+      tokenJsonPath: String = "access_token",
+  ) extends Auth {
+    // transient primitives: deserialize on an executor as null/0 =
+    // "no token yet", never a stale object
+    @transient private var token: String = null
+    @transient private var expiresAtMs: Long = 0L
+
+    private def formEncode(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+
+    private def accessToken(): String = synchronized {
+      if (token != null && now() < expiresAtMs - expirySkewMs) token
+      else {
+        val grant = refreshToken match {
+          case Some(rt) => Seq("grant_type" -> "refresh_token", "refresh_token" -> rt)
+          case None     => Seq("grant_type" -> "client_credentials")
+        }
+        val form = grant ++ Seq("client_id" -> clientId, "client_secret" -> clientSecret) ++
+          scope.map("scope" -> _)
+        val resp = transport.post(tokenUrl, formEncode(form),
+          Map("Content-Type" -> "application/x-www-form-urlencoded"))
+        if (resp.status < 200 || resp.status >= 300)
+          throw new RuntimeException(
+            s"OAuth2 token grant failed: POST $tokenUrl -> HTTP ${resp.status}: ${resp.body.take(500)}")
+        val node = Json.parse(resp.body)
+        val t = Json.selectString(node, tokenJsonPath)
+          .filter(_.nonEmpty)
+          .getOrElse(throw new RuntimeException(
+            s"OAuth2 token response has no '$tokenJsonPath': ${resp.body.take(500)}"))
+        val ttlS = Option(node.get("expires_in")).map(_.asLong()).getOrElse(3600L)
+        token = t
+        expiresAtMs = now() + ttlS * 1000L
+        t
+      }
+    }
+
+    /** Drop the cached token (the engine calls this on a 401 so the next
+      * request re-fetches — a revoked/expired-early token heals in one
+      * retry).
+      */
+    def invalidate(): Unit = synchronized { token = null; expiresAtMs = 0L }
+
+    def applyTo(p: Map[String, String], h: Map[String, String]) =
+      (p, h + ("Authorization" -> s"Bearer ${accessToken()}"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.connectors.sources
 
 import graft.connectors.rest.RestEngine._
-import graft.connectors.rest.Auth
+import graft.connectors.rest.{Auth, HttpTransport, UrlConnectionTransport}
 import graft.core.{Disposition, TableHints}
 
 /** The connector fleet as declarative configs over the REST engine —
@@ -444,11 +444,18 @@ object Fleet {
 
   /** personio (sources/personio/__init__.py:15-310): page-number paging
     * (200/page, __init__.py:19,27), `updated_since` incremental, per-
-    * employee transformers.
+    * employee transformers. Auth is the reference's token EXCHANGE
+    * (client credentials POSTed to /auth, bearer token from the
+    * response's `data.token` — sources/personio/helpers.py:24-37),
+    * modeled as the engine's OAuth2 client-credentials mode: the token
+    * is minted lazily, cached to expiry, and re-minted on a 401.
     */
-  def personio(clientId: String, clientSecret: String): RestSource = RestSource(
+  def personio(clientId: String, clientSecret: String,
+      authTransport: HttpTransport = new UrlConnectionTransport()): RestSource = RestSource(
     name = "personio",
-    client = ClientConfig("https://api.personio.de/v1", Some(Auth.Bearer(s"$clientId:$clientSecret"))),
+    client = ClientConfig("https://api.personio.de/v1",
+      Some(new Auth.OAuth2("https://api.personio.de/v1/auth", clientId, clientSecret,
+        transport = authTransport, tokenJsonPath = "data.token"))),
     resources = Seq(
       RestResource("employees",
         EndpointConfig("company/employees", dataSelector = "data",

@@ -221,4 +221,109 @@ class RestEngineSpec extends SparkTestBase {
     val (_, h3) = Auth.Basic("u", "p").applyTo(Map.empty, Map.empty)
     assert(h3("Authorization").startsWith("Basic "))
   }
+
+  /** Canned OAuth2 server + API: mints sequential tokens on the token
+    * endpoint, serves pages only to the CURRENT token (a superseded or
+    * revoked token gets 401 — the refresh trigger under test).
+    */
+  private class OAuthTransport(pageBody: String) extends HttpTransport {
+    var mints = 0
+    var grants: List[Map[String, String]] = Nil
+    var revoked = false
+    var gets = 0
+    override def post(url: String, body: String, headers: Map[String, String]): HttpResponse = {
+      assert(url.endsWith("/token"), url)
+      assert(headers("Content-Type") == "application/x-www-form-urlencoded")
+      grants ::= body.split("&").map(_.split("=", 2)).map {
+        case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      mints += 1
+      revoked = false
+      HttpResponse(200, s"""{"access_token":"tok$mints","expires_in":100,"token_type":"Bearer"}""")
+    }
+    override def get(url: String, params: Map[String, String], headers: Map[String, String]): HttpResponse = {
+      gets += 1
+      val ok = headers.get("Authorization").contains(s"Bearer tok$mints") && !revoked
+      if (!ok) HttpResponse(401, """{"error":"invalid_token"}""")
+      else HttpResponse(200, pageBody)
+    }
+  }
+
+  test("OAuth2 client-credentials: one mint serves many requests until expiry, then re-mints") {
+    var clock = 1000000L
+    val t = new OAuthTransport("""{"items":[{"id":1}]}""")
+    val auth = new Auth.OAuth2("https://auth.example.test/token", "cid", "csecret",
+      transport = t, expirySkewMs = 10000L, now = () => clock)
+    val cfg = ClientConfig("https://api.example.test", Some(auth))
+    val ep = EndpointConfig("things", dataSelector = "items")
+    (1 to 3).foreach(_ => assert(fetchPages(cfg, ep, t).size == 1))
+    assert(t.mints == 1, "a cached unexpired token must be reused across requests")
+    assert(t.grants.head("grant_type") == "client_credentials")
+    assert(t.grants.head("client_id") == "cid" && t.grants.head("client_secret") == "csecret")
+    // cross the expiry (100 s ttl, 10 s skew): next request re-mints
+    clock += 95000L
+    assert(fetchPages(cfg, ep, t).size == 1)
+    assert(t.mints == 2, "an expired (within skew) token must be re-minted, not sent")
+  }
+
+  test("OAuth2 refresh-token grant posts the refresh token; 401 forces re-mint and one retry") {
+    val t = new OAuthTransport("""{"items":[{"id":1}]}""")
+    val auth = new Auth.OAuth2("https://auth.example.test/token", "cid", "csecret",
+      refreshToken = Some("rt-123"), transport = t)
+    val cfg = ClientConfig("https://api.example.test", Some(auth))
+    val ep = EndpointConfig("things", dataSelector = "items")
+    assert(fetchPages(cfg, ep, t).size == 1)
+    assert(t.grants.head("grant_type") == "refresh_token")
+    assert(t.grants.head("refresh_token") == "rt-123")
+    // server-side revocation (token invalidated before its expiry):
+    // the engine must refresh on the 401 and retry once, transparently
+    t.revoked = true
+    assert(fetchPages(cfg, ep, t).size == 1)
+    assert(t.mints == 2, "a 401 must trigger exactly one re-mint")
+  }
+
+  test("OAuth2 token minting failures and missing tokens are loud") {
+    val bad = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        HttpResponse(500, """{"error":"down"}""")
+      override def get(u: String, p: Map[String, String], h: Map[String, String]) =
+        HttpResponse(200, "{}")
+    }
+    val e1 = intercept[RuntimeException] {
+      new Auth.OAuth2("https://auth.example.test/token", "c", "s", transport = bad)
+        .applyTo(Map.empty, Map.empty)
+    }
+    assert(e1.getMessage.contains("HTTP 500"))
+    val noToken = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        HttpResponse(200, """{"token_type":"Bearer"}""")
+      override def get(u: String, p: Map[String, String], h: Map[String, String]) =
+        HttpResponse(200, "{}")
+    }
+    val e2 = intercept[RuntimeException] {
+      new Auth.OAuth2("https://auth.example.test/token", "c", "s", transport = noToken)
+        .applyTo(Map.empty, Map.empty)
+    }
+    assert(e2.getMessage.contains("access_token"))
+  }
+
+  test("personio fleet config models the reference token exchange (data.token)") {
+    // reference: client credentials POSTed to /auth, bearer from the
+    // response's data.token (sources/personio/helpers.py:24-37)
+    val t = new HttpTransport {
+      var minted = 0
+      override def post(url: String, body: String, headers: Map[String, String]) = {
+        assert(url == "https://api.personio.de/v1/auth", url)
+        minted += 1
+        HttpResponse(200, """{"success":true,"data":{"token":"ptok"}}""")
+      }
+      override def get(url: String, params: Map[String, String], headers: Map[String, String]) = {
+        assert(headers.get("Authorization").contains("Bearer ptok"))
+        HttpResponse(200, """{"data":[]}""")
+      }
+    }
+    val src = graft.connectors.sources.Fleet.personio("id", "secret", authTransport = t)
+    val employees = src.resources.find(_.name == "employees").get
+    assert(fetchPages(src.client, employees.endpoint, t).isEmpty) // empty page, auth exercised
+  }
 }
