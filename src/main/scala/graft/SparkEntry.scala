@@ -1137,6 +1137,39 @@ object SparkEntry {
       out
     }),
 
+    // the SCALE path of the composed PDF flow: identical render → parse
+    // → retrieve lifecycle, but the retrieval stage runs the champion
+    // branch (each term's posting list truncated to its 32 highest-tf
+    // docs for candidate NOMINATION only; every candidate scored
+    // exactly) — the exhaustive branch's scored space grows with
+    // queries x matched postings and exceeds local spill disk at sf10,
+    // while this one is bounded at queries x query_terms x 32
+    "q_pdf_pipeline_champion" -> ((s, dir) => {
+      import graft.ops.{Lexical, Pdf}
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val blobs = docs.as[(Long, String)].map { case (id, text) =>
+        val words = text.split(" ", -1).filter(_.nonEmpty).toSeq
+        val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+        val pages = if (lines.isEmpty) Seq(Seq("")) else lines.grouped(3).toSeq
+        (id, Pdf.encodePdf(pages, compress = id % 2 == 0))
+      }.toDF("doc_id", "content")
+      val parsed = Pdf.extract(blobs, "doc_id", "content")
+        .filter(col("format") === "pdf")
+        .select(col("doc_id"), translate(col("text"), "\n", " ").as("text"))
+        .filter(length(col("text")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = parsed.filter(col("doc_id") % 97 =!= 0)
+      val queries = parsed.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+      val out = Lexical.topKDocs(corpus, "doc_id", "text", queries, "q_id", "q_text",
+        k = 10, championSize = 32)
+        .orderBy("q_id", "rank")
+      parsed.unpersist(false)
+      out
+    }),
+
     // exact distributed quantiles of the doc-length distribution:
     // value-histogram + two-level cumulative count (shuffle carries
     // distinct values, not rows; no global sort/window), integer
@@ -3844,6 +3877,34 @@ object SparkEntry {
         |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
         |sc AS (SELECT qt.q_id, post.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
         |  FROM qt JOIN post USING (term) JOIN idf ON idf.term = post.term GROUP BY 1, 2),
+        |rk AS (SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "q_pdf_pipeline_champion" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  AND len(list_filter(string_split(text, ' '), w -> len(w) > 0)) > 0),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c)) GROUP BY 1),
+        |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+        |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term FROM c) GROUP BY 1, 2),
+        |champ AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS cr FROM post)
+        |  WHERE cr <= 32),
+        |q AS (SELECT doc_id AS q_id,
+        |  array_to_string(list_slice(list_filter(string_split(text, ' '), w -> len(w) > 0), 1, 6), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  AND len(list_filter(string_split(text, ' '), w -> len(w) > 0)) > 0),
+        |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+        |  (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT qt.q_id, champ.doc_id FROM qt JOIN champ USING (term)),
+        |sc AS (SELECT cand.q_id, cand.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
+        |  FROM cand JOIN qt ON qt.q_id = cand.q_id
+        |  JOIN post ON post.term = qt.term AND post.doc_id = cand.doc_id
+        |  JOIN idf ON idf.term = qt.term GROUP BY 1, 2),
         |rk AS (SELECT q_id, doc_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
