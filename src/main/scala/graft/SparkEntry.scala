@@ -1316,6 +1316,41 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // the SCALE-path hybrid: same %100 split and Borda fusion, but each
+    // tower runs its bounded index branch — dense via the fixed-centroid
+    // IVF probe (cell equi-join, never all-pairs; the q_embed_ivf
+    // mechanics) and sparse via champion-list nomination (each term's
+    // posting list truncated to its 32 highest-tf docs for candidate
+    // NOMINATION, every candidate scored exactly). The exhaustive hybrid
+    // above is quadratic on BOTH towers by design (its contract baseline)
+    // and exceeds local disk at sf10; this is the composition that
+    // survives, and it stays integer/binary-fraction exact so the full
+    // lifecycle replays bit-for-bit in SQL.
+    "q_hybrid_rank_scale" -> ((s, dir) => {
+      import graft.ops.{Embedding, Lexical}
+      val docs = t(s, dir, "documents")
+      val emb = Embedding.embedDocuments(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text", dim = 32)
+        .localCheckpoint(true)
+      val qv = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("q_vec"))
+      val cv = emb.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("n_id"), col("embedding").as("n_vec"))
+      val cents = Similarity.fixedCentroids(dim = 32, k = 8)
+        .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+      val ann = Similarity.ivfTopK(cv, qv, "n_id", "n_vec", "q_id", "q_vec",
+        cents, nProbe = 2, k = 5)
+        .select(col("q_id"), col("n_id"), col("rank"))
+      val lex = Lexical.topKDocs(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("text").as("q_text")),
+        "q_id", "q_text", k = 5, championSize = 32)
+        .select(col("q_id"), col("doc_id").as("n_id"), col("rank"))
+      Lexical.bordaFuse(Seq(ann, lex), "q_id", "n_id", "rank", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // DSIR importance resampling: hashed-unigram 512-bucket cost tables
     // (quantized whole-bit, like the perplexity LM) for the doc_id%7
     // target slice vs the raw pool; top-500 pool docs by integer
@@ -2733,6 +2768,68 @@ object SparkEntry {
       .replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_hybrid_rank_scale: the embedIvfSql dense tower
+    * (fixed ±0.125 centroids, nProbe=2 lateral probe) fused with the
+    * champion-list sparse tower (per-term top-32-by-tf nomination, exact
+    * scoring of nominees) by integer Borda points — every stage of both
+    * towers replays bit-exactly in SQL.
+    */
+  private def hybridRankScaleSql: String = {
+    val cents = graft.ops.Similarity.fixedCentroids(dim = 32, k = 8)
+      .map { case (cid, v) => cid -> v.map(x => if (x > 0) 0.125 else -0.125) }
+    val centRows = cents.map { case (cid, v) => s"($cid, ${sqlVec(v)})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+       |comp AS (SELECT doc_id, CAST((h // 2) % 32 AS INT) AS idx,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS cc
+       |  FROM hs GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN range(0, 32) t(i)),
+       |vecs AS (SELECT d.doc_id, list(coalesce(comp.cc, 0.0) ORDER BY d.i) AS vec
+       |  FROM dims d LEFT JOIN comp ON comp.doc_id = d.doc_id AND comp.idx = d.i
+       |  GROUP BY d.doc_id),
+       |qv AS (SELECT doc_id AS q_id, vec AS v FROM vecs WHERE doc_id % 100 = 0),
+       |cvv AS (SELECT doc_id AS n_id, vec AS v FROM vecs WHERE doc_id % 100 <> 0),
+       |cents(cell, cv) AS (VALUES $centRows),
+       |assigned AS (SELECT n_id, v,
+       |  (SELECT cell FROM cents ORDER BY list_dot_product(cvv.v, cv) DESC, cell DESC LIMIT 1) AS cell FROM cvv),
+       |probed AS (SELECT q_id, v, p.cell
+       |  FROM qv, LATERAL (SELECT cell FROM cents ORDER BY list_dot_product(qv.v, cv) DESC, cell DESC LIMIT 2) p),
+       |annr AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(probed.v, assigned.v) DESC, n_id) AS rank
+       |  FROM probed JOIN assigned USING (cell)),
+       |ann AS (SELECT q_id, n_id, rank FROM annr WHERE rank <= 5),
+       |cd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+       |nn AS (SELECT count(*) AS n FROM cd),
+       |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd)) GROUP BY 1),
+       |idf AS (SELECT term, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS idf_bits
+       |  FROM (SELECT term, ((SELECT n FROM nn) + 1 + df) // (df + 1) AS m FROM dfq)),
+       |post AS (SELECT term, doc_id, count(*) AS tf FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd) GROUP BY 1, 2),
+       |champ AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+       |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS cr FROM post)
+       |  WHERE cr <= 32),
+       |qt AS (SELECT q_id, term, count(*) AS qtf FROM
+       |  (SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS term
+       |   FROM documents WHERE doc_id % 100 = 0) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT qt.q_id, champ.doc_id FROM qt JOIN champ USING (term)),
+       |sc AS (SELECT cand.q_id, cand.doc_id, sum(qt.qtf * post.tf * idf.idf_bits) AS score
+       |  FROM cand JOIN qt ON qt.q_id = cand.q_id
+       |  JOIN post ON post.term = qt.term AND post.doc_id = cand.doc_id
+       |  JOIN idf ON idf.term = qt.term GROUP BY 1, 2),
+       |lexr AS (SELECT q_id, doc_id AS n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc),
+       |lex AS (SELECT q_id, n_id, rank FROM lexr WHERE rank <= 5),
+       |pts AS (SELECT q_id, n_id, 6 - rank AS p FROM ann
+       |  UNION ALL SELECT q_id, n_id, 6 - rank AS p FROM lex),
+       |fused AS (SELECT q_id, n_id, CAST(sum(p) AS BIGINT) AS points FROM pts GROUP BY 1, 2),
+       |fr AS (SELECT q_id, n_id, points,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY points DESC, n_id) AS rank FROM fused)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, points
+       |FROM fr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** Shared CTE chain for the BPE oracles: the FIXED merge table (rendered
     * from the Scala tokenizer — single source of truth), the distinct
     * vocabulary, and a recursive replay of the greedy apply loop: each
@@ -4027,6 +4124,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY points DESC, n_id) AS rank FROM fused)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, points
         |FROM fr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "q_hybrid_rank_scale" -> hybridRankScaleSql,
     "q_dsir_sample" ->
       """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id % 7 = 0),
         |tc AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512 AS b,
