@@ -85,16 +85,20 @@ object Similarity {
     }
   }
 
+  /** Codegen-native kernels (graft.functions.VectorExpressions): the
+    * previous `zip_with`+`aggregate` composition is CodegenFallback —
+    * interpreted per element per pair — which the sf10 IVF probe profile
+    * showed to be the actual bottleneck (all executor threads inside
+    * `ZipWith.eval`). Identical null/shape/IEEE semantics; see the
+    * expression scaladoc for the exact contract.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
 
   /** Brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` must be small (it is broadcast).

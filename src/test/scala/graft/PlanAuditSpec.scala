@@ -23,6 +23,39 @@ class PlanAuditSpec extends SparkTestBase {
     if (cut >= 0) s.substring(0, cut) else s
   }
 
+  /** Every executed plan fired while building AND collecting the query —
+    * required for operators whose interesting plan runs during an EAGER
+    * localCheckpoint inside the operator (e.g. Lexical.topKDocs releases
+    * its corpus-sized postings cache by materializing the k x queries
+    * result before returning, so the returned frame's own plan is just a
+    * Scan ExistingRDD). The listener bus is async: poll until the
+    * captured set is quiescent.
+    */
+  private def allPlans(q: String): String = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val deadline = System.currentTimeMillis() + 30000
+      var last = -1
+      while (plans.size() != last && System.currentTimeMillis() < deadline) {
+        last = plans.size()
+        Thread.sleep(300)
+      }
+      assert(!plans.isEmpty, s"$q: listener captured no executed plans")
+      import scala.jdk.CollectionConverters._
+      plans.asScala.mkString("\n==== next execution ====\n")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("star join broadcasts every dimension (no sort-merge join)") {
     val plan = finalPlan(ran("q_multi_join_agg"))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
@@ -182,18 +215,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("lexical top-k reduces through the bounded buffer with a broadcast query side") {
-    val plan = finalPlan(ran("q_lexical_topk"))
+    // topKDocs eagerly checkpoints its small result to release the
+    // postings cache, so the interesting plan runs DURING the operator —
+    // audit every execution, not just the returned frame's
+    val plan = allPlans("q_lexical_topk")
     assert(plan.contains("partial_bounded_top_k") && !plan.contains("partial_collect_list"),
       s"per-query reduction must be k-bounded map-side:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastHashJoin"),
       s"the small query-term side must broadcast:\n${plan.take(2000)}")
-    val fused = finalPlan(ran("q_hybrid_rank"))
+    val fused = allPlans("q_hybrid_rank")
     assert(fused.contains("partial_bounded_top_k") && !fused.contains("CartesianProduct"),
       s"fusion must stay k-bounded:\n${fused.take(2000)}")
     // the scale path: champion candidate generation must itself reduce
     // through the bounded buffer (per-term truncation) and never go
     // all-pairs
-    val ch = finalPlan(ran("q_lexical_champion"))
+    val ch = allPlans("q_lexical_champion")
     assert(ch.contains("partial_bounded_top_k") && !ch.contains("CartesianProduct"),
       s"champion lists must be k-bounded per term:\n${ch.take(2000)}")
   }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The codegen vector kernels must be BIT-identical to the zip_with +
+  * aggregate compositions they replaced — oracle hashes cover scores,
+  * not just ranks, so even one ULP of drift is a correctness break.
+  */
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the previous interpreted formulation, kept here as the parity oracle
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+  private def hofCosine(a: Column, b: Column): Column =
+    hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
+
+  private def bits(d: java.lang.Double): java.lang.Long =
+    if (d == null) null else java.lang.Double.doubleToRawLongBits(d)
+
+  test("dot and cosine are bit-identical to the HOF composition on doubles") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(48)
+      (i.toLong,
+        Seq.fill(n)(rnd.nextGaussian()),
+        Seq.fill(n)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      VectorExpressions.vecDot($"a", $"b").as("d"),
+      VectorExpressions.vecCosine($"a", $"b").as("c"),
+      hofDot($"a", $"b").as("hd"),
+      hofCosine($"a", $"b").as("hc"),
+    ).collect()
+    got.foreach { r =>
+      assert(bits(r.getAs[java.lang.Double]("d")) == bits(r.getAs[java.lang.Double]("hd")))
+      assert(bits(r.getAs[java.lang.Double]("c")) == bits(r.getAs[java.lang.Double]("hc")))
+    }
+  }
+
+  test("float arrays match the HOF cast-to-double path bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      VectorExpressions.vecCosine($"a", $"b").as("c"),
+      hofCosine($"a", $"b").as("hc"),
+    ).collect()
+    got.foreach(r =>
+      assert(bits(r.getAs[java.lang.Double]("c")) == bits(r.getAs[java.lang.Double]("hc"))))
+  }
+
+  test("zero-norm and empty vectors yield NULL cosine, not an ANSI abort and not NaN") {
+    // the HOF form raised DIVIDE_BY_ZERO here under ANSI mode (job
+    // abort); NaN would WIN descending top-k (Spark orders NaN above
+    // every double) — NULL is the only value that drops out quietly
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(1.0, -1.0)),
+      (2L, Seq.empty[Double], Seq.empty[Double]),
+      (3L, Seq(1.0, 2.0), Seq(0.0, 0.0)),
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", VectorExpressions.vecCosine($"a", $"b").as("c")).collect()
+    got.foreach(r => assert(r.isNullAt(1), s"id=${r.getLong(0)} gave ${r.get(1)}"))
+    // dot itself stays total: 0.0, not null
+    val d = df.filter($"id" === 1L)
+      .select(VectorExpressions.vecDot($"a", $"b")).head.getDouble(0)
+    assert(d == 0.0)
+  }
+
+  test("null array, null element, and length mismatch all yield NULL (as zip_with did)") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(null, Seq(1.0, 2.0)),
+      org.apache.spark.sql.Row(Seq(1.0, null), Seq(1.0, 2.0)),
+      org.apache.spark.sql.Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = df.select(
+      VectorExpressions.vecDot($"a", $"b").as("d"),
+      VectorExpressions.vecCosine($"a", $"b").as("c"),
+      hofDot($"a", $"b").as("hd"),
+      hofCosine($"a", $"b").as("hc"),
+    ).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"native not null: $r")
+      assert(r.isNullAt(2) && r.isNullAt(3), s"hof oracle changed: $r")
+    }
+  }
+
+  test("generated code path (GenerateUnsafeProjection, no fallback) agrees with eval") {
+    val at = ArrayType(DoubleType, containsNull = true)
+    val dot = DotProduct(BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))
+    val cos = CosineSimilarity(BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))
+    // throws if doGenCode emits uncompilable Java — no interpreted fallback here
+    val proj = GenerateUnsafeProjection.generate(Seq(dot, cos))
+    val rnd = new scala.util.Random(43)
+    (0 until 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val a = new GenericArrayData(Array.fill(n)(rnd.nextGaussian()))
+      val b = new GenericArrayData(Array.fill(n)(rnd.nextGaussian()))
+      val row = InternalRow(a, b)
+      val out = proj(row)
+      assert(bits(out.getDouble(0)) == bits(dot.eval(row).asInstanceOf[Double]))
+      assert(bits(out.getDouble(1)) == bits(cos.eval(row).asInstanceOf[Double]))
+    }
+    // mismatch + null element through the generated path
+    val out1 = proj(InternalRow(new GenericArrayData(Array(1.0)), new GenericArrayData(Array(1.0, 2.0))))
+    assert(out1.isNullAt(0) && out1.isNullAt(1))
+    val withNull = new GenericArrayData(Array[Any](1.0, null))
+    val out2 = proj(InternalRow(withNull, new GenericArrayData(Array(1.0, 2.0))))
+    assert(out2.isNullAt(0) && out2.isNullAt(1))
+  }
+}
