@@ -312,6 +312,41 @@ object SparkEntry {
         .orderBy("_table")
     }),
 
+    // §2.8/§1.1 per-item hint variants (dlt.mark.with_hints +
+    // create_table_variant, reference sources/pg_replication/helpers.py:781-790):
+    // ONE extract lands rows in two variant tables with DIFFERENT merge
+    // keys plus an append-only base table, through the real Pipeline
+    "q_hint_variants" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val dest = java.nio.file.Files.createTempDirectory("graft_hv").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_hv_state").toString
+      val pipe = new Pipeline(s, "verify_hv", dest, stateDir)
+      val resource = ResourceDef(
+        name = "ev",
+        hints = TableHints("ev_base", Disposition.Append),
+        build = ctx => t(ctx.spark, dir, "events")
+          .filter(col("event_id") < 6000)
+          .select("event_id", "user_id", "event_type")
+          .withColumn(Pipeline.HintVariantCol,
+            when(col("event_id") % 3 === 0, lit("ev_by_user"))
+              .when(col("event_id") % 3 === 1, lit("ev_by_type"))
+              .otherwise(lit(null))),
+        hintVariants = Map(
+          "ev_by_user" -> TableHints("ev_by_user", Disposition.Merge,
+            primaryKey = Seq("user_id"), dedupSort = Some(("event_id", true))),
+          "ev_by_type" -> TableHints("ev_by_type", Disposition.Merge,
+            primaryKey = Seq("event_type"), dedupSort = Some(("event_id", true))),
+        ),
+      )
+      pipe.run(SourceDef("hv", Seq(resource)))
+      def back(name: String, k: Column) = s.read.parquet(s"$dest/$name")
+        .select(lit(name).as("tbl"), k.cast("string").as("k"), col("event_id"))
+      back("ev_by_user", col("user_id"))
+        .unionAll(back("ev_by_type", col("event_type")))
+        .unionAll(back("ev_base", col("user_id")))
+        .orderBy("tbl", "k", "event_id")
+    }),
+
     // §2.9 timestamp scalar kit: truncation + exact decimal agg per day
     "q_scalar_ts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -3757,6 +3792,22 @@ object SparkEntry {
 
     "q_table_routing" ->
       "SELECT 'events_' || event_type AS _table, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_hint_variants" ->
+      """SELECT * FROM (
+        | SELECT 'ev_by_user' AS tbl, CAST(user_id AS VARCHAR) AS k, event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < 6000 AND event_id % 3 = 0) WHERE rn = 1
+        | UNION ALL
+        | SELECT 'ev_by_type', event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < 6000 AND event_id % 3 = 1) WHERE rn = 1
+        | UNION ALL
+        | SELECT 'ev_base', CAST(user_id AS VARCHAR), event_id
+        | FROM events WHERE event_id < 6000 AND event_id % 3 = 2
+        |) ORDER BY tbl, k, event_id""".stripMargin.replaceAll("\n", " "),
 
     "q_type_roundtrip" ->
       """SELECT event_id,

@@ -136,8 +136,20 @@ object RestEngine {
     // hop must not drop a QueryParam credential with the rest of the
     // page params. Static auths are pure merges, so per-request is free.
     val baseParams = endpoint.params ++ extraParams
-    def authed(p: Map[String, String]): (Map[String, String], Map[String, String]) =
-      client.auth.map(_.applyTo(p, client.headers)).getOrElse((p, client.headers))
+    // A NextUrl hop usually echoes the full original query — including a
+    // QueryParam credential — in the link itself; re-applying the
+    // credential would send it twice (Transport appends with '&'), which
+    // some APIs reject. Header-based auths are unaffected.
+    def urlCarriesParam(u: String, name: String): Boolean = {
+      val q = u.indexOf('?')
+      q >= 0 && u.substring(q + 1).split('&').exists(_.takeWhile(_ != '=') == name)
+    }
+    def authed(u: String, p: Map[String, String]): (Map[String, String], Map[String, String]) =
+      client.auth match {
+        case Some(qp: Auth.QueryParam) if urlCarriesParam(u, qp.name) => (p, client.headers)
+        case Some(a)                                                  => a.applyTo(p, client.headers)
+        case None                                                     => (p, client.headers)
+      }
 
     val out = mutable.ArrayBuffer.empty[String]
     var page = 0
@@ -157,13 +169,13 @@ object RestEngine {
     }
 
     while (!done && page < endpoint.maxPages) {
-      val first = { val (rp, rh) = authed(pageParams); transport.get(url, rp, rh) }
+      val first = { val (rp, rh) = authed(url, pageParams); transport.get(url, rp, rh) }
       val resp = client.auth match {
         case Some(o: Auth.OAuth2) if first.status == 401 =>
           // expired-early or revoked access token: force a refresh and
           // retry ONCE with a freshly minted token
           o.invalidate()
-          val (rp, rh) = authed(pageParams)
+          val (rp, rh) = authed(url, pageParams)
           transport.get(url, rp, rh)
         case _ => first
       }

@@ -22,8 +22,23 @@ final case class Incremental(
     initialValue: Option[String] = None,
     endValue: Option[String] = None,
     descending: Boolean = false, // last_value_func=min when true
+    /** Opt-in to orchestrator-driven windows (`allow_external_schedulers`,
+      * dlt `sources.incremental` signature): when an external scheduler has
+      * injected a data interval ([[Incremental.setExternalWindow]]), that
+      * interval REPLACES both the committed state bound and the configured
+      * end bound for the run — each run processes exactly its interval
+      * (start inclusive, end exclusive), which is what makes
+      * orchestrator-partitioned backfills gap-free and re-runnable. State
+      * is neither consulted nor meant to be advanced while a window is
+      * active — callers should gate the commit on [[externalWindowActive]].
+      */
+    allowExternalSchedulers: Boolean = false,
 ) {
   require(cursorPaths.nonEmpty, "at least one cursor path")
+
+  /** True iff this cursor opts in AND an orchestrator window is present. */
+  def externalWindowActive: Boolean =
+    allowExternalSchedulers && Incremental.externalWindow.isDefined
 
   /** `coalesce(a, b)` over the configured paths. */
   def cursorCol: Column =
@@ -41,6 +56,18 @@ final case class Incremental(
   /** Filter with an explicit last-committed value (state-free form). */
   def filterWith(df: DataFrame, lastCommitted: Option[String]): DataFrame = {
     val c = cursorCol
+    if (externalWindowActive) {
+      // Orchestrator interval [start, end): start INCLUSIVE (unlike the
+      // state bound — the interval owns its boundary row; excluding it
+      // would drop it from every partitioned backfill run), end exclusive
+      // (the next interval starts there). Bounds mirror under descending.
+      val (s, e) = Incremental.externalWindow.get
+      val lo = s.map(v => if (descending) c <= lit(v).cast(dtOf(df)) else c >= lit(v).cast(dtOf(df)))
+        .getOrElse(lit(true))
+      val hi = e.map(v => if (descending) c > lit(v).cast(dtOf(df)) else c < lit(v).cast(dtOf(df)))
+        .getOrElse(lit(true))
+      return df.filter(lo && hi)
+    }
     val last = lastCommitted.orElse(initialValue)
     val afterStart = last match {
       case Some(v) => if (descending) c < lit(v).cast(dtOf(df)) else c > lit(v).cast(dtOf(df))
@@ -91,6 +118,30 @@ final case class Incremental(
 }
 
 object Incremental {
+
+  /** Orchestrator-injected data interval, consulted only by cursors
+    * constructed with `allowExternalSchedulers = true` (the reference's
+    * `allow_external_schedulers` — dlt reads the Airflow task context
+    * ambiently; here the scheduler integration calls
+    * [[setExternalWindow]] before the run, or exports
+    * `GRAFT_SCHEDULER_START`/`GRAFT_SCHEDULER_END` to the batch job).
+    * Either bound may be absent (open-ended interval).
+    */
+  @volatile private var injectedWindow: Option[(Option[String], Option[String])] = None
+
+  def setExternalWindow(start: Option[String], end: Option[String]): Unit =
+    injectedWindow = Some((start, end))
+
+  def clearExternalWindow(): Unit = injectedWindow = None
+
+  /** The active window, if any: explicit injection wins over env vars. */
+  def externalWindow: Option[(Option[String], Option[String])] =
+    injectedWindow.orElse {
+      val s = sys.env.get("GRAFT_SCHEDULER_START")
+      val e = sys.env.get("GRAFT_SCHEDULER_END")
+      if (s.isDefined || e.isDefined) Some((s, e)) else None
+    }
+
   /** Cursor-value `a <= b` with the typing the reference gets for free from
     * Python's dynamic comparison: numeric when both sides parse as numbers
     * (lexicographic "9" > "100" would stop pagination early and skip rows),

@@ -156,6 +156,10 @@ object TableLock {
     */
   private[core] var testHookAfterList: Seq[(Long, Path)] => Unit = _ => ()
   private[core] var testHookBeforeCreate: () => Unit = () => ()
+  /** Invoked before each post-create verification listing; a spec throws
+    * IOException from it to simulate a flaky filesystem during verifyMax.
+    */
+  private[core] var testHookVerifyList: () => Unit = () => ()
 
   def acquire(
       spark: SparkSession,
@@ -209,10 +213,28 @@ object TableLock {
     // the highest live epoch, so on seeing a higher one we tombstone our
     // file and back off rather than proceed as a second writer.
     def verifyMax(myEpoch: Long): Lease = {
-      val after =
-        try epochFiles(fs, tablePath).map(_._1)
-        catch { case _: java.io.IOException => Seq.empty[Long] }
-      val maxAfter = if (after.isEmpty) myEpoch else after.max
+      // The post-create listing must SUCCEED to arbitrate: treating a
+      // throwing listing as "no higher epoch" would degrade this guard to
+      // a no-op under exactly the flaky-filesystem conditions it exists
+      // to close. Retry a bounded number of times (like the list/read
+      // agree-loop above); if the listing never succeeds, tombstone our
+      // created epoch and back off — we cannot prove we hold the max.
+      var after: Option[Seq[Long]] = None
+      var verifyAttempts = 0
+      while (after.isEmpty && verifyAttempts < 10) {
+        verifyAttempts += 1
+        try { testHookVerifyList(); after = Some(epochFiles(fs, tablePath).map(_._1)) }
+        catch { case _: java.io.IOException => Thread.sleep(20L * verifyAttempts) }
+      }
+      if (after.isEmpty) {
+        try overwriteFile(fs, path(myEpoch),
+          s"released=true\nlost-verify-listing\nowner=$owner\ntoken=$token\n")
+        catch { case _: java.io.IOException => () }
+        throw new LockHeldException(
+          s"table $tablePath: post-create max-epoch verification could not list the " +
+            s"lock dir after $verifyAttempts attempts; tombstoned e$myEpoch and backing off")
+      }
+      val maxAfter = if (after.get.isEmpty) myEpoch else after.get.max
       if (maxAfter > myEpoch) {
         try overwriteFile(fs, path(myEpoch),
           s"released=true\nlost-verify-to=e$maxAfter\nowner=$owner\ntoken=$token\n")

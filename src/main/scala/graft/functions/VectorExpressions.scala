@@ -47,16 +47,21 @@ private[functions] trait VectorPairExpression extends BinaryExpression {
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  private val supported: Set[DataType] =
-    Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+  private def isSupported(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType => true
+    case _: DecimalType => true // converted via Decimal.toDouble, like the
+                                // zip_with+aggregate composition's implicit
+                                // numeric cast did
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(l, _), ArrayType(r, _))
-          if supported(l) && supported(r) =>
+          if isSupported(l) && isSupported(r) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two arrays of non-decimal numeric elements, " +
+        s"$prettyName expects two arrays of numeric elements, " +
           s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 
@@ -67,7 +72,16 @@ private[functions] trait VectorPairExpression extends BinaryExpression {
     case IntegerType => arr.getInt(i).toDouble
     case ShortType   => arr.getShort(i).toDouble
     case ByteType    => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  /** Java source for "element value as double": primitive cast for the
+    * primitive types, `Decimal.toDouble()` for decimals.
+    */
+  protected def toDoubleJava(code: String, t: DataType): String = t match {
+    case _: DecimalType => s"($code).toDouble()"
+    case _              => s"(double)($code)"
   }
 }
 
@@ -105,8 +119,8 @@ final case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val la = CodeGenerator.getValue(a, elemType(left), i)
-      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      val la = toDoubleJava(CodeGenerator.getValue(a, elemType(left), i), elemType(left))
+      val rb = toDoubleJava(CodeGenerator.getValue(b, elemType(right), i), elemType(right))
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -115,7 +129,7 @@ final case class DotProduct(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double)($la) * (double)($rb);
+         |    $acc += $la * $rb;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -169,8 +183,8 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
-      val la = CodeGenerator.getValue(a, elemType(left), i)
-      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      val la = toDoubleJava(CodeGenerator.getValue(a, elemType(left), i), elemType(left))
+      val rb = toDoubleJava(CodeGenerator.getValue(b, elemType(right), i), elemType(right))
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -179,8 +193,8 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $xv = (double)($la);
-         |    final double $yv = (double)($rb);
+         |    final double $xv = $la;
+         |    final double $yv = $rb;
          |    $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {

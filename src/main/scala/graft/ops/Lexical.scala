@@ -325,6 +325,14 @@ object Lexical {
       * crank) do NOT nominate, they only contribute tf to the exact
       * scoring join — same guarantee as [[topKDocs]]'s champion branch,
       * but against the persisted table.
+      *
+      * READ LIFETIME: the returned DataFrame is lazy and pinned to the
+      * generation resolved at CALL time; `Generations.gc` keeps only a
+      * one-generation grace behind the current pointer, so collect the
+      * result promptly — a frame cached across TWO optimize cycles scans
+      * GC'd directories (FileNotFoundException mid-scan). Callers that
+      * must hold results across optimizes should `localCheckpoint(true)`
+      * the (k-bounded, small) frame immediately.
       */
     def search(spark: org.apache.spark.sql.SparkSession, path: String,
         queries: DataFrame, qidCol: String, qtextCol: String, k: Int,

@@ -22,6 +22,22 @@ final case class ResourceDef(
     selected: Boolean = true,
     routingColumn: Option[String] = None,
     incremental: Option[(Incremental, String)] = None, // (cursor, cursor column for state)
+    /** Per-variant hint overrides — the `dlt.mark.with_hints(...,
+      * create_table_variant=True)` surface (reference
+      * sources/pg_replication/helpers.py:781-790: per-routed-table
+      * disposition/columns computed at runtime). Keys are matched against
+      * BOTH the raw routed/variant value and the final normalized table
+      * name; a hit replaces `hints` for that table (its `tableName` is
+      * still overwritten with the routed name). Two ways rows reach a
+      * variant:
+      *  - `routingColumn` fan-out: the routed value picks the variant;
+      *  - no routing column, but the extract marks rows with
+      *    [[Pipeline.HintVariantCol]]: NULL-marked rows land in the base
+      *    table under `hints`; a non-null variant value `v` lands in
+      *    table `v` (normalized) under `hintVariants(v)` — one extract,
+      *    several tables with DIFFERENT merge keys/dispositions.
+      */
+    hintVariants: Map[String, TableHints] = Map.empty,
 )
 
 /** Source: a group of resources sharing config and state — `@dlt.source`. */
@@ -37,6 +53,16 @@ final class PipelineContext(
 )
 
 final case class LoadResult(table: String, rows: Long)
+
+object Pipeline {
+  /** Well-known column an extract adds to mark rows for a table variant
+    * (`dlt.mark.with_hints(..., create_table_variant=True)`): NULL = the
+    * resource's base table under its own hints; a non-null value `v` =
+    * table `v` under `ResourceDef.hintVariants(v)`. Consumed (dropped)
+    * by the pipeline before normalization.
+    */
+  val HintVariantCol = "_graft_hint_variant"
+}
 
 /** The pipeline driver: extract → normalize → write → state commit
   * (SURVEY §3.1). Resources run parents-first; cursors and custom state
@@ -157,46 +183,82 @@ final class Pipeline(
     */
   private def writeRouted(df: DataFrame, res: ResourceDef): Seq[LoadResult] = {
     res.routingColumn match {
+      case None if df.columns.contains(Pipeline.HintVariantCol) =>
+        // item-level variant marks (create_table_variant): NULL-marked
+        // rows are the base table; marked rows fan out to the variant's
+        // own table+hints. Same single-pass staged split as routing — the
+        // base table is just one more staged partition (sentinel-keyed),
+        // so the source is still scanned exactly once.
+        val vc = Pipeline.HintVariantCol
+        val keyed = df.withColumn(vc,
+          coalesce(col(vc).cast("string"), lit(BaseVariantSentinel)))
+        stagedFanOut(keyed, vc, res, dropNulls = false) { v =>
+          if (v == BaseVariantSentinel) res.hints
+          else variantHints(res, v, Naming.normalize(v)).copy(tableName = Naming.normalize(v))
+        }
       case None =>
         writeNormalized(df, res.hints)
       case Some(rc) =>
-        val stage = s"$destRoot/__stage/${Naming.normalize(res.hints.tableName)}_" +
-          currentLoadId.getOrElse("run")
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val stagePath = new org.apache.hadoop.fs.Path(stage)
-        val fs = stagePath.getFileSystem(hconf)
-        try {
-          // empty-string routing values would land in the writer's
-          // __HIVE_DEFAULT_PARTITION__ alongside genuine nulls (Spark
-          // treats "" as the default partition) and silently vanish — map
-          // them to a sentinel so they stage as their own partition and
-          // keep routing to the bare `<table>_` name
-          df.filter(col(rc).isNotNull)
-            .withColumn(rc,
-              when(col(rc).cast("string") === "", lit(EmptyRouteSentinel))
-                .otherwise(col(rc).cast("string")))
-            .write.mode("overwrite").partitionBy(rc).parquet(stage)
-          // enumerate tables from the staged directory names — a driver FS
-          // listing, not a Spark job over the data
-          val values = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith(s"$rc="))
-            .map(n => ExternalCatalogUtils.unescapePathName(n.substring(rc.length + 1)))
-            .filter(_ != "__HIVE_DEFAULT_PARTITION__")
-          // explicit schema (rc as string) so partition-type inference can't
-          // retype numeric routing values and defeat the pruning filter
-          val stagedSchema = org.apache.spark.sql.types.StructType(
-            df.schema.fields.filterNot(_.name == rc) :+
-              org.apache.spark.sql.types.StructField(rc, org.apache.spark.sql.types.StringType))
-          val staged = spark.read.schema(stagedSchema).parquet(stage)
-          values.sorted.flatMap { v =>
-            val sub = staged.filter(col(rc) === v).drop(rc)
-            val routeName = if (v == EmptyRouteSentinel) "" else v
-            val name = Naming.normalize(s"${res.hints.tableName}_$routeName")
-            writeNormalized(sub, res.hints.copy(tableName = name))
-          }
-        } finally fs.delete(stagePath, true)
+        stagedFanOut(df, rc, res, dropNulls = true) { v =>
+          val routeName = if (v == EmptyRouteSentinel) "" else v
+          val name = Naming.normalize(s"${res.hints.tableName}_$routeName")
+          variantHints(res, routeName, name).copy(tableName = name)
+        }
     }
   }
+
+  /** Variant lookup: raw routed/variant value first, then the final
+    * normalized table name; default = the resource's own hints.
+    */
+  private def variantHints(res: ResourceDef, raw: String, name: String): TableHints =
+    res.hintVariants.getOrElse(raw, res.hintVariants.getOrElse(name, res.hints))
+
+  /** Single-pass staged split of `df` by `keyCol`: the batch is staged
+    * once, parquet-partitioned by the key (dir per table), and each table
+    * finalizes from its pruned staged partition under `hintsFor(value)`.
+    * The previous shape — one filtered scan per routed value — made a
+    * Slack/Kafka-style fan-out to hundreds of tables hundreds of source
+    * scans; this is one source scan + one bounded stage, and the
+    * per-table reads are partition-pruned to their own directory.
+    */
+  private def stagedFanOut(df: DataFrame, keyCol: String, res: ResourceDef,
+      dropNulls: Boolean)(hintsFor: String => TableHints): Seq[LoadResult] = {
+    val stage = s"$destRoot/__stage/${Naming.normalize(res.hints.tableName)}_" +
+      currentLoadId.getOrElse("run")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(hconf)
+    try {
+      // empty-string routing values would land in the writer's
+      // __HIVE_DEFAULT_PARTITION__ alongside genuine nulls (Spark
+      // treats "" as the default partition) and silently vanish — map
+      // them to a sentinel so they stage as their own partition and
+      // keep routing to the bare `<table>_` name
+      val in = if (dropNulls) df.filter(col(keyCol).isNotNull) else df
+      in.withColumn(keyCol,
+          when(col(keyCol).cast("string") === "", lit(EmptyRouteSentinel))
+            .otherwise(col(keyCol).cast("string")))
+        .write.mode("overwrite").partitionBy(keyCol).parquet(stage)
+      // enumerate tables from the staged directory names — a driver FS
+      // listing, not a Spark job over the data
+      val values = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$keyCol="))
+        .map(n => ExternalCatalogUtils.unescapePathName(n.substring(keyCol.length + 1)))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      // explicit schema (key as string) so partition-type inference can't
+      // retype numeric routing values and defeat the pruning filter
+      val stagedSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(_.name == keyCol) :+
+          org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType))
+      val staged = spark.read.schema(stagedSchema).parquet(stage)
+      values.sorted.flatMap { v =>
+        val sub = staged.filter(col(keyCol) === v).drop(keyCol)
+        writeNormalized(sub, hintsFor(v))
+      }
+    } finally fs.delete(stagePath, true)
+  }
+
+  private val BaseVariantSentinel = "__graft_base__"
 
   private val EmptyRouteSentinel = "__graft_empty__"
 

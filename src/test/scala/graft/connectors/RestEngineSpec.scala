@@ -74,6 +74,37 @@ class RestEngineSpec extends SparkTestBase {
     assert(fetchPages(client, ep, t).size == 2)
   }
 
+  test("next-url hop does not duplicate a query-param credential the link already carries") {
+    // APIs that echo the full original query in the next link would
+    // receive the credential twice if auth re-applied it as a param
+    val t = new FakeTransport(Map(
+      "items?api_key=k" -> """{"data":[{"id":1}],"links":{"next":"https://api.example.test/items2?api_key=k&page=2"}}""",
+      "items2?api_key=k&page=2" -> """{"data":[{"id":2}],"links":{"next":null}}""",
+    ))
+    val authed = client.copy(auth = Some(Auth.QueryParam("api_key", "k")))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.NextUrl("links.next"))
+    assert(fetchPages(authed, ep, t).size == 2)
+    val Some((hopUrl, hopParams)) = t.calls.find(_._1.contains("items2"))
+    assert(hopUrl.contains("api_key=k"), "the link itself carries the credential")
+    assert(!hopParams.contains("api_key"),
+      s"credential must not be re-applied as a param on a link that carries it: $hopParams")
+  }
+
+  test("next-url hop still applies query-param auth when the link omits the credential") {
+    val t = new FakeTransport(Map(
+      "items?api_key=k" -> """{"data":[{"id":1}],"links":{"next":"https://api.example.test/items2?page=2"}}""",
+      "items2?page=2?api_key=k" -> """{"data":[{"id":2}],"links":{"next":null}}""",
+    ))
+    val authed = client.copy(auth = Some(Auth.QueryParam("api_key", "k")))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.NextUrl("links.next"))
+    assert(fetchPages(authed, ep, t).size == 2)
+    val Some((_, hopParams)) = t.calls.find(_._1.contains("items2"))
+    assert(hopParams.get("api_key").contains("k"),
+      "a link WITHOUT the credential must still get auth applied")
+  }
+
   test("single-object data selector unwraps to one item") {
     val t = new FakeTransport(Map("me?" -> """{"profile":{"id":7,"name":"x"}}"""))
     val items = fetchPages(client, EndpointConfig("me", dataSelector = "profile"), t)

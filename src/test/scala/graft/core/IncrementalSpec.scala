@@ -62,4 +62,39 @@ class IncrementalSpec extends SparkTestBase {
     assert(Incremental.cursorLeq("abc", "abd"))
     assert(!Incremental.cursorLeq("2024-01-07", "2024-01-05"))
   }
+
+  test("external scheduler window overrides state and end bounds (allow_external_schedulers)") {
+    val inc = Incremental(Seq("ts"), initialValue = Some("1900-01-01"),
+      endValue = Some("2099-01-01"), allowExternalSchedulers = true)
+    try {
+      // the orchestrator's interval [start, end): start INCLUSIVE (the
+      // interval owns its boundary row), end exclusive; committed state
+      // ("2024-01-19" would exclude id=3) is NOT consulted
+      Incremental.setExternalWindow(Some("2024-01-05"), Some("2024-01-20"))
+      assert(inc.externalWindowActive)
+      val ids = inc.filterWith(df, Some("2024-01-19")).select("id").as[Long].collect().toSet
+      assert(ids == Set(2L, 3L))
+      // open-ended interval
+      Incremental.setExternalWindow(Some("2024-01-10"), None)
+      assert(inc.filterWith(df, None).select("id").as[Long].collect().toSet == Set(3L, 4L))
+      // a cursor that did NOT opt in ignores the window entirely
+      val noOptIn = inc.copy(allowExternalSchedulers = false)
+      assert(!noOptIn.externalWindowActive)
+      assert(noOptIn.filterWith(df, Some("2024-01-05")).select("id").as[Long].collect().toSet
+        == Set(3L, 4L))
+    } finally Incremental.clearExternalWindow()
+    // window cleared: back to state semantics
+    assert(!inc.externalWindowActive)
+    assert(inc.filterWith(df, Some("2024-01-05")).select("id").as[Long].collect().toSet
+      == Set(3L, 4L))
+  }
+
+  test("external scheduler window mirrors bounds under descending cursors") {
+    val inc = Incremental(Seq("ts"), descending = true, allowExternalSchedulers = true)
+    try {
+      Incremental.setExternalWindow(Some("2024-01-10"), Some("2024-01-01"))
+      // descending interval: start inclusive from above, end exclusive below
+      assert(inc.filterWith(df, None).select("id").as[Long].collect().toSet == Set(2L, 3L))
+    } finally Incremental.clearExternalWindow()
+  }
 }

@@ -213,6 +213,46 @@ class TableLockSpec extends SparkTestBase {
     } finally TableLock.testHookBeforeCreate = () => ()
   }
 
+  test("verifyMax under a persistently failing listing tombstones the win and backs off") {
+    // A post-create listing that THROWS must never be read as "no higher
+    // epoch exists" — that degrades the split-brain guard to a no-op under
+    // exactly the flaky-filesystem conditions it exists to close. The
+    // taker must give up its created epoch, not proceed as holder.
+    val table = s"${tmpDir("lock_verify_ioerr")}/t"
+    val dead = TableLock.acquire(spark, table, "crashed")
+    dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
+    TableLock.testHookVerifyList = () => throw new java.io.IOException("injected: fs flake")
+    try {
+      val e = intercept[TableLock.LockHeldException] {
+        TableLock.acquire(spark, table, "taker", staleMs = 60000)
+      }
+      assert(e.getMessage.contains("could not list"), e.getMessage)
+      // the created e1 is tombstoned — takeable by the next healthy taker,
+      // never a live second lease
+      val in = dead.fs.open(lockFile(table, 1L))
+      val c = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(c.contains("released=true") && c.contains("lost-verify-listing"), c)
+    } finally TableLock.testHookVerifyList = () => ()
+    // once the filesystem heals, the tombstoned epoch is ordinary garbage
+    // and acquire succeeds
+    TableLock.acquire(spark, table, "healthy-taker", staleMs = 60000).release()
+  }
+
+  test("verifyMax retries through a transient listing failure and holds the lease") {
+    val table = s"${tmpDir("lock_verify_transient")}/t"
+    val dead = TableLock.acquire(spark, table, "crashed")
+    dead.fs.setTimes(dead.path, System.currentTimeMillis() - 120000, -1)
+    var failures = 0
+    TableLock.testHookVerifyList = () =>
+      if (failures < 2) { failures += 1; throw new java.io.IOException("injected: transient") }
+    try {
+      val taken = TableLock.acquire(spark, table, "taker", staleMs = 60000)
+      assert(failures == 2, s"hook must have fired twice, fired $failures")
+      assert(taken.owner == "taker")
+      taken.release()
+    } finally TableLock.testHookVerifyList = () => ()
+  }
+
   test("a write cannot interleave with a compaction holding the table, and vice versa") {
     val root = tmpDir("lock_e2e")
     val hints = TableHints(tableName = "t", disposition = Disposition.Replace)

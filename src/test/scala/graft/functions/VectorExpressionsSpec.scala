@@ -64,6 +64,24 @@ class VectorExpressionsSpec extends SparkTestBase {
       assert(bits(r.getAs[java.lang.Double]("c")) == bits(r.getAs[java.lang.Double]("hc"))))
   }
 
+  test("decimal arrays are accepted and match the HOF cast-to-double path") {
+    // the replaced zip_with+aggregate composition accepted any castable
+    // numeric element (including decimal); the kernels must not narrow
+    // the public Similarity.dot/cosine surface
+    val df = spark.sql(
+      """SELECT array(CAST(1.25 AS DECIMAL(10,4)), CAST(-2.5 AS DECIMAL(10,4))) AS a,
+        |       array(CAST(3.75 AS DECIMAL(10,4)), CAST(0.5  AS DECIMAL(10,4))) AS b""".stripMargin)
+    val got = df.select(
+      VectorExpressions.vecDot($"a", $"b").as("d"),
+      VectorExpressions.vecCosine($"a", $"b").as("c"),
+      hofDot($"a", $"b").as("hd"),
+      hofCosine($"a", $"b").as("hc"),
+    ).head()
+    assert(bits(got.getAs[java.lang.Double]("d")) == bits(got.getAs[java.lang.Double]("hd")))
+    assert(bits(got.getAs[java.lang.Double]("c")) == bits(got.getAs[java.lang.Double]("hc")))
+    assert(got.getAs[java.lang.Double]("d") == 1.25 * 3.75 + (-2.5) * 0.5)
+  }
+
   test("zero-norm and empty vectors yield NULL cosine, not an ANSI abort and not NaN") {
     // the HOF form raised DIVIDE_BY_ZERO here under ANSI mode (job
     // abort); NaN would WIN descending top-k (Spark orders NaN above
@@ -126,5 +144,21 @@ class VectorExpressionsSpec extends SparkTestBase {
     val withNull = new GenericArrayData(Array[Any](1.0, null))
     val out2 = proj(InternalRow(withNull, new GenericArrayData(Array(1.0, 2.0))))
     assert(out2.isNullAt(0) && out2.isNullAt(1))
+  }
+
+  test("decimal element type compiles through codegen and agrees with eval") {
+    import org.apache.spark.sql.types.Decimal
+    val at = ArrayType(DecimalType(10, 4), containsNull = true)
+    val dot = DotProduct(BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))
+    val cos = CosineSimilarity(BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(dot, cos))
+    def dec(s: String) = Decimal(new java.math.BigDecimal(s), 10, 4)
+    val a = new GenericArrayData(Array[Any](dec("1.2500"), dec("-2.5000")))
+    val b = new GenericArrayData(Array[Any](dec("3.7500"), dec("0.5000")))
+    val row = InternalRow(a, b)
+    val out = proj(row)
+    assert(bits(out.getDouble(0)) == bits(dot.eval(row).asInstanceOf[Double]))
+    assert(bits(out.getDouble(1)) == bits(cos.eval(row).asInstanceOf[Double]))
+    assert(out.getDouble(0) == 1.25 * 3.75 + (-2.5) * 0.5)
   }
 }

@@ -121,6 +121,58 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dest/ev_1").count() == 2)
   }
 
+  test("hint-variant marks land rows in variant tables with their OWN merge keys") {
+    // dlt.mark.with_hints + create_table_variant: one extract, a base
+    // append table plus two variants with DIFFERENT primary keys
+    val dest = tmpDir("pipe-hv")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-hv-state"))
+    val df = Seq(
+      (1L, 10L, "a"), (2L, 10L, "a"), (3L, 20L, "b"),   // by_user: dedup on user
+      (4L, 10L, "a"), (5L, 10L, "b"),                   // by_kind: dedup on kind
+      (6L, 30L, "c"),                                   // base: append as-is
+    ).toDF("id", "user", "kind")
+      .withColumn(Pipeline.HintVariantCol,
+        when(col("id") <= 3, "by_user").when(col("id") <= 5, "by_kind").otherwise(lit(null)))
+    val res = ResourceDef("ev", TableHints("ev_base", Disposition.Append), _ => df,
+      hintVariants = Map(
+        "by_user" -> TableHints("by_user", Disposition.Merge,
+          primaryKey = Seq("user"), dedupSort = Some(("id", true))),
+        "by_kind" -> TableHints("by_kind", Disposition.Merge,
+          primaryKey = Seq("kind"), dedupSort = Some(("id", true))),
+      ))
+    val results = pipe.run(SourceDef("s", Seq(res)))
+    assert(results.map(_.table).toSet == Set("ev_base", "by_user", "by_kind"))
+    // by_user keeps the max-id row per user: (2,10),(3,20)
+    assert(spark.read.parquet(s"$dest/by_user").select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // by_kind keeps the max-id row per kind: (4,a),(5,b)
+    assert(spark.read.parquet(s"$dest/by_kind").select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // unmarked rows appended to the base, variant column consumed
+    val base = spark.read.parquet(s"$dest/ev_base")
+    assert(base.select("id").as[Long].collect().toSeq == Seq(6L))
+    assert(!base.columns.contains(Pipeline.HintVariantCol))
+  }
+
+  test("routed fan-out applies per-routed-table hint variants (CDC per-table dispositions)") {
+    // the pg_replication shape: the routing value picks the table AND the
+    // table's own disposition/keys (helpers.py:781-790)
+    val dest = tmpDir("pipe-hv2")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-hv2-state"))
+    val df = Seq(
+      (1L, 10L, "logs"), (2L, 10L, "logs"),          // append-only table
+      (3L, 10L, "users"), (4L, 10L, "users"),        // merged table, pk=user
+    ).toDF("id", "user", "tbl")
+    val res = ResourceDef("cdc", TableHints("t", Disposition.Append),
+      _ => df, routingColumn = Some("tbl"),
+      hintVariants = Map(
+        // keyed by the FINAL normalized table name (t_users)
+        "t_users" -> TableHints("ignored", Disposition.Merge,
+          primaryKey = Seq("user"), dedupSort = Some(("id", true))),
+      ))
+    pipe.run(SourceDef("s", Seq(res)))
+    assert(spark.read.parquet(s"$dest/t_logs").count() == 2)  // default hints: append
+    assert(spark.read.parquet(s"$dest/t_users").select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("nested resources write child tables alongside the root") {
     val dest = tmpDir("pipe-dest5")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state5"))
