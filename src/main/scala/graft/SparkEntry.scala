@@ -2487,6 +2487,32 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // partition-parallel REST root paging (RestPagesV2): the response
+    // carries meta.total, so the DSv2 scan plans ONE INPUT PARTITION PER
+    // PAGE and the pages fetch executor-side — no driver page chain
+    "q_rest_parallel" -> ((s, dir) => {
+      import graft.connectors.rest.{RestEngine, StaticPagesTransport}
+      import RestEngine._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      val pageSize = 40
+      def item(r: org.apache.spark.sql.Row) =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      val total = docs.length
+      val pages = docs.toSeq.grouped(pageSize).toSeq.zipWithIndex.map { case (chunk, i) =>
+        s"docs?limit=$pageSize&offset=${i * pageSize}" ->
+          s"""{"data":[${chunk.map(item).mkString(",")}],"meta":{"total":$total}}"""
+      }.toMap
+      val ep = EndpointConfig("docs", dataSelector = "data",
+        paginator = Paginator.Offset(pageSize = pageSize, totalPath = Some("meta.total")))
+      val src = RestSource("fixture", ClientConfig("https://fixture.test"),
+        Seq(RestResource("docs", ep, TableHints("docs", Disposition.Append))))
+      readResourceParallel(s, src, src.resources.head, () => StaticPagesTransport(pages))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // pipeline driver: two incremental merge runs (split on ts) produce
     // exactly the full deduplicated table; cursor prunes the re-run
     "q_pipeline_incremental" -> ((s, dir) => {
@@ -4659,6 +4685,10 @@ object SparkEntry {
     "q_rest_pipeline" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_rest_parallel" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_doc_pushdown" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -33,12 +33,18 @@ object RestEngine {
     */
   sealed trait Paginator extends Serializable
   object Paginator {
-    /** `?offset=N&limit=P` until a short page. */
-    final case class Offset(offsetParam: String = "offset", limitParam: String = "limit", pageSize: Int = 100)
-        extends Paginator
-    /** `?page=N` 1-based until a short page. */
-    final case class PageNumber(pageParam: String = "page", sizeParam: String = "per_page", pageSize: Int = 100)
-        extends Paginator
+    /** `?offset=N&limit=P` until a short page. `totalPath` (a JSONPath into
+      * the response body, e.g. `meta.total` — the item count) unlocks the
+      * partition-parallel read: page offsets are then independent and
+      * [[RestPagesV2]] plans one input partition per page instead of a
+      * driver-side chain (the skip/limit split treatment the reference
+      * gives Mongo, sources/mongodb/helpers.py:215-227).
+      */
+    final case class Offset(offsetParam: String = "offset", limitParam: String = "limit", pageSize: Int = 100,
+        totalPath: Option[String] = None) extends Paginator
+    /** `?page=N` 1-based until a short page; `totalPath` as in [[Offset]]. */
+    final case class PageNumber(pageParam: String = "page", sizeParam: String = "per_page", pageSize: Int = 100,
+        totalPath: Option[String] = None) extends Paginator
     /** Cursor read from the body (`next_cursor` JSONPath) echoed as a param. */
     final case class Cursor(cursorPath: String, cursorParam: String, pageSize: Int = 100,
         sizeParam: String = "limit") extends Paginator
@@ -271,6 +277,55 @@ object RestEngine {
       // trailing window is re-emitted INCLUSIVE of its boundary day and the
       // merge pk dedups the overlap (the reference does not client-filter
       // insights either)
+      case Some(b) if b.lagDays > 0 => df
+      case Some(b) if df.columns.contains(leafField(b.cursorPath)) =>
+        val inc = Incremental(Seq(leafField(b.cursorPath)), b.initialValue, b.endValue)
+        inc.filterWith(df, state.flatMap(_.getString(stateKey)))
+      case _ => df
+    }
+  }
+
+  /** Partition-parallel root-resource read: when the paginator is an
+    * Offset/PageNumber with a known total ([[Paginator.Offset.totalPath]]),
+    * pages are independent and [[RestPagesV2]] plans one input partition
+    * per page — N pages ride N executor slots instead of one driver loop
+    * (the reference's Mongo skip/limit splits, sources/mongodb/helpers.py:215-227,
+    * and `dlt.defer` thread pool, sources/chess/__init__.py:54-60).
+    * Chained paginators, newest-first cursor stops, and parent-bound
+    * endpoints fall back to [[readResource]]'s serial loop — their next
+    * request depends on the previous response, so there is nothing to
+    * parallelize. Incremental binding and engine-side re-filtering are
+    * identical to [[readResource]].
+    */
+  def readResourceParallel(
+      spark: SparkSession,
+      source: RestSource,
+      resource: RestResource,
+      transportFactory: () => HttpTransport,
+      state: Option[StateStore] = None,
+  ): DataFrame = {
+    val splittable = (resource.endpoint.paginator match {
+      case o: Paginator.Offset     => o.totalPath.isDefined
+      case p: Paginator.PageNumber => p.totalPath.isDefined
+      case _                       => false
+    }) && !resource.endpoint.incremental.exists(_.newestFirst) && resource.endpoint.parent.isEmpty
+    if (!splittable) return readResource(spark, source, resource, transportFactory(), state)
+
+    val stateKey = s"${source.name}.${resource.name}.cursor"
+    val lastValue = resource.endpoint.incremental.flatMap(b =>
+      state.flatMap(_.getString(stateKey)).orElse(b.initialValue)
+        .map(v => Incremental.rewindDays(v, b.lagDays)))
+    val incParams: Map[String, String] = resource.endpoint.incremental.toSeq.flatMap { b =>
+      lastValue.map(b.startParam -> _).toSeq ++
+        (for (ep <- b.endParam; ev <- b.endValue) yield ep -> ev).toSeq
+    }.toMap
+
+    val items = RestPagesV2.read(spark,
+      RestPagesV2.PlannedPages(source.client, resource.endpoint, incParams, transportFactory))
+    import spark.implicits._
+    val df = spark.read.json(items.select("item").as[String])
+
+    resource.endpoint.incremental match {
       case Some(b) if b.lagDays > 0 => df
       case Some(b) if df.columns.contains(leafField(b.cursorPath)) =>
         val inc = Incremental(Seq(leafField(b.cursorPath)), b.initialValue, b.endValue)

@@ -1,0 +1,235 @@
+package graft.connectors.rest
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import RestEngine.{ClientConfig, EndpointConfig, Paginator}
+
+/** Partition-parallel root-resource page fetch (DSv2).
+  *
+  * The driver-side page loop in [[RestEngine.fetchPages]] is inherently
+  * sequential for cursor/next-url chains, but for Offset/PageNumber
+  * paginators whose response carries a TOTAL (`Paginator.Offset.totalPath`),
+  * every page's request parameters are computable up front — pages are
+  * independent, exactly like the reference's parallel Mongo skip/limit
+  * splits (sources/mongodb/helpers.py:215-227) and its thread-pooled
+  * deferred fetches (sources/chess/__init__.py:54-60 `dlt.defer`). This
+  * source plans ONE INPUT PARTITION PER PAGE (the [[graft.connectors.db.DocumentSourceV2]]
+  * treatment), so a 10k-page backfill rides 32 executor threads instead of
+  * one driver loop — the ingest-side bottleneck a 100× user hits first.
+  *
+  * Planning probes page 0 once on the driver (items + total); page 0's
+  * items travel INSIDE its InputPartition so every page is requested
+  * exactly once. All remaining pages fetch executor-side with one transport
+  * per partition and per-request auth (incl. the OAuth2 401 re-mint retry).
+  * If the probe yields no total — or the paginator is a chain — the scan
+  * degrades to a single partition running the serial loop, so callers can
+  * use this source unconditionally for root resources.
+  *
+  * Consistency: like any skip/limit split, concurrent inserts between probe
+  * and fetch can shift page boundaries; the reference accepts the same for
+  * Mongo parallel scans. Incremental runs bound the window via the cursor
+  * params, which ride in `PlannedPages.extraParams`.
+  *
+  * Rows surface as a single `item` string column (one JSON object per
+  * item); [[RestEngine.jsonToDf]] takes it from there so schema inference
+  * stays distributed.
+  */
+object RestPagesV2 {
+  val ItemSchema: StructType = StructType(Seq(StructField("item", StringType, nullable = false)))
+
+  /** Everything a partition needs, serializable — shipped inside the
+    * reader factory, NOT looked up through a registry on executors, so the
+    * plan is cluster-correct (the registry below is only the driver-side
+    * handoff from typed config to DSv2 string options).
+    */
+  final case class PlannedPages(
+      client: ClientConfig,
+      endpoint: EndpointConfig,
+      extraParams: Map[String, String],
+      transportFactory: () => HttpTransport,
+  )
+
+  /** Driver-side registry keyed by the `endpoint` DSv2 option. */
+  private val planned = new java.util.concurrent.ConcurrentHashMap[String, PlannedPages]()
+  /** Memoized page plans: Spark re-invokes `planInputPartitions` on every
+    * query execution of the same DataFrame (getNumPartitions, collect, …);
+    * re-probing page 0 each time would both double-fetch and let a moving
+    * total change the plan mid-query. One registered read = one probe =
+    * one stable plan.
+    */
+  private val plans = new java.util.concurrent.ConcurrentHashMap[String, Array[InputPartition]]()
+  private val keyCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private[rest] def planFor(key: String)(compute: => Array[InputPartition]): Array[InputPartition] =
+    plans.computeIfAbsent(key, _ => compute)
+
+  def register(pages: PlannedPages): String = {
+    val key = s"rest_${keyCounter.incrementAndGet()}"
+    planned.put(key, pages)
+    key
+  }
+  private[rest] def get(key: String): PlannedPages =
+    Option(planned.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no planned REST endpoint '$key' registered"))
+
+  /** Read a registered endpoint: one `item` string column, one partition
+    * per page when the total is known.
+    */
+  def read(spark: SparkSession, pages: PlannedPages): DataFrame =
+    spark.read.format("graft-rest").option("endpoint", register(pages)).load()
+
+  private[rest] def rootUrl(client: ClientConfig, endpoint: EndpointConfig): String =
+    client.baseUrl.stripSuffix("/") + "/" + endpoint.path.stripPrefix("/")
+
+  /** Params for page `i` (0-based), mirroring fetchPages' seeding so the
+    * serial and parallel reads issue byte-identical requests.
+    */
+  private[rest] def pageParams(endpoint: EndpointConfig, extra: Map[String, String], i: Long): Map[String, String] = {
+    val base = endpoint.params ++ extra
+    endpoint.paginator match {
+      case p: Paginator.Offset =>
+        base + (p.offsetParam -> (i * p.pageSize).toString) + (p.limitParam -> p.pageSize.toString)
+      case p: Paginator.PageNumber =>
+        // the serial loop omits the page param on its FIRST request (the
+        // server defaults to page 1); mirror it so both paths issue
+        // byte-identical requests
+        if (i == 0L) base + (p.sizeParam -> p.pageSize.toString)
+        else base + (p.pageParam -> (i + 1).toString) + (p.sizeParam -> p.pageSize.toString)
+      case other => throw new IllegalArgumentException(s"not page-splittable: $other")
+    }
+  }
+
+  /** One authed GET with the OAuth2 expired-token retry — the per-request
+    * half of fetchPages, shared by the planning probe and the executor-side
+    * page readers.
+    */
+  private[rest] def fetchBody(client: ClientConfig, transport: HttpTransport, url: String,
+      params: Map[String, String]): String = {
+    def authed: (Map[String, String], Map[String, String]) =
+      client.auth.map(_.applyTo(params, client.headers)).getOrElse((params, client.headers))
+    val first = { val (rp, rh) = authed; transport.get(url, rp, rh) }
+    val resp = client.auth match {
+      case Some(o: Auth.OAuth2) if first.status == 401 =>
+        // expired-early or revoked access token: re-mint once, like fetchPages
+        o.invalidate()
+        val (rp, rh) = authed
+        transport.get(url, rp, rh)
+      case _ => first
+    }
+    if (resp.status < 200 || resp.status >= 300)
+      throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
+    resp.body
+  }
+}
+
+class RestPagesSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RestPagesV2.ItemSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    RestPagesTable(properties.asScala.toMap)
+}
+
+final case class RestPagesTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-rest:${props.getOrElse("endpoint", "?")}"
+  override def schema(): StructType = RestPagesV2.ItemSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala
+    new ScanBuilder { override def build(): Scan = RestPagesScan(merged("endpoint")) }
+  }
+}
+
+final case class RestPagesScan(key: String) extends Scan with Batch {
+  override def readSchema(): StructType = RestPagesV2.ItemSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-rest endpoint=$key"
+
+  override def planInputPartitions(): Array[InputPartition] = RestPagesV2.planFor(key) {
+    val p = RestPagesV2.get(key)
+    val totalPath = p.endpoint.paginator match {
+      case o: Paginator.Offset     => o.totalPath
+      case n: Paginator.PageNumber => n.totalPath
+      case _                       => None
+    }
+    totalPath match {
+      case None => Array(RestSerialPartition)
+      case Some(tp) =>
+        // probe page 0 once, driver-side: its items ride inside partition 0
+        // so each page is requested exactly once across the whole scan
+        val transport = p.transportFactory()
+        val url = RestPagesV2.rootUrl(p.client, p.endpoint)
+        val body = RestPagesV2.fetchBody(p.client, transport, url,
+          RestPagesV2.pageParams(p.endpoint, p.extraParams, 0L))
+        val root = Json.parse(body)
+        val page0 = Json.items(root, p.endpoint.dataSelector).map(_.toString)
+        Json.selectString(root, tp).flatMap(_.toLongOption) match {
+          case None => // no total in the body after all: finish serially
+            Array(RestSerialPartition)
+          case Some(total) =>
+            val pageSize = p.endpoint.paginator match {
+              case o: Paginator.Offset     => o.pageSize
+              case n: Paginator.PageNumber => n.pageSize
+              case _                       => 1
+            }
+            val numPages = math.min(
+              math.max(1L, (total + pageSize - 1) / pageSize),
+              p.endpoint.maxPages.toLong)
+            (RestPage0Partition(page0) +:
+              (1L until numPages).map(i => RestPageRangePartition(i): InputPartition)).toArray
+        }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RestPagesReaderFactory(RestPagesV2.get(key))
+}
+
+/** Fallback: the whole serial page loop as one partition. */
+case object RestSerialPartition extends InputPartition
+/** Page 0, pre-fetched at planning time. */
+final case class RestPage0Partition(items: Seq[String]) extends InputPartition
+/** An independent page index (0-based), fetched executor-side. */
+final case class RestPageRangePartition(page: Long) extends InputPartition
+
+final case class RestPagesReaderFactory(planned: RestPagesV2.PlannedPages)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val items: Iterator[String] = partition match {
+      case RestPage0Partition(page0) => page0.iterator
+      case RestPageRangePartition(i) =>
+        val transport = planned.transportFactory()
+        val url = RestPagesV2.rootUrl(planned.client, planned.endpoint)
+        val body = RestPagesV2.fetchBody(planned.client, transport, url,
+          RestPagesV2.pageParams(planned.endpoint, planned.extraParams, i))
+        Json.items(Json.parse(body), planned.endpoint.dataSelector).map(_.toString).iterator
+      case RestSerialPartition =>
+        RestEngine.fetchPages(planned.client, planned.endpoint, planned.transportFactory(),
+          planned.extraParams).iterator
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!items.hasNext) return false
+        current = InternalRow(UTF8String.fromString(items.next()))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
