@@ -322,7 +322,10 @@ object Pdf {
     * Malformed blobs quarantine as format "corrupt" with empty text
     * (filter downstream to audit); a PDF whose filters/encodings are
     * out of reader scope extracts as format "pdf" with whatever text
-    * its supported streams carry.
+    * its supported streams carry. A NULL id, by contrast, FAILS THE JOB
+    * (named error, not a quarantined row): a bad file is data, a null
+    * key is a pipeline bug upstream — quarantining it would silently
+    * orphan the row from every downstream join on id.
     */
   def extract(df: DataFrame, idCol: String, pdfCol: String): DataFrame = {
     val schema = StructType(Seq(

@@ -320,18 +320,16 @@ object Similarity {
     * dim floats, an 8-32× memory cut, which is the entire point of PQ.
     * A narrow map — no shuffle.
     */
-  def pqEncode(df: DataFrame, vecCol: String, codebooks: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    val subDim = codebooks.head._3.length
-    val m = codebooks.map(_._1).max + 1
-    val codes = (0 until m).map { j =>
-      val sub = slice(col(vecCol), j * subDim + 1, subDim)
-      val scored = codebooks.filter(_._1 == j).map { case (_, cid, cv) =>
-        struct(dot(sub, typedlit(cv.toSeq)).as("sim"), lit(cid).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
-    }
-    df.withColumn("__code", array(codes: _*))
-  }
+  def pqEncode(df: DataFrame, vecCol: String, codebooks: Seq[(Int, Int, Array[Double])]): DataFrame =
+    // ONE fused expression (graft.functions.PqEncode), not m*kSub
+    // slice+dot subtrees: the composed form generated 128 loops + 128
+    // slice copies in one projection — past the JIT method limits, it
+    // measured 3.4x SLOWER at sf10 than even the interpreted HOFs it
+    // replaced (see the expression scaladoc). The fused loop re-stamped
+    // q_ann_ivfpq sf10 from 29.6 s (composed kernels) / 8.5 s (HOFs)
+    // down — codes, tie-breaks and NaN ordering bit-identical.
+    df.withColumn("__code",
+      graft.functions.VectorExpressions.pqEncode(col(vecCol), codebooks))
 
   /** IVF-PQ search — the memory-bound 100 TB ANN shape: probe `nProbe`
     * coarse cells (equi join, bounded candidates), score candidates by

@@ -161,4 +161,80 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(bits(out.getDouble(1)) == bits(cos.eval(row).asInstanceOf[Double]))
     assert(out.getDouble(0) == 1.25 * 3.75 + (-2.5) * 0.5)
   }
+
+  // ------------------------------------------------------------ pq_encode
+
+  /** The composed form pq_encode replaces — m*kSub slice+dot trees into
+    * greatest(struct(sim, cid)) — kept as the parity oracle.
+    */
+  private def composedPqEncode(vec: Column, codebooks: Seq[(Int, Int, Array[Double])]): Column = {
+    val subDim = codebooks.head._3.length
+    val m = codebooks.map(_._1).max + 1
+    val codes = (0 until m).map { j =>
+      val sub = slice(vec, j * subDim + 1, subDim)
+      val scored = codebooks.filter(_._1 == j).map { case (_, cid, cv) =>
+        struct(VectorExpressions.vecDot(sub, typedlit(cv.toSeq)).as("sim"), lit(cid).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+    array(codes: _*)
+  }
+
+  test("pq_encode codes equal the composed slice+dot+greatest form on random vectors") {
+    val cbs = graft.ops.Similarity.pqCodebooks(dim = 16, m = 4, kSub = 8)
+    val rnd = new scala.util.Random(43)
+    val df = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val got = df.select($"id",
+      VectorExpressions.pqEncode($"v", cbs).as("fused"),
+      composedPqEncode($"v", cbs).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id ${r.getLong(0)}")
+    }
+  }
+
+  test("pq_encode ties break to the larger centroid id, like greatest(struct)") {
+    // a zero vector dots to 0.0 against EVERY codebook entry: all ties
+    val cbs = graft.ops.Similarity.pqCodebooks(dim = 8, m = 2, kSub = 4)
+    val df = Seq((1L, Seq.fill(8)(0.0))).toDF("id", "v")
+    val r = df.select(VectorExpressions.pqEncode($"v", cbs).as("c"),
+      composedPqEncode($"v", cbs).as("e")).head()
+    assert(r.getSeq[Int](0) == Seq(3, 3))
+    assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+  }
+
+  test("pq_encode: null input, null element, and wrong length all yield NULL") {
+    val cbs = graft.ops.Similarity.pqCodebooks(dim = 8, m = 2, kSub = 4)
+    val df = Seq(
+      (1L, Option.empty[Seq[java.lang.Double]]),
+      (2L, Some(Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))),
+      (3L, Some(Seq[java.lang.Double](1.0, 2.0, 3.0))),
+    ).toDF("id", "v")
+    val out = df.select($"id", VectorExpressions.pqEncode($"v", cbs).as("c"))
+      .orderBy("id").collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
+
+  test("pq_encode codegen agrees with eval") {
+    val cbs = graft.ops.Similarity.pqCodebooks(dim = 8, m = 2, kSub = 4)
+    val subDim = cbs.head._3.length
+    val flat = new Array[Double](2 * 4 * subDim)
+    cbs.foreach { case (j, c, v) => System.arraycopy(v, 0, flat, (j * 4 + c) * subDim, subDim) }
+    val at = ArrayType(DoubleType, containsNull = true)
+    val e = PqEncode(BoundReference(0, at, nullable = true), flat, 2, 4, 4)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val v = new GenericArrayData(Array.fill[Any](8)(rnd.nextGaussian()))
+      val row = InternalRow(v)
+      val fromGen = proj(row).getArray(0).toIntArray().toSeq
+      val fromEval = e.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(fromGen == fromEval)
+    }
+    // null element through codegen too
+    val withNull = new GenericArrayData(Array[Any](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    assert(proj(InternalRow(withNull)).isNullAt(0))
+  }
 }

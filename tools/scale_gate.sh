@@ -32,4 +32,9 @@ SPARK_GRAFT_ONLY="$FAMILY" SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep '\[verify\]' || true
 
 echo "[scale_gate] oracle compare"
+# the heaviest oracle replays NEED the spill dir to exist, and DuckDB can
+# lose the memory race while the gate's Spark JVM is still resident —
+# rerun any ORACLE ERROR lines with the machine idle before reading them
+# as failures
+mkdir -p /tmp/duck_spill
 python3 tools/compare_oracle.py "$SF1" "$OUT"
