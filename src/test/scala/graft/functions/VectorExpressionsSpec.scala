@@ -162,6 +162,32 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(out.getDouble(0) == 1.25 * 3.75 + (-2.5) * 0.5)
   }
 
+  test("pre-normed pair cosine (dot / (normOf*normOf)) is bit-identical to vec_cosine") {
+    // the pair-scoring sites split the cosine into per-vector norms +
+    // per-pair dot (O(n*d) norms instead of O(pairs*d) folds); every ULP
+    // must survive the split, including the zero-norm->NULL and
+    // null-element->NULL edges
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 200).map { i =>
+      val v: Seq[java.lang.Double] =
+        if (i == 0) Seq.fill(8)(java.lang.Double.valueOf(0.0))           // zero norm
+        else if (i == 1) Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+        else Seq.fill(8)(java.lang.Double.valueOf(rnd.nextGaussian()))
+      (i.toLong, v, Seq.fill(8)(java.lang.Double.valueOf(rnd.nextGaussian())))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id",
+      VectorExpressions.vecCosine($"a", $"b").as("kernel"),
+      (VectorExpressions.vecDot($"a", $"b") /
+        (Similarity.normOf($"a") * Similarity.normOf($"b"))).as("split"))
+      .collect()
+    got.foreach { r =>
+      assert(bits(r.getAs[java.lang.Double]("kernel")) == bits(r.getAs[java.lang.Double]("split")),
+        s"id ${r.getLong(0)}")
+    }
+  }
+
   // ------------------------------------------------------------ pq_encode
 
   /** The composed form pq_encode replaces — m*kSub slice+dot trees into
