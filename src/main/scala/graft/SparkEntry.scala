@@ -70,6 +70,43 @@ object SparkEntry {
       }.toDF("media_id", "content")
   }
 
+  /** WAV fixture for the audio-dedup family: one PCM16 clip per event in
+    * [700, 840), in groups of five near-identical variants. Each group g
+    * mixes 8 bin-aligned sine tones (band b at FFT bin 64b+32 of a
+    * 1024-point frame) with amplitudes `300 + ((g*7 + b*13) % 32) * 60`;
+    * variants differ by uniform gain (1.0..1.4) and duration (3..5
+    * frames) — both invariants of the spectral RANK fingerprint, so a
+    * group collapses at Hamming 0. Bin-aligned tones make the power
+    * spectrum analytic ((N*a*gain/2)^2 at the tone bin), so the DuckDB
+    * oracle replays every fingerprint bit from the amplitude formula
+    * alone while the engine runs the real decode + FFT path; adjacent
+    * amplitudes always differ by >= 60 (13 is invertible mod 32), so
+    * every energy comparison clears PCM16 quantization noise by ~6
+    * orders of magnitude.
+    */
+  private def audioBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.MediaCodecs
+    t(s, dir, "events").filter(col("event_id") >= 700 && col("event_id") < 840)
+      .select(col("event_id")).as[Long]
+      .map { e =>
+        val g = e / 5
+        val gain = (10 + e % 5) / 10.0
+        val n = 1024 * (3 + e % 3).toInt
+        val amps = Array.tabulate(8)(b => (300 + ((g * 7 + b * 13) % 32) * 60) * gain)
+        val samples = Array.tabulate(n) { t0 =>
+          var sum = 0.0
+          var b = 0
+          while (b < 8) {
+            sum += amps(b) * math.sin(2.0 * math.Pi * (64 * b + 32) * t0 / 1024.0)
+            b += 1
+          }
+          math.round(sum).toShort
+        }
+        (e, MediaCodecs.encodeWavPcm16(8000, samples))
+      }.toDF("media_id", "content")
+  }
+
   private val dec18_2 = DecimalType(18, 2)
   private val dec18_4 = DecimalType(18, 4)
 
@@ -2282,6 +2319,25 @@ object SparkEntry {
       Dedup.clusterPairs(pairs).orderBy("id")
     }),
 
+    // audio near-dup dedup: WAV clips synthesized per event in groups of
+    // five gain/duration variants → real RIFF decode → radix-2 FFT →
+    // 8-band power spectrum → 28-bit rank fingerprint → banded Hamming
+    // buckets → exact verify. Same scale shape as q_image_dedup (blobs
+    // never shuffle; candidates from an equi join); the oracle replays
+    // bits, bands, buckets and Hamming from the closed-form tone
+    // amplitudes the bin-aligned synthesis guarantees.
+    "q_audio_dedup" -> ((s, dir) =>
+      Dedup.audioNearDups(audioBlobs(s, dir), "media_id", "content", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // audio dedup clustering: near-dup pairs → connected components, one
+    // representative per acoustic family (the op a speech/music corpus
+    // pipeline wants before training).
+    "q_audio_clusters" -> ((s, dir) => {
+      val pairs = Dedup.audioNearDups(audioBlobs(s, dir), "media_id", "content", maxDist = 3)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
     // bools) → header mapping + type inference + serial-date conversion →
@@ -2788,6 +2844,29 @@ object SparkEntry {
       |  FROM gray JOIN tot ON gray.e = tot.e),
       |bands AS (SELECT e, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
       |  FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
+      |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+      |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+      |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain for the audio-dedup oracles: the bin-aligned tone
+    * synthesis makes band energy ordering equal amplitude ordering, so
+    * the oracle recomputes the 28 pairwise rank bits, the four 7-bit
+    * band keys, banded candidate buckets, and exact Hamming — the full
+    * `Audio.spectralHashBands` + `Dedup.audioNearDups` path — from the
+    * amplitude formula alone (gain and duration cancel by construction).
+    */
+  private def audioPairCtes: String =
+    """src AS (SELECT event_id AS e FROM events WHERE event_id >= 700 AND event_id < 840),
+      |amps AS (SELECT e, b.i AS b, 300 + (((e // 5) * 7 + b.i * 13) % 32) * 60 AS a
+      |  FROM src CROSS JOIN range(0, 8) b(i)),
+      |prs AS (SELECT x.e AS e,
+      |  x.b * 7 - (x.b * (x.b - 1)) // 2 + y.b - x.b - 1 AS bp,
+      |  CASE WHEN x.a > y.a THEN 1 ELSE 0 END AS bit
+      |  FROM amps x JOIN amps y ON x.e = y.e AND x.b < y.b),
+      |bands AS (SELECT e, bp // 7 AS band, CAST(SUM(bit * (1 << (bp % 7))) AS BIGINT) AS bkey
+      |  FROM prs GROUP BY 1, 2),
       |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
       |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
       |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
@@ -4811,6 +4890,20 @@ object SparkEntry {
 
     "q_image_clusters" ->
       s"""WITH RECURSIVE $imagePairCtes,
+        |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+
+    "q_audio_dedup" ->
+      s"""WITH $audioPairCtes
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    "q_audio_clusters" ->
+      s"""WITH RECURSIVE $audioPairCtes,
         |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
         |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
         |reach(id, lbl) AS (

@@ -989,7 +989,27 @@ object Dedup {
     * pass no matter how many band scans read it.
     */
   def imageNearDups(df: DataFrame, idCol: String, binCol: String, maxDist: Int = 3,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096): DataFrame =
+    bandedNearDups(df, idCol, binCol, MediaCodecs.aHashBands(_), maxDist, maxBucketSize)
+
+  /** Audio near-duplicate pairs: real WAV decode + FFT + spectral rank
+    * fingerprint (`Audio.spectralHashBands`) through the same banded
+    * Hamming candidate machinery as [[imageNearDups]]. Catches gain
+    * changes and truncations (rank fingerprint is invariant to both) at
+    * Hamming 0 and mild spectral edits within `maxDist`.
+    */
+  def audioNearDups(df: DataFrame, idCol: String, binCol: String, maxDist: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame =
+    bandedNearDups(df, idCol, binCol, Audio.spectralHashBands(_), maxDist, maxBucketSize)
+
+  /** Shared core of the media near-dup ops: run `kernel` (bytes -> 4 band
+    * keys of a perceptual fingerprint, None = quarantine) in ONE narrow
+    * mapPartitions — blobs never shuffle — then pair only within
+    * (band, key) buckets and Hamming-verify bucket-mates.
+    */
+  private def bandedNearDups(df: DataFrame, idCol: String, binCol: String,
+      kernel: Array[Byte] => Option[Array[Int]], maxDist: Int,
+      maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 4, "4 bands guarantee recall only for maxDist <= 3")
     val schema = StructType(Seq(
       StructField("__id", LongType),
@@ -997,7 +1017,7 @@ object Dedup {
     val hashed = df.select(col(idCol).cast(LongType), col(binCol))
       .mapPartitions { it: Iterator[Row] =>
         it.flatMap { r =>
-          MediaCodecs.aHashBands(r.getAs[Array[Byte]](1))
+          kernel(r.getAs[Array[Byte]](1))
             .map(bs => Row(r.getLong(0), bs.toSeq))
         }
       }(Encoders.row(schema))

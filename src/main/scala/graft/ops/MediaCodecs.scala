@@ -99,6 +99,35 @@ object MediaCodecs {
     WavInfo(channels, rate, bits, nSamples, sqSum)
   }
 
+  /** As [[decodeWav]] but also materializes the mono mixdown (channel
+    * average) as doubles — the shape DSP kernels (FFT, band energies)
+    * consume. Multi-channel frames average exactly: the divisor is the
+    * channel count, so a mono file round-trips its samples untouched.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (WavInfo, Array[Double]) = {
+    val info = decodeWav(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(12) // past RIFF header
+    val out = new Array[Double](info.nSamples.toInt)
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      val a = new Array[Byte](4); buf.get(a)
+      val id = new String(a, "US-ASCII"); val size = buf.getInt
+      if (id == "data") {
+        val frames = size / (2 * info.channels)
+        var f = 0
+        while (f < frames) {
+          var sum = 0.0; var c = 0
+          while (c < info.channels) { sum += buf.getShort; c += 1 }
+          out(f) = sum / info.channels
+          f += 1
+        }
+        done = true
+      } else buf.position(buf.position() + size + (size % 2))
+    }
+    (info, out)
+  }
+
   // ------------------------------------------------------------------ BMP
 
   final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int, pixSum: Long)
