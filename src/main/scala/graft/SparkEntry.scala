@@ -107,6 +107,27 @@ object SparkEntry {
       }.toDF("media_id", "content")
   }
 
+  /** Animated-GIF fixture for the video-dedup family: one clip per event
+    * in [840, 980), groups of five variants sharing a per-group gradient
+    * animation — variant v adds a uniform +v gray offset (wraps at 256)
+    * and stretches duration to 4 or 5 frames. Closed-form pixels, so the
+    * DuckDB oracle replays frame sampling, the 8×8 grid, aHash bits,
+    * bands, aligned buckets and Hamming exactly.
+    */
+  private def videoBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.MediaCodecs
+    t(s, dir, "events").filter(col("event_id") >= 840 && col("event_id") < 980)
+      .select(col("event_id")).as[Long]
+      .map { e =>
+        val g = e / 5; val v = e % 5
+        val w = (9 + g % 8).toInt; val h = (8 + g % 6).toInt
+        val nF = (4 + v % 2).toInt
+        (e, MediaCodecs.encodeGifGrayFrames(w, h, nF,
+          (f, x, y) => ((g * 23 + 13 * f + 7 * x + 11 * y + v) % 256).toInt))
+      }.toDF("media_id", "content")
+  }
+
   private val dec18_2 = DecimalType(18, 2)
   private val dec18_4 = DecimalType(18, 4)
 
@@ -2337,6 +2358,16 @@ object SparkEntry {
       val pairs = Dedup.audioNearDups(audioBlobs(s, dir), "media_id", "content", maxDist = 3)
       Dedup.clusterPairs(pairs).orderBy("id")
     }),
+
+    // video near-dup dedup: animated-GIF clips in variant groups → real
+    // frame decode (stride-2 sampling) → per-frame aHash → ALIGNED
+    // (band, key, frame) buckets → exact per-frame Hamming → clips match
+    // when >= 2 sampled positions verify. The clip-level training-data
+    // dedup op; only (clip, frame, 4 smallint keys) ever shuffles.
+    "q_video_dedup" -> ((s, dir) =>
+      Dedup.videoNearDups(videoBlobs(s, dir), "media_id", "content",
+        stride = 2, maxDist = 3, minMatches = 2)
+        .orderBy("id_a", "id_b")),
 
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
@@ -4897,6 +4928,27 @@ object SparkEntry {
         |  UNION
         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+
+    "q_video_dedup" ->
+      """WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id >= 840 AND event_id < 980),
+        |dims AS (SELECT e, g, v, 9 + g % 8 AS w, 8 + g % 6 AS h, 4 + v % 2 AS nf FROM src),
+        |fr AS (SELECT e, g, v, w, h, UNNEST(range(0, nf, 2)) AS f FROM dims),
+        |grid AS (SELECT e, g, v, f, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
+        |  FROM fr CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
+        |gray AS (SELECT e, f, gi, gj, (g * 23 + 13 * f + 7 * x + 11 * y + v) % 256 AS gv FROM grid),
+        |tot AS (SELECT e, f, SUM(gv) AS s FROM gray GROUP BY e, f),
+        |bits AS (SELECT gray.e AS e, gray.f AS f, gj * 8 + gi AS bp, CASE WHEN 64 * gv > s THEN 1 ELSE 0 END AS bit
+        |  FROM gray JOIN tot ON gray.e = tot.e AND gray.f = tot.f),
+        |bands AS (SELECT e, f, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b, a.f AS f FROM bands a
+        |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.f = c.f AND a.e < c.e),
+        |ham AS (SELECT id_a, id_b, cand.f AS f, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+        |  FROM cand JOIN bands ba ON ba.e = id_a AND ba.f = cand.f
+        |  JOIN bands bb ON bb.e = id_b AND bb.f = cand.f AND bb.band = ba.band
+        |  GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames FROM ham WHERE hamming <= 3
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     "q_audio_dedup" ->
       s"""WITH $audioPairCtes

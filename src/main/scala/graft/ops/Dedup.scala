@@ -1002,6 +1002,46 @@ object Dedup {
       maxBucketSize: Int = 4096): DataFrame =
     bandedNearDups(df, idCol, binCol, Audio.spectralHashBands(_), maxDist, maxBucketSize)
 
+  /** Video (animated-GIF) near-duplicate pairs via ALIGNED sampled-frame
+    * perceptual hashes: decode frames 0, stride, 2·stride, … of each clip
+    * in one narrow mapPartitions (blobs never shuffle), aHash each frame,
+    * and bucket frame hashes by (band, key, frame index) — a frame only
+    * ever pairs with the SAME sampled position of another clip, the
+    * shot-aligned signature a re-encode/watermark/brightness variant
+    * preserves. Two clips are near-dups when at least `minMatches`
+    * sampled positions verify within Hamming `maxDist`. Returns
+    * (id_a, id_b, n_frames) with n_frames = matched positions.
+    * Scale shape: per-frame work is linear in sampled frames; candidate
+    * generation is an equi join with the same degenerate-bucket star cap
+    * as the image path (blank frames are THE degenerate video case);
+    * only (clip, frame, 4 smallint keys) ever shuffles.
+    */
+  def videoNearDups(df: DataFrame, idCol: String, binCol: String, stride: Int = 2,
+      maxDist: Int = 3, minMatches: Int = 2, maxBucketSize: Int = 4096): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val maxFrames = 4096L // frame index folds into the pair id: clip*4096+frame
+    val schema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__bands", ArrayType(IntegerType)),
+      StructField("__bkt", IntegerType)))
+    val hashed = df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val clip = r.getLong(0)
+          MediaCodecs.gifFrameHashBands(r.getAs[Array[Byte]](1), stride).toSeq.flatten
+            .filter(_._1 < maxFrames)
+            .map { case (f, bs) => Row(clip * maxFrames + f, bs.toSeq, f) }
+        }
+      }(Encoders.row(schema))
+      .localCheckpoint(true)
+    bandedVerify(hashed, maxDist, maxBucketSize)
+      .select(expr(s"id_a DIV $maxFrames").as("id_a"),
+        expr(s"id_b DIV $maxFrames").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minMatches)
+  }
+
   /** Shared core of the media near-dup ops: run `kernel` (bytes -> 4 band
     * keys of a perceptual fingerprint, None = quarantine) in ONE narrow
     * mapPartitions — blobs never shuffle — then pair only within
@@ -1010,7 +1050,6 @@ object Dedup {
   private def bandedNearDups(df: DataFrame, idCol: String, binCol: String,
       kernel: Array[Byte] => Option[Array[Int]], maxDist: Int,
       maxBucketSize: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 4, "4 bands guarantee recall only for maxDist <= 3")
     val schema = StructType(Seq(
       StructField("__id", LongType),
       StructField("__bands", ArrayType(IntegerType))))
@@ -1022,9 +1061,23 @@ object Dedup {
         }
       }(Encoders.row(schema))
       .localCheckpoint(true)
+    bandedVerify(hashed.withColumn("__bkt", lit(0)), maxDist, maxBucketSize)
+  }
+
+  /** Banded-Hamming pair generation + exact verify over pre-hashed rows
+    * (`__id` LONG, `__bands` ARRAY<INT> of 4 keys, `__bkt` INT extra
+    * bucket dimension — 0 for whole-blob hashes, the frame index for the
+    * aligned video path). Candidates come only from (band, key, bkt)
+    * equi-join buckets; by pigeonhole any pair within Hamming <= 3 of the
+    * same `__bkt` shares at least one band key, so recall is exact at
+    * that radius.
+    */
+  private def bandedVerify(hashed: DataFrame, maxDist: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4, "4 bands guarantee recall only for maxDist <= 3")
     val bandRows = (0 until 4).map { b =>
       hashed.select(lit(b).as("__band"), element_at(col("__bands"), b + 1).as("__key"),
-        col("__id"), col("__bands"))
+        col("__bkt"), col("__id"), col("__bands"))
     }.reduce(_.unionByName(_))
     // degenerate-bucket cap (the image corpus analogue of the text path's
     // cappedCandidatePairs): real corpora carry mega-masses of identical
@@ -1036,22 +1089,23 @@ object Dedup {
     // the rare non-identical over-cap co-residents. overCap is tiny by
     // construction and broadcasts; sane buckets pay nothing new.
     val overCap = bandRows
-      .groupBy(col("__band"), col("__key"))
+      .groupBy(col("__band"), col("__key"), col("__bkt"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
-      .select(col("__band"), col("__key"))
-    val sane = bandRows.join(broadcast(overCap), Seq("__band", "__key"), "left_anti")
+      .select(col("__band"), col("__key"), col("__bkt"))
+    val sane = bandRows.join(broadcast(overCap), Seq("__band", "__key", "__bkt"), "left_anti")
     val sanePairs = sane.as("x")
       .join(sane.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&
+          col("x.__bkt") === col("y.__bkt") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         col("x.__bands").as("__ba"), col("y.__bands").as("__bb"))
-    val big = bandRows.join(broadcast(overCap), Seq("__band", "__key"))
-    val hubs = big.groupBy(col("__band"), col("__key"))
+    val big = bandRows.join(broadcast(overCap), Seq("__band", "__key", "__bkt"))
+    val hubs = big.groupBy(col("__band"), col("__key"), col("__bkt"))
       .agg(min(col("__id")).as("__hub"))
-    val starPairs = big.join(broadcast(hubs), Seq("__band", "__key"))
+    val starPairs = big.join(broadcast(hubs), Seq("__band", "__key", "__bkt"))
       .filter(col("__id") =!= col("__hub"))
       .select(col("__hub").as("id_a"), col("__id").as("id_b"), col("__band"), col("__key"))
       .join(hashed.select(col("__id").as("id_a"), col("__bands").as("__ba")), Seq("id_a"))

@@ -593,29 +593,52 @@ object MediaCodecs {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val img = javax.imageio.ImageIO.read(iis)
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val g = new Array[Int](64)
-        var sum = 0L
-        var j = 0
-        while (j < 8) {
-          var i = 0
-          while (i < 8) {
-            val rgb = img.getRGB(i * w / 8, j * h / 8)
-            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            g(j * 8 + i) = gray; sum += gray
-            i += 1
-          }
-          j += 1
-        }
-        val bands = new Array[Int](4)
-        var b = 0
-        while (b < 64) {
-          if (64L * g(b) > sum) bands(b / 16) |= 1 << (b % 16)
-          b += 1
-        }
-        Some(bands)
+      if (img == null) None else Some(aHashBandsOf(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The grid/bits core of [[aHashBands]] over an already-decoded raster —
+    * shared with the per-frame video hash path.
+    */
+  def aHashBandsOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Int](64)
+    var sum = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val rgb = img.getRGB(i * w / 8, j * h / 8)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        g(j * 8 + i) = gray; sum += gray
+        i += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      if (64L * g(b) > sum) bands(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    bands
+  }
+
+  /** Per-sampled-frame perceptual hashes of a GIF clip: frames 0, stride,
+    * 2·stride, … each reduced to the four 16-bit aHash band keys. One
+    * reader open per blob, only sampled frames pay decode. Undecodable
+    * blobs quarantine as None (one bad clip must never fail the batch).
+    */
+  def gifFrameHashBands(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Array[Int])]] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        Some((0 until n by stride).map(i => (i, aHashBandsOf(reader.read(i)))))
+      } finally {
+        try reader.dispose() finally iis.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
