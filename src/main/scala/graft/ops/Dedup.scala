@@ -1015,6 +1015,8 @@ object Dedup {
     * generation is an equi join with the same degenerate-bucket star cap
     * as the image path (blank frames are THE degenerate video case);
     * only (clip, frame, 4 smallint keys) ever shuffles.
+    * Clip ids must be NON-NEGATIVE (the frame index folds into the pair
+    * id as `clip * 4096 + frame`; a negative clip would decode wrong).
     */
   def videoNearDups(df: DataFrame, idCol: String, binCol: String, stride: Int = 2,
       maxDist: Int = 3, minMatches: Int = 2, maxBucketSize: Int = 4096): DataFrame = {

@@ -129,7 +129,8 @@ class PlanAuditSpec extends SparkTestBase {
     // q_dedup_jaccard routes through LSH band buckets, q_dedup_cosine
     // through sign-LSH buckets: both must plan as equi joins — a
     // BroadcastNestedLoopJoin here is the O(n²) scale-killer shape
-    for (q <- Seq("q_dedup_jaccard", "q_dedup_cosine", "q_dedup_pipeline", "q_image_dedup")) {
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_cosine", "q_dedup_pipeline", "q_image_dedup",
+        "q_audio_dedup", "q_video_dedup")) {
       val plan = finalPlan(ran(q))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q must not plan an all-pairs join:\n${plan.take(2000)}")
