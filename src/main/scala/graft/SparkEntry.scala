@@ -1146,6 +1146,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality classification (CCNet fastText / GPT-3 LR
+    // filter): an integer-quantized Naive Bayes trained on the
+    // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
+    // bits per class. The filtering surface is the integer MARGIN
+    // (bits0 - bits1), CCNet-style — on this synthetic corpus the
+    // lang-word skew is mild (en mean margin -2.5 vs -3.2 for the
+    // rest), so the kept flag at margin 0 cuts a selective ~12% slice;
+    // the machinery (counts, quantized costs, defaults, priors, ties)
+    // replays bit-exactly either way
+    "q_nb_quality" -> ((s, dir) => {
+      import graft.ops.Classifier
+      val docs = t(s, dir, "documents")
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val model = Classifier.trainNb(seed, "text", "y")
+      Classifier.classifyNb(docs, "doc_id", "text", model)
+        .withColumn("kept", (col("bits0") - col("bits1") >= 0L).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // WET extraction: deterministic HTML synthesized around each doc
     // (script/style/comment blocks, a nav anchor, per-word paragraphs),
     // then stripped back to text with link-density scoring — all
@@ -3078,6 +3099,56 @@ object SparkEntry {
       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_nb_quality: re-derive the quantized Naive Bayes
+    * from scratch — seed per-word per-class counts, class token totals
+    * n0/n1, vocabulary V, doc priors d0/d1; per-word costs
+    * q_c = ceil(log2 ceil((n_c + V)/(c_wc + 1))) via the bit length of
+    * m - 1 (integer-only, the `bin` trick both engines share); unseen
+    * words pay the class-constant default (c = 0); per-doc multinomial
+    * sums + quantized prior bits; label = cheaper class, ties to 0;
+    * kept = margin-0 integer comparison.
+    */
+  private def nbQualitySql: String =
+    """WITH seed AS (SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |sw AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM seed),
+      |cnt AS (SELECT w, sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+      |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1 FROM sw GROUP BY w),
+      |tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS v FROM cnt),
+      |pri AS (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS d0,
+      |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS d1 FROM seed),
+      |q AS (SELECT w,
+      |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS q0,
+      |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS q1
+      |  FROM (SELECT w,
+      |    ((SELECT n0 + v FROM tot) + c0) // (c0 + 1) AS m0,
+      |    ((SELECT n1 + v FROM tot) + c1) // (c1 + 1) AS m1 FROM cnt)),
+      |defs AS (SELECT
+      |  CASE WHEN n0 + v <= 1 THEN 0 ELSE length(bin(n0 + v - 1)) END AS qd0,
+      |  CASE WHEN n1 + v <= 1 THEN 0 ELSE length(bin(n1 + v - 1)) END AS qd1 FROM tot),
+      |pbits AS (SELECT
+      |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS p0,
+      |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS p1
+      |  FROM (SELECT (d0 + d1 + 2 + d0) // (d0 + 1) AS m0,
+      |    (d0 + d1 + 2 + d1) // (d1 + 1) AS m1 FROM pri)),
+      |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sc AS (SELECT d.doc_id,
+      |  coalesce(q.q0, (SELECT qd0 FROM defs)) AS q0,
+      |  coalesce(q.q1, (SELECT qd1 FROM defs)) AS q1
+      |  FROM dt d LEFT JOIN q USING (w)),
+      |agg AS (SELECT doc_id, CAST(sum(q0) AS BIGINT) AS s0, CAST(sum(q1) AS BIGINT) AS s1,
+      |  CAST(count(*) AS BIGINT) AS n_tokens FROM sc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(a.s0, 0) + (SELECT p0 FROM pbits) AS bits0,
+      |  coalesce(a.s1, 0) + (SELECT p1 FROM pbits) AS bits1,
+      |  coalesce(a.n_tokens, 0) AS n_tokens,
+      |  CAST(CASE WHEN coalesce(a.s1, 0) + (SELECT p1 FROM pbits) <
+      |    coalesce(a.s0, 0) + (SELECT p0 FROM pbits) THEN 1 ELSE 0 END AS BIGINT) AS label,
+      |  CAST(CASE WHEN coalesce(a.s0, 0) + (SELECT p0 FROM pbits) -
+      |    (coalesce(a.s1, 0) + (SELECT p1 FROM pbits)) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_curation_v2 — the four round-8 stage oracles
     * (gopher flags, perplexity LM, substring removal, DSIR) chained as
     * renamed CTE fragments, each IDENTICAL in construction to its
@@ -4012,6 +4083,7 @@ object SparkEntry {
     "q_tokens_bpe" -> tokensBpeSql,
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
+    "q_nb_quality" -> nbQualitySql,
     "q_curation_v2" -> curationV2Sql,
     "q_html_extract" ->
       """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,
