@@ -567,6 +567,21 @@ object SparkEntry {
       Dedup.clusterPairs(pairs).orderBy("id")
     }),
 
+    // leakage-safe split: documents are assigned train/eval splits by
+    // the md5 of their near-dup CLUSTER root (same pair machinery as
+    // q_dedup_clusters), so a near-duplicate pair can never straddle
+    // splits — the oracle replays the transitive closure AND the exact
+    // split hash, proving whole components co-locate
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.9)
+      graft.ops.Corpus.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+          Dedup.clusterPairs(pairs), nSplits = 5)
+        .select(col("doc_id"), col("root"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // incremental dedup: an incoming batch dedups against a PERSISTED
     // corpus LSH index — O(batch) signatures + one broadcast pass over
     // the index; corpus texts are read only for candidate ids. The low
@@ -3844,6 +3859,25 @@ object SparkEntry {
        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
       .replaceAll("\n", " ")
 
+  /** SQL replica of q_leakage_split: the q_dedup_clusters transitive
+    * closure (identical CTEs), then every doc's split re-derived from
+    * the md5-hex-prefix of its component root (singletons root at their
+    * own id) — bit-exact, including the hash itself.
+    */
+  private def leakageSplitSql: String =
+    s"""WITH RECURSIVE ${cappedNearDupCtes(11, 0.9)},
+       |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+       |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS root,
+       |  CAST(('0x' || substr(md5('split:' || CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS split
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) d
+       |LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** Oracle twin of Dedup.simhashMd5: md5 per distinct word computed
     * once, 32 per-digit parity scans, bit set when the ±1 sum is
     * positive.
@@ -4518,6 +4552,7 @@ object SparkEntry {
     "q_dedup_minhash_fast" -> minhashFastPairsSql,
 
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_leakage_split" -> leakageSplitSql,
 
     "q_embed_ann" -> embedAnnSql,
     "q_embed_ivf" -> embedIvfSql,

@@ -35,6 +35,33 @@ object Corpus {
   def hashSample(df: DataFrame, idCol: String, mod: Int, keep: Int = 0): DataFrame =
     df.filter(pmod(xxhash64(col(idCol)), lit(mod)) === keep)
 
+  /** Leakage-safe train/eval split: assign every document a split by
+    * hashing its NEAR-DUP CLUSTER root instead of its own id, so a
+    * near-duplicate pair can never straddle train and eval — the
+    * train-test contamination channel plain random splits leave open
+    * (Lee et al. 2021, arXiv:2107.06499 §6.2 measure exactly this
+    * leak). `clusters` is `Dedup.clusterPairs` output (id, cluster) —
+    * docs absent from it are singletons and hash their own id, which
+    * IS their component root, so the whole assignment is one left equi
+    * join + a narrow md5 map; nothing about the split recomputes pair
+    * work. The md5-hex-prefix uniform (not xxhash64) keeps the exact
+    * assignment replayable by an external SQL oracle, the same trade
+    * every sampling op here makes. Returns the docs plus (root, split)
+    * with split in [0, nSplits).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      nSplits: Int, salt: String = "split"): DataFrame = {
+    require(nSplits > 0, s"nSplits must be positive, got $nSplits")
+    val root = coalesce(col("cluster"), col(idCol)).as("root")
+    docs
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("root", root)
+      .withColumn("split",
+        pmod(conv(substring(md5(concat_ws(":", lit(salt), col("root").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(nSplits.toLong)))
+      .drop("cluster")
+  }
+
   /** Cluster-balanced diversity sample: assign each embedding to its
     * nearest coarse centroid (`Similarity.ivfAssign` — a narrow map over a
     * broadcast centroid list), then keep the `perCluster` best rows of

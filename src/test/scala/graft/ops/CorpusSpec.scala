@@ -26,6 +26,45 @@ class CorpusSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("leakageSafeSplit co-locates whole components, roots singletons at their own id") {
+    val docs = (1L to 20L).toDF("id")
+    // components {1,2,3} (root 1) and {10,11} (root 10); rest singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val out = Corpus.leakageSafeSplit(docs, "id", clusters, nSplits = 3)
+      .select("id", "root", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L), "component {1,2,3} must share root+split")
+    assert(byId(10L) == byId(11L), "component {10,11} must share root+split")
+    assert(byId(5L)._1 == 5L, "singleton roots at its own id")
+    assert(out.forall(t => t._3 >= 0L && t._3 < 3L))
+    assert(out.map(_._3).distinct.size > 1, "splits must actually spread")
+    // determinism + salt sensitivity
+    val again = Corpus.leakageSafeSplit(docs, "id", clusters, nSplits = 3)
+      .select("id", "split").as[(Long, Long)].collect().toMap
+    assert(out.map(t => t._1 -> t._3).toMap == again)
+    val salted = Corpus.leakageSafeSplit(docs, "id", clusters, nSplits = 3, salt = "other")
+      .select("id", "split").as[(Long, Long)].collect().toMap
+    assert(salted != again, "a different salt must reshuffle the assignment")
+  }
+
+  test("leakageSafeSplit end-to-end: no near-dup pair straddles splits on real pair output") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g x"),
+      (4L, "p q r s t u v w"), (5L, "p q r s t u v w"),
+      (6L, "z y x w v u t s r")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, threshold = 0.5)
+    val split = Corpus.leakageSafeSplit(docs, "doc_id", Dedup.clusterPairs(pairs), nSplits = 2)
+      .select(col("doc_id"), col("split"))
+    val straddlers = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddlers.count() == 0L, "no verified near-dup pair may cross a split boundary")
+  }
+
   test("packSequences: docs never split, bins advance with the budget, oversize doc gets its own bin") {
     val df = Seq(
       (1L, "en", 3000L), (2L, "en", 2000L), (3L, "en", 9000L), (4L, "en", 100L),
