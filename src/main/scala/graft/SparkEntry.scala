@@ -1161,6 +1161,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: deterministic synthetic PII (email + IP always, card
+    // on doc_id % 3, SSN on doc_id % 5) is planted around each doc,
+    // then redacted by the fixed RE2-compatible pattern sequence — the
+    // oracle replants and re-scrubs with its own regex engine, so any
+    // divergence in match semantics (or a missed span) breaks the hash
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.ops.Redact
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(
+          lit("contact u"), col("doc_id"), lit("@mail.example.com at 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0.7 "),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("card 4111 1111 1111 "),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("ssn 123-45-6789 ")).otherwise(lit("")),
+          col("text")).as("text"))
+      Redact.scrub(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -3114,6 +3135,36 @@ object SparkEntry {
       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
+    * the same pattern sequence with DuckDB's RE2 engine — counts taken
+    * on the pre-replacement state of each step, replacements global.
+    * The patterns deliberately stay in the Java/RE2 agreement subset;
+    * this oracle is the proof that they do.
+    */
+  private def piiScrubSql: String = {
+    val patterns = graft.ops.Redact.defaultPatterns
+    // planted text, mirroring the Spark-side concat
+    val planted =
+      """'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com at 10.' ||
+        | CAST(doc_id % 200 AS VARCHAR) || '.0.7 ' ||
+        | CASE WHEN doc_id % 3 = 0 THEN 'card 4111 1111 1111 ' ||
+        |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END || text""".stripMargin
+    val steps = patterns.zipWithIndex.map { case (p, i) =>
+      // DuckDB standard strings don't escape backslashes — the regex
+      // passes through verbatim; only quotes need doubling
+      val re = p.regex.replace("'", "''")
+      val carried = (0 until i).map(j => s"n_${patterns(j).name}, ").mkString
+      s"""s${i + 1} AS (SELECT doc_id, regexp_replace(t, '$re', '${p.token}', 'g') AS t,
+         |  ${carried}CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_${p.name}
+         |  FROM s$i)""".stripMargin
+    }
+    val ctes = (s"s0 AS (SELECT doc_id, $planted AS t FROM documents)" +: steps).mkString(", ")
+    val names = patterns.map(p => s"n_${p.name}").mkString(", ")
+    s"WITH $ctes SELECT doc_id, t AS text, $names FROM s${patterns.size} ORDER BY doc_id"
+      .replaceAll("\n", " ")
+  }
+
   /** SQL replica of q_nb_quality: re-derive the quantized Naive Bayes
     * from scratch — seed per-word per-class counts, class token totals
     * n0/n1, vocabulary V, doc priors d0/d1; per-word costs
@@ -4118,6 +4169,7 @@ object SparkEntry {
     "q_bpe_budget" -> bpeBudgetSql,
     "q_perplexity_lm" -> perplexityLmSql,
     "q_nb_quality" -> nbQualitySql,
+    "q_pii_scrub" -> piiScrubSql,
     "q_curation_v2" -> curationV2Sql,
     "q_html_extract" ->
       """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,
