@@ -1161,6 +1161,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 line cleaning: deterministic multi-line docs are synthesized
+    // around each text (a too-short line, an unpunctuated line, a kept
+    // header, conditional JS/cookie boilerplate, the body as tail);
+    // doc_id % 97 == 5 docs get ONLY bad lines and must vanish — the
+    // oracle replays every rule, the rejoin, and the doc-level drop
+    "q_c4_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        when(col("doc_id") % 97 === 5, lit("all bad\nno punct here\nshort."))
+          .otherwise(concat(
+            lit("too short.\nthis line has no terminal punctuation\ndoc "),
+            col("doc_id"), lit(" body follows now.\n"),
+            when(col("doc_id") % 4 === 0,
+              lit("please enable JavaScript to continue.\n")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("We use cookies on this site.\n")).otherwise(lit("")),
+            col("text"), lit(" tail marker ends here."))).as("text"))
+      TextAnalysis.c4LineFilter(lined, "doc_id", "text")
+        .select("doc_id", "text", "n_lines", "n_kept").orderBy("doc_id")
+    }),
+
     // PII scrub: deterministic synthetic PII (email + IP always, card
     // on doc_id % 3, SSN on doc_id % 5) is planted around each doc,
     // then redacted by the fixed RE2-compatible pattern sequence — the
@@ -3135,6 +3156,28 @@ object SparkEntry {
       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_c4_lines: rebuild the synthetic lines, re-apply
+    * the three C4 rules (terminal punctuation, min words, policy
+    * phrases) as a list_filter, rejoin, and drop line-less docs.
+    */
+  private def c4LinesSql: String =
+    """WITH lined AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 5 THEN 'all bad' || chr(10) || 'no punct here' || chr(10) || 'short.'
+      |  ELSE 'too short.' || chr(10) || 'this line has no terminal punctuation' || chr(10) ||
+      |    'doc ' || CAST(doc_id AS VARCHAR) || ' body follows now.' || chr(10) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN 'please enable JavaScript to continue.' || chr(10) ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN 'We use cookies on this site.' || chr(10) ELSE '' END ||
+      |    text || ' tail marker ends here.' END AS t FROM documents),
+      |f AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+      |k AS (SELECT doc_id, ls, list_filter(ls, l ->
+      |  (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+      |  AND len(string_split(l, ' ')) >= 3
+      |  AND NOT contains(lower(l), 'javascript') AND NOT contains(lower(l), 'cookie')
+      |  AND NOT contains(lower(l), 'lorem ipsum') AND NOT contains(lower(l), '{')) AS ks FROM f)
+      |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+      |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+      |FROM k WHERE len(ks) >= 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
     * the same pattern sequence with DuckDB's RE2 engine — counts taken
     * on the pre-replacement state of each step, replacements global.
@@ -4170,6 +4213,7 @@ object SparkEntry {
     "q_perplexity_lm" -> perplexityLmSql,
     "q_nb_quality" -> nbQualitySql,
     "q_pii_scrub" -> piiScrubSql,
+    "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,
     "q_html_extract" ->
       """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,

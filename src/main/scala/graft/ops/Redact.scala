@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * codegen, zero shuffles, zero UDFs. At 100 TB this runs at parquet
   * scan speed as a narrow map; counts ride along for audit metrics.
   *
+  * Relation to [[TextAnalysis.redactPii]]: that is the fixed
+  * column-expression primitive (email/phone/IP, counts on the original
+  * text) used by the q_text_quality family; this op is the
+  * pipeline-level surface — configurable ordered pattern lists,
+  * counts on the progressive scrub state, and a density filter.
+  *
   * Patterns are applied IN ORDER, and each pattern's count is taken on
   * the text state produced by the previous replacements (so a card
   * number already collapsed to `<CARD>` can't re-count as a phone).

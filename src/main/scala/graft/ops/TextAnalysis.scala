@@ -161,7 +161,10 @@ object TextAnalysis {
 
   /** Training-corpus PII scrubbing: codegen'd regexp passes, no UDF. The
     * patterns are RE2-compatible (no backrefs/lookaround) so an external
-    * engine can replay them byte-identically.
+    * engine can replay them byte-identically. These are the fixed
+    * column-expression primitives; [[Redact.scrub]] is the
+    * pipeline-level op (configurable ordered patterns, progressive
+    * counts, density filter).
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe = "\\b555-[0-9]{4}\\b"
@@ -249,5 +252,47 @@ object TextAnalysis {
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
         when(col("n_grams").isNotNull,
           col("novel_grams").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  // ------------------------------------------------- C4 line-level rules
+
+  /** C4-style line cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    * keep only lines that end in terminal punctuation, have at least
+    * `minWordsPerLine` words, and carry none of the boilerplate
+    * `policyPhrases` (case-insensitive); drop the whole document when
+    * fewer than `minKeptLines` lines survive. The complement of the
+    * doc-level Gopher gates ([[gopherFilter]]): Gopher judges the
+    * document, C4 repairs it line by line.
+    *
+    * One narrow pass — split, HOF filter, rejoin — per document: no
+    * shuffle, no UDF, so it composes at scan speed like every other
+    * quality gate here. C4 additionally drops brace-containing docs
+    * wholesale (code); here `{` is a line-level policy phrase by
+    * default, which is strictly gentler and keeps the op line-scoped.
+    *
+    * Returns (idCol, textCol = kept lines rejoined, n_lines, n_kept)
+    * for surviving documents.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3,
+      policyPhrases: Seq[String] = Seq("javascript", "cookie", "lorem ipsum", "{"),
+      minKeptLines: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = (l: Column) => {
+      val terminal = l.substr(length(l), lit(1)).isin(".", "!", "?", "\"")
+      val longEnough = size(split(l, " ")) >= minWordsPerLine
+      val clean = policyPhrases
+        .map(p => !lower(l).contains(p.toLowerCase(java.util.Locale.ROOT)))
+        .reduce(_ && _)
+      terminal && longEnough && clean
+    }
+    df
+      .withColumn("__lines", lines)
+      .withColumn("__kept", filter(col("__lines"), keep))
+      .filter(size(col("__kept")) >= minKeptLines)
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
   }
 }

@@ -668,6 +668,32 @@ class OpsSpec extends SparkTestBase {
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 2L, 1L)))
   }
 
+  test("c4LineFilter applies each rule, rejoins survivors, drops line-less docs") {
+    val d = Seq(
+      (1L, "a good long line stays here.\nshort one.\nno terminal punct line\nJavaScript required to proceed.\nanother keeper sentence ends right!"),
+      (2L, "only { code } blocks here.\ntiny.\nnothing survives this doc"),
+      (3L, "Does a question line survive? \n\"Quoted line also survives.\"")).toDF("id", "text")
+    // doc 3 line 1 ends '? ' — trailing space means last char is ' ': dropped;
+    // line 2 ends with the quote char: kept
+    val out = TextAnalysis.c4LineFilter(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), "doc 2 must vanish (zero kept lines)")
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1._2 == "a good long line stays here.\nanother keeper sentence ends right!")
+    assert(d1._3 == 5L && d1._4 == 2L)
+    val d3 = out.find(_._1 == 3L).get
+    assert(d3._2 == "\"Quoted line also survives.\"" && d3._3 == 2L && d3._4 == 1L)
+    // policy matching is case-insensitive
+    val cookie = TextAnalysis.c4LineFilter(
+      Seq((9L, "We Use COOKIES on this site.")).toDF("id", "text"), "id", "text")
+    assert(cookie.count() == 0L)
+    // the whole filter is a narrow pass: no shuffle
+    val plan = TextAnalysis.c4LineFilter(d, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4LineFilter must not shuffle:\n$plan")
+  }
+
   test("repetition stats count duplicate words and 3-grams; short docs are zero-safe") {
     val d = Seq(
       (1L, "a b c a b c a b x"), // 9 words, {a,b,c,x}=4 distinct → 5 dups; 7 3-grams
