@@ -2844,6 +2844,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // continuous quality gate with the FULL static-model stack: Gopher
+    // flags + perplexity LM + Naive-Bayes margin (both models trained
+    // once batch-side on the %3 slice, broadcast into every batch) —
+    // per-batch work stays stateless and O(batch), and the accepted
+    // set is batch-boundary independent (pure-batch oracle)
+    "q_stream_nb" -> ((s, dir) => {
+      import graft.streaming.StreamingQualityGate
+      import graft.ops.{Classifier, LanguageModel}
+      val root = java.nio.file.Files.createTempDirectory("graft_snb").toString
+      val docsB = t(s, dir, "documents")
+      val seed = docsB.filter(col("doc_id") % 3 === 0)
+      val lm = LanguageModel.trainBigramLm(seed, "text")
+      val nb = Classifier.trainNb(
+        seed.select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")), "text", "y")
+      withFewShufflePartitions(s, 8) {
+        val docs = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .parquet(s"$dir/[d]ocuments.parquet")
+        val q = StreamingQualityGate.start(docs, lm, "doc_id", "text",
+          s"$root/out", s"$root/ckpt", bitsNum = 109L, bitsDen = 20L,
+          nb = Some(nb), nbMarginBits = -2L)
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("bits"), col("n_bigrams"), col("bits0"), col("bits1"))
+        .orderBy("doc_id")
+    }),
+
     // continuous exact-substring dedup: the q_substring_dedup corpus
     // streamed as two ascending-id waves (base, then planted twins) —
     // each batch probes the persisted gram index (batch_id < current,
@@ -3207,6 +3239,85 @@ object SparkEntry {
     s"WITH $ctes SELECT doc_id, t AS text, $names FROM s${patterns.size} ORDER BY doc_id"
       .replaceAll("\n", " ")
   }
+
+  /** SQL replica of q_stream_nb: the q_stream_quality oracle (Gopher
+    * pass + quantized-LM keep, identical CTEs) extended with the
+    * q_nb_quality cost machinery scoring the LM survivors, filtered at
+    * the -2-bit margin. Pure batch computation — the streamed landing
+    * must equal it regardless of batch boundaries.
+    */
+  private def streamNbSql: String =
+    """WITH gf AS (SELECT doc_id,
+      |  len(string_split(text, ' ')) AS nw,
+      |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ml,
+      |  len(regexp_extract_all(text, '#')) AS nh,
+      |  len(regexp_extract_all(text, '\.\.\.')) AS ne,
+      |  string_split(text, chr(10)) AS ls,
+      |  string_split(text, ' ') AS w
+      |  FROM documents),
+      |gg AS (SELECT doc_id,
+      |  CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+      |  * CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1 ELSE 0 END
+      |  * CASE WHEN nh / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+      |  * CASE WHEN ne / CAST(nw AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*'))) / CAST(len(ls) AS DOUBLE) <= 0.9 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(ls, l -> ends_with(l, '...'))) / CAST(len(ls) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / CAST(nw AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END
+      |  * CASE WHEN len(list_filter(w, t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2 THEN 1 ELSE 0 END AS pass
+      |  FROM gf),
+      |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN gg USING (doc_id) WHERE gg.pass = 1),
+      |plref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+      |plrw AS (SELECT unnest(string_split(text, ' ')) AS w FROM plref),
+      |pluni AS (SELECT w, count(*) AS c1 FROM plrw GROUP BY w),
+      |plvoc AS (SELECT count(*) AS v FROM pluni),
+      |plrl AS (SELECT string_split(text, ' ') AS l FROM plref),
+      |plrb AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM plrl)),
+      |plbig AS (SELECT w1, w2, count(*) AS c12 FROM plrb GROUP BY 1, 2),
+      |pldl AS (SELECT doc_id, string_split(text, ' ') AS l FROM s1),
+      |pldb AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM pldl)),
+      |plsc AS (SELECT d.doc_id, coalesce(b.c12, 0) + 1 AS a, coalesce(u.c1, 0) + (SELECT v FROM plvoc) AS bb
+      |  FROM pldb d LEFT JOIN plbig b USING (w1, w2) LEFT JOIN pluni u ON d.w1 = u.w),
+      |plqq AS (SELECT doc_id, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END AS q
+      |  FROM (SELECT doc_id, (bb + a - 1) // a AS m FROM plsc)),
+      |plagg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS bits, CAST(count(*) AS BIGINT) AS nb FROM plqq GROUP BY 1),
+      |s2 AS (SELECT s1.doc_id, s1.text, coalesce(plagg.bits, 0) AS bits, coalesce(plagg.nb, 0) AS n_bigrams
+      |  FROM s1 LEFT JOIN plagg USING (doc_id)
+      |  WHERE coalesce(plagg.bits, 0) * 20 <= 109 * coalesce(plagg.nb, 0) OR coalesce(plagg.nb, 0) = 0),
+      |nbseed AS (SELECT d.doc_id, d.text, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents d WHERE d.doc_id % 3 = 0),
+      |nbsw AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM nbseed),
+      |nbcnt AS (SELECT w, sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+      |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1 FROM nbsw GROUP BY w),
+      |nbtot AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS v FROM nbcnt),
+      |nbpri AS (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS d0,
+      |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS d1 FROM nbseed),
+      |nbq AS (SELECT w,
+      |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS q0,
+      |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS q1
+      |  FROM (SELECT w,
+      |    ((SELECT n0 + v FROM nbtot) + c0) // (c0 + 1) AS m0,
+      |    ((SELECT n1 + v FROM nbtot) + c1) // (c1 + 1) AS m1 FROM nbcnt)),
+      |nbdefs AS (SELECT
+      |  CASE WHEN n0 + v <= 1 THEN 0 ELSE length(bin(n0 + v - 1)) END AS qd0,
+      |  CASE WHEN n1 + v <= 1 THEN 0 ELSE length(bin(n1 + v - 1)) END AS qd1 FROM nbtot),
+      |nbpbits AS (SELECT
+      |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS p0,
+      |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS p1
+      |  FROM (SELECT (d0 + d1 + 2 + d0) // (d0 + 1) AS m0,
+      |    (d0 + d1 + 2 + d1) // (d1 + 1) AS m1 FROM nbpri)),
+      |nbdt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s2),
+      |nbsc AS (SELECT d.doc_id,
+      |  coalesce(nbq.q0, (SELECT qd0 FROM nbdefs)) AS q0,
+      |  coalesce(nbq.q1, (SELECT qd1 FROM nbdefs)) AS q1
+      |  FROM nbdt d LEFT JOIN nbq USING (w)),
+      |nbagg AS (SELECT doc_id, CAST(sum(q0) AS BIGINT) AS s0, CAST(sum(q1) AS BIGINT) AS sc1 FROM nbsc GROUP BY 1)
+      |SELECT s2.doc_id, s2.bits, s2.n_bigrams,
+      |  coalesce(nbagg.s0, 0) + (SELECT p0 FROM nbpbits) AS bits0,
+      |  coalesce(nbagg.sc1, 0) + (SELECT p1 FROM nbpbits) AS bits1
+      |FROM s2 LEFT JOIN nbagg USING (doc_id)
+      |WHERE coalesce(nbagg.s0, 0) + (SELECT p0 FROM nbpbits)
+      |  - (coalesce(nbagg.sc1, 0) + (SELECT p1 FROM nbpbits)) >= -2
+      |ORDER BY s2.doc_id""".stripMargin.replaceAll("\n", " ")
 
   /** SQL replica of q_nb_quality: re-derive the quantized Naive Bayes
     * from scratch — seed per-word per-class counts, class token totals
@@ -4273,6 +4384,7 @@ object SparkEntry {
         |FROM s1 LEFT JOIN plagg USING (doc_id)
         |WHERE coalesce(plagg.bits, 0) * 20 <= 109 * coalesce(plagg.nb, 0) OR coalesce(plagg.nb, 0) = 0
         |ORDER BY s1.doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_stream_nb" -> streamNbSql,
     "q_quantiles" ->
       """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
         |n AS (SELECT sum(c) AS n FROM h),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.ops.{LanguageModel, TextAnalysis}
+import graft.ops.{Classifier, LanguageModel, TextAnalysis}
 
 /** Streaming quality gate: multi-batch streaming run lands exactly the
   * batch composition's accepted set; per-batch landing is idempotent.
@@ -50,6 +50,46 @@ class StreamingQualityGateSpec extends SparkTestBase {
     assert(landed.nonEmpty && !landed.contains(100L) && !landed.contains(101L))
     // multiple batch partitions actually ran (the equality is not vacuous)
     assert(spark.read.parquet(out).select("batch_id").distinct().count() > 1)
+  }
+
+  test("NB-margin stage: streamed landing == batch gopher+LM+classifier, any batching") {
+    val dir = tmpDir("graft_squal_nb")
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // give the classes real signal: even docs carry "alpha" markers,
+    // odd docs "beta", and labels follow parity — so the margin cut
+    // genuinely splits the corpus instead of riding a prior tie
+    val nbDocs = docs.map { case (id, t) =>
+      (id, t + " " + Seq.fill(6)(if (id % 2 == 0) "alpha" else "beta").mkString(" "))
+    }
+    nbDocs.grouped(7).foreach { chunk =>
+      chunk.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    }
+    val batchDf = nbDocs.toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigramLm(batchDf.filter(col("doc_id") % 3 === 0), "text")
+    val nb = Classifier.trainNb(
+      batchDf.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("long").as("y")), "text", "y")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingQualityGate.start(stream, lm, "doc_id", "text", out, ckpt,
+      bitsNum = 6L, bitsDen = 1L, nb = Some(nb), nbMarginBits = 0L)
+    q.processAllAvailable(); q.stop()
+
+    val landed = spark.read.parquet(out)
+      .select("doc_id", "bits0", "bits1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lmKept = LanguageModel.perplexityFilter(
+      TextAnalysis.gopherFilter(batchDf, "text").filter(col("pass") === 1)
+        .select("doc_id", "text"),
+      "doc_id", "text", lm, bitsNum = 6L)
+    val expected = Classifier.classifyNb(lmKept, "doc_id", "text", nb)
+      .filter(col("bits0") - col("bits1") >= 0L)
+      .select("doc_id", "bits0", "bits1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(landed == expected)
+    assert(landed.nonEmpty, "the margin cut must keep something")
+    assert(landed.size < lmKept.count(), "the margin cut must drop something")
   }
 
   test("landBatch is idempotent: re-delivering a batch rewrites its partition") {
