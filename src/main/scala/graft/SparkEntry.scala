@@ -1189,18 +1189,7 @@ object SparkEntry {
     // divergence in match semantics (or a missed span) breaks the hash
     "q_pii_scrub" -> ((s, dir) => {
       import graft.ops.Redact
-      val docs = t(s, dir, "documents")
-      val planted = docs.select(col("doc_id"),
-        concat(
-          lit("contact u"), col("doc_id"), lit("@mail.example.com at 10."),
-          (col("doc_id") % 200).cast("string"), lit(".0.7 "),
-          when(col("doc_id") % 3 === 0,
-            concat(lit("card 4111 1111 1111 "),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("ssn 123-45-6789 ")).otherwise(lit("")),
-          col("text")).as("text"))
-      Redact.scrub(planted, "doc_id", "text").orderBy("doc_id")
+      Redact.scrub(plantPii(t(s, dir, "documents")), "doc_id", "text").orderBy("doc_id")
     }),
 
     // Model-based quality classification (CCNet fastText / GPT-3 LR
@@ -3216,27 +3205,57 @@ object SparkEntry {
     * The patterns deliberately stay in the Java/RE2 agreement subset;
     * this oracle is the proof that they do.
     */
-  private def piiScrubSql: String = {
+  /** Deterministic PII planting shared by q_pii_scrub and
+    * q_curation_v3: email + IP always, card on doc_id % 3, SSN on
+    * doc_id % 5, prefixed to the document text. [[piiPlantedExpr]] is
+    * its SQL twin.
+    */
+  private def plantPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        lit("contact u"), col("doc_id"), lit("@mail.example.com at 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.7 "),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("card 4111 1111 1111 "),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("ssn 123-45-6789 ")).otherwise(lit("")),
+        col("text")).as("text"))
+
+  /** Planted-PII text expression shared by the q_pii_scrub and
+    * q_curation_v3 oracles — mirrors the Spark-side concat.
+    */
+  private def piiPlantedExpr: String =
+    """'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com at 10.' ||
+      | CAST(doc_id % 200 AS VARCHAR) || '.0.7 ' ||
+      | CASE WHEN doc_id % 3 = 0 THEN 'card 4111 1111 1111 ' ||
+      |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END || text""".stripMargin
+
+  /** PII scrub CTE chain: `<p>0` is `srcSelect` (must yield doc_id, t);
+    * each step counts-then-replaces one default pattern. Returns
+    * (cteListSql, finalTableName); the final table carries
+    * (doc_id, t, n_email, n_card, n_ssn, n_ip).
+    */
+  private def piiScrubChain(srcSelect: String, p: String): (String, String) = {
     val patterns = graft.ops.Redact.defaultPatterns
-    // planted text, mirroring the Spark-side concat
-    val planted =
-      """'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com at 10.' ||
-        | CAST(doc_id % 200 AS VARCHAR) || '.0.7 ' ||
-        | CASE WHEN doc_id % 3 = 0 THEN 'card 4111 1111 1111 ' ||
-        |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
-        | CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END || text""".stripMargin
-    val steps = patterns.zipWithIndex.map { case (p, i) =>
+    val steps = patterns.zipWithIndex.map { case (pat, i) =>
       // DuckDB standard strings don't escape backslashes — the regex
       // passes through verbatim; only quotes need doubling
-      val re = p.regex.replace("'", "''")
+      val re = pat.regex.replace("'", "''")
       val carried = (0 until i).map(j => s"n_${patterns(j).name}, ").mkString
-      s"""s${i + 1} AS (SELECT doc_id, regexp_replace(t, '$re', '${p.token}', 'g') AS t,
-         |  ${carried}CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_${p.name}
-         |  FROM s$i)""".stripMargin
+      s"""$p${i + 1} AS (SELECT doc_id, regexp_replace(t, '$re', '${pat.token}', 'g') AS t,
+         |  ${carried}CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_${pat.name}
+         |  FROM $p$i)""".stripMargin
     }
-    val ctes = (s"s0 AS (SELECT doc_id, $planted AS t FROM documents)" +: steps).mkString(", ")
-    val names = patterns.map(p => s"n_${p.name}").mkString(", ")
-    s"WITH $ctes SELECT doc_id, t AS text, $names FROM s${patterns.size} ORDER BY doc_id"
+    ((s"${p}0 AS ($srcSelect)" +: steps).mkString(", "), s"$p${patterns.size}")
+  }
+
+  private def piiScrubSql: String = {
+    val (ctes, fin) = piiScrubChain(
+      s"SELECT doc_id, $piiPlantedExpr AS t FROM documents", "s")
+    val names = graft.ops.Redact.defaultPatterns.map(p => s"n_${p.name}").mkString(", ")
+    s"WITH $ctes SELECT doc_id, t AS text, $names FROM $fin ORDER BY doc_id"
       .replaceAll("\n", " ")
   }
 
