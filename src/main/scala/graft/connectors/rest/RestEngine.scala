@@ -323,7 +323,16 @@ object RestEngine {
     val items = RestPagesV2.read(spark,
       RestPagesV2.PlannedPages(source.client, resource.endpoint, incParams, transportFactory))
     import spark.implicits._
-    val df = spark.read.json(items.select("item").as[String])
+    // Materialize the pages ONCE (eager local checkpoint) before JSON schema
+    // inference: spark.read.json runs an eager inference job over its input,
+    // and every downstream action re-executes the source — without the
+    // checkpoint each page would be requested once for inference and again
+    // per action (2× API quota, and rows could diverge from the inferred
+    // schema if the endpoint changed between fetches). The checkpoint pins
+    // the fetched items executor-side, so inference and all downstream
+    // actions read the same single fetch.
+    val fetched = items.select("item").as[String].localCheckpoint(true)
+    val df = spark.read.json(fetched)
 
     resource.endpoint.incremental match {
       case Some(b) if b.lagDays > 0 => df
@@ -366,8 +375,11 @@ object RestEngine {
       }
     }
     // schema inference + row conversion stay distributed — the fetched
-    // bodies never funnel through the driver
-    spark.read.json(items)
+    // bodies never funnel through the driver. Eager local checkpoint for the
+    // same reason as readResourceParallel: json() schema inference is an
+    // eager job and each downstream action re-executes the source, so an
+    // unmaterialized fetch would hit every child endpoint twice or more.
+    spark.read.json(items.localCheckpoint(true))
   }
 
   private def attachParentKeys(body: String, vars: Map[String, String]): String = {

@@ -60,28 +60,64 @@ object RestPagesV2 {
       transportFactory: () => HttpTransport,
   )
 
-  /** Driver-side registry keyed by the `endpoint` DSv2 option. */
-  private val planned = new java.util.concurrent.ConcurrentHashMap[String, PlannedPages]()
-  /** Memoized page plans: Spark re-invokes `planInputPartitions` on every
-    * query execution of the same DataFrame (getNumPartitions, collect, …);
-    * re-probing page 0 each time would both double-fetch and let a moving
-    * total change the plan mid-query. One registered read = one probe =
-    * one stable plan.
+  /** Registry entry: the typed config plus its memoized page plan. Spark
+    * re-invokes `planInputPartitions` on every query execution of the same
+    * DataFrame (getNumPartitions, collect, …); re-probing page 0 each time
+    * would both double-fetch and let a moving total change the plan
+    * mid-query. One registered read = one probe = one stable plan.
     */
-  private val plans = new java.util.concurrent.ConcurrentHashMap[String, Array[InputPartition]]()
+  private final class Entry(val pages: PlannedPages) {
+    var plan: Array[InputPartition] = _
+  }
+
+  /** Bound on retained registrations. Entries used to live forever (every
+    * read registered a fresh key, nothing evicted), which leaked page-0 item
+    * strings, transport closures, and partition arrays for the driver's
+    * lifetime in long-running pipelines. The registry is now LRU-bounded:
+    * the most recent `MaxRegistered` reads stay resolvable (each access
+    * refreshes recency), older ones are dropped. A DataFrame re-executed
+    * after 1024+ NEWER RestPagesV2 reads fails with "no planned REST
+    * endpoint" — call `read` again for a fresh scan in that (pathological)
+    * case. Executors are unaffected: the PlannedPages travels inside the
+    * reader factory, never through this driver-side map.
+    */
+  private val MaxRegistered = 1024
+
+  /** Driver-side registry keyed by the `endpoint` DSv2 option, access-order
+    * LRU. All access goes through `synchronized` on the map itself — entry
+    * plan memoization included, so a plan computes exactly once per key.
+    */
+  private val registry =
+    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+        size() > MaxRegistered
+    }
   private val keyCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  private[rest] def planFor(key: String)(compute: => Array[InputPartition]): Array[InputPartition] =
-    plans.computeIfAbsent(key, _ => compute)
+  private def entryFor(key: String): Entry = registry.synchronized {
+    Option(registry.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no planned REST endpoint '$key' registered"))
+  }
+
+  private[rest] def planFor(key: String)(compute: => Array[InputPartition]): Array[InputPartition] = {
+    val e = entryFor(key)
+    // memoize on the entry, not the map: compute probes the live endpoint,
+    // so it must not run under the registry lock (other reads would stall
+    // behind a slow HTTP probe)
+    e.synchronized {
+      if (e.plan == null) e.plan = compute
+      e.plan
+    }
+  }
 
   def register(pages: PlannedPages): String = {
     val key = s"rest_${keyCounter.incrementAndGet()}"
-    planned.put(key, pages)
+    registry.synchronized { registry.put(key, new Entry(pages)) }
     key
   }
-  private[rest] def get(key: String): PlannedPages =
-    Option(planned.get(key)).getOrElse(
-      throw new IllegalArgumentException(s"no planned REST endpoint '$key' registered"))
+  private[rest] def get(key: String): PlannedPages = entryFor(key).pages
+  /** Registered entries currently retained (test hook for the LRU bound). */
+  private[rest] def registeredCount: Int = registry.synchronized { registry.size() }
 
   /** Read a registered endpoint: one `item` string column, one partition
     * per page when the total is known.

@@ -33,12 +33,33 @@ final case class Incremental(
       * active — callers should gate the commit on [[externalWindowActive]].
       */
     allowExternalSchedulers: Boolean = false,
+    /** Per-run scheduler window, bound to THIS cursor instance. Takes
+      * precedence over the JVM-global injection: two pipelines running
+      * concurrently in one JVM (Pipeline schedules resources on a thread
+      * pool) each thread their own interval here and never see each
+      * other's. Only consulted when `allowExternalSchedulers` — set it
+      * via [[withSchedulerWindow]].
+      */
+    schedulerWindow: Option[(Option[String], Option[String])] = None,
 ) {
   require(cursorPaths.nonEmpty, "at least one cursor path")
 
+  /** This cursor's interval for the run: the instance-bound window wins
+    * over the JVM-global/env injection (which remains as the ambient
+    * batch-job path, dlt-style).
+    */
+  def effectiveWindow: Option[(Option[String], Option[String])] =
+    if (!allowExternalSchedulers) None
+    else schedulerWindow.orElse(Incremental.externalWindow)
+
   /** True iff this cursor opts in AND an orchestrator window is present. */
-  def externalWindowActive: Boolean =
-    allowExternalSchedulers && Incremental.externalWindow.isDefined
+  def externalWindowActive: Boolean = effectiveWindow.isDefined
+
+  /** Copy with a per-run orchestrator interval (start inclusive, end
+    * exclusive); implies the opt-in.
+    */
+  def withSchedulerWindow(start: Option[String], end: Option[String]): Incremental =
+    copy(allowExternalSchedulers = true, schedulerWindow = Some((start, end)))
 
   /** `coalesce(a, b)` over the configured paths. */
   def cursorCol: Column =
@@ -61,7 +82,7 @@ final case class Incremental(
       // state bound — the interval owns its boundary row; excluding it
       // would drop it from every partitioned backfill run), end exclusive
       // (the next interval starts there). Bounds mirror under descending.
-      val (s, e) = Incremental.externalWindow.get
+      val (s, e) = effectiveWindow.get
       val lo = s.map(v => if (descending) c <= lit(v).cast(dtOf(df)) else c >= lit(v).cast(dtOf(df)))
         .getOrElse(lit(true))
       val hi = e.map(v => if (descending) c > lit(v).cast(dtOf(df)) else c < lit(v).cast(dtOf(df)))
@@ -129,8 +150,22 @@ object Incremental {
     */
   @volatile private var injectedWindow: Option[(Option[String], Option[String])] = None
 
-  def setExternalWindow(start: Option[String], end: Option[String]): Unit =
-    injectedWindow = Some((start, end))
+  /** Inject the JVM-global window. This is AMBIENT state shared by every
+    * opted-in cursor in the process — prefer
+    * [[Incremental.withSchedulerWindow]] to bind an interval to one cursor
+    * when several pipelines share a JVM. Guarded against silently replacing
+    * a DIFFERENT active window (the cross-contamination failure: pipeline B
+    * overwrites pipeline A's interval mid-run); clear the old window first
+    * if replacement is intended.
+    */
+  def setExternalWindow(start: Option[String], end: Option[String]): Unit = synchronized {
+    val next = Some((start, end))
+    if (injectedWindow.isDefined && injectedWindow != next)
+      throw new IllegalStateException(
+        s"external scheduler window $injectedWindow is already active; " +
+          "clearExternalWindow() first, or bind per-run windows with withSchedulerWindow")
+    injectedWindow = next
+  }
 
   def clearExternalWindow(): Unit = injectedWindow = None
 

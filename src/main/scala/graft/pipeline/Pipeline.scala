@@ -106,10 +106,17 @@ final class Pipeline(
       if (!res.selected) Nil
       else {
         // incremental high-water mark, computed on the filtered batch but
-        // committed only after all writes succeed
+        // committed only after all writes succeed. NOT committed while an
+        // external scheduler window is active: a backfill run over an old
+        // interval must leave the committed cursor where it was — advancing
+        // it to the interval's max would regress the high-water mark and
+        // re-ingest everything after the interval on the next normal run
+        // (the gap-free/re-runnable property orchestrator windows exist for).
         res.incremental.foreach { case (inc, _) =>
-          inc.nextCursor(df).foreach { v =>
-            pendingCursor.synchronized { pendingCursor += (cursorKey(source, res) -> v) }
+          if (!inc.externalWindowActive) {
+            inc.nextCursor(df).foreach { v =>
+              pendingCursor.synchronized { pendingCursor += (cursorKey(source, res) -> v) }
+            }
           }
         }
         writeRouted(df, res)

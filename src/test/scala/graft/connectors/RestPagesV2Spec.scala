@@ -115,6 +115,39 @@ class RestPagesV2Spec extends SparkTestBase {
     assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(6L, 7L, 8L))
   }
 
+  test("readResourceParallel fetches each page exactly once across inference and repeated actions") {
+    import graft.core.{Disposition, TableHints}
+    RestCallLog.reset()
+    val fixture = offsetFixture
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 3, totalPath = Some("meta.total")))
+    val src = RestSource("s", client,
+      Seq(RestResource("items", ep, TableHints("items", Disposition.Append))))
+    val df = RestEngine.readResourceParallel(spark, src, src.resources.head,
+      () => new LoggingTransport(fixture))
+    // json schema inference is an eager job and each action re-executes the
+    // plan — without the checkpoint inside readResourceParallel, pages 1-3
+    // would be fetched once for inference + once per action (3× here)
+    assert(df.count() == 10)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == (1L to 10L).toSet)
+    val byKey = RestCallLog.keys.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byKey == fixture.keys.map(_ -> 1).toMap, s"calls: $byKey")
+  }
+
+  test("driver registry is LRU-bounded; stale keys evict, recent keys stay resolvable") {
+    val fixture = offsetFixture
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 3, totalPath = Some("meta.total")))
+    def pages = RestPagesV2.PlannedPages(client, ep, Map.empty, () => new LoggingTransport(fixture))
+    val first = RestPagesV2.register(pages)
+    // flood past the bound: the unbounded-growth leak would retain all of
+    // these (page-0 strings + transport closures) for the JVM's lifetime
+    val keys = (1 to 1100).map(_ => RestPagesV2.register(pages))
+    assert(RestPagesV2.registeredCount <= 1024, s"count=${RestPagesV2.registeredCount}")
+    RestPagesV2.get(keys.last) // most recent resolves
+    intercept[IllegalArgumentException] { RestPagesV2.get(first) } // eldest evicted
+  }
+
   test("newest-first incremental endpoints fall back to the serial loop (page-stop needs the chain)") {
     import graft.core.{Disposition, TableHints}
     val fixture = Map(

@@ -74,7 +74,13 @@ class IncrementalSpec extends SparkTestBase {
       assert(inc.externalWindowActive)
       val ids = inc.filterWith(df, Some("2024-01-19")).select("id").as[Long].collect().toSet
       assert(ids == Set(2L, 3L))
-      // open-ended interval
+      // replacing a different active window without clearing is the
+      // cross-pipeline contamination bug — guarded
+      intercept[IllegalStateException] {
+        Incremental.setExternalWindow(Some("2024-01-10"), None)
+      }
+      // open-ended interval (after an explicit clear)
+      Incremental.clearExternalWindow()
       Incremental.setExternalWindow(Some("2024-01-10"), None)
       assert(inc.filterWith(df, None).select("id").as[Long].collect().toSet == Set(3L, 4L))
       // a cursor that did NOT opt in ignores the window entirely
@@ -87,6 +93,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(!inc.externalWindowActive)
     assert(inc.filterWith(df, Some("2024-01-05")).select("id").as[Long].collect().toSet
       == Set(3L, 4L))
+  }
+
+  test("per-instance scheduler windows don't cross-contaminate concurrent pipelines") {
+    // two cursors in the same JVM, each bound to its OWN interval — the
+    // failure mode of the old JVM-global-only design was pipeline B's
+    // window silently applying to pipeline A's cursor
+    val a = Incremental(Seq("ts")).withSchedulerWindow(Some("2024-01-01"), Some("2024-01-10"))
+    val b = Incremental(Seq("ts")).withSchedulerWindow(Some("2024-01-10"), Some("2024-01-21"))
+    assert(a.externalWindowActive && b.externalWindowActive)
+    val idsA = a.filterWith(df, None).select("id").as[Long].collect().toSet
+    val idsB = b.filterWith(df, None).select("id").as[Long].collect().toSet
+    assert(idsA == Set(1L, 2L))
+    assert(idsB == Set(3L, 4L))
+    // the partitioned intervals tile: no row in both, no row dropped
+    assert((idsA & idsB).isEmpty)
+    // instance window wins over the JVM-global injection
+    try {
+      Incremental.setExternalWindow(Some("1900-01-01"), None)
+      assert(a.filterWith(df, None).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally Incremental.clearExternalWindow()
   }
 
   test("external scheduler window mirrors bounds under descending cursors") {

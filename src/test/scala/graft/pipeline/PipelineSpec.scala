@@ -41,6 +41,32 @@ class PipelineSpec extends SparkTestBase {
     assert(r3 == Seq(LoadResult("events", 8)))
   }
 
+  test("backfill under an external scheduler window does not move the committed cursor") {
+    val dest = tmpDir("pipe-dest-bf")
+    val stateDir = tmpDir("pipe-state-bf")
+    val pipe = new Pipeline(spark, "p", dest, stateDir)
+
+    def src(inc: Incremental) = SourceDef("demo", Seq(ResourceDef(
+      name = "events",
+      hints = TableHints("events", Disposition.Merge, primaryKey = Seq("id")),
+      build = _ => eventsDf(8),
+      incremental = Some((inc, "day")),
+    )))
+
+    // normal run establishes the high-water mark
+    pipe.run(src(Incremental(Seq("day"))))
+    assert(StateStore(stateDir, "p.demo").getString("demo.events.cursor").contains("2024-01-08"))
+
+    // orchestrator backfill over an OLD interval: rows load, cursor stays.
+    // Committing the interval's max ("2024-01-03") would regress the
+    // high-water mark and re-ingest days 4-8 on the next normal run.
+    val backfill = Incremental(Seq("day"))
+      .withSchedulerWindow(Some("2024-01-01"), Some("2024-01-04"))
+    val r = pipe.run(src(backfill))
+    assert(r == Seq(LoadResult("events", 8))) // merge: 3 window rows upsert into 8
+    assert(StateStore(stateDir, "p.demo").getString("demo.events.cursor").contains("2024-01-08"))
+  }
+
   test("transformer DAG: parent builds before child; child sees parent rows") {
     val dest = tmpDir("pipe-dest2")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("pipe-state2"))
