@@ -1147,6 +1147,51 @@ object SparkEntry {
         .orderBy(col("weight_bits").desc, col("doc_id"))
     }),
 
+    // curation DAG v3 — the round-11 curation stages composed end to
+    // end: C4 line cleaning (multi-line docs synthesized as in
+    // q_c4_lines; boilerplate lines drop, %97==5 docs vanish) → PII
+    // scrub + density filter (planted PII; email+IP always, card on %3,
+    // SSN on %5, so %15==0 docs carry 4 hits and fall to maxPerDoc=3) →
+    // NB quality margin gate (integer NB trained on the raw %3
+    // en-vs-rest seed scores the SCRUBBED text at margin -2) → near-dup
+    // LSH over the surviving scrubbed texts → leakage-safe split keyed
+    // on the near-dup cluster root. Stage frames eagerly checkpointed
+    // (each feeds multiple consumers: NB joins s2 twice; near-dup +
+    // split scan s3 three times), same discipline as q_curation_v2. The
+    // oracle chains each stage's proven CTE machinery in one statement,
+    // so every dropped line, redaction count, verified pair and the
+    // final split hash replays bit-for-bit.
+    "q_curation_v3" -> ((s, dir) => {
+      import graft.ops.{Classifier, Redact}
+      val docs = t(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        when(col("doc_id") % 97 === 5, lit("all bad\nno punct here\nshort."))
+          .otherwise(concat(
+            lit("too short.\nthis line has no terminal punctuation\ndoc "),
+            col("doc_id"), lit(" body follows now.\n"),
+            when(col("doc_id") % 4 === 0,
+              lit("please enable JavaScript to continue.\n")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("We use cookies on this site.\n")).otherwise(lit("")),
+            col("text"), lit(" tail marker ends here."))).as("text"))
+      val s1 = TextAnalysis.c4LineFilter(lined, "doc_id", "text")
+        .select("doc_id", "text").localCheckpoint(true)
+      val s2 = Redact.scrubAndFilter(plantPii(s1), "doc_id", "text", maxPerDoc = 3L)
+        .localCheckpoint(true)
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val model = Classifier.trainNb(seed, "text", "y")
+      val s3 = Classifier.qualityFilter(s2, "doc_id", "text", model, marginBits = -2L)
+        .localCheckpoint(true)
+      val pairs = Dedup.nearDupPairs(s3, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.9)
+      graft.ops.Corpus.leakageSafeSplit(s3, "doc_id", Dedup.clusterPairs(pairs), nSplits = 5)
+        .select(col("doc_id"), col("text"), col("n_email"), col("n_card"),
+          col("n_ssn"), col("n_ip"), col("root"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity quality scoring: a quantized bigram LM
     // trained on the doc_id % 3 reference slice scores EVERY document in
     // whole bits (integer-exact — no floating log anywhere), and the
@@ -3199,6 +3244,82 @@ object SparkEntry {
       |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
       |FROM k WHERE len(ks) >= 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_curation_v3 — the five r11 stage oracles chained
+    * in one statement: the q_c4_lines line filter, the q_pii_scrub
+    * plant+scrub chain re-rooted on the cleaned text plus the density
+    * cut, the q_nb_quality cost machinery scoring the SCRUBBED text at
+    * the -2 margin, `cappedNearDupCtes` over the survivors, and the
+    * q_leakage_split transitive closure + split hash. Every constant
+    * matches the Spark query; every pseudo-random draw is md5-family,
+    * so the whole DAG replays bit-for-bit.
+    */
+  private def curationV3Sql: String = {
+    val (piiCtes, piiFin) = piiScrubChain(
+      s"SELECT doc_id, $piiPlantedExpr AS t FROM c4", "p")
+    val nearDup = cappedNearDupCtes(1, 0.9, from = Some("s3"))
+    s"""WITH RECURSIVE lined AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 97 = 5 THEN 'all bad' || chr(10) || 'no punct here' || chr(10) || 'short.'
+       |  ELSE 'too short.' || chr(10) || 'this line has no terminal punctuation' || chr(10) ||
+       |    'doc ' || CAST(doc_id AS VARCHAR) || ' body follows now.' || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'please enable JavaScript to continue.' || chr(10) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN 'We use cookies on this site.' || chr(10) ELSE '' END ||
+       |    text || ' tail marker ends here.' END AS t0 FROM documents),
+       |cf AS (SELECT doc_id, string_split(t0, chr(10)) AS ls FROM lined),
+       |ck AS (SELECT doc_id, list_filter(ls, l ->
+       |  (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+       |  AND len(string_split(l, ' ')) >= 3
+       |  AND NOT contains(lower(l), 'javascript') AND NOT contains(lower(l), 'cookie')
+       |  AND NOT contains(lower(l), 'lorem ipsum') AND NOT contains(lower(l), '{')) AS ks FROM cf),
+       |c4 AS MATERIALIZED (SELECT doc_id, array_to_string(ks, chr(10)) AS text FROM ck WHERE len(ks) >= 1),
+       |$piiCtes,
+       |s2 AS MATERIALIZED (SELECT doc_id, t, n_email, n_card, n_ssn, n_ip FROM $piiFin
+       |  WHERE n_email + n_card + n_ssn + n_ip <= 3),
+       |nbseed AS (SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |nbsw AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM nbseed),
+       |nbcnt AS (SELECT w, sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+       |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1 FROM nbsw GROUP BY w),
+       |nbtot AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS v FROM nbcnt),
+       |nbpri AS (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS d0,
+       |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS d1 FROM nbseed),
+       |nbq AS (SELECT w,
+       |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS q0,
+       |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS q1
+       |  FROM (SELECT w,
+       |    ((SELECT n0 + v FROM nbtot) + c0) // (c0 + 1) AS m0,
+       |    ((SELECT n1 + v FROM nbtot) + c1) // (c1 + 1) AS m1 FROM nbcnt)),
+       |nbdefs AS (SELECT
+       |  CASE WHEN n0 + v <= 1 THEN 0 ELSE length(bin(n0 + v - 1)) END AS qd0,
+       |  CASE WHEN n1 + v <= 1 THEN 0 ELSE length(bin(n1 + v - 1)) END AS qd1 FROM nbtot),
+       |nbpbits AS (SELECT
+       |  CASE WHEN m0 <= 1 THEN 0 ELSE length(bin(m0 - 1)) END AS p0,
+       |  CASE WHEN m1 <= 1 THEN 0 ELSE length(bin(m1 - 1)) END AS p1
+       |  FROM (SELECT (d0 + d1 + 2 + d0) // (d0 + 1) AS m0,
+       |    (d0 + d1 + 2 + d1) // (d1 + 1) AS m1 FROM nbpri)),
+       |nbdt AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM s2),
+       |nbsc AS (SELECT d.doc_id,
+       |  coalesce(nbq.q0, (SELECT qd0 FROM nbdefs)) AS q0,
+       |  coalesce(nbq.q1, (SELECT qd1 FROM nbdefs)) AS q1
+       |  FROM nbdt d LEFT JOIN nbq USING (w)),
+       |nbagg AS (SELECT doc_id, CAST(sum(q0) AS BIGINT) AS s0, CAST(sum(q1) AS BIGINT) AS sc1 FROM nbsc GROUP BY 1),
+       |s3 AS MATERIALIZED (SELECT s2.doc_id, s2.t AS text, s2.n_email, s2.n_card, s2.n_ssn, s2.n_ip
+       |  FROM s2 LEFT JOIN nbagg USING (doc_id)
+       |  WHERE coalesce(nbagg.s0, 0) + (SELECT p0 FROM nbpbits)
+       |    - (coalesce(nbagg.sc1, 0) + (SELECT p1 FROM nbpbits)) >= -2),
+       |$nearDup,
+       |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+       |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT s3.doc_id, s3.text, s3.n_email, s3.n_card, s3.n_ssn, s3.n_ip,
+       |  coalesce(c.cluster, s3.doc_id) AS root,
+       |  CAST(('0x' || substr(md5('split:' || CAST(coalesce(c.cluster, s3.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS split
+       |FROM s3 LEFT JOIN comp c ON c.id = s3.doc_id
+       |ORDER BY s3.doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
     * the same pattern sequence with DuckDB's RE2 engine — counts taken
     * on the pre-replacement state of each step, replacements global.
@@ -4345,6 +4466,7 @@ object SparkEntry {
     "q_pii_scrub" -> piiScrubSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,
+    "q_curation_v3" -> curationV3Sql,
     "q_html_extract" ->
       """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,
         |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
