@@ -51,15 +51,28 @@ object SparkEntry {
 
   private def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
-  /** BMP fixture for the image-dedup family: one blob per event (< 400),
-    * in groups of five near-identical variants — same base gradient, a
-    * +0..4 gray offset that wraps at 256 — synthesized on executors from
-    * closed-form formulas so the DuckDB oracle can recompute every pixel.
+  /** ScaleData's per-copy id shift: media fixtures select their event
+    * slice by `event_id % TileOff` so every tiled copy contributes its
+    * own blobs (the formulas stay keyed on the FULL id, which the shift
+    * perturbs — cross-copy variants come out as near-dups, the media
+    * analogue of ScaleData's text suffix token), while at driver SFs
+    * (ids ≪ TileOff) the modulo is the identity and results are
+    * unchanged.
+    */
+  private val TileOff = 100000000L
+
+  /** BMP fixture for the image-dedup family: one blob per event (< 400
+    * per tile copy), in groups of five near-identical variants — same
+    * base gradient, a +0..4 gray offset that wraps at 256 — synthesized
+    * on executors from closed-form formulas so the DuckDB oracle can
+    * recompute every pixel. Under ScaleData tiling each copy's shifted
+    * ids change the dims/gradient mix (20M % 9 = 2, % 7 = 6, % 256 = 0),
+    * so copies add same-pixel different-geometry near-dup families.
     */
   private def imageBlobs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.MediaCodecs
-    t(s, dir, "events").filter(col("event_id") < 400)
+    t(s, dir, "events").filter(pmod(col("event_id"), lit(TileOff)) < 400)
       .select(col("event_id")).as[Long]
       .map { e =>
         val base = e / 5
@@ -87,7 +100,11 @@ object SparkEntry {
   private def audioBlobs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.MediaCodecs
-    t(s, dir, "events").filter(col("event_id") >= 700 && col("event_id") < 840)
+    // tiling: 20M % 32 = 0, so shifted copies REPRODUCE the 28 amplitude
+    // rank patterns — cross-copy clips are hamming-0 near-dups and the
+    // fingerprint families grow 10x at sf1, warming the banded buckets
+    t(s, dir, "events").filter(
+        pmod(col("event_id"), lit(TileOff)) >= 700 && pmod(col("event_id"), lit(TileOff)) < 840)
       .select(col("event_id")).as[Long]
       .map { e =>
         val g = e / 5
@@ -117,7 +134,11 @@ object SparkEntry {
   private def videoBlobs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.MediaCodecs
-    t(s, dir, "events").filter(col("event_id") >= 840 && col("event_id") < 980)
+    // tiling: 20M % 256 = 0 keeps cross-copy pixel formulas identical
+    // while % 6 = 2 shifts the height — copies add same-animation
+    // different-geometry clips, plus exact-geometry twins every 3rd copy
+    t(s, dir, "events").filter(
+        pmod(col("event_id"), lit(TileOff)) >= 840 && pmod(col("event_id"), lit(TileOff)) < 980)
       .select(col("event_id")).as[Long]
       .map { e =>
         val g = e / 5; val v = e % 5
@@ -2471,6 +2492,19 @@ object SparkEntry {
       Dedup.clusterPairs(pairs).orderBy("id")
     }),
 
+    // over-cap star fallback, oracle-verified WHERE IT FIRES: the audio
+    // family with maxBucketSize=4 forces every 5-clip fingerprint bucket
+    // over the cap, so candidate generation degrades to the min-id hub
+    // star — the degenerate-mass defense (silence, blank thumbnails)
+    // that the production cap of 4096 leaves cold at every driver SF.
+    // The oracle replays the cap decision, the star, and the Hamming
+    // verify bit-for-bit (shared bandedVerify, so this also gates the
+    // image/video star branch).
+    "q_audio_dedup_capped" -> ((s, dir) =>
+      Dedup.audioNearDups(audioBlobs(s, dir), "media_id", "content",
+        maxDist = 3, maxBucketSize = 4)
+        .orderBy("id_a", "id_b")),
+
     // video near-dup dedup: animated-GIF clips in variant groups → real
     // frame decode (stride-2 sampling) → per-frame aHash → ALIGNED
     // (band, key, frame) buckets → exact per-frame Hamming → clips match
@@ -3009,7 +3043,7 @@ object SparkEntry {
     * bit-for-bit from the synthesis formulas.
     */
   private def imagePairCtes: String =
-    """src AS (SELECT event_id AS e FROM events WHERE event_id < 400),
+    """src AS (SELECT event_id AS e FROM events WHERE event_id % 100000000 < 400),
       |dims AS (SELECT e, 8 + (e // 5) % 9 AS w, 8 + (e // 5) % 7 AS h FROM src),
       |grid AS (SELECT e, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
       |  FROM dims CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
@@ -3032,21 +3066,45 @@ object SparkEntry {
     * `Audio.spectralHashBands` + `Dedup.audioNearDups` path — from the
     * amplitude formula alone (gain and duration cancel by construction).
     */
-  private def audioPairCtes: String =
-    """src AS (SELECT event_id AS e FROM events WHERE event_id >= 700 AND event_id < 840),
-      |amps AS (SELECT e, b.i AS b, 300 + (((e // 5) * 7 + b.i * 13) % 32) * 60 AS a
-      |  FROM src CROSS JOIN range(0, 8) b(i)),
-      |prs AS (SELECT x.e AS e,
-      |  x.b * 7 - (x.b * (x.b - 1)) // 2 + y.b - x.b - 1 AS bp,
-      |  CASE WHEN x.a > y.a THEN 1 ELSE 0 END AS bit
-      |  FROM amps x JOIN amps y ON x.e = y.e AND x.b < y.b),
-      |bands AS (SELECT e, bp // 7 AS band, CAST(SUM(bit * (1 << (bp % 7))) AS BIGINT) AS bkey
-      |  FROM prs GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
-      |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
-      |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
-      |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
-      |  GROUP BY 1, 2)""".stripMargin
+  private def audioPairCtes: String = audioPairCtesWith(None)
+
+  /** As [[audioPairCtes]] with an optional bucket cap: when `cap` is
+    * set, (band, key) buckets over it replay `Dedup.bandedVerify`'s
+    * star fallback — pairs only between the bucket's min-id hub and its
+    * members — exactly as the Spark side degrades, so the capped branch
+    * gates bit-for-bit where it fires.
+    */
+  private def audioPairCtesWith(cap: Option[Int]): String = {
+    val candCtes = cap match {
+      case None =>
+        """cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
+          |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e)""".stripMargin
+      case Some(c) =>
+        s"""bsz AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
+           |sane AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey) WHERE n <= $c),
+           |scand AS (SELECT a.e AS id_a, c.e AS id_b FROM sane a
+           |  JOIN sane c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+           |big AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey) WHERE n > $c),
+           |hubs AS (SELECT band, bkey, min(e) AS hub FROM big GROUP BY 1, 2),
+           |starc AS (SELECT hub AS id_a, e AS id_b FROM big JOIN hubs USING (band, bkey)
+           |  WHERE e <> hub),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM
+           |  (SELECT * FROM scand UNION ALL SELECT * FROM starc))""".stripMargin
+    }
+    s"""src AS (SELECT event_id AS e FROM events WHERE event_id % 100000000 >= 700 AND event_id % 100000000 < 840),
+       |amps AS (SELECT e, b.i AS b, 300 + (((e // 5) * 7 + b.i * 13) % 32) * 60 AS a
+       |  FROM src CROSS JOIN range(0, 8) b(i)),
+       |prs AS (SELECT x.e AS e,
+       |  x.b * 7 - (x.b * (x.b - 1)) // 2 + y.b - x.b - 1 AS bp,
+       |  CASE WHEN x.a > y.a THEN 1 ELSE 0 END AS bit
+       |  FROM amps x JOIN amps y ON x.e = y.e AND x.b < y.b),
+       |bands AS (SELECT e, bp // 7 AS band, CAST(SUM(bit * (1 << (bp % 7))) AS BIGINT) AS bkey
+       |  FROM prs GROUP BY 1, 2),
+       |$candCtes,
+       |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+       |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** SQL replica of q_embed_ivf: the embedAnnSql vector derivation (hashed
     * BoW, dim 32) feeding the annIvfSql probe mechanics (fixed-centroid
@@ -5386,7 +5444,7 @@ object SparkEntry {
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
 
     "q_video_dedup" ->
-      """WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id >= 840 AND event_id < 980),
+      """WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id % 100000000 >= 840 AND event_id % 100000000 < 980),
         |dims AS (SELECT e, g, v, 9 + g % 8 AS w, 8 + g % 6 AS h, 4 + v % 2 AS nf FROM src),
         |fr AS (SELECT e, g, v, w, h, UNNEST(range(0, nf, 2)) AS f FROM dims),
         |grid AS (SELECT e, g, v, f, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
@@ -5408,6 +5466,10 @@ object SparkEntry {
 
     "q_audio_dedup" ->
       s"""WITH $audioPairCtes
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    "q_audio_dedup_capped" ->
+      s"""WITH ${audioPairCtesWith(Some(4))}
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     "q_audio_clusters" ->

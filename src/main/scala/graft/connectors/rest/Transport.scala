@@ -21,9 +21,27 @@ trait HttpTransport extends Serializable {
     throw new UnsupportedOperationException("transport does not support POST")
 }
 
-/** Stock JDK transport (no extra deps). */
+/** Stock JDK transport (no extra deps). Negotiates gzip (`Accept-Encoding:
+  * gzip` on every request, transparent inflate when the server answers
+  * `Content-Encoding: gzip`) — JSON APIs compress 5-10×, and the JDK's
+  * HttpURLConnection does neither half by itself. Redirects follow the
+  * JDK default (same-protocol 3xx); chunked transfer decoding is native
+  * to HttpURLConnection. All of this is exercised against a live loopback
+  * server in HttpTransportLiveSpec.
+  */
 final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
     extends HttpTransport {
+
+  private def readBody(conn: HttpURLConnection, status: Int): String = {
+    val raw = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    if (raw == null) return ""
+    val stream =
+      if ("gzip".equalsIgnoreCase(String.valueOf(conn.getContentEncoding)))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    finally stream.close()
+  }
 
   override def post(url: String, body: String, headers: Map[String, String]): HttpResponse = {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
@@ -32,13 +50,12 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "application/json")
+    conn.setRequestProperty("Accept-Encoding", "gzip")
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     try {
       conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
       val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val respBody = if (stream == null) "" else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-      HttpResponse(status, respBody)
+      HttpResponse(status, readBody(conn, status))
     } finally conn.disconnect()
   }
 
@@ -50,14 +67,11 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
     val conn = new URI(full).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept-Encoding", "gzip")
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     try {
       val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
-        if (stream == null) ""
-        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-      HttpResponse(status, body)
+      HttpResponse(status, readBody(conn, status))
     } finally conn.disconnect()
   }
 }
