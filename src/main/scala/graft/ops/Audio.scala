@@ -126,22 +126,40 @@ object Audio {
     fp
   }
 
-  /** Decode a WAV blob and produce the 4 banded keys of its 28-bit
-    * spectral rank fingerprint (7 bits per band) — the audio twin of
+  /** Container dispatch for the fingerprint path: a magic-byte sniff
+    * routes each blob to its sample decoder. Supported-container
+    * contract: WAV/RIFF PCM16 is the only container a JDK-only build can
+    * decode; compressed codecs (MP3, AAC, Opus, and every H.264-class
+    * video track) genuinely need external libraries, so their blobs
+    * quarantine DELIBERATELY at the dispatch — `None` by sniff, never by
+    * decode exception — and a future decoder slots in as one more case
+    * here without touching `Dedup.audioNearDups`. Returns
+    * (container info, mono samples).
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[(MediaCodecs.WavInfo, Array[Double])] =
+    if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+      try Some(MediaCodecs.decodeWavSamples(bytes))
+      catch { case scala.util.control.NonFatal(_) => None } // malformed RIFF: corrupt-quarantine
+    else None // unsupported container: quarantined by dispatch, not by failure
+
+  /** Decode an audio blob (via the [[decodeSamples]] container dispatch)
+    * and produce the 4 banded keys of its 28-bit spectral rank
+    * fingerprint (7 bits per band) — the audio twin of
     * `MediaCodecs.aHashBands`. Pigeonhole over 4 bands guarantees any
     * pair within Hamming distance <= 3 shares at least one band key, so
     * banded candidate generation has perfect recall at that radius.
-    * Undecodable or sub-frame-length blobs quarantine as None.
+    * Unsupported containers, undecodable blobs, and sub-frame-length
+    * clips quarantine as None.
     */
   def spectralHashBands(bytes: Array[Byte], nFft: Int = 1024,
       nBands: Int = 8): Option[Array[Int]] =
-    try {
-      val (_, samples) = MediaCodecs.decodeWavSamples(bytes)
+    decodeSamples(bytes).flatMap { case (_, samples) =>
       powerSpectrum(samples, nFft).map { ps =>
         val fp = rankFingerprint(bandEnergies(ps, nBands))
         val bits = nBands * (nBands - 1) / 2
         val per = (bits + 3) / 4
         Array.tabulate(4)(b => ((fp >>> (b * per)) & ((1L << per) - 1)).toInt)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
 }
