@@ -58,6 +58,13 @@ STAMPS = {
     "q_quantiles_by": 0.83, "q_vocab_by": 0.53, "q_corpus_report": 0.87, "q_weighted_sample": 0.51,
     # round-9 addition (BENCH_LOCAL_K/L min)
     "q_pdf_extract": 0.71, "q_pdf_pipeline": 2.92,
+    # round-12 stamps for the r11/r12 additions (isolated min across two
+    # Bench invocations, sf0.1, local[32]; BASELINE.md round-12 table)
+    "q_audio_dedup": 0.91, "q_audio_clusters": 0.99,
+    "q_audio_dedup_capped": 0.98, "q_video_dedup": 0.83,
+    "q_nb_quality": 0.49, "q_pii_scrub": 0.14, "q_c4_lines": 0.26,
+    "q_stream_nb": 2.79, "q_leakage_split": 1.50, "q_hint_variants": 1.47,
+    "q_rest_parallel": 0.37, "q_curation_v3": 10.02,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
