@@ -30,7 +30,8 @@ final case class Incremental(
       * (start inclusive, end exclusive), which is what makes
       * orchestrator-partitioned backfills gap-free and re-runnable. State
       * is neither consulted nor meant to be advanced while a window is
-      * active — callers should gate the commit on [[externalWindowActive]].
+      * active — [[graft.pipeline.Pipeline]] gates its cursor commit on
+      * [[externalWindowActive]]; custom runners must do the same.
       */
     allowExternalSchedulers: Boolean = false,
     /** Per-run scheduler window, bound to THIS cursor instance. Takes
