@@ -2515,6 +2515,17 @@ object SparkEntry {
         stride = 2, maxDist = 3, minMatches = 2)
         .orderBy("id_a", "id_b")),
 
+    // the star fallback in the frame-ALIGNED bucket dimension: cap 4
+    // forces every 5-variant (band, key, frame) bucket over the cap, so
+    // candidates degrade to the per-frame min-clip hub star and the
+    // matched-positions gate counts star frames — the video-specific
+    // half of the degenerate-mass defense (blank/boilerplate frames),
+    // oracle-replayed bit-for-bit where it fires.
+    "q_video_dedup_capped" -> ((s, dir) =>
+      Dedup.videoNearDups(videoBlobs(s, dir), "media_id", "content",
+        stride = 2, maxDist = 3, minMatches = 2, maxBucketSize = 4)
+        .orderBy("id_a", "id_b")),
+
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
     // bools) → header mapping + type inference + serial-date conversion →
@@ -3066,6 +3077,53 @@ object SparkEntry {
     * `Audio.spectralHashBands` + `Dedup.audioNearDups` path — from the
     * amplitude formula alone (gain and duration cancel by construction).
     */
+  /** SQL replica of q_video_dedup (and its capped twin): rebuild the GIF
+    * fixture's frames, stride-2 sampling, the 8×8 grid, aHash bits, the
+    * four 16-bit band keys, ALIGNED (band, key, frame) candidate
+    * buckets, per-frame Hamming, and the >= 2 matched-positions gate.
+    * With `cap` set, buckets over it replay `Dedup.bandedVerify`'s star
+    * fallback in the frame-aligned bucket dimension — pairs only between
+    * the bucket's min-id hub and its members, exactly as the engine
+    * degrades (the composite id clip*4096+frame has a fixed frame within
+    * a bucket, so min composite = min clip).
+    */
+  private def videoPairSql(cap: Option[Int]): String = {
+    val candCtes = cap match {
+      case None =>
+        """cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b, a.f AS f FROM bands a
+          |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.f = c.f AND a.e < c.e)""".stripMargin
+      case Some(cp) =>
+        s"""bsz AS (SELECT band, bkey, f, count(*) AS n FROM bands GROUP BY 1, 2, 3),
+           |sane AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey, f) WHERE n <= $cp),
+           |scand AS (SELECT a.e AS id_a, c.e AS id_b, a.f AS f FROM sane a
+           |  JOIN sane c ON a.band = c.band AND a.bkey = c.bkey AND a.f = c.f AND a.e < c.e),
+           |big AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey, f) WHERE n > $cp),
+           |hubs AS (SELECT band, bkey, f, min(e) AS hub FROM big GROUP BY 1, 2, 3),
+           |starc AS (SELECT hub AS id_a, e AS id_b, f FROM big JOIN hubs USING (band, bkey, f)
+           |  WHERE e <> hub),
+           |cand AS (SELECT DISTINCT id_a, id_b, f FROM
+           |  (SELECT * FROM scand UNION ALL SELECT * FROM starc))""".stripMargin
+    }
+    s"""WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id % 100000000 >= 840 AND event_id % 100000000 < 980),
+       |dims AS (SELECT e, g, v, 9 + g % 8 AS w, 8 + g % 6 AS h, 4 + v % 2 AS nf FROM src),
+       |fr AS (SELECT e, g, v, w, h, UNNEST(range(0, nf, 2)) AS f FROM dims),
+       |grid AS (SELECT e, g, v, f, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
+       |  FROM fr CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
+       |gray AS (SELECT e, f, gi, gj, (g * 23 + 13 * f + 7 * x + 11 * y + v) % 256 AS gv FROM grid),
+       |tot AS (SELECT e, f, SUM(gv) AS s FROM gray GROUP BY e, f),
+       |bits AS (SELECT gray.e AS e, gray.f AS f, gj * 8 + gi AS bp, CASE WHEN 64 * gv > s THEN 1 ELSE 0 END AS bit
+       |  FROM gray JOIN tot ON gray.e = tot.e AND gray.f = tot.f),
+       |bands AS (SELECT e, f, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY 1, 2, 3),
+       |$candCtes,
+       |ham AS (SELECT id_a, id_b, cand.f AS f, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
+       |  FROM cand JOIN bands ba ON ba.e = id_a AND ba.f = cand.f
+       |  JOIN bands bb ON bb.e = id_b AND bb.f = cand.f AND bb.band = ba.band
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames FROM ham WHERE hamming <= 3
+       |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+  }
+
   private def audioPairCtes: String = audioPairCtesWith(None)
 
   /** As [[audioPairCtes]] with an optional bucket cap: when `cap` is
@@ -5443,26 +5501,9 @@ object SparkEntry {
         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
 
-    "q_video_dedup" ->
-      """WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id % 100000000 >= 840 AND event_id % 100000000 < 980),
-        |dims AS (SELECT e, g, v, 9 + g % 8 AS w, 8 + g % 6 AS h, 4 + v % 2 AS nf FROM src),
-        |fr AS (SELECT e, g, v, w, h, UNNEST(range(0, nf, 2)) AS f FROM dims),
-        |grid AS (SELECT e, g, v, f, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
-        |  FROM fr CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
-        |gray AS (SELECT e, f, gi, gj, (g * 23 + 13 * f + 7 * x + 11 * y + v) % 256 AS gv FROM grid),
-        |tot AS (SELECT e, f, SUM(gv) AS s FROM gray GROUP BY e, f),
-        |bits AS (SELECT gray.e AS e, gray.f AS f, gj * 8 + gi AS bp, CASE WHEN 64 * gv > s THEN 1 ELSE 0 END AS bit
-        |  FROM gray JOIN tot ON gray.e = tot.e AND gray.f = tot.f),
-        |bands AS (SELECT e, f, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
-        |  FROM bits GROUP BY 1, 2, 3),
-        |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b, a.f AS f FROM bands a
-        |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.f = c.f AND a.e < c.e),
-        |ham AS (SELECT id_a, id_b, cand.f AS f, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
-        |  FROM cand JOIN bands ba ON ba.e = id_a AND ba.f = cand.f
-        |  JOIN bands bb ON bb.e = id_b AND bb.f = cand.f AND bb.band = ba.band
-        |  GROUP BY 1, 2, 3)
-        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames FROM ham WHERE hamming <= 3
-        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q_video_dedup" -> videoPairSql(None),
+
+    "q_video_dedup_capped" -> videoPairSql(Some(4)),
 
     "q_audio_dedup" ->
       s"""WITH $audioPairCtes

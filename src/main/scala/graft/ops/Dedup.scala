@@ -1030,7 +1030,7 @@ object Dedup {
       .mapPartitions { it: Iterator[Row] =>
         it.flatMap { r =>
           val clip = r.getLong(0)
-          MediaCodecs.gifFrameHashBands(r.getAs[Array[Byte]](1), stride).toSeq.flatten
+          MediaCodecs.videoFrameHashBands(r.getAs[Array[Byte]](1), stride).toSeq.flatten
             .filter(_._1 < maxFrames)
             .map { case (f, bs) => Row(clip * maxFrames + f, bs.toSeq, f) }
         }

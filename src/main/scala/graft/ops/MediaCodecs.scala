@@ -642,6 +642,21 @@ object MediaCodecs {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Container dispatch for the video fingerprint path: a magic-byte
+    * sniff routes each clip to its frame decoder. Supported-container
+    * contract: animated GIF is the only multi-frame container a JDK-only
+    * build decodes; MP4/WebM/H.264-class containers genuinely need
+    * external libraries, so their blobs quarantine DELIBERATELY at the
+    * dispatch — `None` by sniff, never by a failed decode attempt — and
+    * a future decoder slots in as one more case here without touching
+    * `Dedup.videoNearDups`. (The audio twin is `Audio.decodeSamples`.)
+    */
+  def videoFrameHashBands(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Array[Int])]] =
+    if (bytes.length >= 4 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte)
+      gifFrameHashBands(bytes, stride) // malformed GIF: corrupt-quarantine inside
+    else None // unsupported container: quarantined by dispatch, not by failure
+
   // ------------------------------------------------------- sniff dispatch
 
   /** Uniform decode result across formats: images report width/height and

@@ -31,6 +31,19 @@ class VideoDedupSpec extends SparkTestBase {
     assert(MediaCodecs.gifFrameHashBands(Array[Byte](71, 73, 70, 1), 2).isEmpty)
   }
 
+  test("container dispatch: non-GIF video containers quarantine by sniff, not by decode failure") {
+    // a WELL-FORMED container of an unsupported format (MP4 ftyp box):
+    // the magic-byte dispatch returns None deliberately — distinct from
+    // the corrupt-GIF exception path — so a future decoder slots into
+    // MediaCodecs.videoFrameHashBands without touching Dedup
+    val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](12)(0)
+    assert(MediaCodecs.videoFrameHashBands(mp4ish, 2).isEmpty)
+    // the supported container still routes through the same dispatch
+    val gif = MediaCodecs.encodeGifGrayFrames(8, 8, 4, (f, x, y) => (f * 30 + x + y) % 256)
+    assert(MediaCodecs.videoFrameHashBands(gif, 2).exists(_.map(_._1) == Seq(0, 2)))
+  }
+
   test("videoNearDups: aligned variants pair with matched-frame count, shifted/different clips do not, junk survives") {
     val clips = Seq(
       // A: the base animation, 5 frames (stride 2 samples 0, 2, 4)
