@@ -1258,6 +1258,30 @@ object SparkEntry {
       Redact.scrub(plantPii(t(s, dir, "documents")), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // URL-level dedup (RefinedWeb stage 1): deterministic URL variants
+    // are planted per doc in groups of five sharing one canonical page —
+    // scheme/www/host-case, trailing slash + scrambled param order,
+    // tracking params, fragment — then canonicalized by the fixed rule
+    // chain and deduped to the min-id survivor. The oracle replays every
+    // rule (host-only lowercase, www strip, param filter+sort, slash and
+    // fragment strips) and the group counts.
+    "q_url_dedup" -> ((s, dir) => {
+      import graft.ops.Url
+      val g = expr("doc_id div 5").cast("string")
+      val v = col("doc_id") % 5
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        when(v === 0, concat(lit("http://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2")))
+          .when(v === 1, concat(lit("HTTPS://WWW.SITE"), g, lit(".EXAMPLE.COM/p/"), g, lit("?a=1&b=2")))
+          .when(v === 2, concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("/?b=2&a=1")))
+          .when(v === 3, concat(lit("http://site"), g, lit(".example.com/p/"), g,
+            lit("?a=1&b=2&utm_source=feed&fbclid=X"), g))
+          .otherwise(concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2#sec"), v))
+          .as("url"))
+      Url.dedupByUrl(urls, "doc_id", "url")
+        .select(col("doc_id"), col("url_canon"), col("n_dups"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -3436,6 +3460,40 @@ object SparkEntry {
        |ORDER BY s3.doc_id""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** SQL replica of q_url_dedup: replant the five URL variants per
+    * group, replay every canonicalization rule (fragment strip,
+    * case-insensitive scheme strip, host-only lowercase + www strip,
+    * trailing-slash strip, tracking-param filter + byte-wise param
+    * sort), then the min-id-keeper group dedup.
+    */
+  private def urlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+      |    WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE.COM/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+      |    WHEN 2 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/?b=2&a=1'
+      |    WHEN 3 THEN 'http://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2&utm_source=feed&fbclid=X' || CAST(doc_id // 5 AS VARCHAR)
+      |    ELSE 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2#sec' || CAST(doc_id % 5 AS VARCHAR)
+      |  END AS url FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''), '^https?://', '', 'i') AS u2 FROM u),
+      |s2 AS (SELECT *, strpos(u2, '/') AS isl, strpos(u2, '?') AS iq FROM s1),
+      |s3 AS (SELECT *, CASE WHEN isl > 0 AND (iq = 0 OR isl < iq) THEN isl WHEN iq > 0 THEN iq ELSE 0 END AS cut FROM s2),
+      |s4 AS (SELECT doc_id,
+      |  regexp_replace(lower(CASE WHEN cut > 0 THEN substr(u2, 1, cut - 1) ELSE u2 END), '^www\.', '') AS host,
+      |  CASE WHEN cut > 0 THEN substr(u2, cut) ELSE '' END AS rest FROM s3),
+      |s5 AS (SELECT *, strpos(rest, '?') AS qp FROM s4),
+      |s6 AS (SELECT doc_id, host,
+      |  regexp_replace(CASE WHEN qp > 0 THEN substr(rest, 1, qp - 1) ELSE rest END, '/$', '') AS path,
+      |  CASE WHEN qp > 0 THEN substr(rest, qp + 1) ELSE '' END AS query0 FROM s5),
+      |s7 AS (SELECT doc_id, host, path,
+      |  array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      |    x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=') AND x <> '')), '&') AS q FROM s6),
+      |canon AS (SELECT doc_id, host || path || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS url_canon FROM s7),
+      |grp AS (SELECT url_canon, min(doc_id) AS keep, count(*) AS n_dups FROM canon GROUP BY 1)
+      |SELECT c.doc_id, c.url_canon, g.n_dups,
+      |  CAST(CASE WHEN c.doc_id = g.keep THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM canon c JOIN grp g USING (url_canon) ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
     * the same pattern sequence with DuckDB's RE2 engine — counts taken
     * on the pre-replacement state of each step, replacements global.
@@ -4580,6 +4638,7 @@ object SparkEntry {
     "q_perplexity_lm" -> perplexityLmSql,
     "q_nb_quality" -> nbQualitySql,
     "q_pii_scrub" -> piiScrubSql,
+    "q_url_dedup" -> urlDedupSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,
     "q_curation_v3" -> curationV3Sql,
