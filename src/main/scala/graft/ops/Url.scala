@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * an external SQL engine):
   *  1. drop the fragment (`#...`);
   *  2. drop the scheme (`http://` / `https://`, case-insensitive);
-  *  3. split host at the first `/` or `?`; lowercase the HOST ONLY
-  *     (paths are case-sensitive by spec) and strip one leading `www.`;
+  *  3. split host at the first `/` or `?`; lowercase the HOST segment
+  *     ONLY (paths are case-sensitive by spec) and strip one leading
+  *     `www.` — "host segment" means everything before the first `/` or
+  *     `?`, so an embedded port (`host:8080`) or userinfo
+  *     (`user:pass@host`) is preserved in place and lowercased with it;
   *  4. strip one trailing `/` from the path;
   *  5. drop tracking params ([[TrackingParamRe]]), sort the survivors
   *     byte-wise, re-join with `&`.

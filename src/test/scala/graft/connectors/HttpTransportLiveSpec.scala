@@ -170,6 +170,49 @@ class HttpTransportLiveSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3))
   }
 
+  test("pipeline lifecycle over live HTTP: extract -> merge -> cursor commit; second run loads only the delta") {
+    import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+    import graft.core.{Incremental, StateStore}
+    // a growing dataset behind a `since`-filtered endpoint (START-INCLUSIVE,
+    // like real APIs — the engine's strict re-filter must drop the echo)
+    @volatile var visible = 5
+    server.createContext("/grow", (ex: HttpExchange) => {
+      LiveHits.inc("grow")
+      val since = params(ex).get("since").map(_.toLong).getOrElse(0L)
+      val items = (1L to visible.toLong).filter(_ >= since)
+        .map(i => s"""{"id":$i,"day":"2024-01-${"%02d".format(i)}"}""")
+      respond(ex, 200, s"""{"data":[${items.mkString(",")}]}""")
+    })
+    val src = RestSource("live", ClientConfig(base), Seq(RestResource("grow",
+      EndpointConfig("grow", dataSelector = "data",
+        incremental = Some(IncrementalBinding(cursorPath = "id", startParam = "since"))),
+      graft.core.TableHints("grow", graft.core.Disposition.Merge, primaryKey = Seq("id")))))
+    val dest = tmpDir("live-pipe-dest"); val stateDir = tmpDir("live-pipe-state")
+    val pipe = new Pipeline(spark, "p", dest, stateDir)
+    def resources = Seq(ResourceDef(
+      name = "grow",
+      hints = src.resources.head.hints,
+      build = ctx => RestEngine.readResource(ctx.spark, src, src.resources.head,
+        new UrlConnectionTransport(), Some(ctx.state)),
+      incremental = Some((Incremental(Seq("id")), "id")),
+    ))
+
+    val r1 = pipe.run(SourceDef("live", resources))
+    assert(r1.map(_.rows) == Seq(5L))
+    assert(StateStore(stateDir, "p.live").getString("live.grow.cursor").contains("5"))
+
+    // three new rows appear server-side; the committed cursor rides out as
+    // ?since=5, the engine strict-filters the echoed id=5, merge lands 8
+    visible = 8
+    val r2 = pipe.run(SourceDef("live", resources))
+    assert(r2.map(_.rows) == Seq(8L))
+    assert(StateStore(stateDir, "p.live").getString("live.grow.cursor").contains("8"))
+    val landed = spark.read.parquet(s"$dest/grow")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(landed == (1L to 8L).toSet)
+    assert(LiveHits.get("grow") == 2, "one live request per run")
+  }
+
   test("fleet config end-to-end over real sockets: parallel root pages + child fan-out on executors") {
     LiveHits.reset()
     // one context dispatching on the URI path: /deals is the root (7 deals
