@@ -2852,6 +2852,36 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // streaming URL dedup: the crawl-frontier shape — a URL stream (five
+    // planted variant shapes per page, as q_url_dedup) canonicalized by
+    // the same codegen'd rule chain, then watermarked
+    // dropDuplicatesWithinWatermark on the CANONICAL key, so re-crawls
+    // of the same page under different surface forms dedup in flight.
+    // Watermark spans the event range: survivors ≡ the batch DISTINCT
+    // over canonical URLs no matter how the source micro-batches.
+    "q_stream_url_dedup" -> ((s, dir) => {
+      import graft.ops.Url
+      import graft.streaming.EventStreams
+      withFewShufflePartitions(s, 8) {
+        val ev = streamEvents(s, dir).filter(col("event_id") < 4000)
+          .select(col("ts"), col("event_id"))
+        val g = expr("event_id div 5").cast("string")
+        val v = col("event_id") % 5
+        val urls = ev.select(col("ts"),
+          when(v === 0, concat(lit("http://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2")))
+            .when(v === 1, concat(lit("HTTPS://WWW.SITE"), g, lit(".EXAMPLE.COM/p/"), g, lit("?a=1&b=2")))
+            .when(v === 2, concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("/?b=2&a=1")))
+            .when(v === 3, concat(lit("http://site"), g, lit(".example.com/p/"), g,
+              lit("?a=1&b=2&utm_source=feed&fbclid=X"), g))
+            .otherwise(concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2#sec"), v))
+            .as("url"))
+        val canon = urls.select(col("ts"), Url.canonicalize(col("url")).as("url_canon"))
+        val dd = EventStreams.streamingDedup(canon, Seq("url_canon"), watermark = "40 days")
+        EventStreams.runAvailableNow(dd, "q_stream_url_dedup_sink")
+      }
+      s.table("q_stream_url_dedup_sink").select("url_canon").orderBy("url_canon")
+    }),
+
     // streaming → merge landing: the continuous form of the reference's
     // pull-then-merge loop — each micro-batch flows through foreachBatch
     // into the merge writer (dedup_sort within the batch, upsert against
@@ -3460,22 +3490,28 @@ object SparkEntry {
        |ORDER BY s3.doc_id""".stripMargin.replaceAll("\n", " ")
   }
 
-  /** SQL replica of q_url_dedup: replant the five URL variants per
-    * group, replay every canonicalization rule (fragment strip,
-    * case-insensitive scheme strip, host-only lowercase + www strip,
-    * trailing-slash strip, tracking-param filter + byte-wise param
-    * sort), then the min-id-keeper group dedup.
+  /** Planted URL variant expression shared by the q_url_dedup and
+    * q_stream_url_dedup oracles: five shapes per page group keyed on
+    * `idExpr` — mirrors the Spark-side when-chain.
     */
-  private def urlDedupSql: String =
-    """WITH u AS (SELECT doc_id,
-      |  CASE doc_id % 5
-      |    WHEN 0 THEN 'http://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
-      |    WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE.COM/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
-      |    WHEN 2 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/?b=2&a=1'
-      |    WHEN 3 THEN 'http://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2&utm_source=feed&fbclid=X' || CAST(doc_id // 5 AS VARCHAR)
-      |    ELSE 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2#sec' || CAST(doc_id % 5 AS VARCHAR)
-      |  END AS url FROM documents),
-      |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''), '^https?://', '', 'i') AS u2 FROM u),
+  private def plantedUrlExpr(idExpr: String): String =
+    s"""CASE $idExpr % 5
+       |    WHEN 0 THEN 'http://site' || CAST($idExpr // 5 AS VARCHAR) || '.example.com/p/' || CAST($idExpr // 5 AS VARCHAR) || '?a=1&b=2'
+       |    WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST($idExpr // 5 AS VARCHAR) || '.EXAMPLE.COM/p/' || CAST($idExpr // 5 AS VARCHAR) || '?a=1&b=2'
+       |    WHEN 2 THEN 'https://site' || CAST($idExpr // 5 AS VARCHAR) || '.example.com/p/' || CAST($idExpr // 5 AS VARCHAR) || '/?b=2&a=1'
+       |    WHEN 3 THEN 'http://site' || CAST($idExpr // 5 AS VARCHAR) || '.example.com/p/' || CAST($idExpr // 5 AS VARCHAR) || '?a=1&b=2&utm_source=feed&fbclid=X' || CAST($idExpr // 5 AS VARCHAR)
+       |    ELSE 'https://site' || CAST($idExpr // 5 AS VARCHAR) || '.example.com/p/' || CAST($idExpr // 5 AS VARCHAR) || '?a=1&b=2#sec' || CAST($idExpr % 5 AS VARCHAR)
+       |  END""".stripMargin
+
+  /** Canonicalization CTE chain shared by the URL oracles: expects a CTE
+    * `u(doc_id, url)` upstream, ends in `canon(doc_id, url_canon)` —
+    * every rule of [[graft.ops.Url.canonicalize]] replayed (fragment
+    * strip, case-insensitive scheme strip, host-only lowercase + www
+    * strip, trailing-slash strip, tracking-param filter + byte-wise
+    * param sort).
+    */
+  private def urlCanonChain: String =
+    """s1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''), '^https?://', '', 'i') AS u2 FROM u),
       |s2 AS (SELECT *, strpos(u2, '/') AS isl, strpos(u2, '?') AS iq FROM s1),
       |s3 AS (SELECT *, CASE WHEN isl > 0 AND (iq = 0 OR isl < iq) THEN isl WHEN iq > 0 THEN iq ELSE 0 END AS cut FROM s2),
       |s4 AS (SELECT doc_id,
@@ -3488,11 +3524,30 @@ object SparkEntry {
       |s7 AS (SELECT doc_id, host, path,
       |  array_to_string(list_sort(list_filter(string_split(query0, '&'),
       |    x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=') AND x <> '')), '&') AS q FROM s6),
-      |canon AS (SELECT doc_id, host || path || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS url_canon FROM s7),
+      |canon AS (SELECT doc_id, host || path || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS url_canon FROM s7)""".stripMargin
+
+  /** SQL replica of q_url_dedup: replant the five URL variants per
+    * group, run the shared canonicalization chain, then the
+    * min-id-keeper group dedup.
+    */
+  private def urlDedupSql: String =
+    s"""WITH u AS (SELECT doc_id, ${plantedUrlExpr("doc_id")} AS url FROM documents),
+      |$urlCanonChain,
       |grp AS (SELECT url_canon, min(doc_id) AS keep, count(*) AS n_dups FROM canon GROUP BY 1)
       |SELECT c.doc_id, c.url_canon, g.n_dups,
       |  CAST(CASE WHEN c.doc_id = g.keep THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM canon c JOIN grp g USING (url_canon) ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " ")
+
+  /** SQL replica of q_stream_url_dedup: the streamed frontier's landed
+    * key set must equal the batch DISTINCT over canonical URLs — batch
+    * semantics regardless of micro-batch boundaries (the watermark spans
+    * the whole event range, so no dedup state ages out mid-run).
+    */
+  private def streamUrlDedupSql: String =
+    s"""WITH u AS (SELECT event_id AS doc_id, ${plantedUrlExpr("event_id")} AS url
+      |  FROM events WHERE event_id < 4000),
+      |$urlCanonChain
+      |SELECT DISTINCT url_canon FROM canon ORDER BY url_canon""".stripMargin.replaceAll("\n", " ")
 
   /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
     * the same pattern sequence with DuckDB's RE2 engine — counts taken
@@ -4639,6 +4694,7 @@ object SparkEntry {
     "q_nb_quality" -> nbQualitySql,
     "q_pii_scrub" -> piiScrubSql,
     "q_url_dedup" -> urlDedupSql,
+    "q_stream_url_dedup" -> streamUrlDedupSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,
     "q_curation_v3" -> curationV3Sql,

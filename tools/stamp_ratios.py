@@ -66,6 +66,7 @@ STAMPS = {
     "q_stream_nb": 2.79, "q_leakage_split": 1.50, "q_hint_variants": 1.47,
     "q_rest_parallel": 0.37, "q_curation_v3": 10.02,
     "q_video_dedup_capped": 1.89, "q_url_dedup": 0.47,
+    "q_stream_url_dedup": 2.48,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
