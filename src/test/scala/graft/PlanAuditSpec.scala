@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q_url_dedup appends group stats via ONE unordered window — no join-back") {
+    // the agg+join-back alternative evaluates the (non-codegen HOF)
+    // canonical expression on three operator sides and measured 23x
+    // slower; this pins the one-window shape so it can't silently revert
+    val plan = finalPlan(ran("q_url_dedup"))
+    assert(!plan.contains("Join"), s"url dedup must not join back:\n$plan")
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+  }
+
   test("star join broadcasts every dimension (no sort-merge join)") {
     val plan = finalPlan(ran("q_multi_join_agg"))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
