@@ -2550,6 +2550,33 @@ object SparkEntry {
         stride = 2, maxDist = 3, minMatches = 2, maxBucketSize = 4)
         .orderBy("id_a", "id_b")),
 
+    // THE corpus-scale media recipe, gated end-to-end: capped star pair
+    // generation (cap 4 — every 5-variant fingerprint bucket over the
+    // cap) composed into clusterPairs. The star routes every bucket pair
+    // through the min-id hub, so transitive closure over the star edges
+    // recovers the components the raw O(n²) pair dump would find
+    // whenever members verify against the hub — the property that makes
+    // "cap + clusters, never the raw pair dump" the 100 TB posture
+    // (BASELINE sf10: capped pairs grow 3.5× vs 57× uncapped for 100×
+    // data; uncapped clusters 183×). The oracle replays the capped star
+    // pair set AND its closure bit-for-bit; MediaClusterSpec pins that
+    // the capped closure equals the uncapped closure on this fixture.
+    "q_audio_clusters_capped" -> ((s, dir) => {
+      val pairs = Dedup.audioNearDups(audioBlobs(s, dir), "media_id", "content",
+        maxDist = 3, maxBucketSize = 4)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
+    // the same composed recipe in the image dimension (whole-blob aHash
+    // buckets rather than audio rank fingerprints) — the two fingerprint
+    // paths share bandedVerify but cap in different bucket shapes, so
+    // each gets its own end-to-end gate.
+    "q_image_clusters_capped" -> ((s, dir) => {
+      val pairs = Dedup.imageNearDups(imageBlobs(s, dir), "media_id", "content",
+        maxDist = 3, maxBucketSize = 4)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
     // §2.1 row 12 (google_sheets): orders rendered as a Sheets value grid
     // (everything stringly, dates as Lotus serial numbers, TRUE/FALSE
     // bools) → header mapping + type inference + serial-date conversion →
@@ -2857,11 +2884,17 @@ object SparkEntry {
     // the same codegen'd rule chain, then watermarked
     // dropDuplicatesWithinWatermark on the CANONICAL key, so re-crawls
     // of the same page under different surface forms dedup in flight.
-    // Watermark spans the event range: survivors ≡ the batch DISTINCT
-    // over canonical URLs no matter how the source micro-batches.
+    // The watermark must span the event range for survivors ≡ the batch
+    // DISTINCT over canonical URLs no matter how the source
+    // micro-batches — so it is DERIVED from the slice's observed ts span
+    // (one cheap batch aggregate over the same parquet) rather than
+    // hardcoded, and stays correct if the driver ever regenerates the
+    // fixture with sparser timestamps.
     "q_stream_url_dedup" -> ((s, dir) => {
       import graft.ops.Url
       import graft.streaming.EventStreams
+      val spanDays = t(s, dir, "events").filter(col("event_id") < 4000)
+        .agg(datediff(max(col("ts")), min(col("ts")))).head.getInt(0)
       withFewShufflePartitions(s, 8) {
         val ev = streamEvents(s, dir).filter(col("event_id") < 4000)
           .select(col("ts"), col("event_id"))
@@ -2876,7 +2909,8 @@ object SparkEntry {
             .otherwise(concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2#sec"), v))
             .as("url"))
         val canon = urls.select(col("ts"), Url.canonicalize(col("url")).as("url_canon"))
-        val dd = EventStreams.streamingDedup(canon, Seq("url_canon"), watermark = "40 days")
+        val dd = EventStreams.streamingDedup(canon, Seq("url_canon"),
+          watermark = s"${spanDays + 2} days")
         EventStreams.runAvailableNow(dd, "q_stream_url_dedup_sink")
       }
       s.table("q_stream_url_dedup_sink").select("url_canon").orderBy("url_canon")
@@ -3107,8 +3141,30 @@ object SparkEntry {
     * the full `MediaCodecs.aHashBands` + `Dedup.imageNearDups` path,
     * bit-for-bit from the synthesis formulas.
     */
-  private def imagePairCtes: String =
-    """src AS (SELECT event_id AS e FROM events WHERE event_id % 100000000 < 400),
+  private def imagePairCtes: String = imagePairCtesWith(None)
+
+  /** As [[imagePairCtes]] with an optional bucket cap, replaying
+    * `Dedup.bandedVerify`'s min-id-hub star fallback in the whole-blob
+    * bucket dimension exactly as [[audioPairCtesWith]] does for audio.
+    */
+  private def imagePairCtesWith(cap: Option[Int]): String = {
+    val candCtes = cap match {
+      case None =>
+        """cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
+          |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e)""".stripMargin
+      case Some(c) =>
+        s"""bsz AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
+           |sane AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey) WHERE n <= $c),
+           |scand AS (SELECT a.e AS id_a, c.e AS id_b FROM sane a
+           |  JOIN sane c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+           |big AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey) WHERE n > $c),
+           |hubs AS (SELECT band, bkey, min(e) AS hub FROM big GROUP BY 1, 2),
+           |starc AS (SELECT hub AS id_a, e AS id_b FROM big JOIN hubs USING (band, bkey)
+           |  WHERE e <> hub),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM
+           |  (SELECT * FROM scand UNION ALL SELECT * FROM starc))""".stripMargin
+    }
+    s"""src AS (SELECT event_id AS e FROM events WHERE event_id % 100000000 < 400),
       |dims AS (SELECT e, 8 + (e // 5) % 9 AS w, 8 + (e // 5) % 7 AS h FROM src),
       |grid AS (SELECT e, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
       |  FROM dims CROSS JOIN range(0, 8) gi(i) CROSS JOIN range(0, 8) gj(i)),
@@ -3118,11 +3174,11 @@ object SparkEntry {
       |  FROM gray JOIN tot ON gray.e = tot.e),
       |bands AS (SELECT e, bp // 16 AS band, CAST(SUM(bit * (1 << (bp % 16))) AS BIGINT) AS bkey
       |  FROM bits GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b FROM bands a
-      |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.e < c.e),
+      |$candCtes,
       |ham AS (SELECT id_a, id_b, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
       |  FROM cand JOIN bands ba ON ba.e = id_a JOIN bands bb ON bb.e = id_b AND bb.band = ba.band
       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Shared CTE chain for the audio-dedup oracles: the bin-aligned tone
     * synthesis makes band energy ordering equal amplitude ordering, so
@@ -5630,6 +5686,29 @@ object SparkEntry {
 
     "q_audio_clusters" ->
       s"""WITH RECURSIVE $audioPairCtes,
+        |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+
+    // the composed capped recipe: transitive closure over the CAPPED star
+    // pair set (audioPairCtesWith(4)) — hub-mediated closure, gated
+    // end-to-end exactly as the engine composes it at corpus scale
+    "q_audio_clusters_capped" ->
+      s"""WITH RECURSIVE ${audioPairCtesWith(Some(4))},
+        |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
+        |reach(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+
+    "q_image_clusters_capped" ->
+      s"""WITH RECURSIVE ${imagePairCtesWith(Some(4))},
         |verified AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
         |edges AS (SELECT id_a AS u, id_b AS v FROM verified UNION SELECT id_b, id_a FROM verified),
         |reach(id, lbl) AS (

@@ -77,11 +77,17 @@ object RestPagesV2 {
     * the most recent `MaxRegistered` reads stay resolvable (each access
     * refreshes recency), older ones are dropped. A DataFrame re-executed
     * after 1024+ NEWER RestPagesV2 reads fails with "no planned REST
-    * endpoint" — call `read` again for a fresh scan in that (pathological)
-    * case. Executors are unaffected: the PlannedPages travels inside the
-    * reader factory, never through this driver-side map.
+    * endpoint … evicted" — call `read` again for a fresh scan in that
+    * (pathological) case. Executors are unaffected: the PlannedPages
+    * travels inside the reader factory, never through this driver-side map.
+    *
+    * The bound is tunable per deployment via the Spark conf
+    * `spark.graft.restPages.maxRegistered` (read at registration time from
+    * the active session — a driver holding more than 1024 concurrently
+    * live REST scans should raise it).
     */
-  private val MaxRegistered = 1024
+  @volatile private var maxRegistered = 1024
+  private[rest] val MaxRegisteredConfKey = "spark.graft.restPages.maxRegistered"
 
   /** Driver-side registry keyed by the `endpoint` DSv2 option, access-order
     * LRU. All access goes through `synchronized` on the map itself — entry
@@ -90,13 +96,27 @@ object RestPagesV2 {
   private val registry =
     new java.util.LinkedHashMap[String, Entry](64, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
-        size() > MaxRegistered
+        size() > maxRegistered
     }
   private val keyCounter = new java.util.concurrent.atomic.AtomicLong()
 
   private def entryFor(key: String): Entry = registry.synchronized {
-    Option(registry.get(key)).getOrElse(
-      throw new IllegalArgumentException(s"no planned REST endpoint '$key' registered"))
+    Option(registry.get(key)).getOrElse {
+      // Keys are generated sequentially, so a well-formed key at or below
+      // the counter WAS registered once — tell the caller it aged out of
+      // the LRU (and how to widen it) instead of the never-registered text.
+      val evicted = key match {
+        case s if s.startsWith("rest_") =>
+          s.stripPrefix("rest_").toLongOption.exists(_ <= keyCounter.get())
+        case _ => false
+      }
+      if (evicted)
+        throw new IllegalArgumentException(
+          s"planned REST endpoint '$key' was registered but evicted after $maxRegistered newer " +
+            s"registrations — re-run the read for a fresh scan, or raise $MaxRegisteredConfKey")
+      else
+        throw new IllegalArgumentException(s"no planned REST endpoint '$key' registered")
+    }
   }
 
   private[rest] def planFor(key: String)(compute: => Array[InputPartition]): Array[InputPartition] = {
@@ -111,6 +131,10 @@ object RestPagesV2 {
   }
 
   def register(pages: PlannedPages): String = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(MaxRegisteredConfKey))
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .foreach(maxRegistered = _)
     val key = s"rest_${keyCounter.incrementAndGet()}"
     registry.synchronized { registry.put(key, new Entry(pages)) }
     key

@@ -35,12 +35,27 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
   private def readBody(conn: HttpURLConnection, status: Int): String = {
     val raw = if (status >= 400) conn.getErrorStream else conn.getInputStream
     if (raw == null) return ""
-    val stream =
-      if ("gzip".equalsIgnoreCase(String.valueOf(conn.getContentEncoding)))
-        new java.util.zip.GZIPInputStream(raw)
-      else raw
-    try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-    finally stream.close()
+    val isGzip = "gzip".equalsIgnoreCase(String.valueOf(conn.getContentEncoding))
+    try {
+      if (!isGzip) return new String(raw.readAllBytes(), StandardCharsets.UTF_8)
+      // A 204/304 or a gzip-flagged error page may carry a zero-length
+      // body; GZIPInputStream's constructor throws EOF on it, so peek one
+      // byte before committing to the inflate path.
+      val pb = new java.io.PushbackInputStream(raw, 1)
+      val first = pb.read()
+      if (first < 0) return ""
+      pb.unread(first)
+      try new String(new java.util.zip.GZIPInputStream(pb).readAllBytes(), StandardCharsets.UTF_8)
+      catch {
+        case e @ (_: java.io.EOFException | _: java.util.zip.ZipException) =>
+          // Mid-stream truncation or a server lying about the encoding:
+          // never return a partial inflate (a silent prefix would corrupt
+          // downstream parse/merge) — raise an IOException naming the
+          // cause, which RetryingTransport treats as retryable.
+          throw new java.io.IOException(
+            s"gzip response body truncated or corrupt (${e.getMessage})", e)
+      }
+    } finally raw.close()
   }
 
   override def post(url: String, body: String, headers: Map[String, String]): HttpResponse = {

@@ -77,8 +77,17 @@ object Url {
     * steady-state). Per-key window state is one duplicate family —
     * bounded by the corpus's worst URL fan-in, the same hot-key hazard
     * any groupBy on the canonical string has.
+    *
+    * `idCol` must be unique (a document/crawl id): `kept` marks the rows
+    * whose id equals the group minimum, so duplicated ids would mark
+    * several survivors per canonical group. The three appended columns
+    * must not already exist on the input — silently overwriting a user
+    * column is worse than failing, so collisions throw.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val clash = Seq("url_canon", "n_dups", "kept").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"dedupByUrl appends url_canon/n_dups/kept; input already has ${clash.mkString(", ")} — rename or drop before deduping")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("url_canon")
     df.withColumn("url_canon", canonicalize(col(urlCol)))
       .withColumn("n_dups", count(lit(1)).over(w))
