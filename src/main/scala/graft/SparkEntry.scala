@@ -2319,6 +2319,114 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // §2.1 row 20 (facebook_ads insights): the async report-job lifecycle
+    // end-to-end — per-day job SUBMIT against a canned job server, polled
+    // through AsyncJobPoller's exponential backoff (virtual clock; the
+    // 10 s → 20 s schedule is asserted per job), the finished report
+    // fetched through the REAL cursor paginator (paging.cursors.after,
+    // 20/page, query-param auth), per-day frames unioned
+    // (Facebook.unionDays) and landed by pk merge on (date_start, ad_id).
+    // TWO runs: run 1's reports are missing the late-attributed events
+    // (event_id % 10 = 7 — conversions that settle later) and commit the
+    // cursor; run 2 rewinds it 7 days (Facebook.attributionWindowStart)
+    // and re-lands the trailing window from complete data. The merged
+    // table must therefore hold stale partial rows ONLY for days older
+    // than the attribution window — which the oracle reproduces with a
+    // day-split over the raw events.
+    // (sources/facebook_ads/helpers.py:134-180 job poll w/ backoff;
+    //  __init__.py:120-220 per-day fan-out, union, merge on pk)
+    "q_insights_jobs" -> ((s, dir) => {
+      import graft.connectors.rest._
+      import graft.connectors.rest.RestEngine._
+      import graft.connectors.sources.Specialized.Facebook
+      import java.time.LocalDate
+      import s.implicits._
+
+      // ad-insights ground truth derived from events: ad_id = user_id % 50
+      val agg = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"), (col("user_id") % 50).as("ad_id"))
+        .agg(
+          count(lit(1)).as("impr"),
+          sum(col("value").cast(dec18_2)).cast("double").as("spend"),
+          count(when(col("event_id") % 10 =!= 7, 1)).as("impr_part"),
+          sum(when(col("event_id") % 10 =!= 7, col("value").cast(dec18_2)))
+            .cast("double").as("spend_part"),
+        ).collect()
+      final case class AdRow(d: LocalDate, ad: Long, impr: Long, spend: Double)
+      val fullRows = agg.toSeq.map(r =>
+        AdRow(r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val partRows = agg.toSeq.filter(_.getLong(4) > 0).map(r =>
+        AdRow(r.getDate(0).toLocalDate, r.getLong(1), r.getLong(4), r.getDouble(5)))
+      val d0 = LocalDate.ofEpochDay(fullRows.map(_.d.toEpochDay).min)
+      val d1 = LocalDate.ofEpochDay(fullRows.map(_.d.toEpochDay).max)
+      val laterOf = (a: LocalDate, b: LocalDate) => if (a.isAfter(b)) a else b
+      val b = laterOf(d0, d1.minusDays(7)) // run 1 "ran" 7 days before now
+
+      // canned async job server: submit → Pending → Running → Completed,
+      // finished reports served as cursor-paged JSON
+      final class JobServer(reports: Map[LocalDate, Seq[AdRow]]) {
+        private val polls = scala.collection.mutable.Map[String, Int]()
+        def submit(day: LocalDate): String = s"job_$day"
+        def check(jobId: String): AsyncJobPoller.JobStatus = {
+          val n = polls.getOrElse(jobId, 0) + 1; polls(jobId) = n
+          if (n == 1) AsyncJobPoller.Pending
+          else if (n == 2) AsyncJobPoller.Running
+          else AsyncJobPoller.Completed(jobId.replace("job_", "report_"))
+        }
+        val pages: Map[String, String] = reports.flatMap { case (day, rows) =>
+          val items = rows.sortBy(_.ad).map(r =>
+            s"""{"date_start":"${r.d}","ad_id":${r.ad},"impressions":${r.impr},"spend":${r.spend}}""")
+          val chunks = if (items.isEmpty) Seq(Seq.empty[String]) else items.grouped(20).toSeq
+          chunks.zipWithIndex.map { case (chunk, i) =>
+            val cursor = if (i == 0) "" else s"&after=c$i"
+            val next = if (i < chunks.size - 1)
+              s""","paging":{"cursors":{"after":"c${i + 1}"}}""" else ""
+            s"v19.0/report_$day/insights?access_token=tok_fixture$cursor&limit=20" ->
+              s"""{"data":[${chunk.mkString(",")}]$next}"""
+          }
+        }
+      }
+      val client = ClientConfig("https://graph.facebook.com/v19.0",
+        Some(Auth.QueryParam("access_token", "tok_fixture")))
+      var vnow = 0L // virtual clock driven by the poller's own sleeps
+      def run(server: JobServer, start: LocalDate, endIncl: LocalDate): DataFrame = {
+        val transport = StaticPagesTransport(server.pages)
+        val frames = Facebook.dayRange(start, endIncl.plusDays(1)).map { day =>
+          val jobId = server.submit(day)
+          val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+          val ref = AsyncJobPoller.await(
+            () => server.check(jobId),
+            sleeper = ms => { sleeps += ms; vnow += ms },
+            clock = () => vnow,
+          ).fold(reason => sys.error(s"insights job for $day failed: $reason"), identity)
+          require(sleeps.toSeq == Seq(10000L, 20000L),
+            s"poll backoff schedule for $day was $sleeps, expected 10s then 20s")
+          val ep = EndpointConfig(s"$ref/insights", dataSelector = "data",
+            paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 20))
+          RestEngine.fetchPages(client, ep, transport).map { item =>
+            val n = Json.parse(item)
+            (n.get("date_start").asText(), n.get("ad_id").asLong(),
+              n.get("impressions").asLong(), n.get("spend").asDouble())
+          }.toDF("date_start", "ad_id", "impressions", "spend")
+        }
+        Facebook.unionDays(frames).get
+      }
+      val hints = TableHints("insights", Disposition.Merge,
+        primaryKey = Seq("date_start", "ad_id"))
+      val state = new StateStore(
+        java.nio.file.Files.createTempDirectory("graft_insights").resolve("s.json"))
+      val run1 = run(new JobServer(partRows.groupBy(_.d)), d0, b)
+      val landed1 = MergeEngine.mergePlan(None, run1, hints).localCheckpoint(true)
+      state.put("facebook_ads.insights.cursor", b.toString); state.commit()
+      val cursor = LocalDate.parse(state.getString("facebook_ads.insights.cursor").get)
+      val r2start = laterOf(d0, Facebook.attributionWindowStart(cursor, 7))
+      val run2 = run(new JobServer(fullRows.groupBy(_.d)), r2start, d1)
+      MergeEngine.mergePlan(Some(landed1), run2, hints)
+        .select(to_date(col("date_start")).as("date_start"), col("ad_id"),
+          col("impressions"), col("spend"))
+        .orderBy("date_start", "ad_id")
+    }),
+
     // §2.1 row 21 (inbox): two-wave mailbox read through the UID
     // high-water-mark cursor with server-side FROM pushdown — wave 1 sees
     // the first 300 messages, the cursor commits, wave 2 reads a grown
@@ -5611,6 +5719,23 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_custkey) AS n_ids,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    // the attribution-window day-split: days older than (now - 7d) - 7d
+    // keep run 1's partial aggregates (late conversions missing), the
+    // trailing window holds run 2's complete re-land
+    "q_insights_jobs" ->
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |cut AS (SELECT greatest(d0, greatest(d0, d1 - 7) - 7) AS r2 FROM bounds),
+        |full_agg AS (SELECT CAST(ts AS DATE) AS date_start, user_id % 50 AS ad_id,
+        |  count(*) AS impressions, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM events GROUP BY 1, 2),
+        |part_agg AS (SELECT CAST(ts AS DATE) AS date_start, user_id % 50 AS ad_id,
+        |  count(*) AS impressions, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM events WHERE event_id % 10 <> 7 GROUP BY 1, 2)
+        |SELECT p.date_start, p.ad_id, p.impressions, p.spend FROM part_agg p, cut WHERE p.date_start < cut.r2
+        |UNION ALL
+        |SELECT f.date_start, f.ad_id, f.impressions, f.spend FROM full_agg f, cut WHERE f.date_start >= cut.r2
+        |ORDER BY date_start, ad_id""".stripMargin.replaceAll("\n", " "),
 
     "q_inbox_cursor" ->
       """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS n_uids,
