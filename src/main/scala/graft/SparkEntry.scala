@@ -1282,6 +1282,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cross-run batch URL frontier (the chess seen-archives pattern,
+    // sources/chess/__init__.py:95-124, at URL granularity): wave 1
+    // lists the first 2000 events' URL surface forms, canonicalizes,
+    // fetches all 400 pages, and commits the canonical seen-set; wave 2
+    // re-lists EVERYTHING (every old page under all five surface forms
+    // again, plus 400 new pages) and must fetch ONLY the unseen pages.
+    // The membership check is a distributed left_anti join against the
+    // parquet seen generations (a frontier's key set is billions at
+    // corpus scale — never driver state), and the state pointer commits
+    // atomically AFTER the landing. The wave tag pins re-fetches: a
+    // seen page re-fetched in wave 2 would duplicate its url_canon and
+    // flip its wave, breaking the hash.
+    "q_url_frontier" -> ((s, dir) => {
+      import graft.ops.UrlFrontier
+      val dest = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      def listing(maxId: Long) = {
+        val g = expr("event_id div 5").cast("string")
+        val v = col("event_id") % 5
+        t(s, dir, "events").filter(col("event_id") < maxId)
+          .select(col("event_id"),
+            when(v === 0, concat(lit("http://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2")))
+              .when(v === 1, concat(lit("HTTPS://WWW.SITE"), g, lit(".EXAMPLE.COM/p/"), g, lit("?a=1&b=2")))
+              .when(v === 2, concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("/?b=2&a=1")))
+              .when(v === 3, concat(lit("http://site"), g, lit(".example.com/p/"), g,
+                lit("?a=1&b=2&utm_source=feed&fbclid=X"), g))
+              .otherwise(concat(lit("https://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2#sec"), v))
+              .as("url"))
+      }
+      def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
+        todo.select(col("url_canon"), md5(col("url_canon")).as("content_hash"),
+          lit(wave.toLong).as("wave"))
+      val w1 = UrlFrontier.runWave(s, dest, state, listing(2000), "url")(fetchWave(1))
+      val w2 = UrlFrontier.runWave(s, dest, state, listing(4000), "url")(fetchWave(2))
+      w1.unionByName(w2).orderBy("url_canon")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -3713,6 +3750,19 @@ object SparkEntry {
       |$urlCanonChain
       |SELECT DISTINCT url_canon FROM canon ORDER BY url_canon""".stripMargin.replaceAll("\n", " ")
 
+  /** SQL replica of q_url_frontier: pages from both waves' listings,
+    * wave = 1 where the page group was listed (and so fetched) in wave
+    * 1's slice, 2 for the genuinely new pages — one row per canonical
+    * URL, ever, is the fetched-exactly-once contract.
+    */
+  private def urlFrontierSql: String =
+    s"""WITH u AS (SELECT event_id AS doc_id, ${plantedUrlExpr("event_id")} AS url
+      |  FROM events WHERE event_id < 4000),
+      |$urlCanonChain,
+      |pages AS (SELECT url_canon, CAST(CASE WHEN min(doc_id) < 2000 THEN 1 ELSE 2 END AS BIGINT) AS wave
+      |  FROM canon GROUP BY 1)
+      |SELECT url_canon, md5(url_canon) AS content_hash, wave FROM pages ORDER BY url_canon""".stripMargin.replaceAll("\n", " ")
+
   /** SQL replica of q_pii_scrub: replant the synthetic PII, then apply
     * the same pattern sequence with DuckDB's RE2 engine — counts taken
     * on the pre-replacement state of each step, replacements global.
@@ -4858,6 +4908,8 @@ object SparkEntry {
     "q_nb_quality" -> nbQualitySql,
     "q_pii_scrub" -> piiScrubSql,
     "q_url_dedup" -> urlDedupSql,
+
+    "q_url_frontier" -> urlFrontierSql,
     "q_stream_url_dedup" -> streamUrlDedupSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,

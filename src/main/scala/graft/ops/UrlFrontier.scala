@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.core.StateStore
+
+/** Cross-run batch URL frontier — the recurring-crawl shape of the
+  * reference's seen-archives pattern (sources/chess/__init__.py:95-124:
+  * plan the whole range, drop already-fetched archives via the seen set,
+  * fetch only the remainder), lifted to URL granularity for a web
+  * pipeline: run N lists candidate URLs, canonicalizes them
+  * ([[Url.canonicalize]]), anti-joins the committed seen-set, and fetches
+  * only never-seen pages.
+  *
+  * Scale posture: a crawl frontier at corpus scale holds billions of
+  * canonical keys, so the seen SET lives columnar — parquet generation
+  * dirs under `dest/seen/g<N>` — and membership is a distributed
+  * `left_anti` join, never a driver-side collection. The driver-side
+  * [[StateStore]] holds only the committed GENERATION LIST: a wave writes
+  * its landed pages and its seen additions to fresh generation dirs
+  * FIRST and commits the state pointer LAST (StateStore.commit is
+  * write-temp + atomic move), so a crash mid-wave leaves orphan
+  * uncommitted dirs that no future run ever reads — the landing and the
+  * seen-set advance atomically, together.
+  */
+object UrlFrontier {
+  private val GenKey = "frontier.generations"
+
+  /** Committed seen-set of canonical keys: the union of committed
+    * generations (empty single-column frame before the first commit).
+    */
+  def seenSet(spark: SparkSession, dest: String, state: StateStore): DataFrame = {
+    val gens = state.getList(GenKey)
+    if (gens.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("url_canon", StringType))))
+    else spark.read.parquet(gens.map(g => s"$dest/seen/$g"): _*)
+  }
+
+  /** One crawl wave. `planned` carries raw candidate URLs in `urlCol`
+    * (surface-form duplicates welcome — canonicalization collapses them);
+    * `fetch` maps the deduped unseen frame (single `url_canon` column) to
+    * the landed page rows and must keep `url_canon`. Pages land in
+    * `dest/pages/g<N>`, the wave's seen additions in `dest/seen/g<N>`,
+    * and the generation pointer commits last. Returns the landed frame.
+    */
+  def runWave(spark: SparkSession, dest: String, state: StateStore,
+      planned: DataFrame, urlCol: String)(fetch: DataFrame => DataFrame): DataFrame = {
+    val canon = planned.select(Url.canonicalize(col(urlCol)).as("url_canon")).distinct()
+    val todo = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    val fetched = fetch(todo)
+    require(fetched.columns.contains("url_canon"),
+      "fetch must keep the url_canon column — it is the frontier key")
+    val gens = state.getList(GenKey)
+    val gen = s"g${gens.size + 1}"
+    // overwrite: a crash between landing and commit leaves orphan dirs
+    // for this SAME generation name — the retry must replace them, not
+    // fail on path-exists (committed generations are never re-targeted,
+    // so overwrite can only ever hit uncommitted orphans)
+    fetched.write.mode("overwrite").parquet(s"$dest/pages/$gen")
+    // derive the seen additions from the LANDED files, not by re-running
+    // the fetch plan — one fetch per URL, ever
+    val landed = spark.read.parquet(s"$dest/pages/$gen")
+    landed.select("url_canon").write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    state.putList(GenKey, gens :+ gen)
+    state.commit()
+    landed
+  }
+}
