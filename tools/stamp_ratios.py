@@ -11,10 +11,46 @@ Usage: python3 tools/stamp_ratios.py BENCH_LOCAL.json [BENCH_LOCAL_A.json ...]
 With multiple files, each query's MINIMUM across runs is used (the
 steady-state number BASELINE.md's methodology note prescribes comparing),
 and per-run values are shown alongside.
+
+Driver artifacts (BENCH_rNN.json with a "tail"/"parsed" shape) are also
+accepted: the driver captures only the last 2000 chars of Bench stdout,
+which truncates the head of the ~5 KB 150-query JSON line, so "parsed"
+comes back null. Bench writes the SAME line whole to BENCH_LOCAL.json in
+the working directory; when the artifact's parse is truncated, this tool
+recovers the full map from the sibling BENCH_LOCAL.json after verifying
+the artifact's surviving tail fragment is a byte-exact substring of that
+file — proving both came from the same run.
 """
 import json
+import os
 import statistics
 import sys
+
+
+def load_bench(path):
+    """(queries, errors, note) from a Bench line file OR driver artifact."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:  # a Bench-written full JSON line
+        return d.get("queries", {}), d.get("errors", {}), None
+    if "tail" not in d:
+        raise SystemExit(f"{path}: neither a Bench line (queries) nor a driver artifact (tail)")
+    parsed = d.get("parsed") or {}
+    if parsed.get("queries"):
+        return parsed["queries"], parsed.get("errors", {}), None
+    sib = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_LOCAL.json")
+    if not os.path.exists(sib):
+        raise SystemExit(f"{path}: tail-truncated and no sibling BENCH_LOCAL.json to recover from")
+    full = open(sib).read().strip()
+    # the artifact's tail is the JSON line's surviving suffix followed by
+    # the sbt epilogue — the fragment before the first newline must appear
+    # byte-for-byte in the full line, or the sibling is a DIFFERENT run
+    frag = d["tail"].split("\n")[0]
+    if not frag or frag not in full:
+        raise SystemExit(f"{path}: tail fragment does not match sibling BENCH_LOCAL.json — "
+                         "the sibling is from a different run; re-run Bench")
+    j = json.loads(full)
+    return j.get("queries", {}), j.get("errors", {}), f"recovered full map from {sib}"
 
 # BASELINE.md stamps (sf0.1, local[32], warmed). Source: the round-1 table
 # and the round-4 re-stamp table, plus later re-stamps where BASELINE.md
@@ -84,9 +120,10 @@ STAMPS = {
 def main(paths):
     runs = []
     for p in paths:
-        with open(p) as f:
-            d = json.load(f)
-        runs.append((p, d.get("queries", {}), d.get("errors", {})))
+        qs, errs, note = load_bench(p)
+        if note:
+            print(f"[{p}] {note}")
+        runs.append((p, qs, errs))
     names = sorted(set(STAMPS) & set().union(*(set(q) for _, q, _ in runs)))
     rows = []
     for n in names:
