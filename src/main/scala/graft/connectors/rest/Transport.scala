@@ -29,15 +29,45 @@ trait HttpTransport extends Serializable {
   * to HttpURLConnection. All of this is exercised against a live loopback
   * server in HttpTransportLiveSpec.
   */
-final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
+    /** Cap on the BUFFERED body (post-inflate, so gzip bombs are caught
+      * too). A fleet driver fans hundreds of fetches; one endpoint
+      * answering with gigabytes must fail loud, not OOM the JVM.
+      */
+    maxBodyBytes: Int = 256 << 20)
     extends HttpTransport {
+
+  private def readBounded(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > maxBodyBytes)
+        throw new java.io.IOException(
+          s"response body exceeds maxBodyBytes=$maxBodyBytes — refusing to buffer")
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
 
   private def readBody(conn: HttpURLConnection, status: Int): String = {
     val raw = if (status >= 400) conn.getErrorStream else conn.getInputStream
     if (raw == null) return ""
     val isGzip = "gzip".equalsIgnoreCase(String.valueOf(conn.getContentEncoding))
     try {
-      if (!isGzip) return new String(raw.readAllBytes(), StandardCharsets.UTF_8)
+      if (!isGzip) {
+        val bytes = readBounded(raw)
+        // A connection dying mid-stream surfaces as a clean EOF short of
+        // the declared Content-Length — read-until-EOF alone would hand a
+        // silently truncated 200 body to the JSON layer (observed live in
+        // HttpTransportLiveSpec). Retryable, so raise IOException.
+        val declared = conn.getContentLengthLong
+        if (declared >= 0 && bytes.length < declared)
+          throw new java.io.IOException(
+            s"response body truncated: read ${bytes.length} of $declared declared bytes")
+        return new String(bytes, StandardCharsets.UTF_8)
+      }
       // A 204/304 or a gzip-flagged error page may carry a zero-length
       // body; GZIPInputStream's constructor throws EOF on it, so peek one
       // byte before committing to the inflate path.
@@ -45,7 +75,7 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
       val first = pb.read()
       if (first < 0) return ""
       pb.unread(first)
-      try new String(new java.util.zip.GZIPInputStream(pb).readAllBytes(), StandardCharsets.UTF_8)
+      try new String(readBounded(new java.util.zip.GZIPInputStream(pb)), StandardCharsets.UTF_8)
       catch {
         case e @ (_: java.io.EOFException | _: java.util.zip.ZipException) =>
           // Mid-stream truncation or a server lying about the encoding:

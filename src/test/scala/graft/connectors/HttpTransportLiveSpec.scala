@@ -267,4 +267,94 @@ class HttpTransportLiveSpec extends SparkTestBase with BeforeAndAfterAll {
     assert((0 to 6).map(d => LiveHits.get(s"parts@$d")) == Seq.fill(7)(1),
       "each child endpoint fetched exactly once")
   }
+
+  // ------------------------------------------------- failure shapes
+  // The error paths a 100x fleet fan-out exercises in production: every
+  // one must fail LOUD (or retry) — never hand a partial/garbage body to
+  // the JSON layer, never spin forever, never buffer without bound.
+
+  test("empty gzip-flagged body reads as empty; truncated gzip errors loud and retries to success") {
+    server.createContext("/gz204", (ex: HttpExchange) => {
+      // gzip-flagged but zero-length: the shape 204/304 and some error
+      // handlers produce — must be "", not an EOFException
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    val t = new UrlConnectionTransport()
+    val r = t.get(s"$base/gz204", Map.empty, Map.empty)
+    assert(r.status == 200 && r.body == "")
+
+    val whole = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(("""{"items":[""" + Seq.fill(200)("""{"id":1}""").mkString(",") + "]}")
+        .getBytes(StandardCharsets.UTF_8))
+      gz.close(); bos.toByteArray
+    }
+    server.createContext("/gztrunc", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      if (LiveHits.inc("gztrunc") <= 2) { // first two hits: half the gzip stream
+        val cut = whole.length / 2
+        ex.sendResponseHeaders(200, cut)
+        ex.getResponseBody.write(whole, 0, cut)
+      } else {
+        ex.sendResponseHeaders(200, whole.length)
+        ex.getResponseBody.write(whole)
+      }
+      ex.close()
+    })
+    // direct: a named error, never a silent partial body
+    val e = intercept[java.io.IOException](t.get(s"$base/gztrunc", Map.empty, Map.empty))
+    assert(e.getMessage.contains("truncated or corrupt"))
+    // through the retry layer: truncation is transient, attempt 2 serves whole
+    val rt = new RetryingTransport(t, sleeper = _ => ())
+    val r2 = rt.get(s"$base/gztrunc", Map.empty, Map.empty)
+    assert(r2.status == 200 && r2.body.startsWith("""{"items":["""), r2.body.take(80))
+    assert(LiveHits.get("gztrunc") == 3)
+  }
+
+  test("mid-stream connection reset is retryable; a redirect loop terminates bounded") {
+    server.createContext("/reset", (ex: HttpExchange) => {
+      if (LiveHits.inc("reset") == 1) {
+        // promise 1000 bytes, deliver 7, slam the connection: the client
+        // must see a premature EOF, not a short 200 body
+        ex.sendResponseHeaders(200, 1000)
+        ex.getResponseBody.write("partial".getBytes(StandardCharsets.UTF_8))
+        ex.close()
+      } else respond(ex, 200, """{"ok":true}""")
+    })
+    val rt = new RetryingTransport(new UrlConnectionTransport(), sleeper = _ => ())
+    val r = rt.get(s"$base/reset", Map.empty, Map.empty)
+    assert(r.status == 200 && r.body == """{"ok":true}""")
+    assert(LiveHits.get("reset") == 2)
+
+    server.createContext("/loopA", (ex: HttpExchange) => {
+      LiveHits.inc("loop")
+      respond(ex, 302, "", headers = Map("Location" -> s"$base/loopB"))
+    })
+    server.createContext("/loopB", (ex: HttpExchange) => {
+      LiveHits.inc("loop")
+      respond(ex, 302, "", headers = Map("Location" -> s"$base/loopA"))
+    })
+    // the JDK caps the follow chain (~20 hops) and raises ProtocolException
+    intercept[java.io.IOException](
+      new UrlConnectionTransport().get(s"$base/loopA", Map.empty, Map.empty))
+    assert(LiveHits.get("loop") > 0 && LiveHits.get("loop") <= 40,
+      s"redirect loop not bounded: ${LiveHits.get("loop")} hops")
+  }
+
+  test("oversized responses fail loud at the cap, raw and gzip-bombed alike") {
+    server.createContext("/huge", (ex: HttpExchange) =>
+      respond(ex, 200, "x" * 100000))
+    server.createContext("/bomb", (ex: HttpExchange) =>
+      respond(ex, 200, "y" * 100000, gzip = true)) // ~100 KB inflated from ~200 bytes
+    val tiny = new UrlConnectionTransport(maxBodyBytes = 10000)
+    val e1 = intercept[java.io.IOException](tiny.get(s"$base/huge", Map.empty, Map.empty))
+    assert(e1.getMessage.contains("maxBodyBytes"))
+    // the cap measures POST-inflate size, so a tiny compressed bomb trips it too
+    val e2 = intercept[java.io.IOException](tiny.get(s"$base/bomb", Map.empty, Map.empty))
+    assert(e2.getMessage.contains("maxBodyBytes") || e2.getMessage.contains("truncated or corrupt"),
+      e2.getMessage)
+  }
 }
