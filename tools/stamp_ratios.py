@@ -103,6 +103,36 @@ STAMPS = {
     "q_rest_parallel": 0.37, "q_curation_v3": 10.02,
     "q_video_dedup_capped": 1.89, "q_url_dedup": 0.47,
     "q_stream_url_dedup": 2.48,
+    # round-13 full-coverage stamps: the entire previously-unstamped tail
+    # (mostly sub-second scan/agg queries) plus the four r13 additions.
+    # Methodology: min across BENCH_LOCAL_P/Q (two full-surface Bench
+    # invocations, each per-query min-of-2) — in-run values, not isolated;
+    # historical in-run interference tops out ~1.7x of isolated, which the
+    # 2x bar absorbs (BASELINE.md round-13 stamp table).
+    "q_ann_lsh_probe": 0.31, "q_asof_join": 0.21, "q_assoc_dedup": 0.18,
+    "q_audio_clusters_capped": 1.25, "q_cdc_stream": 0.25,
+    "q_chunk_docs": 0.15, "q_corpus_pipeline": 1.98,
+    "q_cursor_coalesce": 0.19, "q_custom_fields": 0.20,
+    "q_deal_flows": 0.12, "q_decontaminate": 0.31, "q_dedup_exact": 0.18,
+    "q_digest_ids": 0.18, "q_domain_mix": 0.22, "q_embed_ann": 0.43,
+    "q_enum_decode": 0.20, "q_epoch_heuristic": 0.15,
+    "q_extract_structured": 0.18, "q_field_pivot": 0.13,
+    "q_fingerprint": 0.10, "q_frame_sample": 0.21, "q_hard_delete": 0.32,
+    "q_hybrid_rank_scale": 2.31, "q_image_clusters_capped": 1.57,
+    "q_incremental_cursor": 0.17, "q_insights_jobs": 2.08,
+    "q_join_broadcast": 0.33, "q_langid": 0.17, "q_merge_dedup": 0.35,
+    "q_merge_key_replace": 0.43, "q_multimodal_decode": 0.15,
+    "q_multimodal_meta": 0.13, "q_ngram_novelty": 0.13,
+    "q_normalize_explode": 0.19, "q_normalize_flatten": 0.10,
+    "q_normalize_json": 0.21, "q_pack_sequences": 0.11,
+    "q_pdf_pipeline_champion": 2.20, "q_pivot": 0.16,
+    "q_property_history": 0.55, "q_pushdown_scan_agg": 0.22,
+    "q_queue_pipeline": 0.30, "q_rest_pipeline": 0.30,
+    "q_sample_stratified": 0.21, "q_scalar_ts": 0.21, "q_scd2": 0.50,
+    "q_session_filter": 0.26, "q_sessionize_batch": 0.18,
+    "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
+    "q_table_routing": 0.17, "q_text_quality": 0.12, "q_tokens": 0.12,
+    "q_unpivot": 0.15, "q_url_frontier": 1.88,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
