@@ -145,7 +145,33 @@ class RestPagesV2Spec extends SparkTestBase {
     val keys = (1 to 1100).map(_ => RestPagesV2.register(pages))
     assert(RestPagesV2.registeredCount <= 1024, s"count=${RestPagesV2.registeredCount}")
     RestPagesV2.get(keys.last) // most recent resolves
-    intercept[IllegalArgumentException] { RestPagesV2.get(first) } // eldest evicted
+    // the eldest evicted: the error must SAY evicted (and how to widen the
+    // bound), not claim the key was never registered — the two failures
+    // have different fixes
+    val e = intercept[IllegalArgumentException] { RestPagesV2.get(first) }
+    assert(e.getMessage.contains("evicted") &&
+      e.getMessage.contains(RestPagesV2.MaxRegisteredConfKey), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { RestPagesV2.get("bogus_key") }
+    assert(!e2.getMessage.contains("evicted"), e2.getMessage)
+  }
+
+  test("registry bound is tunable via spark.graft.restPages.maxRegistered") {
+    val fixture = offsetFixture
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 3, totalPath = Some("meta.total")))
+    def pages = RestPagesV2.PlannedPages(client, ep, Map.empty, () => new LoggingTransport(fixture))
+    spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "2000")
+    try {
+      (1 to 1500).foreach(_ => RestPagesV2.register(pages))
+      assert(RestPagesV2.registeredCount > 1024 && RestPagesV2.registeredCount <= 2000,
+        s"count=${RestPagesV2.registeredCount}")
+    } finally {
+      // restore the stock bound for any suite after this one (the LRU
+      // trims one entry per subsequent insert — lazily, by design)
+      spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "1024")
+      RestPagesV2.register(pages)
+      spark.conf.unset(RestPagesV2.MaxRegisteredConfKey)
+    }
   }
 
   test("newest-first incremental endpoints fall back to the serial loop (page-stop needs the chain)") {
