@@ -1,27 +1,63 @@
 import duckdb, json, sys, glob, os
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
-con = duckdb.connect()
+
 # bounded memory + disk spill: the heaviest sf1 oracle replays (semantic
 # dedup's ~312M pair decisions) otherwise die on container allocation
-# failure instead of spilling
-con.execute("PRAGMA memory_limit='24GB'")
-con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
-for p in glob.glob(f'{sf}/*.parquet'):
-    name = os.path.basename(p)[:-8]
-    pat = f'{p}/*.parquet' if os.path.isdir(p) else p  # Spark dir outputs (e.g. ScaleData)
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{pat}'")
+# failure instead of spilling. DUCK_MEM overrides the budget for reruns.
+MEM = os.environ.get('DUCK_MEM', '24GB')
+os.makedirs('/tmp/duck_spill', exist_ok=True)
+
+def connect(threads=None):
+    c = duckdb.connect()
+    c.execute(f"PRAGMA memory_limit='{MEM}'")
+    if threads:
+        c.execute(f"PRAGMA threads={threads}")
+    c.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    for p in glob.glob(f'{sf}/*.parquet'):
+        name = os.path.basename(p)[:-8]
+        pat = f'{p}/*.parquet' if os.path.isdir(p) else p  # Spark dir outputs (e.g. ScaleData)
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{pat}'")
+    return c
+
+con = connect()
+
+def run(sql):
+    """Execute on the shared connection; self-heal on OOM.
+
+    Two DuckDB failure modes observed at sf1 (round 13): (a) a heavy
+    replay whose per-thread operator state exceeds the budget at high
+    thread counts fails with "bad allocation" but succeeds at 8 threads;
+    (b) after ONE such OOM the shared buffer manager is poisoned — later
+    trivially small queries fail on kilobyte blocks. Both heal the same
+    way: swap in a FRESH 8-thread connection (and keep it, so subsequent
+    queries never touch the poisoned one) and retry once.
+    """
+    global con
+    try:
+        return con.execute(sql).df()
+    except Exception as e:
+        if 'Out of Memory' not in str(e):
+            raise
+        print(f'  [oom-retry on fresh 8-thread connection: {str(e)[:80]}]')
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = connect(threads=8)
+        return con.execute(sql).df()
+
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 ok, bad = [], []
 for q in sorted(os.listdir(out)):
     d = f'{out}/{q}'
     if not os.path.isdir(d): continue
-    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    got = run(f"SELECT * FROM '{d}/*.parquet'")
     if q not in oracle:
         ok.append(f'{q} (rows-only: {len(got)})' if len(got) > 0 else f'{q} ROWS-ONLY EMPTY!')
         continue
     try:
-        exp = con.execute(oracle[q]).df()
+        exp = run(oracle[q])
     except Exception as e:
         bad.append(f'{q}: ORACLE ERROR {e}'); continue
     gs = got.reindex(sorted(got.columns), axis=1)
