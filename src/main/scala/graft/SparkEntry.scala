@@ -2695,6 +2695,25 @@ object SparkEntry {
         stride = 2, maxDist = 3, minMatches = 2, maxBucketSize = 4)
         .orderBy("id_a", "id_b")),
 
+    // video clip clustering: the near-dup pairs (>= 2 matched sampled
+    // positions) close into connected components — one representative
+    // per clip family, completing the image/audio/video clustering
+    // triple. Oracle = the pair CTE chain + recursive transitive closure.
+    "q_video_clusters" -> ((s, dir) => {
+      val pairs = Dedup.videoNearDups(videoBlobs(s, dir), "media_id", "content",
+        stride = 2, maxDist = 3, minMatches = 2)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
+    // the composed capped recipe in the frame-aligned dimension: per-
+    // (band, key, frame) star pairs (cap 4) → matched-positions gate →
+    // clusterPairs; the oracle replays star, gate, and closure.
+    "q_video_clusters_capped" -> ((s, dir) => {
+      val pairs = Dedup.videoNearDups(videoBlobs(s, dir), "media_id", "content",
+        stride = 2, maxDist = 3, minMatches = 2, maxBucketSize = 4)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    }),
+
     // THE corpus-scale media recipe, gated end-to-end: capped star pair
     // generation (cap 4 — every 5-variant fingerprint bucket over the
     // cap) composed into clusterPairs. The star routes every bucket pair
@@ -3342,7 +3361,7 @@ object SparkEntry {
     * degrades (the composite id clip*4096+frame has a fixed frame within
     * a bucket, so min composite = min clip).
     */
-  private def videoPairSql(cap: Option[Int]): String = {
+  private def videoPairCtes(cap: Option[Int]): String = {
     val candCtes = cap match {
       case None =>
         """cand AS (SELECT DISTINCT a.e AS id_a, c.e AS id_b, a.f AS f FROM bands a
@@ -3359,7 +3378,7 @@ object SparkEntry {
            |cand AS (SELECT DISTINCT id_a, id_b, f FROM
            |  (SELECT * FROM scand UNION ALL SELECT * FROM starc))""".stripMargin
     }
-    s"""WITH src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id % 100000000 >= 840 AND event_id % 100000000 < 980),
+    s"""src AS (SELECT event_id AS e, event_id // 5 AS g, event_id % 5 AS v FROM events WHERE event_id % 100000000 >= 840 AND event_id % 100000000 < 980),
        |dims AS (SELECT e, g, v, 9 + g % 8 AS w, 8 + g % 6 AS h, 4 + v % 2 AS nf FROM src),
        |fr AS (SELECT e, g, v, w, h, UNNEST(range(0, nf, 2)) AS f FROM dims),
        |grid AS (SELECT e, g, v, f, gi.i AS gi, gj.i AS gj, (gi.i * w) // 8 AS x, (gj.i * h) // 8 AS y
@@ -3374,10 +3393,26 @@ object SparkEntry {
        |ham AS (SELECT id_a, id_b, cand.f AS f, CAST(SUM(bit_count(xor(ba.bkey, bb.bkey))) AS BIGINT) AS hamming
        |  FROM cand JOIN bands ba ON ba.e = id_a AND ba.f = cand.f
        |  JOIN bands bb ON bb.e = id_b AND bb.f = cand.f AND bb.band = ba.band
-       |  GROUP BY 1, 2, 3)
-       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames FROM ham WHERE hamming <= 3
-       |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+       |  GROUP BY 1, 2, 3),
+       |vpairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames FROM ham
+       |  WHERE hamming <= 3 GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
   }
+
+  private def videoPairSql(cap: Option[Int]): String =
+    s"""WITH ${videoPairCtes(cap)}
+       |SELECT id_a, id_b, n_frames FROM vpairs ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+
+  /** Closure over the (optionally capped) video pair set — the composed
+    * clip-clustering recipe in the frame-aligned bucket dimension.
+    */
+  private def videoClustersSql(cap: Option[Int]): String =
+    s"""WITH RECURSIVE ${videoPairCtes(cap)},
+       |edges AS (SELECT id_a AS u, id_b AS v FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.id)
+       |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " ")
 
   private def audioPairCtes: String = audioPairCtesWith(None)
 
@@ -5852,6 +5887,10 @@ object SparkEntry {
     "q_video_dedup" -> videoPairSql(None),
 
     "q_video_dedup_capped" -> videoPairSql(Some(4)),
+
+    "q_video_clusters" -> videoClustersSql(None),
+
+    "q_video_clusters_capped" -> videoClustersSql(Some(4)),
 
     "q_audio_dedup" ->
       s"""WITH $audioPairCtes

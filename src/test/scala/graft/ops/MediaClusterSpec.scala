@@ -57,6 +57,29 @@ class MediaClusterSpec extends SparkTestBase {
     assert(components(Dedup.clusterPairs(capped)) == components(Dedup.clusterPairs(uncapped)))
   }
 
+  test("video: closure over capped star pairs == closure over uncapped pairs") {
+    // two clip families of 6 brightness variants (constant offset — aHash
+    // mean-threshold invariant, all frames hamming 0 per sampled
+    // position) + one unrelated clip; 6-member frame-aligned buckets
+    // exceed cap 4, so the per-frame star fires everywhere. Families
+    // differ by x-GRADIENT, not by constant offset — a cross-family
+    // constant offset would itself be an aHash invariance and merge them
+    def clip(g: Int, v: Int): Array[Byte] =
+      MediaCodecs.encodeGifGrayFrames(10, 8, 4,
+        (f, x, y) => (13 * f + (7 + 6 * g) * x + 11 * y + v) % 256)
+    val clips = (for { g <- 0 until 2; v <- 0 until 6 } yield (g * 10L + v, clip(g, v))) :+
+      (99L -> MediaCodecs.encodeGifGrayFrames(10, 8, 4, (f, x, y) => (17 * x * y + f) % 256))
+    val df = clips.toDF("media_id", "content")
+
+    val uncapped = Dedup.videoNearDups(df, "media_id", "content",
+      stride = 2, maxDist = 3, minMatches = 2)
+    val capped = Dedup.videoNearDups(df, "media_id", "content",
+      stride = 2, maxDist = 3, minMatches = 2, maxBucketSize = 4)
+    assert(uncapped.count() == 2 * 15, s"expected full pair dump, got ${uncapped.count()}")
+    assert(capped.count() == 2 * 5, s"expected star pairs only, got ${capped.count()}")
+    assert(components(Dedup.clusterPairs(capped)) == components(Dedup.clusterPairs(uncapped)))
+  }
+
   test("image: closure over capped star pairs == closure over uncapped pairs") {
     // two visual families of 5 brightness variants (constant gray offset —
     // aHash is mean-thresholded so the bits are identical) + a gradient
