@@ -133,6 +133,8 @@ STAMPS = {
     "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
     "q_table_routing": 0.17, "q_text_quality": 0.12, "q_tokens": 0.12,
     "q_unpivot": 0.15, "q_url_frontier": 1.88,
+    # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
+    "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
     "q_ann_ivf": 0.93,          # round-6 addendum isolated min-of-2
     "q_semantic_dedup": 1.03,   # round-8 re-stamp: isolated min-of-2 AFTER the
