@@ -65,6 +65,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Window"), s"expected a window operator:\n$plan")
   }
 
+  test("q_url_frontier: membership is a distributed anti-join, never a collected set or a cartesian") {
+    // the frontier's seen-set is billions of keys at corpus scale — the
+    // unseen computation must stay a LeftAnti join against the parquet
+    // generations (broadcast or shuffled, either is fine; a driver-side
+    // collect or a nested-loop product is not)
+    val plans = allPlans("q_url_frontier")
+    assert(plans.contains("LeftAnti"), s"expected a left_anti membership join:\n${plans.take(3000)}")
+    assert(!plans.contains("CartesianProduct"), "frontier must never cross-join the seen-set")
+  }
+
   test("star join broadcasts every dimension (no sort-merge join)") {
     val plan = finalPlan(ran("q_multi_join_agg"))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
