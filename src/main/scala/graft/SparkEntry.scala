@@ -1314,9 +1314,20 @@ object SparkEntry {
       def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
         todo.select(col("url_canon"), md5(col("url_canon")).as("content_hash"),
           lit(wave.toLong).as("wave"))
-      val w1 = UrlFrontier.runWave(s, dest, state, listing(2000), "url")(fetchWave(1))
-      val w2 = UrlFrontier.runWave(s, dest, state, listing(4000), "url")(fetchWave(2))
-      w1.unionByName(w2).orderBy("url_canon")
+      val w1 = UrlFrontier.runWave(s, dest, state, listing(1500), "url")(fetchWave(1))
+      val w2 = UrlFrontier.runWave(s, dest, state, listing(3000), "url")(fetchWave(2))
+      // compact the two committed seen generations into one, then prove
+      // fetch-exactly-once ACROSS the compaction: wave 3 re-lists
+      // everything and must fetch only the genuinely new pages (the
+      // oracle's one-row-per-canonical-URL shape enforces it)
+      val before = UrlFrontier.seenSet(s, dest, state).count()
+      val compacted = UrlFrontier.compactSeen(s, dest, state)
+      require(compacted.size == 1,
+        s"compaction must leave a single seen generation, got $compacted")
+      require(UrlFrontier.seenSet(s, dest, state).count() == before,
+        "compaction changed the seen-set cardinality")
+      val w3 = UrlFrontier.runWave(s, dest, state, listing(4000), "url")(fetchWave(3))
+      w1.unionByName(w2).unionByName(w3).orderBy("url_canon")
     }),
 
     // Model-based quality classification (CCNet fastText / GPT-3 LR
@@ -2400,8 +2411,11 @@ object SparkEntry {
       val b = laterOf(d0, d1.minusDays(7)) // run 1 "ran" 7 days before now
 
       // canned async job server: submit → Pending → Running → Completed,
-      // finished reports served as cursor-paged JSON
-      final class JobServer(reports: Map[LocalDate, Seq[AdRow]]) {
+      // finished reports served as cursor-paged JSON. `days` is the FULL
+      // polled calendar range: a day with zero events (or a run-1 day
+      // whose every event settles late) serves an empty data array, not a
+      // 404 — the query must not depend on the fixture having dense days.
+      final class JobServer(reports: Map[LocalDate, Seq[AdRow]], days: Seq[LocalDate]) {
         private val polls = scala.collection.mutable.Map[String, Int]()
         def submit(day: LocalDate): String = s"job_$day"
         def check(jobId: String): AsyncJobPoller.JobStatus = {
@@ -2410,8 +2424,8 @@ object SparkEntry {
           else if (n == 2) AsyncJobPoller.Running
           else AsyncJobPoller.Completed(jobId.replace("job_", "report_"))
         }
-        val pages: Map[String, String] = reports.flatMap { case (day, rows) =>
-          val items = rows.sortBy(_.ad).map(r =>
+        val pages: Map[String, String] = days.flatMap { day =>
+          val items = reports.getOrElse(day, Seq.empty).sortBy(_.ad).map(r =>
             s"""{"date_start":"${r.d}","ad_id":${r.ad},"impressions":${r.impr},"spend":${r.spend}}""")
           val chunks = if (items.isEmpty) Seq(Seq.empty[String]) else items.grouped(20).toSeq
           chunks.zipWithIndex.map { case (chunk, i) =>
@@ -2421,23 +2435,41 @@ object SparkEntry {
             s"v19.0/report_$day/insights?access_token=tok_fixture$cursor&limit=20" ->
               s"""{"data":[${chunk.mkString(",")}]$next}"""
           }
-        }
+        }.toMap
       }
       val client = ClientConfig("https://graph.facebook.com/v19.0",
         Some(Auth.QueryParam("access_token", "tok_fixture")))
       var vnow = 0L // virtual clock driven by the poller's own sleeps
-      def run(server: JobServer, start: LocalDate, endIncl: LocalDate): DataFrame = {
+      def run(server: JobServer, days: Seq[LocalDate]): DataFrame = {
         val transport = StaticPagesTransport(server.pages)
-        val frames = Facebook.dayRange(start, endIncl.plusDays(1)).map { day =>
-          val jobId = server.submit(day)
-          val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
-          val ref = AsyncJobPoller.await(
-            () => server.check(jobId),
-            sleeper = ms => { sleeps += ms; vnow += ms },
-            clock = () => vnow,
-          ).fold(reason => sys.error(s"insights job for $day failed: $reason"), identity)
-          require(sleeps.toSeq == Seq(10000L, 20000L),
-            s"poll backoff schedule for $day was $sleeps, expected 10s then 20s")
+        // submit ALL days first, then poll them round-robin on one shared
+        // timeline (AsyncJobPoller.awaitAll): each job still sees the
+        // exact await schedule — checks at 0 / 10 s / 30 s, asserted per
+        // day below — but the fan-out's wall-clock is max(), not Σ,
+        // asserted on the virtual clock after the poll.
+        val vbase = vnow
+        val checksAt = scala.collection.mutable.Map[LocalDate, List[Long]]()
+        val polled = AsyncJobPoller.awaitAll(
+          days.map { day =>
+            val jobId = server.submit(day)
+            day -> (() => {
+              checksAt(day) = checksAt.getOrElse(day, Nil) :+ (vnow - vbase)
+              server.check(jobId)
+            })
+          },
+          sleeper = ms => vnow += ms,
+          clock = () => vnow,
+        ).toMap
+        days.foreach { day =>
+          require(checksAt(day) == List(0L, 10000L, 30000L),
+            s"poll schedule for $day was ${checksAt(day)}, expected checks at 0/10s/30s")
+        }
+        require(vnow - vbase == 30000L,
+          s"fan-out polling advanced the clock ${vnow - vbase} ms over ${days.size} jobs — " +
+            "expected max() = 30 s, not Σ")
+        val frames = days.map { day =>
+          val ref = polled(day)
+            .fold(reason => sys.error(s"insights job for $day failed: $reason"), identity)
           val ep = EndpointConfig(s"$ref/insights", dataSelector = "data",
             paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 20))
           RestEngine.fetchPages(client, ep, transport).map { item =>
@@ -2452,12 +2484,14 @@ object SparkEntry {
         primaryKey = Seq("date_start", "ad_id"))
       val state = new StateStore(
         java.nio.file.Files.createTempDirectory("graft_insights").resolve("s.json"))
-      val run1 = run(new JobServer(partRows.groupBy(_.d)), d0, b)
+      val days1 = Facebook.dayRange(d0, b.plusDays(1))
+      val run1 = run(new JobServer(partRows.groupBy(_.d), days1), days1)
       val landed1 = MergeEngine.mergePlan(None, run1, hints).localCheckpoint(true)
       state.put("facebook_ads.insights.cursor", b.toString); state.commit()
       val cursor = LocalDate.parse(state.getString("facebook_ads.insights.cursor").get)
       val r2start = laterOf(d0, Facebook.attributionWindowStart(cursor, 7))
-      val run2 = run(new JobServer(fullRows.groupBy(_.d)), r2start, d1)
+      val days2 = Facebook.dayRange(r2start, d1.plusDays(1))
+      val run2 = run(new JobServer(fullRows.groupBy(_.d), days2), days2)
       MergeEngine.mergePlan(Some(landed1), run2, hints)
         .select(to_date(col("date_start")).as("date_start"), col("ad_id"),
           col("impressions"), col("spend"))
@@ -3785,16 +3819,17 @@ object SparkEntry {
       |$urlCanonChain
       |SELECT DISTINCT url_canon FROM canon ORDER BY url_canon""".stripMargin.replaceAll("\n", " ")
 
-  /** SQL replica of q_url_frontier: pages from both waves' listings,
-    * wave = 1 where the page group was listed (and so fetched) in wave
-    * 1's slice, 2 for the genuinely new pages — one row per canonical
-    * URL, ever, is the fetched-exactly-once contract.
+  /** SQL replica of q_url_frontier: pages from all three waves' listings
+    * (seen-set compacted between waves 2 and 3), wave = the slice whose
+    * listing first covered the page group — one row per canonical URL,
+    * ever, is the fetched-exactly-once contract, across the compaction.
     */
   private def urlFrontierSql: String =
     s"""WITH u AS (SELECT event_id AS doc_id, ${plantedUrlExpr("event_id")} AS url
       |  FROM events WHERE event_id < 4000),
       |$urlCanonChain,
-      |pages AS (SELECT url_canon, CAST(CASE WHEN min(doc_id) < 2000 THEN 1 ELSE 2 END AS BIGINT) AS wave
+      |pages AS (SELECT url_canon,
+      |  CAST(CASE WHEN min(doc_id) < 1500 THEN 1 WHEN min(doc_id) < 3000 THEN 2 ELSE 3 END AS BIGINT) AS wave
       |  FROM canon GROUP BY 1)
       |SELECT url_canon, md5(url_canon) AS content_hash, wave FROM pages ORDER BY url_canon""".stripMargin.replaceAll("\n", " ")
 

@@ -107,7 +107,9 @@ object RestPagesV2 {
       // the LRU (and how to widen it) instead of the never-registered text.
       val evicted = key match {
         case s if s.startsWith("rest_") =>
-          s.stripPrefix("rest_").toLongOption.exists(_ <= keyCounter.get())
+          // counter starts at 1, so rest_0 was never issued — don't
+          // misreport it as evicted
+          s.stripPrefix("rest_").toLongOption.exists(n => n >= 1 && n <= keyCounter.get())
         case _ => false
       }
       if (evicted)
@@ -136,7 +138,14 @@ object RestPagesV2 {
       .flatMap(_.toIntOption).filter(_ > 0)
       .foreach(maxRegistered = _)
     val key = s"rest_${keyCounter.incrementAndGet()}"
-    registry.synchronized { registry.put(key, new Entry(pages)) }
+    registry.synchronized {
+      // removeEldestEntry only evicts one entry per insert, so a
+      // conf-driven bound DECREASE would otherwise leave the registry
+      // above the live bound indefinitely — trim eagerly here.
+      val it = registry.entrySet().iterator()
+      while (registry.size() >= maxRegistered && it.hasNext) { it.next(); it.remove() }
+      registry.put(key, new Entry(pages))
+    }
     key
   }
   private[rest] def get(key: String): PlannedPages = entryFor(key).pages

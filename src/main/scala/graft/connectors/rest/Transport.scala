@@ -75,8 +75,16 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
       val first = pb.read()
       if (first < 0) return ""
       pb.unread(first)
-      try new String(readBounded(new java.util.zip.GZIPInputStream(pb)), StandardCharsets.UTF_8)
-      catch {
+      // Close the GZIPInputStream itself (not just `raw`): each one owns an
+      // Inflater whose native buffer otherwise waits for the GC Cleaner —
+      // across a fleet fan-out of hundreds of fetches that native memory
+      // balloons between collections. Construction stays inside the try so
+      // a corrupt-header ZipException is still mapped to retryable.
+      var gz: java.util.zip.GZIPInputStream = null
+      try {
+        gz = new java.util.zip.GZIPInputStream(pb)
+        new String(readBounded(gz), StandardCharsets.UTF_8)
+      } catch {
         case e @ (_: java.io.EOFException | _: java.util.zip.ZipException) =>
           // Mid-stream truncation or a server lying about the encoding:
           // never return a partial inflate (a silent prefix would corrupt
@@ -84,7 +92,7 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
           // cause, which RetryingTransport treats as retryable.
           throw new java.io.IOException(
             s"gzip response body truncated or corrupt (${e.getMessage})", e)
-      }
+      } finally if (gz != null) gz.close()
     } finally raw.close()
   }
 

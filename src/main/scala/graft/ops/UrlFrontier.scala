@@ -27,6 +27,16 @@ import graft.core.StateStore
 object UrlFrontier {
   private val GenKey = "frontier.generations"
 
+  /** Numeric suffix of a generation name ("g12" -> 12). */
+  private def genNum(g: String): Long = g.dropWhile(!_.isDigit).toLong
+
+  /** Next generation name: monotonic over the committed MAX, not the list
+    * size — compaction shrinks the list to one element, and a size-based
+    * name would then re-target a committed dir.
+    */
+  private def nextGen(gens: Seq[String]): String =
+    s"g${if (gens.isEmpty) 1L else gens.map(genNum).max + 1L}"
+
   /** Committed seen-set of canonical keys: the union of committed
     * generations (empty single-column frame before the first commit).
     */
@@ -53,7 +63,7 @@ object UrlFrontier {
     require(fetched.columns.contains("url_canon"),
       "fetch must keep the url_canon column — it is the frontier key")
     val gens = state.getList(GenKey)
-    val gen = s"g${gens.size + 1}"
+    val gen = nextGen(gens)
     // overwrite: a crash between landing and commit leaves orphan dirs
     // for this SAME generation name — the retry must replace them, not
     // fail on path-exists (committed generations are never re-targeted,
@@ -62,9 +72,56 @@ object UrlFrontier {
     // derive the seen additions from the LANDED files, not by re-running
     // the fetch plan — one fetch per URL, ever
     val landed = spark.read.parquet(s"$dest/pages/$gen")
-    landed.select("url_canon").write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    // distinct: fetch may legally emit many rows per page (one per
+    // extracted item) — the seen generation stores each frontier KEY once,
+    // or the build side of every future wave's anti-join inflates
+    // unboundedly at corpus scale
+    landed.select("url_canon").distinct()
+      .write.mode("overwrite").parquet(s"$dest/seen/$gen")
     state.putList(GenKey, gens :+ gen)
     state.commit()
     landed
+  }
+
+  /** Bin-pack ALL committed seen generations into one. A recurring crawl
+    * accumulates one parquet dir per wave, so [[seenSet]] unions an
+    * ever-wider dir list with an ever-worse small-files profile at the
+    * anti-join's build side; the reference rewrites its seen-archives
+    * list wholesale each run (sources/chess/__init__.py:95-124) — this is
+    * the columnar variant's explicit equivalent. Same crash discipline as
+    * a wave: the merged generation lands FIRST under a fresh monotonic
+    * name, the pointer (now a single-element list) commits LAST, and only
+    * then are the superseded dirs deleted. A crash before the commit
+    * leaves the old list intact plus an orphan merged dir that the next
+    * wave targeting that number simply overwrites; a crash after the
+    * commit leaves unreferenced old dirs no run ever reads again (numbers
+    * are monotonic over the committed max, so they can never be
+    * re-targeted — sweep them with a later compact or manual gc).
+    *
+    * Output file count is sized off the real input bytes at
+    * `targetFileBytes` per file, so hundreds of small wave files become a
+    * handful of full scan-friendly ones. Returns the new generation list.
+    */
+  def compactSeen(spark: SparkSession, dest: String, state: StateStore,
+      targetFileBytes: Long = 128L << 20): Seq[String] = {
+    val gens = state.getList(GenKey)
+    if (gens.size <= 1) return gens
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = gens.map(g => new org.apache.hadoop.fs.Path(s"$dest/seen/$g"))
+    val totalBytes = dirs.flatMap(d => fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val gen = nextGen(gens)
+    // distinct is defensive (committed generations partition the key
+    // space by construction); coalesce rides the distinct's shuffle
+    // output instead of adding a second exchange
+    seenSet(spark, dest, state).distinct().coalesce(nFiles)
+      .write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    state.putList(GenKey, Seq(gen))
+    state.commit()
+    dirs.foreach(d => fs.delete(d, true))
+    Seq(gen)
   }
 }

@@ -75,6 +75,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plans.contains("CartesianProduct"), "frontier must never cross-join the seen-set")
   }
 
+  test("capped media clusters: overCap stays a BROADCAST anti-join; pairs stay equi-keyed on (band, key, bkt)") {
+    // the cap exists to close the O(m²) degenerate-bucket risk — that
+    // holds only while (a) the tiny overCap frame is BROADCAST to both
+    // the left_anti gate and the star side (a shuffled anti-join would
+    // exchange the full band rows twice), and (b) pair generation remains
+    // an equi-join on the FULL (band, key, bkt) triple (a widened or
+    // dropped key silently re-opens all-pairs work). Pin both shapes for
+    // the two capped cluster recipes whose bucket geometry differs
+    // (whole-blob audio vs frame-aligned video).
+    for (q <- Seq("q_audio_clusters_capped", "q_video_clusters_capped")) {
+      val plans = allPlans(q)
+      assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plans).isDefined,
+        s"$q: the overCap gate must be a broadcast left_anti:\n${plans.take(3000)}")
+      assert(!plans.contains("CartesianProduct"),
+        s"$q: capped pair generation must never cross-join")
+      assert(!plans.contains("BroadcastNestedLoopJoin"),
+        s"$q: capped pair generation must never nested-loop")
+      val pairJoin = plans.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("__band") && l.contains("__key") &&
+          l.contains("__bkt") && l.contains("<"))
+      assert(pairJoin,
+        s"$q: expected an equi-join keyed on (__band, __key, __bkt) with the id `<` condition:\n${plans.take(3000)}")
+    }
+  }
+
   test("star join broadcasts every dimension (no sort-merge join)") {
     val plan = finalPlan(ran("q_multi_join_agg"))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))

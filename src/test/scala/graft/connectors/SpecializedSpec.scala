@@ -106,6 +106,49 @@ class SpecializedSpec extends SparkTestBase {
     assert(r2.isLeft && r2.swap.toOption.get.contains("did not start"))
   }
 
+  test("async job poller: awaitAll shares sleeps — wall-clock max(), per-job schedule intact") {
+    // 5 jobs, each completing on its 3rd check under the default-shaped
+    // 10 → 20 backoff: awaitAll must check every job at t = 0 / 10 / 30
+    // (identical to what await would do) while advancing ONE shared clock
+    // to 30, not 5 × 30.
+    var vnow = 0L
+    val checks = scala.collection.mutable.Map[Int, List[Long]]()
+    val counts = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val jobs = (0 until 5).map { k =>
+      k -> (() => {
+        checks(k) = checks.getOrElse(k, Nil) :+ vnow
+        counts(k) += 1
+        if (counts(k) < 3) AsyncJobPoller.Running else AsyncJobPoller.Completed(s"ref-$k")
+      })
+    }
+    val rs = AsyncJobPoller.awaitAll(jobs,
+      AsyncJobPoller.PollConfig(initialIntervalMs = 10, maxIntervalMs = 300),
+      sleeper = ms => vnow += ms, clock = () => vnow)
+    assert(rs == (0 until 5).map(k => k -> Right(s"ref-$k")))
+    (0 until 5).foreach(k => assert(checks(k) == List(0L, 10L, 30L)))
+    assert(vnow == 30L) // max() over jobs, not Σ = 150
+
+    // mixed outcomes on one timeline: completes / Failed / never-starts.
+    // The straggler times out on ITS schedule without holding the others,
+    // and results come back in input order.
+    var v2 = 0L
+    val mixed = Seq(
+      "ok" -> (() => if (v2 >= 10) AsyncJobPoller.Completed("done")
+               else AsyncJobPoller.Running: AsyncJobPoller.JobStatus),
+      "bad" -> (() => AsyncJobPoller.Failed("boom"): AsyncJobPoller.JobStatus),
+      "stuck" -> (() => AsyncJobPoller.Pending: AsyncJobPoller.JobStatus),
+    )
+    val rs2 = AsyncJobPoller.awaitAll(mixed,
+      AsyncJobPoller.PollConfig(initialIntervalMs = 10, maxIntervalMs = 20,
+        startTimeoutMs = 50, completionTimeoutMs = 1000),
+      sleeper = ms => v2 += ms, clock = () => v2)
+    assert(rs2.map(_._1) == Seq("ok", "bad", "stuck"))
+    assert(rs2(0)._2 == Right("done"))
+    assert(rs2(1)._2 == Left("boom"))
+    assert(rs2(2)._2.isLeft && rs2(2)._2.swap.toOption.get.contains("did not start"))
+    assert(v2 <= 70L, s"shared timeline ran to $v2 — stragglers must not serialize")
+  }
+
   test("document source: chunked parallel scan with projection + cursor pushdown") {
     val docs = (0 until 95).map(i => s"""{"_id":$i,"name":"n$i","secret":"x","seq":$i}""")
     val store = new DocumentSource.DocumentStore {

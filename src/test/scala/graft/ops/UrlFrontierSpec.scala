@@ -57,4 +57,59 @@ class UrlFrontierSpec extends SparkTestBase {
     val seen = UrlFrontier.seenSet(spark, dest, state).as[String].collect().toSet
     assert(seen.size == 6 && !seen.contains("zombie"))
   }
+
+  test("compaction bin-packs 10 generations into one; fetch-exactly-once holds across it") {
+    val dest = tmpDir("frontier_compact")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def listing(n: Int): DataFrame =
+      (0 until n).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+
+    // 10 growing waves → 10 committed seen generations
+    (1 to 10).foreach(w =>
+      UrlFrontier.runWave(spark, dest, state, listing(w * 5), "url")(fetchCount(fetched)))
+    assert(fetched.get() == 50)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def seenDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/seen"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(seenDirs.size == 10)
+
+    val gens = UrlFrontier.compactSeen(spark, dest, state)
+    assert(gens == Seq("g11"), s"monotonic-over-max merged name expected, got $gens")
+    assert(seenDirs == Seq("g11"), "superseded generation dirs must be deleted after the commit")
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 50)
+
+    // the wave AFTER the compaction still fetches exactly the unseen pages
+    val w11 = UrlFrontier.runWave(spark, dest, state, listing(60), "url")(fetchCount(fetched))
+    assert(w11.count() == 10 && fetched.get() == 60, "compaction broke fetch-exactly-once")
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 60)
+    // pages archive is untouched by seen compaction: one dir per wave
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/pages")).length == 11)
+  }
+
+  test("a crash mid-compaction leaves the committed list intact; the next wave overwrites the orphan") {
+    val dest = tmpDir("frontier_compact_crash")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def listing(n: Int): DataFrame =
+      (0 until n).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+    UrlFrontier.runWave(spark, dest, state, listing(4), "url")(fetchCount(fetched))
+    UrlFrontier.runWave(spark, dest, state, listing(8), "url")(fetchCount(fetched))
+
+    // simulate the compaction crash: merged dir landed under the next
+    // monotonic name (g3), pointer NOT committed — plus stale content to
+    // prove the orphan is replaced, not read
+    Seq("zombie").toDF("url_canon").write.parquet(s"$dest/seen/g3")
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 8,
+      "orphan merged generation leaked into the seen-set")
+
+    // the next wave targets g3, overwrites the orphan, and stays exact
+    val w3 = UrlFrontier.runWave(spark, dest, state, listing(10), "url")(fetchCount(fetched))
+    assert(w3.count() == 2 && fetched.get() == 10)
+    val seen = UrlFrontier.seenSet(spark, dest, state).as[String].collect().toSet
+    assert(seen.size == 10 && !seen.contains("zombie"))
+    // and a RETRIED compaction (no crash this time) lands cleanly at g4
+    assert(UrlFrontier.compactSeen(spark, dest, state) == Seq("g4"))
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 10)
+  }
 }
