@@ -52,9 +52,13 @@ object FrontierCompactionBench {
       .map(d => fs.listStatus(d.getPath).count(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))).sum
     // the probe wave re-lists EVERY url: zero unseen, so its cost is the
-    // canonicalize + distinct + anti-join against the seen generations
+    // canonicalize + distinct + anti-join against the seen generations.
+    // Built as ONE frame (not a waves-way union) so the probe's plan cost
+    // doesn't scale with the wave count and mask the seen-set side.
     def probe(): (Double, Long) = {
-      val all = (0 until waves).map(listing).reduce(_.unionByName(_))
+      val all = events.filter(col("event_id") < waves * slice)
+        .select(concat(lit("http://h"), col("event_id") % 1000,
+          lit(".example.com/p/"), col("event_id")).as("url"))
       val t0 = System.nanoTime()
       var n = -1L
       val canon = all.select(graft.ops.Url.canonicalize(col("url")).as("url_canon")).distinct()

