@@ -166,8 +166,35 @@ class RestPagesV2Spec extends SparkTestBase {
       assert(RestPagesV2.registeredCount > 1024 && RestPagesV2.registeredCount <= 2000,
         s"count=${RestPagesV2.registeredCount}")
     } finally {
-      // restore the stock bound for any suite after this one (the LRU
-      // trims one entry per subsequent insert — lazily, by design)
+      // restore the stock bound for any suite after this one (the next
+      // register trims the registry to the restored bound eagerly)
+      spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "1024")
+      RestPagesV2.register(pages)
+      spark.conf.unset(RestPagesV2.MaxRegisteredConfKey)
+    }
+  }
+
+  test("a bound DECREASE trims the registry eagerly; rest_0 never misreports as evicted") {
+    val fixture = offsetFixture
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 3, totalPath = Some("meta.total")))
+    def pages = RestPagesV2.PlannedPages(client, ep, Map.empty, () => new LoggingTransport(fixture))
+    try {
+      spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "512")
+      (1 to 600).foreach(_ => RestPagesV2.register(pages))
+      assert(RestPagesV2.registeredCount <= 512)
+      // lower the bound: removeEldestEntry alone would leave ~512 entries
+      // sitting above the new bound indefinitely (one eviction per insert);
+      // the register path must trim the whole overhang at once
+      spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "64")
+      RestPagesV2.register(pages)
+      assert(RestPagesV2.registeredCount <= 64,
+        s"registry must trim to the lowered bound eagerly, got ${RestPagesV2.registeredCount}")
+      // rest_0 was never issued (the counter starts at 1): the error must
+      // say unregistered, not evicted — the two failures have different fixes
+      val e = intercept[IllegalArgumentException] { RestPagesV2.get("rest_0") }
+      assert(!e.getMessage.contains("evicted"), e.getMessage)
+    } finally {
       spark.conf.set(RestPagesV2.MaxRegisteredConfKey, "1024")
       RestPagesV2.register(pages)
       spark.conf.unset(RestPagesV2.MaxRegisteredConfKey)
