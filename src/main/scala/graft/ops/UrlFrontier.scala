@@ -54,8 +54,23 @@ object UrlFrontier {
     * the landed page rows and must keep `url_canon`. Pages land in
     * `dest/pages/g<N>`, the wave's seen additions in `dest/seen/g<N>`,
     * and the generation pointer commits last. Returns the landed frame.
+    *
+    * Single-writer per frontier, ENFORCED: the generation list is
+    * read-modify-write state, so a wave racing another wave (or a
+    * compaction) could commit a list built from a stale read — dropping
+    * the other writer's generation or resurrecting superseded dirs. The
+    * whole wave runs under the frontier root's [[graft.core.TableLock]]
+    * lease (auto-renewed, so an arbitrarily long fetch is never exposed
+    * to stale takeover); a concurrent writer fails fast with
+    * LockHeldException instead of corrupting the pointer.
     */
   def runWave(spark: SparkSession, dest: String, state: StateStore,
+      planned: DataFrame, urlCol: String)(fetch: DataFrame => DataFrame): DataFrame =
+    graft.core.TableLock.withLock(spark, dest, s"url-frontier-wave:${java.util.UUID.randomUUID()}") {
+      runWaveLocked(spark, dest, state, planned, urlCol)(fetch)
+    }
+
+  private def runWaveLocked(spark: SparkSession, dest: String, state: StateStore,
       planned: DataFrame, urlCol: String)(fetch: DataFrame => DataFrame): DataFrame = {
     val canon = planned.select(Url.canonicalize(col(urlCol)).as("url_canon")).distinct()
     val todo = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
@@ -103,7 +118,16 @@ object UrlFrontier {
     * handful of full scan-friendly ones. Returns the new generation list.
     */
   def compactSeen(spark: SparkSession, dest: String, state: StateStore,
-      targetFileBytes: Long = 128L << 20): Seq[String] = {
+      targetFileBytes: Long = 128L << 20): Seq[String] =
+    // same enforced single-writer discipline as a wave: compaction
+    // rewrites the generation list, so it must never interleave with a
+    // wave's read-modify-write of the same pointer
+    graft.core.TableLock.withLock(spark, dest, s"url-frontier-compact:${java.util.UUID.randomUUID()}") {
+      compactSeenLocked(spark, dest, state, targetFileBytes)
+    }
+
+  private def compactSeenLocked(spark: SparkSession, dest: String, state: StateStore,
+      targetFileBytes: Long): Seq[String] = {
     val gens = state.getList(GenKey)
     if (gens.size <= 1) return gens
     val fs = new org.apache.hadoop.fs.Path(dest)

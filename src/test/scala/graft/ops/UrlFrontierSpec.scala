@@ -112,4 +112,29 @@ class UrlFrontierSpec extends SparkTestBase {
     assert(UrlFrontier.compactSeen(spark, dest, state) == Seq("g4"))
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 10)
   }
+
+  test("waves and compaction are mutually excluded by the frontier lease") {
+    val dest = tmpDir("frontier_lock")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    val urls = (0 until 4).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+    UrlFrontier.runWave(spark, dest, state, urls, "url")(fetchCount(fetched))
+
+    // a live lease on the frontier root (another wave/compaction mid-
+    // flight): both entry points must fail fast rather than interleave a
+    // stale generation-list read-modify-write under the holder
+    val lease = graft.core.TableLock.acquire(spark, dest, "other-writer")
+    try {
+      intercept[graft.core.TableLock.LockHeldException] {
+        UrlFrontier.runWave(spark, dest, state, urls, "url")(fetchCount(fetched))
+      }
+      intercept[graft.core.TableLock.LockHeldException] {
+        UrlFrontier.compactSeen(spark, dest, state)
+      }
+    } finally lease.release()
+    // once released, the wave proceeds normally
+    val w2 = UrlFrontier.runWave(spark, dest, state,
+      (0 until 6).map(g => s"http://site$g.example.com/p/$g").toDF("url"), "url")(fetchCount(fetched))
+    assert(w2.count() == 2 && fetched.get() == 6)
+  }
 }
