@@ -139,10 +139,16 @@ object UrlFrontier {
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val gen = nextGen(gens)
     // distinct is defensive (committed generations partition the key
-    // space by construction); coalesce rides the distinct's shuffle
-    // output instead of adding a second exchange
-    seenSet(spark, dest, state).distinct().coalesce(nFiles)
-      .write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    // space by construction). Sizing: coalesce rides the distinct's
+    // shuffle output for free, but it can only MERGE partitions — a
+    // corpus-scale seen-set needing more output files than
+    // spark.sql.shuffle.partitions would silently come out as that many
+    // oversized files, so pay one proper exchange in that case.
+    val merged = seenSet(spark, dest, state).distinct()
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sized = if (nFiles <= shufflePartitions) merged.coalesce(nFiles)
+                else merged.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(s"$dest/seen/$gen")
     state.putList(GenKey, Seq(gen))
     state.commit()
     dirs.foreach(d => fs.delete(d, true))
