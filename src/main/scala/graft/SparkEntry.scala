@@ -1284,16 +1284,20 @@ object SparkEntry {
 
     // Cross-run batch URL frontier (the chess seen-archives pattern,
     // sources/chess/__init__.py:95-124, at URL granularity): wave 1
-    // lists the first 2000 events' URL surface forms, canonicalizes,
-    // fetches all 400 pages, and commits the canonical seen-set; wave 2
-    // re-lists EVERYTHING (every old page under all five surface forms
-    // again, plus 400 new pages) and must fetch ONLY the unseen pages.
-    // The membership check is a distributed left_anti join against the
-    // parquet seen generations (a frontier's key set is billions at
-    // corpus scale — never driver state), and the state pointer commits
-    // atomically AFTER the landing. The wave tag pins re-fetches: a
-    // seen page re-fetched in wave 2 would duplicate its url_canon and
-    // flip its wave, breaking the hash.
+    // lists the first 1500 events' URL surface forms, canonicalizes,
+    // fetches the 300 never-seen pages, and commits the canonical
+    // seen-set; wave 2 re-lists everything up to event 3000 (every old
+    // page under all five surface forms again) and must fetch ONLY the
+    // 300 new pages; the two committed seen generations are then
+    // COMPACTED into one (seenSet cardinality asserted preserved), and
+    // wave 3 re-lists the full 4000-event range to prove
+    // fetch-exactly-once holds ACROSS the compaction. The membership
+    // check is a distributed left_anti join against the parquet seen
+    // generations (a frontier's key set is billions at corpus scale —
+    // never driver state), and the state pointer commits atomically
+    // AFTER the landing. The wave tag pins re-fetches: a seen page
+    // re-fetched in a later wave would duplicate its url_canon and flip
+    // its wave, breaking the hash.
     "q_url_frontier" -> ((s, dir) => {
       import graft.ops.UrlFrontier
       val dest = java.nio.file.Files.createTempDirectory("graft_frontier").toString

@@ -22,6 +22,23 @@ object AsyncJobPoller {
       completionTimeoutMs: Long = 30 * 60 * 1000,
   )
 
+  /** ONE per-check transition, shared by [[await]] and [[awaitAll]] so
+    * the timeout discipline and its messages can never diverge between
+    * the serial and fan-out paths: Some(result) if the job resolved
+    * (Completed / Failed / timed out), None if it should be polled again.
+    */
+  private def resolve(status: JobStatus, started: Boolean, elapsed: Long,
+      cfg: PollConfig): Option[Either[String, String]] = status match {
+    case Completed(ref) => Some(Right(ref))
+    case Failed(reason) => Some(Left(reason))
+    case _ =>
+      if (!started && elapsed > cfg.startTimeoutMs)
+        Some(Left(s"job did not start within ${cfg.startTimeoutMs} ms"))
+      else if (elapsed > cfg.completionTimeoutMs)
+        Some(Left(s"job did not complete within ${cfg.completionTimeoutMs} ms"))
+      else None
+  }
+
   /** Poll `check` until Completed/Failed under the timeout discipline:
     * a job that never leaves Pending within startTimeout fails fast;
     * a Running job gets the full completion timeout.
@@ -36,16 +53,11 @@ object AsyncJobPoller {
     var interval = cfg.initialIntervalMs
     var started = false
     while (true) {
-      check() match {
-        case Completed(ref) => return Right(ref)
-        case Failed(reason) => return Left(reason)
-        case status =>
-          if (status == Running) started = true
-          val elapsed = clock() - t0
-          if (!started && elapsed > cfg.startTimeoutMs)
-            return Left(s"job did not start within ${cfg.startTimeoutMs} ms")
-          if (elapsed > cfg.completionTimeoutMs)
-            return Left(s"job did not complete within ${cfg.completionTimeoutMs} ms")
+      val status = check()
+      if (status == Running) started = true
+      resolve(status, started, clock() - t0, cfg) match {
+        case Some(r) => return r
+        case None =>
           sleeper(interval)
           interval = math.min((interval * cfg.backoffFactor).toLong, cfg.maxIntervalMs)
       }
@@ -75,6 +87,11 @@ object AsyncJobPoller {
       var started = false
       var nextDue: Long = clock() // first poll immediate, like await
       var result: Option[Either[String, String]] = None
+      var lastError: String = null
+      def reschedule(): Unit = {
+        nextDue = clock() + interval
+        interval = math.min((interval * cfg.backoffFactor).toLong, cfg.maxIntervalMs)
+      }
     }
     val t0 = clock()
     val states = jobs.map { case (k, c) => new St(k, c) }
@@ -87,19 +104,27 @@ object AsyncJobPoller {
         // job's wait rides the same sleep
         sleeper(math.max(1L, pending.map(_.nextDue).min - now))
       } else due.foreach { st =>
-        st.check() match {
-          case Completed(ref) => st.result = Some(Right(ref))
-          case Failed(reason) => st.result = Some(Left(reason))
-          case status =>
+        // one job's throwing status check must NOT abort the shared
+        // timeline (it would discard every already-resolved ref): treat a
+        // transient check failure as still-pending and keep polling THIS
+        // job on its backoff schedule — its own timeout discipline bounds
+        // a persistently failing check.
+        val checked =
+          try Right(st.check())
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        checked match {
+          case Right(status) =>
             if (status == Running) st.started = true
-            val elapsed = clock() - t0
-            if (!st.started && elapsed > cfg.startTimeoutMs)
-              st.result = Some(Left(s"job did not start within ${cfg.startTimeoutMs} ms"))
-            else if (elapsed > cfg.completionTimeoutMs)
-              st.result = Some(Left(s"job did not complete within ${cfg.completionTimeoutMs} ms"))
-            else {
-              st.nextDue = clock() + st.interval
-              st.interval = math.min((st.interval * cfg.backoffFactor).toLong, cfg.maxIntervalMs)
+            resolve(status, st.started, clock() - t0, cfg) match {
+              case Some(r) => st.result = Some(r)
+              case None => st.reschedule()
+            }
+          case Left(e) =>
+            st.lastError = s"${e.getClass.getName}: ${e.getMessage}"
+            resolve(Pending, st.started, clock() - t0, cfg) match {
+              case Some(Left(msg)) =>
+                st.result = Some(Left(s"$msg (last status-check error: ${st.lastError})"))
+              case _ => st.reschedule()
             }
         }
       }

@@ -105,13 +105,17 @@ object UrlFrontier {
     * list wholesale each run (sources/chess/__init__.py:95-124) — this is
     * the columnar variant's explicit equivalent. Same crash discipline as
     * a wave: the merged generation lands FIRST under a fresh monotonic
-    * name, the pointer (now a single-element list) commits LAST, and only
-    * then are the superseded dirs deleted. A crash before the commit
-    * leaves the old list intact plus an orphan merged dir that the next
-    * wave targeting that number simply overwrites; a crash after the
-    * commit leaves unreferenced old dirs no run ever reads again (numbers
-    * are monotonic over the committed max, so they can never be
-    * re-targeted — sweep them with a later compact or manual gc).
+    * name, the pointer (now a single-element list) commits LAST. The
+    * superseded dirs are NOT deleted here: a reader that resolved the old
+    * generation list may still be scanning them, so deletion is deferred
+    * to the unreferenced-dir sweep that runs at the START of the next
+    * compaction (a full compaction interval of grace) or to an explicit
+    * [[gcSeen]] once in-flight readers have drained. The same sweep also
+    * reclaims crash leftovers: a compaction that dies before its commit
+    * leaves an orphan merged dir the next wave targeting that number
+    * simply overwrites, and one that dies after the commit leaves
+    * unreferenced old dirs no run ever reads again (numbers are monotonic
+    * over the committed max, so they can never be re-targeted).
     *
     * Output file count is sized off the real input bytes at
     * `targetFileBytes` per file, so hundreds of small wave files become a
@@ -128,6 +132,12 @@ object UrlFrontier {
 
   private def compactSeenLocked(spark: SparkSession, dest: String, state: StateStore,
       targetFileBytes: Long): Seq[String] = {
+    // sweep FIRST (under the same lease): everything unreferenced by the
+    // committed list is garbage — generations a previous compaction
+    // superseded (left for reader grace, see scaladoc) and crash orphans.
+    // Sweeping only one's own inputs after the commit would leak the
+    // whole old seen-set on a crash between commit and delete, forever.
+    gcSeenLocked(spark, dest, state)
     val gens = state.getList(GenKey)
     if (gens.size <= 1) return gens
     val fs = new org.apache.hadoop.fs.Path(dest)
@@ -139,19 +149,40 @@ object UrlFrontier {
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val gen = nextGen(gens)
     // distinct is defensive (committed generations partition the key
-    // space by construction). Sizing: coalesce rides the distinct's
-    // shuffle output for free, but it can only MERGE partitions — a
-    // corpus-scale seen-set needing more output files than
-    // spark.sql.shuffle.partitions would silently come out as that many
-    // oversized files, so pay one proper exchange in that case.
-    val merged = seenSet(spark, dest, state).distinct()
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sized = if (nFiles <= shufflePartitions) merged.coalesce(nFiles)
-                else merged.repartition(nFiles)
-    sized.write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    // space by construction). Sizing: repartition, NOT coalesce — a
+    // coalesce here would collapse the distinct's final aggregation
+    // itself to nFiles tasks (the most expensive part of a corpus-scale
+    // compaction), whereas one extra exchange of the already-deduped
+    // keys is cheap and keeps the aggregation at full parallelism.
+    seenSet(spark, dest, state).distinct().repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$dest/seen/$gen")
     state.putList(GenKey, Seq(gen))
     state.commit()
-    dirs.foreach(d => fs.delete(d, true))
     Seq(gen)
+  }
+
+  /** Delete every seen dir not in the committed generation list: crash
+    * leftovers from landed-but-uncommitted waves/compactions, and
+    * generations superseded by a compaction (retained by [[compactSeen]]
+    * so readers that resolved the old list keep their files — call this
+    * once in-flight readers have drained, or rely on the sweep the next
+    * compaction performs on entry). Runs under the frontier lease.
+    * Returns the names of the deleted dirs.
+    */
+  def gcSeen(spark: SparkSession, dest: String, state: StateStore): Seq[String] =
+    graft.core.TableLock.withLock(spark, dest, s"url-frontier-gc:${java.util.UUID.randomUUID()}") {
+      gcSeenLocked(spark, dest, state)
+    }
+
+  private def gcSeenLocked(spark: SparkSession, dest: String, state: StateStore): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seenRoot = new org.apache.hadoop.fs.Path(s"$dest/seen")
+    if (!fs.exists(seenRoot)) return Nil
+    val committed = state.getList(GenKey).toSet
+    val garbage = fs.listStatus(seenRoot).toSeq.map(_.getPath)
+      .filter(p => !committed.contains(p.getName))
+    garbage.foreach(p => fs.delete(p, true))
+    garbage.map(_.getName)
   }
 }

@@ -149,6 +149,40 @@ class SpecializedSpec extends SparkTestBase {
     assert(v2 <= 70L, s"shared timeline ran to $v2 — stragglers must not serialize")
   }
 
+  test("awaitAll isolates a throwing status check: the job retries on its backoff, others keep their results") {
+    // job "flaky" throws on its first check (transient network blip),
+    // then completes; job "ok" completes immediately. The throw must not
+    // abort the shared timeline or discard ok's ref.
+    var v = 0L
+    var flakyCalls = 0
+    val jobs = Seq(
+      "ok" -> (() => AsyncJobPoller.Completed("ok-ref"): AsyncJobPoller.JobStatus),
+      "flaky" -> (() => {
+        flakyCalls += 1
+        if (flakyCalls == 1) throw new java.io.IOException("connection reset")
+        AsyncJobPoller.Completed("flaky-ref"): AsyncJobPoller.JobStatus
+      }),
+    )
+    val rs = AsyncJobPoller.awaitAll(jobs,
+      AsyncJobPoller.PollConfig(initialIntervalMs = 10),
+      sleeper = ms => v += ms, clock = () => v)
+    assert(rs == Seq("ok" -> Right("ok-ref"), "flaky" -> Right("flaky-ref")))
+    assert(flakyCalls == 2 && v == 10L, "flaky must retry on its own backoff schedule")
+
+    // a PERSISTENTLY failing check is bounded by the job's own timeout
+    // discipline and surfaces the last error in the result
+    var v2 = 0L
+    val rs2 = AsyncJobPoller.awaitAll(
+      Seq("dead" -> ({ () =>
+        throw new java.io.IOException("boom")
+      }: () => AsyncJobPoller.JobStatus)),
+      AsyncJobPoller.PollConfig(initialIntervalMs = 10, maxIntervalMs = 20, startTimeoutMs = 50),
+      sleeper = ms => v2 += ms, clock = () => v2)
+    val dead = rs2.head._2
+    assert(dead.isLeft && dead.swap.toOption.get.contains("did not start") &&
+      dead.swap.toOption.get.contains("boom"), dead.toString)
+  }
+
   test("document source: chunked parallel scan with projection + cursor pushdown") {
     val docs = (0 until 95).map(i => s"""{"_id":$i,"name":"n$i","secret":"x","seq":$i}""")
     val store = new DocumentSource.DocumentStore {

@@ -76,7 +76,13 @@ class UrlFrontierSpec extends SparkTestBase {
 
     val gens = UrlFrontier.compactSeen(spark, dest, state)
     assert(gens == Seq("g11"), s"monotonic-over-max merged name expected, got $gens")
-    assert(seenDirs == Seq("g11"), "superseded generation dirs must be deleted after the commit")
+    // superseded dirs are RETAINED by the compaction itself (a reader
+    // that resolved the old list may still be scanning them) and swept
+    // by an explicit gc once readers drain
+    assert(seenDirs.size == 11, s"superseded dirs must be retained for reader grace: $seenDirs")
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 50)
+    assert(UrlFrontier.gcSeen(spark, dest, state).sorted == (1 to 10).map(g => s"g$g").sorted)
+    assert(seenDirs == Seq("g11"))
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 50)
 
     // the wave AFTER the compaction still fetches exactly the unseen pages
@@ -111,6 +117,11 @@ class UrlFrontierSpec extends SparkTestBase {
     // and a RETRIED compaction (no crash this time) lands cleanly at g4
     assert(UrlFrontier.compactSeen(spark, dest, state) == Seq("g4"))
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 10)
+    // a compaction that crashed AFTER its commit (pointer [g4], old dirs
+    // g1..g3 undeleted) must not leak forever: the NEXT compaction's
+    // entry sweep — or an explicit gc — reclaims everything unreferenced
+    assert(UrlFrontier.gcSeen(spark, dest, state).sorted == Seq("g1", "g2", "g3"))
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 10)
   }
 
   test("waves and compaction are mutually excluded by the frontier lease") {
@@ -130,6 +141,9 @@ class UrlFrontierSpec extends SparkTestBase {
       }
       intercept[graft.core.TableLock.LockHeldException] {
         UrlFrontier.compactSeen(spark, dest, state)
+      }
+      intercept[graft.core.TableLock.LockHeldException] {
+        UrlFrontier.gcSeen(spark, dest, state)
       }
     } finally lease.release()
     // once released, the wave proceeds normally

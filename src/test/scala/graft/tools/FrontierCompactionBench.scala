@@ -72,6 +72,9 @@ object FrontierCompactionBench {
     val tc0 = System.nanoTime()
     val gens = UrlFrontier.compactSeen(spark, dest, state)
     val compactSec = (System.nanoTime() - tc0) / 1e9
+    // compaction retains superseded dirs for reader grace; sweep them
+    // here (no readers in flight) so filesAfter reports the live set
+    UrlFrontier.gcSeen(spark, dest, state)
     val filesAfter = seenFiles
     val (after1, n2) = probe(); val (after2, _) = probe()
     val after = math.min(after1, after2)
