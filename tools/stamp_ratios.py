@@ -144,7 +144,7 @@ STAMPS = {
     "q_session_filter": 0.26, "q_sessionize_batch": 0.18,
     "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
     "q_table_routing": 0.17, "q_text_quality": 0.12, "q_tokens": 0.12,
-    "q_unpivot": 0.15, "q_url_frontier": 3.98,
+    "q_unpivot": 0.15, "q_url_frontier": 4.57,  # r14 final (reader-safe gc sweep + repartition sizing added after the 3.98 stamp; isolated min-of-2)
     # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
     "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
