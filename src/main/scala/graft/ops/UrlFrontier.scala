@@ -17,35 +17,89 @@ import graft.core.StateStore
   * canonical keys, so the seen SET lives columnar — parquet generation
   * dirs under `dest/seen/g<N>` — and membership is a distributed
   * `left_anti` join, never a driver-side collection. The driver-side
-  * [[StateStore]] holds only the committed GENERATION LIST: a wave writes
-  * its landed pages and its seen additions to fresh generation dirs
-  * FIRST and commits the state pointer LAST (StateStore.commit is
-  * write-temp + atomic move), so a crash mid-wave leaves orphan
-  * uncommitted dirs that no future run ever reads — the landing and the
-  * seen-set advance atomically, together.
+  * [[StateStore]] holds only the committed GENERATION LISTS — one for the
+  * seen-set and one for the pages archive, since compaction advances them
+  * independently: a wave writes its landed pages and its seen additions
+  * to fresh generation dirs FIRST and commits the state pointer LAST
+  * (StateStore.commit is write-temp + atomic move), so a crash mid-wave
+  * leaves orphan uncommitted dirs that no future run ever reads — the
+  * landing and the seen-set advance atomically, together.
+  *
+  * The pages archive is the user-facing artifact (the reference's chess
+  * source lands exactly such an archives table,
+  * sources/chess/__init__.py:95-124) and carries the same exactly-once
+  * guarantee as the seen-set — but ONLY through [[committedPages]]. A raw
+  * glob over `pages/` can transiently see superseded dirs a pages
+  * compaction retained for reader grace; the committed list is what
+  * resolves the archive, same as [[seenSet]] on the membership side.
   */
 object UrlFrontier {
-  private val GenKey = "frontier.generations"
+  private val SeenKey  = "frontier.generations"
+  private val PagesKey = "frontier.pages.generations"
 
-  /** Numeric suffix of a generation name ("g12" -> 12). */
-  private def genNum(g: String): Long = g.dropWhile(!_.isDigit).toLong
+  private val GenName = "^g([0-9]+)$".r
 
-  /** Next generation name: monotonic over the committed MAX, not the list
-    * size — compaction shrinks the list to one element, and a size-based
-    * name would then re-target a committed dir.
+  /** Numeric suffix of a generation name ("g12" -> 12), validated: a
+    * hand-edited or corrupted state list must fail with a message naming
+    * the malformed entry and the state key, not a bare
+    * NumberFormatException from deep inside nextGen.
     */
-  private def nextGen(gens: Seq[String]): String =
-    s"g${if (gens.isEmpty) 1L else gens.map(genNum).max + 1L}"
+  private def genNum(stateKey: String)(g: String): Long = g match {
+    case GenName(n) => n.toLong
+    case _ => throw new IllegalStateException(
+      s"malformed generation name '$g' in state list '$stateKey' — expected g<N>")
+  }
+
+  private def seenGens(state: StateStore): Seq[String] = state.getList(SeenKey)
+
+  /** Committed pages generations. States written before pages tracking
+    * landed have no PagesKey; until the first new-code commit the pages
+    * dirs are exactly the seen generations (a wave writes both under one
+    * name), so fall back to the seen list rather than treating the whole
+    * archive as unreadable/garbage.
+    */
+  private def pagesGens(state: StateStore): Seq[String] =
+    if (state.keys.contains(PagesKey)) state.getList(PagesKey)
+    else state.getList(SeenKey)
+
+  /** Next generation name: monotonic over the committed MAX across BOTH
+    * lists, not the list size — compaction shrinks a list to one element,
+    * and the seen and pages lists advance independently once either side
+    * compacts, so only the global max guarantees a fresh name never
+    * re-targets a committed dir on either side.
+    */
+  private def nextGen(state: StateStore): String = {
+    val nums = seenGens(state).map(genNum(SeenKey)) ++
+      pagesGens(state).map(genNum(PagesKey))
+    s"g${if (nums.isEmpty) 1L else nums.max + 1L}"
+  }
+
+  private def emptyKeys(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("url_canon", StringType))))
 
   /** Committed seen-set of canonical keys: the union of committed
     * generations (empty single-column frame before the first commit).
     */
   def seenSet(spark: SparkSession, dest: String, state: StateStore): DataFrame = {
-    val gens = state.getList(GenKey)
-    if (gens.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("url_canon", StringType))))
+    val gens = seenGens(state)
+    if (gens.isEmpty) emptyKeys(spark)
     else spark.read.parquet(gens.map(g => s"$dest/seen/$g"): _*)
+  }
+
+  /** The committed pages archive: the union of committed pages
+    * generations, each canonical URL's content exactly once (possibly
+    * many rows per page if the wave's fetch emitted one row per extracted
+    * item — row multiplicity is the fetch's contract, never duplicated by
+    * the frontier). This — not a raw glob over `pages/` — is the read
+    * path for the archive: the glob can see dirs a pages compaction
+    * superseded but retained for in-flight readers. Empty keys-only frame
+    * before the first commit (the page schema is fetch-defined).
+    */
+  def committedPages(spark: SparkSession, dest: String, state: StateStore): DataFrame = {
+    val gens = pagesGens(state)
+    if (gens.isEmpty) emptyKeys(spark)
+    else spark.read.parquet(gens.map(g => s"$dest/pages/$g"): _*)
   }
 
   /** One crawl wave. `planned` carries raw candidate URLs in `urlCol`
@@ -53,9 +107,10 @@ object UrlFrontier {
     * `fetch` maps the deduped unseen frame (single `url_canon` column) to
     * the landed page rows and must keep `url_canon`. Pages land in
     * `dest/pages/g<N>`, the wave's seen additions in `dest/seen/g<N>`,
-    * and the generation pointer commits last. Returns the landed frame.
+    * and the generation pointers (both lists, one commit) commit last.
+    * Returns the landed frame.
     *
-    * Single-writer per frontier, ENFORCED: the generation list is
+    * Single-writer per frontier, ENFORCED: the generation lists are
     * read-modify-write state, so a wave racing another wave (or a
     * compaction) could commit a list built from a stale read — dropping
     * the other writer's generation or resurrecting superseded dirs. The
@@ -77,8 +132,7 @@ object UrlFrontier {
     val fetched = fetch(todo)
     require(fetched.columns.contains("url_canon"),
       "fetch must keep the url_canon column — it is the frontier key")
-    val gens = state.getList(GenKey)
-    val gen = nextGen(gens)
+    val gen = nextGen(state)
     // overwrite: a crash between landing and commit leaves orphan dirs
     // for this SAME generation name — the retry must replace them, not
     // fail on path-exists (committed generations are never re-targeted,
@@ -93,7 +147,12 @@ object UrlFrontier {
     // unboundedly at corpus scale
     landed.select("url_canon").distinct()
       .write.mode("overwrite").parquet(s"$dest/seen/$gen")
-    state.putList(GenKey, gens :+ gen)
+    // snapshot BOTH lists before mutating either: the pages fallback
+    // resolves through the seen list on pre-PagesKey state, so writing
+    // SeenKey first would double-count the new generation
+    val (seenBefore, pagesBefore) = (seenGens(state), pagesGens(state))
+    state.putList(SeenKey, seenBefore :+ gen)
+    state.putList(PagesKey, pagesBefore :+ gen)
     state.commit()
     landed
   }
@@ -105,21 +164,24 @@ object UrlFrontier {
     * list wholesale each run (sources/chess/__init__.py:95-124) — this is
     * the columnar variant's explicit equivalent. Same crash discipline as
     * a wave: the merged generation lands FIRST under a fresh monotonic
-    * name, the pointer (now a single-element list) commits LAST. The
+    * name, the pointer (now a single-element seen list) commits LAST. The
     * superseded dirs are NOT deleted here: a reader that resolved the old
     * generation list may still be scanning them, so deletion is deferred
     * to the unreferenced-dir sweep that runs at the START of the next
     * compaction (a full compaction interval of grace) or to an explicit
-    * [[gcSeen]] once in-flight readers have drained. The same sweep also
-    * reclaims crash leftovers: a compaction that dies before its commit
-    * leaves an orphan merged dir the next wave targeting that number
-    * simply overwrites, and one that dies after the commit leaves
-    * unreferenced old dirs no run ever reads again (numbers are monotonic
-    * over the committed max, so they can never be re-targeted).
+    * [[gc]] once in-flight readers have drained. The same sweep also
+    * reclaims crash leftovers on BOTH sides: a compaction that dies
+    * before its commit leaves an orphan merged dir the next writer
+    * targeting that number simply overwrites, one that dies after the
+    * commit leaves unreferenced old dirs no run ever reads again (numbers
+    * are monotonic over the committed max, so they can never be
+    * re-targeted), and a wave that died mid-landing leaves orphan
+    * seen/pages dirs whose number a later compaction may have consumed —
+    * the entry sweep removes them before they can shadow the archive.
     *
     * Output file count is sized off the real input bytes at
     * `targetFileBytes` per file, so hundreds of small wave files become a
-    * handful of full scan-friendly ones. Returns the new generation list.
+    * handful of full scan-friendly ones. Returns the new seen list.
     */
   def compactSeen(spark: SparkSession, dest: String, state: StateStore,
       targetFileBytes: Long = 128L << 20): Seq[String] =
@@ -133,56 +195,117 @@ object UrlFrontier {
   private def compactSeenLocked(spark: SparkSession, dest: String, state: StateStore,
       targetFileBytes: Long): Seq[String] = {
     // sweep FIRST (under the same lease): everything unreferenced by the
-    // committed list is garbage — generations a previous compaction
+    // committed lists is garbage — generations a previous compaction
     // superseded (left for reader grace, see scaladoc) and crash orphans.
     // Sweeping only one's own inputs after the commit would leak the
     // whole old seen-set on a crash between commit and delete, forever.
-    gcSeenLocked(spark, dest, state)
-    val gens = state.getList(GenKey)
+    gcLocked(spark, dest, state)
+    val gens = seenGens(state)
     if (gens.size <= 1) return gens
-    val fs = new org.apache.hadoop.fs.Path(dest)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = gens.map(g => new org.apache.hadoop.fs.Path(s"$dest/seen/$g"))
-    val totalBytes = dirs.flatMap(d => fs.listStatus(d).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen)).sum
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val gen = nextGen(gens)
+    val gen = nextGen(state)
     // distinct is defensive (committed generations partition the key
     // space by construction). Sizing: repartition, NOT coalesce — a
     // coalesce here would collapse the distinct's final aggregation
     // itself to nFiles tasks (the most expensive part of a corpus-scale
     // compaction), whereas one extra exchange of the already-deduped
     // keys is cheap and keeps the aggregation at full parallelism.
-    seenSet(spark, dest, state).distinct().repartition(nFiles)
+    seenSet(spark, dest, state).distinct()
+      .repartition(sizedFileCount(spark, gens.map(g => s"$dest/seen/$g"), targetFileBytes))
       .write.mode("overwrite").parquet(s"$dest/seen/$gen")
-    state.putList(GenKey, Seq(gen))
+    // materialize the pages list unchanged BEFORE shrinking the seen
+    // list: a pre-PagesKey state resolves pages through the seen list
+    state.putList(PagesKey, pagesGens(state))
+    state.putList(SeenKey, Seq(gen))
     state.commit()
     Seq(gen)
   }
 
-  /** Delete every seen dir not in the committed generation list: crash
-    * leftovers from landed-but-uncommitted waves/compactions, and
-    * generations superseded by a compaction (retained by [[compactSeen]]
-    * so readers that resolved the old list keep their files — call this
-    * once in-flight readers have drained, or rely on the sweep the next
-    * compaction performs on entry). Runs under the frontier lease.
-    * Returns the names of the deleted dirs.
+  /** Bin-pack ALL committed pages generations into one — the archive-side
+    * twin of [[compactSeen]], on the much bigger side of the frontier: a
+    * long crawl accumulates one pages dir per wave forever. Identical
+    * crash discipline (merged dir lands first under a fresh monotonic
+    * name, single-element pages list commits last, superseded dirs
+    * retained for reader grace until the next compaction's entry sweep or
+    * an explicit [[gc]]), identical single-writer lease. Unlike the seen
+    * side there is NO distinct — the archive's row multiplicity is the
+    * fetch's contract (many rows per page is legal) and must survive the
+    * rewrite bit-for-bit — and therefore no aggregation to keep parallel:
+    * the rewrite is a pure resize, so it uses `coalesce` (no shuffle;
+    * each output file is written by one task reading its byte share)
+    * rather than paying a full exchange of the page CONTENT, the heaviest
+    * column in the system. Returns the new pages list.
     */
-  def gcSeen(spark: SparkSession, dest: String, state: StateStore): Seq[String] =
-    graft.core.TableLock.withLock(spark, dest, s"url-frontier-gc:${java.util.UUID.randomUUID()}") {
-      gcSeenLocked(spark, dest, state)
+  def compactPages(spark: SparkSession, dest: String, state: StateStore,
+      targetFileBytes: Long = 128L << 20): Seq[String] =
+    graft.core.TableLock.withLock(spark, dest, s"url-frontier-compact-pages:${java.util.UUID.randomUUID()}") {
+      compactPagesLocked(spark, dest, state, targetFileBytes)
     }
 
-  private def gcSeenLocked(spark: SparkSession, dest: String, state: StateStore): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(dest)
+  private def compactPagesLocked(spark: SparkSession, dest: String, state: StateStore,
+      targetFileBytes: Long): Seq[String] = {
+    gcLocked(spark, dest, state)
+    val gens = pagesGens(state)
+    if (gens.size <= 1) return gens
+    val gen = nextGen(state)
+    committedPages(spark, dest, state)
+      .coalesce(sizedFileCount(spark, gens.map(g => s"$dest/pages/$g"), targetFileBytes))
+      .write.mode("overwrite").parquet(s"$dest/pages/$gen")
+    state.putList(PagesKey, Seq(gen))
+    // keep the seen list explicit in the same commit (no-op for content,
+    // but the commit is the unit of crash atomicity for both pointers)
+    state.putList(SeenKey, seenGens(state))
+    state.commit()
+    Seq(gen)
+  }
+
+  /** Output file count for a bin-pack rewrite: real input bytes at
+    * `targetFileBytes` per file.
+    */
+  private def sizedFileCount(spark: SparkSession, dirs: Seq[String],
+      targetFileBytes: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dirs.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seenRoot = new org.apache.hadoop.fs.Path(s"$dest/seen")
-    if (!fs.exists(seenRoot)) return Nil
-    val committed = state.getList(GenKey).toSet
-    val garbage = fs.listStatus(seenRoot).toSeq.map(_.getPath)
-      .filter(p => !committed.contains(p.getName))
-    garbage.foreach(p => fs.delete(p, true))
-    garbage.map(_.getName)
+    val totalBytes = dirs.flatMap(d => fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)).sum
+    math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+  }
+
+  /** Delete every seen AND pages dir not in its committed generation
+    * list: crash leftovers from landed-but-uncommitted waves/compactions
+    * (an orphan pages dir is not just waste — once a compaction consumes
+    * its generation number, no wave ever overwrites it, and its rows
+    * re-land in a later wave, so a raw glob over `pages/` would show
+    * duplicates forever), and generations superseded by a compaction
+    * (retained so readers that resolved the old list keep their files —
+    * call this once in-flight readers have drained, or rely on the sweep
+    * every compaction performs on entry). Runs under the frontier lease.
+    * Returns the deleted dirs as `seen/g<N>` / `pages/g<N>` names.
+    *
+    * The pages sweep only engages once the pages list has been explicitly
+    * committed (every new-code commit writes it): on a pre-PagesKey state
+    * the committed pages dirs are not individually recorded, and sweeping
+    * against the fallback would delete a legacy compacted frontier's
+    * archive.
+    */
+  def gc(spark: SparkSession, dest: String, state: StateStore): Seq[String] =
+    graft.core.TableLock.withLock(spark, dest, s"url-frontier-gc:${java.util.UUID.randomUUID()}") {
+      gcLocked(spark, dest, state)
+    }
+
+  private def gcLocked(spark: SparkSession, dest: String, state: StateStore): Seq[String] = {
+    def sweep(root: String, committed: Set[String]): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootPath = new org.apache.hadoop.fs.Path(s"$dest/$root")
+      if (!fs.exists(rootPath)) return Nil
+      val garbage = fs.listStatus(rootPath).toSeq.map(_.getPath)
+        .filter(p => !committed.contains(p.getName))
+      garbage.foreach(p => fs.delete(p, true))
+      garbage.map(p => s"$root/${p.getName}")
+    }
+    sweep("seen", seenGens(state).toSet) ++
+      (if (state.keys.contains(PagesKey)) sweep("pages", state.getList(PagesKey).toSet)
+       else Nil)
   }
 }

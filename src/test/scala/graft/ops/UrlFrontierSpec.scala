@@ -78,12 +78,15 @@ class UrlFrontierSpec extends SparkTestBase {
     assert(gens == Seq("g11"), s"monotonic-over-max merged name expected, got $gens")
     // superseded dirs are RETAINED by the compaction itself (a reader
     // that resolved the old list may still be scanning them) and swept
-    // by an explicit gc once readers drain
+    // by an explicit gc once readers drain; the committed pages dirs are
+    // NOT garbage — the sweep must only touch the seen side here
     assert(seenDirs.size == 11, s"superseded dirs must be retained for reader grace: $seenDirs")
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 50)
-    assert(UrlFrontier.gcSeen(spark, dest, state).sorted == (1 to 10).map(g => s"g$g").sorted)
+    assert(UrlFrontier.gc(spark, dest, state).sorted == (1 to 10).map(g => s"seen/g$g").sorted)
     assert(seenDirs == Seq("g11"))
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 50)
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 50,
+      "seen compaction / gc must leave the committed pages archive intact")
 
     // the wave AFTER the compaction still fetches exactly the unseen pages
     val w11 = UrlFrontier.runWave(spark, dest, state, listing(60), "url")(fetchCount(fetched))
@@ -120,8 +123,126 @@ class UrlFrontierSpec extends SparkTestBase {
     // a compaction that crashed AFTER its commit (pointer [g4], old dirs
     // g1..g3 undeleted) must not leak forever: the NEXT compaction's
     // entry sweep — or an explicit gc — reclaims everything unreferenced
-    assert(UrlFrontier.gcSeen(spark, dest, state).sorted == Seq("g1", "g2", "g3"))
+    assert(UrlFrontier.gc(spark, dest, state).sorted ==
+      Seq("seen/g1", "seen/g2", "seen/g3"))
     assert(UrlFrontier.seenSet(spark, dest, state).count() == 10)
+  }
+
+  test("a crashed wave's orphan pages dir is swept before compaction consumes its number; committedPages stays exactly-once") {
+    val dest = tmpDir("frontier_pages_orphan")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def listing(n: Int): DataFrame =
+      (0 until n).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+    UrlFrontier.runWave(spark, dest, state, listing(4), "url")(fetchCount(fetched))
+    UrlFrontier.runWave(spark, dest, state, listing(8), "url")(fetchCount(fetched))
+
+    // crash mid-wave-3: pages (and seen) landed under g3, pointer NOT
+    // committed. Without the pages-side sweep, the following compaction
+    // would consume g3 for its merged seen dir, stranding the orphan
+    // pages/g3 forever — and its URLs re-land in the retry wave, so a raw
+    // pages/* glob would show duplicates the frontier claims to exclude.
+    (8 until 10).map(g => (s"site$g.example.com/p/$g", "stale"))
+      .toDF("url_canon", "content_hash").write.parquet(s"$dest/pages/g3")
+    (8 until 10).map(g => s"site$g.example.com/p/$g")
+      .toDF("url_canon").write.parquet(s"$dest/seen/g3")
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 8,
+      "orphan pages generation leaked into the committed archive")
+
+    // compaction's entry sweep reclaims BOTH orphan sides, then merges at g3
+    assert(UrlFrontier.compactSeen(spark, dest, state) == Seq("g3"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def pagesDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/pages"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(pagesDirs == Seq("g1", "g2"), s"orphan pages dir survived the entry sweep: $pagesDirs")
+
+    // the retry wave lands at g4 (past the consumed number) and the
+    // archive — committed view AND raw glob — holds each URL exactly once
+    val w3 = UrlFrontier.runWave(spark, dest, state, listing(10), "url")(fetchCount(fetched))
+    assert(w3.count() == 2 && fetched.get() == 10)
+    val archive = UrlFrontier.committedPages(spark, dest, state)
+      .groupBy("url_canon").count().filter(col("count") > 1).count()
+    assert(archive == 0, "committed pages archive duplicated a URL")
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 10)
+    assert(spark.read.parquet(s"$dest/pages/*").count() == 10,
+      "raw pages glob shows rows outside the committed archive")
+    assert(pagesDirs == Seq("g1", "g2", "g4"))
+  }
+
+  test("pages compaction bin-packs the archive preserving row multiplicity; committedPages is the exactly-once read path") {
+    val dest = tmpDir("frontier_pages_compact")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    def listing(n: Int): DataFrame =
+      (0 until n).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+    // fetch emits TWO rows per page (one per extracted item) — legal, and
+    // the compaction rewrite must preserve the multiplicity bit-for-bit
+    def fetch2(todo: DataFrame): DataFrame =
+      todo.select(col("url_canon"), explode(array(lit("a"), lit("b"))).as("item"))
+    (1 to 8).foreach(w => UrlFrontier.runWave(spark, dest, state, listing(w * 5), "url")(fetch2))
+
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def pagesDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/pages"))
+      .map(_.getPath.getName).sorted.toSeq
+    def pagesFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/pages"))
+      .map(d => fs.listStatus(d.getPath).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))).sum
+    assert(pagesDirs.size == 8)
+    val filesBefore = pagesFiles
+    val before = UrlFrontier.committedPages(spark, dest, state)
+      .orderBy("url_canon", "item").collect().toSeq
+    assert(before.size == 80, "8 waves x 40 urls x 2 items each")
+
+    val gens = UrlFrontier.compactPages(spark, dest, state)
+    assert(gens == Seq("g9"), s"monotonic-over-max merged pages name expected, got $gens")
+    // reader grace: the superseded dirs are retained, so a raw glob
+    // transiently shows DUPLICATES — exactly the hazard committedPages
+    // protects against; the committed view is unchanged, bit-for-bit
+    assert(pagesDirs.size == 9)
+    assert(spark.read.parquet(s"$dest/pages/*").count() == 160,
+      "raw glob should see old + merged dirs during the grace window")
+    assert(UrlFrontier.committedPages(spark, dest, state)
+      .orderBy("url_canon", "item").collect().toSeq == before)
+
+    // gc sweeps the superseded dirs; the bin-pack shrank the file count
+    assert(UrlFrontier.gc(spark, dest, state).sorted == (1 to 8).map(g => s"pages/g$g").sorted)
+    assert(pagesDirs == Seq("g9"))
+    assert(pagesFiles < filesBefore, s"bin-pack must shrink files: $filesBefore -> $pagesFiles")
+    assert(UrlFrontier.committedPages(spark, dest, state)
+      .orderBy("url_canon", "item").collect().toSeq == before)
+    // seen side untouched: one dir per wave, membership intact
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 40)
+
+    // fetch-exactly-once holds ACROSS the pages compaction
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    val w9 = UrlFrontier.runWave(spark, dest, state, listing(45), "url")(fetchCount(fetched))
+    assert(w9.count() == 5 && fetched.get() == 5, "pages compaction broke fetch-exactly-once")
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 85)
+  }
+
+  test("a crash mid-pages-compaction leaves the committed archive intact; the retry lands cleanly") {
+    val dest = tmpDir("frontier_pages_compact_crash")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def listing(n: Int): DataFrame =
+      (0 until n).map(g => s"http://site$g.example.com/p/$g").toDF("url")
+    UrlFrontier.runWave(spark, dest, state, listing(4), "url")(fetchCount(fetched))
+    UrlFrontier.runWave(spark, dest, state, listing(8), "url")(fetchCount(fetched))
+
+    // crash: merged pages dir landed at the next monotonic name (g3),
+    // pointer NOT committed — stale content proves it is never read
+    Seq(("zombie", "x")).toDF("url_canon", "content_hash").write.parquet(s"$dest/pages/g3")
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 8)
+    assert(!UrlFrontier.committedPages(spark, dest, state)
+      .select("url_canon").as[String].collect().contains("zombie"))
+
+    // the retry sweeps the orphan on entry and lands the merge at g3
+    assert(UrlFrontier.compactPages(spark, dest, state) == Seq("g3"))
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 8)
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 8)
+    // and the next wave advances past the merged name
+    val w3 = UrlFrontier.runWave(spark, dest, state, listing(10), "url")(fetchCount(fetched))
+    assert(w3.count() == 2 && fetched.get() == 10)
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 10)
   }
 
   test("waves and compaction are mutually excluded by the frontier lease") {
@@ -143,7 +264,10 @@ class UrlFrontierSpec extends SparkTestBase {
         UrlFrontier.compactSeen(spark, dest, state)
       }
       intercept[graft.core.TableLock.LockHeldException] {
-        UrlFrontier.gcSeen(spark, dest, state)
+        UrlFrontier.compactPages(spark, dest, state)
+      }
+      intercept[graft.core.TableLock.LockHeldException] {
+        UrlFrontier.gc(spark, dest, state)
       }
     } finally lease.release()
     // once released, the wave proceeds normally

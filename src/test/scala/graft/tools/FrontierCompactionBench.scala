@@ -74,7 +74,7 @@ object FrontierCompactionBench {
     val compactSec = (System.nanoTime() - tc0) / 1e9
     // compaction retains superseded dirs for reader grace; sweep them
     // here (no readers in flight) so filesAfter reports the live set
-    UrlFrontier.gcSeen(spark, dest, state)
+    UrlFrontier.gc(spark, dest, state)
     val filesAfter = seenFiles
     val (after1, n2) = probe(); val (after2, _) = probe()
     val after = math.min(after1, after2)
@@ -82,5 +82,31 @@ object FrontierCompactionBench {
     println(f"[fcb] waves=$waves seen_files_before=$filesBefore seen_files_after=$filesAfter " +
       f"gens_after=${gens.size} probe_before=${before}%.2fs (warm $warm%.2f) " +
       f"probe_after=${after}%.2fs compact_cost=${compactSec}%.2fs speedup=${before / after}%.2fx")
+
+    // pages-archive side: the same small-files argument on the much
+    // bigger half of the frontier — price a full committedPages scan
+    // before/after `UrlFrontier.compactPages` bin-packs one-dir-per-wave
+    // into sized files
+    def pagesFiles: Int = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/pages"))
+      .map(d => fs.listStatus(d.getPath).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))).sum
+    def scanPages(): Double = {
+      val t0 = System.nanoTime()
+      UrlFrontier.committedPages(spark, dest, state).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pFilesBefore = pagesFiles
+    scanPages() // warm
+    val pBefore = math.min(scanPages(), scanPages())
+    val tp0 = System.nanoTime()
+    val pGens = UrlFrontier.compactPages(spark, dest, state)
+    val pagesCompactSec = (System.nanoTime() - tp0) / 1e9
+    UrlFrontier.gc(spark, dest, state) // sweep superseded dirs (no readers in flight)
+    val pFilesAfter = pagesFiles
+    val pAfter = math.min(scanPages(), scanPages())
+    println(f"[fcb] pages_files_before=$pFilesBefore pages_files_after=$pFilesAfter " +
+      f"pages_gens_after=${pGens.size} pages_scan_before=${pBefore}%.2fs " +
+      f"pages_scan_after=${pAfter}%.2fs pages_compact_cost=${pagesCompactSec}%.2fs " +
+      f"speedup=${pBefore / pAfter}%.2fx")
   }
 }
