@@ -1297,7 +1297,11 @@ object SparkEntry {
     // never driver state), and the state pointer commits atomically
     // AFTER the landing. The wave tag pins re-fetches: a seen page
     // re-fetched in a later wave would duplicate its url_canon and flip
-    // its wave, breaking the hash.
+    // its wave, breaking the hash. Finally the PAGES archive itself —
+    // the user-facing artifact — is bin-packed (compactPages, cardinality
+    // asserted preserved), the superseded dirs swept, and the RESULT is
+    // read back through the committed pages list (committedPages): the
+    // exactly-once read path a raw pages/* glob does not provide.
     "q_url_frontier" -> ((s, dir) => {
       import graft.ops.UrlFrontier
       val dest = java.nio.file.Files.createTempDirectory("graft_frontier").toString
@@ -1331,7 +1335,22 @@ object SparkEntry {
       require(UrlFrontier.seenSet(s, dest, state).count() == before,
         "compaction changed the seen-set cardinality")
       val w3 = UrlFrontier.runWave(s, dest, state, listing(4000), "url")(fetchWave(3))
-      w1.unionByName(w2).unionByName(w3).orderBy("url_canon")
+      require(w1.columns.sameElements(w3.columns) && w2.columns.sameElements(w3.columns),
+        "wave schema drifted")
+      // the archive is the user-facing artifact: bin-pack the per-wave
+      // pages dirs (same crash discipline, multiplicity preserved), sweep
+      // the superseded dirs, and read the RESULT through the committed
+      // pages list — the exactly-once read path a raw pages/* glob does
+      // not provide. The oracle's one-row-per-canonical-URL shape (with
+      // the wave tag pinned) proves exactly-once survived the rewrite.
+      val pagesBefore = UrlFrontier.committedPages(s, dest, state).count()
+      val pGens = UrlFrontier.compactPages(s, dest, state)
+      require(pGens.size == 1,
+        s"pages compaction must leave a single generation, got $pGens")
+      UrlFrontier.gc(s, dest, state)
+      require(UrlFrontier.committedPages(s, dest, state).count() == pagesBefore,
+        "pages compaction changed the archive cardinality")
+      UrlFrontier.committedPages(s, dest, state).orderBy("url_canon")
     }),
 
     // Model-based quality classification (CCNet fastText / GPT-3 LR
@@ -2374,10 +2393,11 @@ object SparkEntry {
     // §2.1 row 20 (facebook_ads insights): the async report-job lifecycle
     // end-to-end — per-day job SUBMIT against a canned job server, polled
     // through AsyncJobPoller's exponential backoff (virtual clock; the
-    // 10 s → 20 s schedule is asserted per job), the finished report
+    // 10 s → 20 s schedule is asserted per job), the finished reports
     // fetched through the REAL cursor paginator (paging.cursors.after,
-    // 20/page, query-param auth), per-day frames unioned
-    // (Facebook.unionDays) and landed by pk merge on (date_start, ad_id).
+    // 20/page, query-param auth) PARTITION-PARALLEL — one DSv2 input
+    // partition per completed report (RestPagesV2.readMany, partition
+    // count asserted) — and landed by pk merge on (date_start, ad_id).
     // TWO runs: run 1's reports are missing the late-attributed events
     // (event_id % 10 = 7 — conversions that settle later) and commit the
     // cursor; run 2 rewinds it 7 days (Facebook.attributionWindowStart)
@@ -2471,18 +2491,29 @@ object SparkEntry {
         require(vnow - vbase == 30000L,
           s"fan-out polling advanced the clock ${vnow - vbase} ms over ${days.size} jobs — " +
             "expected max() = 30 s, not Σ")
-        val frames = days.map { day =>
+        // fetch the completed reports PARTITION-PARALLEL: one DSv2 input
+        // partition per report ref (RestPagesV2.readMany), each walking
+        // its own cursor chain executor-side with its own transport — a
+        // chain is serial within itself, but the ~75 reports are
+        // independent, so the page fetch is max(), not Σ(days), matching
+        // the poll fan-out above (previously a serial driver loop)
+        val endpoints = days.map { day =>
           val ref = polled(day)
             .fold(reason => sys.error(s"insights job for $day failed: $reason"), identity)
-          val ep = EndpointConfig(s"$ref/insights", dataSelector = "data",
-            paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 20))
-          RestEngine.fetchPages(client, ep, transport).map { item =>
-            val n = Json.parse(item)
-            (n.get("date_start").asText(), n.get("ad_id").asLong(),
-              n.get("impressions").asLong(), n.get("spend").asDouble())
-          }.toDF("date_start", "ad_id", "impressions", "spend")
+          RestPagesV2.PlannedPages(client,
+            EndpointConfig(s"$ref/insights", dataSelector = "data",
+              paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 20)),
+            Map.empty, () => transport)
         }
-        Facebook.unionDays(frames).get
+        val items = RestPagesV2.readMany(s, endpoints)
+        require(items.rdd.getNumPartitions == days.size,
+          s"report fetch must plan one input partition per report, got " +
+            s"${items.rdd.getNumPartitions} for ${days.size} reports")
+        items.select(
+          get_json_object(col("item"), "$.date_start").as("date_start"),
+          get_json_object(col("item"), "$.ad_id").cast("long").as("ad_id"),
+          get_json_object(col("item"), "$.impressions").cast("long").as("impressions"),
+          get_json_object(col("item"), "$.spend").cast("double").as("spend"))
       }
       val hints = TableHints("insights", Disposition.Merge,
         primaryKey = Seq("date_start", "ad_id"))

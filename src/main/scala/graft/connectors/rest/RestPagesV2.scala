@@ -65,8 +65,13 @@ object RestPagesV2 {
     * DataFrame (getNumPartitions, collect, …); re-probing page 0 each time
     * would both double-fetch and let a moving total change the plan
     * mid-query. One registered read = one probe = one stable plan.
+    *
+    * An entry holds a SEQUENCE of endpoints: a single-endpoint read plans
+    * per-page partitions when the total is known, a multi-endpoint read
+    * ([[readMany]]) plans one partition per endpoint — each an
+    * independent cursor chain walked executor-side.
     */
-  private final class Entry(val pages: PlannedPages) {
+  private final class Entry(val endpoints: Seq[PlannedPages]) {
     var plan: Array[InputPartition] = _
   }
 
@@ -132,7 +137,10 @@ object RestPagesV2 {
     }
   }
 
-  def register(pages: PlannedPages): String = {
+  def register(pages: PlannedPages): String = registerMany(Seq(pages))
+
+  def registerMany(endpoints: Seq[PlannedPages]): String = {
+    require(endpoints.nonEmpty, "registerMany needs at least one endpoint")
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => s.conf.getOption(MaxRegisteredConfKey))
       .flatMap(_.toIntOption).filter(_ > 0)
@@ -144,11 +152,11 @@ object RestPagesV2 {
       // above the live bound indefinitely — trim eagerly here.
       val it = registry.entrySet().iterator()
       while (registry.size() >= maxRegistered && it.hasNext) { it.next(); it.remove() }
-      registry.put(key, new Entry(pages))
+      registry.put(key, new Entry(endpoints))
     }
     key
   }
-  private[rest] def get(key: String): PlannedPages = entryFor(key).pages
+  private[rest] def get(key: String): Seq[PlannedPages] = entryFor(key).endpoints
   /** Registered entries currently retained (test hook for the LRU bound). */
   private[rest] def registeredCount: Int = registry.synchronized { registry.size() }
 
@@ -157,6 +165,18 @@ object RestPagesV2 {
     */
   def read(spark: SparkSession, pages: PlannedPages): DataFrame =
     spark.read.format("graft-rest").option("endpoint", register(pages)).load()
+
+  /** Read MANY endpoints as one scan: one input partition per endpoint,
+    * each walking its own page loop (cursor chains included — a chain is
+    * serial within itself but independent of its siblings) executor-side
+    * with its own transport. This is the fan-out shape of an async-report
+    * harvest (reference: facebook_ads' per-day insights jobs,
+    * sources/facebook_ads/helpers.py:142-167 — submit jobs, then fetch
+    * each completed report) — N completed report refs ride N partitions
+    * instead of a driver loop paying Σ(report chains).
+    */
+  def readMany(spark: SparkSession, endpoints: Seq[PlannedPages]): DataFrame =
+    spark.read.format("graft-rest").option("endpoint", registerMany(endpoints)).load()
 
   private[rest] def rootUrl(client: ClientConfig, endpoint: EndpointConfig): String =
     client.baseUrl.stripSuffix("/") + "/" + endpoint.path.stripPrefix("/")
@@ -228,7 +248,15 @@ final case class RestPagesScan(key: String) extends Scan with Batch {
   override def description(): String = s"graft-rest endpoint=$key"
 
   override def planInputPartitions(): Array[InputPartition] = RestPagesV2.planFor(key) {
-    val p = RestPagesV2.get(key)
+    val endpoints = RestPagesV2.get(key)
+    if (endpoints.size > 1) {
+      // multi-endpoint scan: one partition per endpoint, each an
+      // independent page loop — no probe, nothing driver-side
+      endpoints.indices.map(i => RestEndpointPartition(i): InputPartition).toArray
+    } else planSingle(endpoints.head)
+  }
+
+  private def planSingle(p: RestPagesV2.PlannedPages): Array[InputPartition] = {
     val totalPath = p.endpoint.paginator match {
       case o: Paginator.Offset     => o.totalPath
       case n: Paginator.PageNumber => n.totalPath
@@ -273,11 +301,16 @@ case object RestSerialPartition extends InputPartition
 final case class RestPage0Partition(items: Seq[String]) extends InputPartition
 /** An independent page index (0-based), fetched executor-side. */
 final case class RestPageRangePartition(page: Long) extends InputPartition
+/** One endpoint of a multi-endpoint scan: its full page loop, fetched
+  * executor-side (readMany fan-out).
+  */
+final case class RestEndpointPartition(idx: Int) extends InputPartition
 
-final case class RestPagesReaderFactory(planned: RestPagesV2.PlannedPages)
+final case class RestPagesReaderFactory(endpoints: Seq[RestPagesV2.PlannedPages])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val planned = endpoints.head
     val items: Iterator[String] = partition match {
       case RestPage0Partition(page0) => page0.iterator
       case RestPageRangePartition(i) =>
@@ -289,6 +322,10 @@ final case class RestPagesReaderFactory(planned: RestPagesV2.PlannedPages)
       case RestSerialPartition =>
         RestEngine.fetchPages(planned.client, planned.endpoint, planned.transportFactory(),
           planned.extraParams).iterator
+      case RestEndpointPartition(i) =>
+        val p = endpoints(i)
+        RestEngine.fetchPages(p.client, p.endpoint, p.transportFactory(),
+          p.extraParams).iterator
     }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -220,4 +220,31 @@ class RestPagesV2Spec extends SparkTestBase {
     // no committed cursor: full scan, but through readResource's serial path
     assert(df.count() == 6)
   }
+
+  test("readMany plans one partition per endpoint; each cursor chain walks exactly once, executor-side") {
+    RestCallLog.reset()
+    // 3 independent cursor-chained endpoints (reports), 2 pages each —
+    // a chain is serial within itself but independent of its siblings
+    def report(r: Int): Map[String, String] = Map(
+      s"reports/$r/items?limit=2" ->
+        s"""{"data":[{"id":${r * 10 + 1}},{"id":${r * 10 + 2}}],"paging":{"cursors":{"after":"c$r"}}}""",
+      s"reports/$r/items?after=c$r&limit=2" ->
+        s"""{"data":[{"id":${r * 10 + 3}}]}""",
+    )
+    val fixture = (1 to 3).flatMap(report).toMap
+    val endpoints = (1 to 3).map { r =>
+      RestPagesV2.PlannedPages(client,
+        EndpointConfig(s"reports/$r/items", dataSelector = "data",
+          paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 2)),
+        Map.empty, () => new LoggingTransport(fixture))
+    }
+    val df = RestPagesV2.readMany(spark, endpoints)
+    assert(df.rdd.getNumPartitions == 3,
+      s"one partition per endpoint expected, got ${df.rdd.getNumPartitions}")
+    val ids = df.collect().map(r => Json.parse(r.getString(0)).get("id").asInt()).toSet
+    assert(ids == Set(11, 12, 13, 21, 22, 23, 31, 32, 33))
+    // every page of every chain requested exactly once across the scan
+    val byKey = RestCallLog.keys.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byKey == fixture.keys.map(_ -> 1).toMap, s"calls: $byKey")
+  }
 }
