@@ -121,7 +121,14 @@ STAMPS = {
     "q_chunk_docs": 0.15, "q_corpus_pipeline": 1.98,
     "q_cursor_coalesce": 0.19, "q_custom_fields": 0.20,
     "q_deal_flows": 0.12, "q_decontaminate": 0.31, "q_dedup_exact": 0.18,
-    "q_digest_ids": 0.18, "q_domain_mix": 0.22, "q_embed_ann": 0.43,
+    "q_digest_ids": 0.18, "q_domain_mix": 0.22,
+    # r15 isolated re-stamp, NO code change — original stamp 0.43; held
+    # 2.1x across isolated min-of-2 AND two family-in-one-JVM runs
+    # (0.91-1.08s), so environment drift, not in-run interference. Sibling
+    # movers classified interference the same session: q_embed_ivf
+    # isolated 0.82 vs stamp 0.89 (in-run r14 1.76x), q_embed_lsh
+    # isolated 0.85 vs stamp 0.71 (in-run 1.32x) — both keep their stamps.
+    "q_embed_ann": 0.91,
     "q_enum_decode": 0.20, "q_epoch_heuristic": 0.15,
     "q_extract_structured": 0.18, "q_field_pivot": 0.13,
     "q_fingerprint": 0.10, "q_frame_sample": 0.21, "q_hard_delete": 0.32,
