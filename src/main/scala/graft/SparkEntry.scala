@@ -1419,6 +1419,93 @@ object SparkEntry {
       Pdf.extract(blobs, "doc_id", "content").orderBy("doc_id")
     }),
 
+    // WARC/WET container pipeline — the day-one read path of a 100 TB
+    // text corpus (CommonCrawl ships multi-member-gzip WARC segments):
+    // every document is rendered to the q_html_extract wrapper, wrapped
+    // in an HTTP response record under TWO surface forms of the same
+    // canonical URL, and packed record-per-gzip-member into 8 containers
+    // per wave (fixture synthesis runs executor-side, one task per
+    // container). Run 1 reads the wave-0 containers through the
+    // seen-file incremental state and commits; wave-1 containers land
+    // and run 2 must read ONLY them (asserted). One container carries a
+    // planted truncated trailing member — the reader keeps every record
+    // before it and emits exactly one quarantine row (asserted), the
+    // corrupt-slice discipline of q_pdf_extract at the container level.
+    // Then the crawl surface composes: httpBody (codegen'd, no UDF) →
+    // Html.extract → Url.canonicalize → per-canonical group (both
+    // surface forms collapse, n_recs = 2 pins exactly-once across the
+    // incremental runs). Oracle is ground truth by construction.
+    "q_warc_pipeline" -> ((s, dir) => {
+      import graft.connectors.sources.{FilesystemSource, Warc}
+      import graft.ops.{Html, Url}
+      import s.implicits._
+      val warcDir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      val state = new StateStore(java.nio.file.Paths.get(warcDir, "s.json"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><script>var x = '<p>no</p>';</script><style>b{}</style></head><body>"),
+          lit("<ul><li><a href=/d"), col("doc_id"),
+          lit("><b>doc "), col("doc_id"), lit("</b></a></li></ul><p>"),
+          regexp_replace(col("text"), " ", "</p> <p>"),
+          lit("</p><!-- footer --></body></html>")).as("html"))
+      val nFiles = 8
+      // land one wave's containers: group docs by container, encode one
+      // gzip member per record executor-side, write one file per task
+      // (local[32] shares the fs; a cluster build would write through
+      // the same HadoopFS handle Warc.read uses)
+      def writeWave(wave: Int): Unit = {
+        docs.as[(Long, String)].groupByKey(_._1 % nFiles).mapGroups { (fi, it) =>
+          val members = it.toSeq.sortBy(_._1).map { case (id, html) =>
+            val url =
+              if (wave == 0) s"http://site$id.example.com/p/$id?a=1&b=2"
+              else s"HTTPS://WWW.SITE$id.EXAMPLE.COM/p/$id?a=1&b=2"
+            Warc.encodeRecord("response", url, "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response",
+              Warc.httpResponse(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(warcDir, f"w${wave}_$fi%03d.warc.gz"),
+            Warc.encodeFile(members))
+          fi
+        }.collect()
+      }
+      writeWave(0)
+      // plant a truncated trailing member in one wave-0 container
+      val junk = Warc.gzipMember(Warc.encodeRecord("response",
+        "http://junk.example.com/x", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", Warc.httpResponse("junk".getBytes)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "w0_000.warc.gz"),
+        junk.dropRight(junk.length / 3),
+        java.nio.file.StandardOpenOption.APPEND)
+      val (r1, all1) = Warc.readNew(s, "crawl", warcDir, state)
+      val run1 = r1.get.localCheckpoint(true)
+      FilesystemSource.commitSeen(state, "crawl", all1)
+      writeWave(1)
+      val (r2, all2) = Warc.readNew(s, "crawl", warcDir, state)
+      val run2 = r2.get.localCheckpoint(true)
+      require(run2.select("warc_file").distinct().count() == nFiles,
+        "run 2 must read ONLY the wave-1 containers")
+      FilesystemSource.commitSeen(state, "crawl", all2)
+      val recs = run1.unionByName(run2)
+      val nQuarantined = recs.filter(col("error").isNotNull).count()
+      require(nQuarantined == 1,
+        s"expected exactly the planted truncated member quarantined, got $nQuarantined")
+      val pages = recs.filter(col("warc_type") === "response")
+        .select(col("url"), Warc.httpBody(col("payload")).as("html"))
+      Html.extract(pages, "url", "html")
+        .select(Url.canonicalize(col("url")).as("url_canon"),
+          col("text"), col("n_chars"), col("link_density"))
+        .groupBy("url_canon")
+        .agg(count(lit(1)).as("n_recs"), min(col("text")).as("text"),
+          min(col("n_chars")).as("n_chars"),
+          min(col("link_density")).as("link_density"))
+        .select(
+          regexp_extract(col("url_canon"), "^site(\\d+)\\.", 1).cast("long").as("doc_id"),
+          col("url_canon"), col("n_recs"), col("text"), col("n_chars"),
+          col("link_density"))
+        .orderBy("doc_id")
+    }),
+
     // the reference's headline unstructured flow COMPOSED: render the
     // corpus to real PDFs, parse the text back, and retrieve over the
     // parsed corpus — the oracle runs tf-idf on the ORIGINAL text, so
@@ -5021,6 +5108,18 @@ object SparkEntry {
     "q_curation_v3" -> curationV3Sql,
     "q_html_extract" ->
       """SELECT doc_id, 'doc ' || doc_id || ' ' || text AS text,
+        |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
+        |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // by construction: both surface forms of each doc's URL collapse to
+    // one canonical (n_recs = 2), and the q_html_extract wrapper strips
+    // back to 'doc <id> <text>' — the planted quarantined member carries
+    // no doc, so it never appears
+    "q_warc_pipeline" ->
+      """SELECT doc_id,
+        |  'site' || doc_id || '.example.com/p/' || doc_id || '?a=1&b=2' AS url_canon,
+        |  CAST(2 AS BIGINT) AS n_recs,
+        |  'doc ' || doc_id || ' ' || text AS text,
         |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
         |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
