@@ -1455,17 +1455,18 @@ object SparkEntry {
       // the same HadoopFS handle Warc.read uses)
       def writeWave(wave: Int): Unit = {
         docs.as[(Long, String)].groupByKey(_._1 % nFiles).mapGroups { (fi, it) =>
-          val members = it.toSeq.sortBy(_._1).map { case (id, html) =>
+          // stream member-by-member: O(record) memory per task, the same
+          // posture as the reader — a container is GBs at corpus scale
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(warcDir, f"w${wave}_$fi%03d.warc.gz"))
+          try it.foreach { case (id, html) =>
             val url =
               if (wave == 0) s"http://site$id.example.com/p/$id?a=1&b=2"
               else s"HTTPS://WWW.SITE$id.EXAMPLE.COM/p/$id?a=1&b=2"
-            Warc.encodeRecord("response", url, "2026-01-01T00:00:00Z",
-              "application/http; msgtype=response",
-              Warc.httpResponse(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(warcDir, f"w${wave}_$fi%03d.warc.gz"),
-            Warc.encodeFile(members))
+            out.write(Warc.gzipMember(Warc.encodeRecord("response", url,
+              "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+              Warc.httpResponse(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+          } finally out.close()
           fi
         }.collect()
       }
