@@ -137,7 +137,11 @@ STAMPS = {
     # r14 re-stamps: both contracts REWRITTEN this round — insights moved to
     # submit-all-then-poll (awaitAll) with dense-day pages; url_frontier grew
     # from 2 waves to 3 + compactSeen + two audit counts. Isolated min-of-2.
-    "q_insights_jobs": 3.53,
+    # r15 re-stamp: the report-page fetch moved from a serial driver loop
+    # to RestPagesV2.readMany (one partition per report) — isolated
+    # min-of-2 1.34s, a 2.6x win over the r14 3.53 stamp (kept here for
+    # provenance). Same oracle, partition count asserted in-contract.
+    "q_insights_jobs": 1.34,
     "q_join_broadcast": 0.33, "q_langid": 0.17, "q_merge_dedup": 0.35,
     "q_merge_key_replace": 0.43, "q_multimodal_decode": 0.15,
     "q_multimodal_meta": 0.13, "q_ngram_novelty": 0.13,
@@ -151,7 +155,15 @@ STAMPS = {
     "q_session_filter": 0.26, "q_sessionize_batch": 0.18,
     "q_simhash": 0.19, "q_skew_agg": 0.20, "q_stage_pivot": 0.23,
     "q_table_routing": 0.17, "q_text_quality": 0.12, "q_tokens": 0.12,
-    "q_unpivot": 0.15, "q_url_frontier": 4.57,  # r14 final (reader-safe gc sweep + repartition sizing added after the 3.98 stamp; isolated min-of-2)
+    "q_unpivot": 0.15,
+    # r14 final 4.57 (reader-safe gc sweep + repartition sizing; isolated
+    # min-of-2). r15 grew the contract further (compactPages + gc +
+    # committedPages read-back) yet the in-run time is 4.41 — still under
+    # the stamp, so it stands unchanged.
+    "q_url_frontier": 4.57,
+    # r15 new contract: WARC containers, two incremental waves, quarantine,
+    # extract + canonical dedup. Isolated min-of-2.
+    "q_warc_pipeline": 1.70,
     # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
     "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
