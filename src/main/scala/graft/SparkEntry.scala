@@ -1448,7 +1448,11 @@ object SparkEntry {
           lit("><b>doc "), col("doc_id"), lit("</b></a></li></ul><p>"),
           regexp_replace(col("text"), " ", "</p> <p>"),
           lit("</p><!-- footer --></body></html>")).as("html"))
-      val nFiles = 8
+      // container count scales with the corpus (a real crawl ships
+      // thousands of ~fixed-size segments, and the file IS the parallel
+      // unit for both the gzip encode here and the read): ~4000 docs per
+      // container, floor 8, cap 64
+      val nFiles = math.max(8, math.min(64, (docs.count() / 4000L).toInt))
       // land one wave's containers: group docs by container, encode one
       // gzip member per record executor-side, write one file per task
       // (local[32] shares the fs; a cluster build would write through
