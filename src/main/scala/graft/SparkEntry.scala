@@ -2376,6 +2376,62 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // config-as-data capstone (the reference's RESTAPIConfig dialect,
+    // sources/pipedrive/rest_v2/__init__.py:96-168): the SAME github
+    // source as q_fleet_pipeline arrives as a JSON DOCUMENT, is parsed by
+    // RestConfig.fromJson, and must land tables hash-identical to the
+    // hand-built config's oracle — a user ships a config document, not code
+    "q_fleet_config" -> ((s, dir) => {
+      import graft.connectors.rest.{RestConfig, RestEngine, StaticPagesTransport}
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      def issue(r: org.apache.spark.sql.Row) = {
+        val k = (r.getLong(2) % 3).toInt + 1
+        val labels = (0 until k).map(i => s"""{"name":"l$i"}""").mkString(",")
+        s"""{"id":${r.getLong(0)},"updated_at":"2024-01-01T00:00:00Z","lang":"${r.getString(1)}","labels":[$labels]}"""
+      }
+      def pageKey(n: Option[Int]) = "repos/octo/repo/issues?direction=asc" +
+        n.fold("")(p => s"&page=$p") + "&per_page=100&sort=updated&state=all"
+      val chunks = docs.toSeq.grouped(100).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        pageKey(if (i == 0) None else Some(i + 1)) -> s"[${chunk.map(issue).mkString(",")}]"
+      }.toMap + (pageKey(Some(chunks.size + 1)) -> "[]")
+      val src = RestConfig.fromJson("""
+        {"name": "github",
+         "client": {"base_url": "https://api.github.com",
+                    "headers": {"Accept": "application/vnd.github+json"}},
+         "resources": [
+           {"name": "issues",
+            "endpoint": {"path": "repos/octo/repo/issues",
+                         "params": {"state": "all", "sort": "updated", "direction": "asc",
+                                    "since": "{incremental.start_value}"},
+                         "paginator": {"type": "page_number", "size_param": "per_page",
+                                       "page_size": 100},
+                         "incremental": {"cursor_path": "updated_at"}},
+            "primary_key": "id",
+            "write_disposition": "merge"}
+         ]}""")
+      val issuesRes = src.resources.find(_.name == "issues").get
+      val dest = java.nio.file.Files.createTempDirectory("graft_fcfg").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_fcstate").toString
+      val pipe = new Pipeline(s, "verify_ghcfg", dest, stateDir)
+      val resource = ResourceDef(
+        name = "issues",
+        hints = issuesRes.hints,
+        build = ctx => RestEngine.readResource(ctx.spark, src, issuesRes,
+          StaticPagesTransport(pages), Some(ctx.state)),
+      )
+      pipe.run(SourceDef(src.name, Seq(resource)))
+      val root = s.read.parquet(s"$dest/issues")
+      val labels = s.read.parquet(s"$dest/issues__labels")
+      root.select(col("lang"), col("_dlt_id"))
+        .join(labels.select(col("_dlt_parent_id")), col("_dlt_id") === col("_dlt_parent_id"))
+        .groupBy("lang")
+        .agg(countDistinct(col("_dlt_id")).as("n_issues"), count(lit(1)).as("n_labels"))
+        .orderBy("lang")
+    }),
+
     // training-corpus PII scrubbing: deterministic emails/phones/IPs are
     // injected into each document and the codegen'd regexp passes must
     // count and redact them exactly as DuckDB's RE2 replays of the same
@@ -5935,6 +5991,10 @@ object SparkEntry {
         |FROM final ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
 
     "q_fleet_pipeline" ->
+      """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
+        |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_fleet_config" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 

@@ -1,0 +1,345 @@
+package graft.connectors.rest
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.connectors.rest.RestEngine._
+import graft.core.{Disposition, TableHints}
+
+import scala.jdk.CollectionConverters._
+
+/** Config-as-data for the REST keystone: parse a JSON document shaped like
+  * the reference's `RESTAPIConfig` (sources/pipedrive/rest_v2/__init__.py:96-168
+  * — `client` 138-145, `resource_defaults` 147-164, `resources` list 166,
+  * cursor paginator dict 158-162, api_key auth dict 141-145, parent
+  * interpolation `{resources.<parent>.<field>}` 116-123, incremental
+  * placeholder `{incremental.start_value}` 102-107) into a runnable
+  * [[RestEngine.RestSource]].
+  *
+  * This is the last parity surface of the reference's declarative model: a
+  * user ships a config DOCUMENT, not code — new connectors without a
+  * rebuild. The loader is a pure translation layer; execution (page loops,
+  * incremental state, executor-side parent fan-out, dispositions) is the
+  * existing engine, so `fromJson(render(Fleet.github(...)))` and
+  * `Fleet.github(...)` are the SAME object and land byte-identical tables
+  * (proven structurally in FleetConfigSpec and end-to-end by the
+  * q_fleet_config oracle, which must hash-match q_fleet_pipeline's).
+  *
+  * Field names mirror the reference config dialect:
+  *
+  * {{{
+  * {
+  *   "name": "github",
+  *   "client": {
+  *     "base_url": "https://api.github.com",
+  *     "headers": {"Accept": "application/vnd.github+json"},
+  *     "auth": {"type": "api_key", "name": "api_token", "api_key": "…", "location": "query"}
+  *   },
+  *   "resource_defaults": {
+  *     "primary_key": "id",
+  *     "write_disposition": "merge",
+  *     "endpoint": {"params": {"limit": 500}, "data_selector": "data",
+  *                  "paginator": {"type": "cursor", "cursor_path": "additional_data.next_cursor",
+  *                                "cursor_param": "cursor"}}
+  *   },
+  *   "resources": [
+  *     "deals",
+  *     {"name": "issues",
+  *      "endpoint": {"path": "repos/o/r/issues",
+  *                   "params": {"since": "{incremental.start_value}"},
+  *                   "incremental": {"cursor_path": "updated_at", "initial_value": "2024-01-01"}},
+  *      "primary_key": "id", "write_disposition": "merge"},
+  *     {"name": "participants",
+  *      "endpoint": {"path": "deals/{resources.deals.id}/participants"}}
+  *   ]
+  * }
+  * }}}
+  *
+  * Paginator `type` values accepted (dlt names first, graft aliases in
+  * parens): `offset`, `page_number`, `cursor`, `json_link` (`json_response`,
+  * `next_url`), `start_time`, `single_page`. `header_link` and `auto` are
+  * rejected with an explicit error — the transport's [[HttpResponse]] does
+  * not expose response headers, and "auto" runtime sniffing would make the
+  * plan non-deterministic.
+  */
+object RestConfig {
+
+  def fromJson(json: String): RestSource = fromNode(Json.parse(json))
+
+  def fromNode(root: JsonNode): RestSource = {
+    val clientNode = req(root, "client", "config root")
+    val client = parseClient(clientNode)
+    val defaults = Option(root.get("resource_defaults"))
+    val resourcesNode = req(root, "resources", "config root")
+    require(resourcesNode.isArray, "config 'resources' must be an array")
+    val resources = resourcesNode.elements().asScala.toSeq.map(parseResource(_, defaults))
+    RestSource(
+      name = str(root, "name").getOrElse("rest_api"),
+      client = client,
+      resources = resources,
+    )
+  }
+
+  // ----------------------------------------------------------------- client
+
+  private def parseClient(n: JsonNode): ClientConfig = ClientConfig(
+    baseUrl = reqStr(n, "base_url", "client"),
+    auth = Option(n.get("auth")).map(parseAuth),
+    headers = strMap(n, "headers"),
+  )
+
+  /** Auth dicts per the reference dialect: `api_key` with a `location`
+    * (sources/pipedrive/rest_v2/__init__.py:141-145), `bearer`,
+    * `http_basic`, `oauth2_client_credentials`.
+    */
+  def parseAuth(n: JsonNode): Auth = reqStr(n, "type", "auth") match {
+    case "bearer" => Auth.Bearer(reqStr(n, "token", "bearer auth"))
+    case "api_key" =>
+      val name = str(n, "name").getOrElse("Authorization")
+      val key = reqStr(n, "api_key", "api_key auth")
+      str(n, "location").getOrElse("header") match {
+        case "query"  => Auth.QueryParam(name, key)
+        case "header" => Auth.Header(name, key)
+        case other    => fail(s"api_key auth location '$other' (expected 'query' or 'header')")
+      }
+    case "http_basic" =>
+      Auth.Basic(reqStr(n, "username", "http_basic auth"), reqStr(n, "password", "http_basic auth"))
+    case "oauth2_client_credentials" =>
+      new Auth.OAuth2(
+        tokenUrl = str(n, "access_token_url").orElse(str(n, "token_url"))
+          .getOrElse(fail("oauth2_client_credentials auth requires 'access_token_url'")),
+        clientId = reqStr(n, "client_id", "oauth2 auth"),
+        clientSecret = reqStr(n, "client_secret", "oauth2 auth"),
+        refreshToken = str(n, "refresh_token"),
+        scope = str(n, "scope").orElse {
+          // dlt spells scopes as a list; join the canonical space-separated way
+          Option(n.get("scopes")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asText()).mkString(" "))
+        },
+      )
+    case other =>
+      fail(s"unsupported auth type '$other' (expected bearer | api_key | http_basic | oauth2_client_credentials)")
+  }
+
+  // -------------------------------------------------------------- paginator
+
+  /** Accepts the dict form `{"type": …}` or the string shorthand for
+    * parameterless types (`"single_page"`, `"offset"`, `"page_number"`,
+    * `"json_link"`).
+    */
+  def parsePaginator(n: JsonNode): Paginator = {
+    if (n.isTextual) return parsePaginatorType(n.asText(), n)
+    parsePaginatorType(reqStr(n, "type", "paginator"), n)
+  }
+
+  private def parsePaginatorType(tpe: String, n: JsonNode): Paginator = tpe match {
+    case "offset" => Paginator.Offset(
+        offsetParam = str(n, "offset_param").getOrElse("offset"),
+        limitParam = str(n, "limit_param").getOrElse("limit"),
+        pageSize = int(n, "limit").orElse(int(n, "page_size")).getOrElse(100),
+        totalPath = str(n, "total_path"),
+      )
+    case "page_number" => Paginator.PageNumber(
+        pageParam = str(n, "page_param").getOrElse("page"),
+        sizeParam = str(n, "size_param").getOrElse("per_page"),
+        pageSize = int(n, "page_size").getOrElse(100),
+        totalPath = str(n, "total_path"),
+      )
+    case "cursor" => Paginator.Cursor(
+        cursorPath = reqStr(n, "cursor_path", "cursor paginator"),
+        cursorParam = str(n, "cursor_param").getOrElse("cursor"),
+        pageSize = int(n, "page_size").getOrElse(100),
+        sizeParam = str(n, "size_param").getOrElse("limit"),
+      )
+    case "json_link" | "json_response" | "next_url" =>
+      Paginator.NextUrl(str(n, "next_url_path").getOrElse("next"))
+    case "start_time" => Paginator.StartTime(
+        nextStartPath = reqStr(n, "next_start_path", "start_time paginator"),
+        startParam = reqStr(n, "start_param", "start_time paginator"),
+        endOfStreamPath = str(n, "end_of_stream_path").getOrElse("end_of_stream"),
+      )
+    case "single_page" => Paginator.Single
+    case "header_link" =>
+      fail("paginator type 'header_link' is unsupported: HttpResponse does not expose response headers")
+    case "auto" =>
+      fail("paginator type 'auto' is unsupported: declare the protocol explicitly " +
+        "(offset | page_number | cursor | json_link | start_time | single_page)")
+    case other =>
+      fail(s"unknown paginator type '$other' " +
+        "(expected offset | page_number | cursor | json_link | start_time | single_page)")
+  }
+
+  // --------------------------------------------------------------- resource
+
+  /** `{resources.<parent>.<field>}` placeholders — the reference's
+    * parent-child interpolation (sources/pipedrive/rest_v2/__init__.py:116-123).
+    */
+  private val ParentRef = """\{resources\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)\}""".r
+
+  private def parseResource(n: JsonNode, defaults: Option[JsonNode]): RestResource = {
+    // string shorthand: "deals" == {"name": "deals", "endpoint": {"path": "deals"}}
+    val (node, name, pathOpt): (JsonNode, String, Option[String]) =
+      if (n.isTextual) (Json.parse("{}"), n.asText(), Some(n.asText()))
+      else {
+        val nm = reqStr(n, "name", "resource")
+        val ep = Option(n.get("endpoint"))
+        val p = ep.flatMap {
+          case e if e.isTextual => Some(e.asText()) // endpoint string shorthand = path
+          case e                => str(e, "path")
+        }
+        (n, nm, p)
+      }
+
+    val epNode = Option(node.get("endpoint")).filter(_.isObject)
+    val defEp = defaults.flatMap(d => Option(d.get("endpoint"))).filter(_.isObject)
+
+    val rawPath = pathOpt
+      .orElse(defEp.flatMap(str(_, "path")))
+      .getOrElse(name) // dlt: a resource with no endpoint path uses its name
+
+    // defaults merge: resource params override default params key-wise
+    // (reference semantics — rest_v2 merges endpoint_config over defaults)
+    val rawParams = strMap2(defEp, "params") ++ strMap2(epNode, "params")
+
+    // parent-child: collect {resources.parent.field} refs from the path and
+    // the param VALUES (the engine interpolates both), rewrite to {field}
+    val refs = (ParentRef.findAllMatchIn(rawPath) ++
+      rawParams.valuesIterator.flatMap(ParentRef.findAllMatchIn(_))).toSeq
+    val parents = refs.map(_.group(1)).distinct
+    require(parents.size <= 1,
+      s"resource '$name' references multiple parents: ${parents.mkString(", ")}")
+    val parent = parents.headOption.map { p =>
+      ParentBinding(p, refs.map(_.group(2)).distinct)
+    }
+    def rewrite(s: String) = ParentRef.replaceAllIn(s, m => s"{${m.group(2)}}")
+    val path = rewrite(rawPath)
+
+    // incremental: explicit dict, plus the `{incremental.start_value}` /
+    // `{incremental.end_value}` param placeholders that NAME the params
+    val incNode = epNode.flatMap(e => Option(e.get("incremental")))
+      .orElse(defEp.flatMap(e => Option(e.get("incremental"))))
+    val startParamFromPlaceholder =
+      rawParams.collectFirst { case (k, v) if v == "{incremental.start_value}" => k }
+    val endParamFromPlaceholder =
+      rawParams.collectFirst { case (k, v) if v == "{incremental.end_value}" => k }
+    val incremental = incNode.map { i =>
+      IncrementalBinding(
+        cursorPath = reqStr(i, "cursor_path", s"resource '$name' incremental"),
+        startParam = str(i, "start_param").orElse(startParamFromPlaceholder)
+          .getOrElse(fail(s"resource '$name' incremental needs 'start_param' or a " +
+            "'{incremental.start_value}' param placeholder")),
+        initialValue = str(i, "initial_value"),
+        endParam = str(i, "end_param").orElse(endParamFromPlaceholder),
+        endValue = str(i, "end_value"),
+        newestFirst = bool(i, "newest_first").getOrElse(false),
+        lagDays = int(i, "lag_days").orElse(int(i, "lag")).getOrElse(0),
+      )
+    }
+    // placeholder params are bindings, not literal request params
+    val params = rawParams
+      .filterNot { case (_, v) => v == "{incremental.start_value}" || v == "{incremental.end_value}" }
+      .map { case (k, v) => k -> rewrite(v) }
+
+    val paginator = epNode.flatMap(e => Option(e.get("paginator")))
+      .orElse(defEp.flatMap(e => Option(e.get("paginator"))))
+      .map(parsePaginator)
+      .getOrElse(Paginator.Single)
+
+    val dataSelector = epNode.flatMap(str(_, "data_selector"))
+      .orElse(defEp.flatMap(str(_, "data_selector")))
+      .getOrElse("$")
+
+    val endpoint = EndpointConfig(
+      path = path,
+      params = params,
+      dataSelector = dataSelector,
+      paginator = paginator,
+      incremental = incremental,
+      parent = parent,
+      maxPages = int2(epNode, "max_pages").orElse(int2(defEp, "max_pages")).getOrElse(10000),
+    )
+
+    RestResource(name, endpoint, parseHints(name, node, defaults))
+  }
+
+  // ------------------------------------------------------------ table hints
+
+  private def parseHints(name: String, n: JsonNode, defaults: Option[JsonNode]): TableHints = {
+    def field(k: String): Option[JsonNode] =
+      Option(n.get(k)).orElse(defaults.flatMap(d => Option(d.get(k))))
+    val pk = field("primary_key").map(strList).getOrElse(Nil)
+    val mergeKey = field("merge_key").map(strList).getOrElse(Nil)
+    val (disposition, scd2) = field("write_disposition") match {
+      case None => (Disposition.Append: Disposition, false)
+      case Some(d) if d.isTextual => (parseDisposition(d.asText()), false)
+      // dict form: {"disposition": "merge", "strategy": "scd2"} (dlt merge strategies)
+      case Some(d) =>
+        val base = parseDisposition(reqStr(d, "disposition", "write_disposition"))
+        val strat = str(d, "strategy")
+        strat match {
+          case Some("scd2") =>
+            require(base == Disposition.Merge, "strategy 'scd2' requires disposition 'merge'")
+            (Disposition.Scd2: Disposition, true)
+          case Some(other) => fail(s"unsupported merge strategy '$other' (expected scd2)")
+          case None        => (base, false)
+        }
+    }
+    TableHints(
+      tableName = field("table_name").flatMap(t => if (t.isTextual) Some(t.asText()) else None).getOrElse(name),
+      disposition = disposition,
+      primaryKey = pk,
+      mergeKey = mergeKey,
+      maxTableNesting = field("max_table_nesting").flatMap(t => if (t.isInt) Some(t.asInt()) else None)
+        .getOrElse(Int.MaxValue),
+    )
+  }
+
+  private def parseDisposition(s: String): Disposition = s match {
+    case "append"  => Disposition.Append
+    case "replace" => Disposition.Replace
+    case "merge"   => Disposition.Merge
+    case other     => fail(s"unsupported write_disposition '$other' (expected append | replace | merge)")
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"rest config: $msg")
+
+  private def req(n: JsonNode, k: String, where: String): JsonNode =
+    Option(n.get(k)).getOrElse(fail(s"$where requires '$k'"))
+
+  private def reqStr(n: JsonNode, k: String, where: String): String = {
+    val v = req(n, k, where)
+    if (!v.isTextual) fail(s"$where field '$k' must be a string")
+    v.asText()
+  }
+
+  private def str(n: JsonNode, k: String): Option[String] =
+    Option(n.get(k)).filter(_.isTextual).map(_.asText())
+
+  private def int(n: JsonNode, k: String): Option[Int] =
+    Option(n.get(k)).filter(_.isNumber).map(_.asInt())
+
+  private def int2(n: Option[JsonNode], k: String): Option[Int] = n.flatMap(int(_, k))
+
+  private def bool(n: JsonNode, k: String): Option[Boolean] =
+    Option(n.get(k)).filter(_.isBoolean).map(_.asBoolean())
+
+  /** string-or-list field (dlt primary_key accepts both). */
+  private def strList(n: JsonNode): Seq[String] =
+    if (n.isTextual) Seq(n.asText())
+    else if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+    else fail("expected a string or array of strings")
+
+  /** JSON object → Map[String,String]; non-string scalars (numbers, bools —
+    * the reference writes `"limit": 500`) render through their JSON text.
+    */
+  private def strMap(n: JsonNode, k: String): Map[String, String] =
+    Option(n.get(k)).filter(_.isObject).map { o =>
+      o.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isTextual) v.asText() else v.asText(v.toString))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def strMap2(n: Option[JsonNode], k: String): Map[String, String] =
+    n.map(strMap(_, k)).getOrElse(Map.empty)
+}

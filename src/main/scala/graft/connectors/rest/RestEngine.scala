@@ -141,7 +141,10 @@ object RestEngine {
     // (OAuth2) can expire mid-pagination and must re-mint, and a NextUrl
     // hop must not drop a QueryParam credential with the rest of the
     // page params. Static auths are pure merges, so per-request is free.
-    val baseParams = endpoint.params ++ extraParams
+    // Param VALUES interpolate parent vars too — the config dialect binds
+    // parents in query params as well as paths (`?deal_id={id}`).
+    val baseParams = (endpoint.params ++ extraParams)
+      .map { case (k, v) => k -> interpolate(v, pathVars) }
     // A NextUrl hop usually echoes the full original query — including a
     // QueryParam credential — in the link itself; re-applying the
     // credential would send it twice (Transport appends with '&'), which

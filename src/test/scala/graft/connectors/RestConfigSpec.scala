@@ -1,0 +1,242 @@
+package graft.connectors.rest
+
+import graft.SparkTestBase
+import graft.connectors.sources.Fleet
+import graft.core.Disposition
+import RestEngine._
+
+/** Config-as-data loader: a JSON document shaped like the reference's
+  * RESTAPIConfig (sources/pipedrive/rest_v2/__init__.py:96-168) must parse
+  * to the SAME RestSource a hand-built Fleet config produces — structural
+  * equality here, hash-identical landed tables in q_fleet_config.
+  */
+class RestConfigSpec extends SparkTestBase {
+
+  test("github config document parses structurally equal to Fleet.github") {
+    val cfg = """
+      {
+        "name": "github",
+        "client": {
+          "base_url": "https://api.github.com",
+          "headers": {"Accept": "application/vnd.github+json"}
+        },
+        "resources": [
+          {"name": "repo_events",
+           "endpoint": {"path": "repos/octo/repo/events",
+                        "paginator": {"type": "page_number", "page_param": "page",
+                                      "size_param": "per_page", "page_size": 100}},
+           "table_name": "issues_events",
+           "write_disposition": "append"},
+          {"name": "issues",
+           "endpoint": {"path": "repos/octo/repo/issues",
+                        "params": {"state": "all", "sort": "updated", "direction": "asc",
+                                   "since": "{incremental.start_value}"},
+                        "paginator": {"type": "page_number", "size_param": "per_page", "page_size": 100},
+                        "incremental": {"cursor_path": "updated_at"}},
+           "primary_key": "id",
+           "write_disposition": "merge"},
+          {"name": "stargazers",
+           "endpoint": {"path": "repos/octo/repo/stargazers",
+                        "paginator": {"type": "page_number", "size_param": "per_page", "page_size": 100}},
+           "write_disposition": "replace"}
+        ]
+      }"""
+    assert(RestConfig.fromJson(cfg) == Fleet.github("octo", "repo", None))
+  }
+
+  test("bearer-auth github config matches Fleet.github with a token") {
+    val cfg = """
+      {"name": "github",
+       "client": {"base_url": "https://api.github.com",
+                  "headers": {"Accept": "application/vnd.github+json"},
+                  "auth": {"type": "bearer", "token": "tok123"}},
+       "resources": [
+         {"name": "repo_events",
+          "endpoint": {"path": "repos/o/r/events",
+                       "paginator": {"type": "page_number", "size_param": "per_page", "page_size": 100}},
+          "table_name": "issues_events", "write_disposition": "append"},
+         {"name": "issues",
+          "endpoint": {"path": "repos/o/r/issues",
+                       "params": {"state": "all", "sort": "updated", "direction": "asc"},
+                       "paginator": {"type": "page_number", "size_param": "per_page", "page_size": 100},
+                       "incremental": {"cursor_path": "updated_at", "start_param": "since"}},
+          "primary_key": "id", "write_disposition": "merge"},
+         {"name": "stargazers",
+          "endpoint": {"path": "repos/o/r/stargazers",
+                       "paginator": {"type": "page_number", "size_param": "per_page", "page_size": 100}},
+          "write_disposition": "replace"}
+       ]}"""
+    assert(RestConfig.fromJson(cfg) == Fleet.github("o", "r", Some("tok123")))
+  }
+
+  test("pipedrive-shaped config: defaults, api_key query auth, string resources, parent refs") {
+    // mirrors the reference document at sources/pipedrive/rest_v2/__init__.py:138-168
+    val cfg = """
+      {
+        "name": "pipedrive",
+        "client": {
+          "base_url": "https://acme.pipedrive.com/api/v2/",
+          "auth": {"type": "api_key", "name": "api_token", "api_key": "k1", "location": "query"}
+        },
+        "resource_defaults": {
+          "primary_key": "id",
+          "write_disposition": "merge",
+          "endpoint": {
+            "params": {"limit": 500, "sort_by": "update_time", "sort_direction": "desc"},
+            "data_selector": "data",
+            "paginator": {"type": "cursor", "cursor_path": "additional_data.next_cursor",
+                          "cursor_param": "cursor"}
+          }
+        },
+        "resources": [
+          "deals",
+          {"name": "deals_flow",
+           "endpoint": {"path": "deals/{resources.deals.id}/flow",
+                        "params": {"limit": 100}}}
+        ]
+      }"""
+    val src = RestConfig.fromJson(cfg)
+    assert(src.name == "pipedrive")
+    assert(src.client.auth.contains(Auth.QueryParam("api_token", "k1")))
+
+    val deals = src.resources.find(_.name == "deals").get
+    assert(deals.endpoint.path == "deals")
+    assert(deals.endpoint.params == Map("limit" -> "500", "sort_by" -> "update_time", "sort_direction" -> "desc"))
+    assert(deals.endpoint.dataSelector == "data")
+    assert(deals.endpoint.paginator ==
+      Paginator.Cursor("additional_data.next_cursor", "cursor", 100, "limit"))
+    assert(deals.hints.disposition == Disposition.Merge)
+    assert(deals.hints.primaryKey == Seq("id"))
+
+    val flow = src.resources.find(_.name == "deals_flow").get
+    assert(flow.endpoint.path == "deals/{id}/flow")
+    assert(flow.endpoint.parent.contains(ParentBinding("deals", Seq("id"))))
+    // resource params override the defaults key-wise, other defaults survive
+    assert(flow.endpoint.params("limit") == "100")
+    assert(flow.endpoint.params("sort_by") == "update_time")
+  }
+
+  test("every paginator family parses; header_link/auto/unknown are rejected") {
+    def pag(j: String): Paginator = RestConfig.parsePaginator(Json.parse(j))
+    assert(pag("""{"type":"offset","limit":50,"total_path":"meta.total"}""") ==
+      Paginator.Offset("offset", "limit", 50, Some("meta.total")))
+    assert(pag("""{"type":"page_number","page_param":"p","size_param":"n","page_size":25}""") ==
+      Paginator.PageNumber("p", "n", 25, None))
+    assert(pag("""{"type":"cursor","cursor_path":"next_cursor","cursor_param":"cursor"}""") ==
+      Paginator.Cursor("next_cursor", "cursor", 100, "limit"))
+    assert(pag("""{"type":"json_link","next_url_path":"paging.next.link"}""") ==
+      Paginator.NextUrl("paging.next.link"))
+    assert(pag("""{"type":"json_response"}""") == Paginator.NextUrl("next"))
+    assert(pag("""{"type":"start_time","next_start_path":"end_time","start_param":"start_time"}""") ==
+      Paginator.StartTime("end_time", "start_time", "end_of_stream"))
+    assert(pag("\"single_page\"") == Paginator.Single)
+    assert(pag("\"offset\"") == Paginator.Offset())
+    intercept[IllegalArgumentException](pag("""{"type":"header_link"}"""))
+    intercept[IllegalArgumentException](pag("""{"type":"auto"}"""))
+    intercept[IllegalArgumentException](pag("""{"type":"zigzag"}"""))
+  }
+
+  test("auth dialects: bearer, api_key header/query, http_basic, oauth2") {
+    def auth(j: String): Auth = RestConfig.parseAuth(Json.parse(j))
+    assert(auth("""{"type":"bearer","token":"t"}""") == Auth.Bearer("t"))
+    assert(auth("""{"type":"api_key","name":"X-Key","api_key":"k"}""") == Auth.Header("X-Key", "k"))
+    assert(auth("""{"type":"api_key","name":"key","api_key":"k","location":"query"}""") ==
+      Auth.QueryParam("key", "k"))
+    assert(auth("""{"type":"http_basic","username":"u","password":"p"}""") == Auth.Basic("u", "p"))
+    // OAuth2 is a class (mutable token cache) — assert it parses and applies
+    val o = auth("""{"type":"oauth2_client_credentials","access_token_url":"https://x/token",
+                     "client_id":"c","client_secret":"s","scopes":["a","b"]}""")
+    assert(o.isInstanceOf[Auth.OAuth2])
+    intercept[IllegalArgumentException](auth("""{"type":"jwt"}"""))
+    intercept[IllegalArgumentException](auth("""{"type":"api_key","name":"k","api_key":"v","location":"body"}"""))
+  }
+
+  test("incremental placeholders bind start and end params and drop the literals") {
+    val cfg = """
+      {"client": {"base_url": "https://x"},
+       "resources": [
+         {"name": "r",
+          "endpoint": {"path": "r",
+                       "params": {"since": "{incremental.start_value}",
+                                  "until": "{incremental.end_value}",
+                                  "static": "1"},
+                       "incremental": {"cursor_path": "updated", "initial_value": "2024-01-01",
+                                       "end_value": "2024-06-01", "newest_first": true, "lag_days": 3}}}
+       ]}"""
+    val r = RestConfig.fromJson(cfg).resources.head
+    assert(r.endpoint.params == Map("static" -> "1"))
+    assert(r.endpoint.incremental.contains(IncrementalBinding(
+      "updated", "since", Some("2024-01-01"), Some("until"), Some("2024-06-01"),
+      newestFirst = true, lagDays = 3)))
+  }
+
+  test("parent refs in param values bind too; multiple parents are rejected") {
+    val cfg = """
+      {"client": {"base_url": "https://x"},
+       "resources": [
+         {"name": "child",
+          "endpoint": {"path": "items", "params": {"owner_id": "{resources.owners.id}"}}}
+       ]}"""
+    val r = RestConfig.fromJson(cfg).resources.head
+    assert(r.endpoint.parent.contains(ParentBinding("owners", Seq("id"))))
+    assert(r.endpoint.params == Map("owner_id" -> "{id}"))
+
+    val bad = """
+      {"client": {"base_url": "https://x"},
+       "resources": [
+         {"name": "c", "endpoint": {"path": "a/{resources.p1.id}/b/{resources.p2.id}"}}
+       ]}"""
+    intercept[IllegalArgumentException](RestConfig.fromJson(bad))
+  }
+
+  test("write_disposition dict with scd2 strategy; missing fields fail loud") {
+    val cfg = """
+      {"client": {"base_url": "https://x"},
+       "resources": [
+         {"name": "dim",
+          "endpoint": "dim",
+          "primary_key": ["k1", "k2"],
+          "write_disposition": {"disposition": "merge", "strategy": "scd2"}}
+       ]}"""
+    val r = RestConfig.fromJson(cfg).resources.head
+    assert(r.hints.disposition == Disposition.Scd2)
+    assert(r.hints.primaryKey == Seq("k1", "k2"))
+    assert(r.endpoint.path == "dim") // endpoint string shorthand
+
+    intercept[IllegalArgumentException](RestConfig.fromJson("""{"resources": []}"""))
+    intercept[IllegalArgumentException](
+      RestConfig.fromJson("""{"client": {"base_url": "https://x"}}"""))
+    intercept[IllegalArgumentException](RestConfig.fromJson(
+      """{"client": {"base_url": "https://x"},
+          "resources": [{"name": "r", "endpoint": {"path": "r",
+            "incremental": {"cursor_path": "u"}}}]}""")) // no start_param, no placeholder
+  }
+
+  test("parsed config drives the engine identically to the hand-built config") {
+    // one cursor-paginated endpoint, read via both sources over the same
+    // canned transport: same requests, same rows
+    val pages = Map(
+      "things?limit=2" -> """{"data":[{"id":1},{"id":2}],"meta":{"next":"c2"}}""",
+      "things?cursor=c2&limit=2" -> """{"data":[{"id":3}],"meta":{}}""",
+    )
+    val byHand = RestSource("s", ClientConfig("https://api.test"), Seq(
+      RestResource("things",
+        EndpointConfig("things", dataSelector = "data",
+          paginator = Paginator.Cursor("meta.next", "cursor", 2)),
+        graft.core.TableHints("things"))))
+    val fromCfg = RestConfig.fromJson("""
+      {"name": "s",
+       "client": {"base_url": "https://api.test"},
+       "resources": [
+         {"name": "things",
+          "endpoint": {"path": "things", "data_selector": "data",
+                       "paginator": {"type": "cursor", "cursor_path": "meta.next",
+                                     "cursor_param": "cursor", "page_size": 2}}}
+       ]}""")
+    assert(fromCfg == byHand)
+    val a = RestEngine.readResource(spark, byHand, byHand.resources.head, new FakeTransport(pages))
+    val b = RestEngine.readResource(spark, fromCfg, fromCfg.resources.head, new FakeTransport(pages))
+    assert(a.collect().toSeq.map(_.toString).sorted == b.collect().toSeq.map(_.toString).sorted)
+    assert(b.count() == 3)
+  }
+}
