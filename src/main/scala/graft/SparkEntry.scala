@@ -1353,6 +1353,48 @@ object SparkEntry {
       UrlFrontier.committedPages(s, dest, state).orderBy("url_canon")
     }),
 
+    // per-host crawl politeness: three capped waves over a 7-host URL set
+    // (≤150 URLs per host per wave, deterministic smallest-first
+    // selection via the bounded MinK aggregator) then an uncapped drain
+    // wave; overflow carries over between waves with no extra state
+    // (uncapped URLs never enter the seen-set, so the next anti-join
+    // re-presents them). The oracle replays the selection as a plain
+    // rank-within-host, proving BOTH the cap (no host exceeds 150 in any
+    // capped wave — also require()d in-contract) and fetch-exactly-once
+    // across all four waves (one row per canonical URL, wave tag pinned)
+    "q_url_frontier_polite" -> ((s, dir) => {
+      import graft.ops.UrlFrontier
+      val cap = 150
+      val dest = java.nio.file.Files.createTempDirectory("graft_polite").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      val planned = t(s, dir, "events").filter(col("event_id") < 3500)
+        .select(concat(
+          when(col("event_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://www.")),
+          lit("h"), (col("event_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
+      def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
+        todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
+      (1 to 3).foreach { w =>
+        val landed = UrlFrontier.runWave(s, dest, state, planned, "url", Some(cap))(fetchWave(w))
+        // coalesce(0): a tiny corpus can drain before wave 3, leaving an
+        // empty landed frame whose max(count) is null
+        val worst = landed
+          .groupBy(regexp_extract(col("url_canon"), "^[^/?]+", 0)).count()
+          .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+        require(worst <= cap, s"wave $w fetched $worst URLs from one host (cap $cap)")
+      }
+      UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(4))
+      require(UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(5)).isEmpty,
+        "frontier not drained after the uncapped wave")
+      UrlFrontier.committedPages(s, dest, state)
+        .select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host"),
+          col("wave"), col("url_canon"))
+        .groupBy("host", "wave")
+        .agg(count(lit(1)).as("n_pages"),
+          min("url_canon").as("first_url"), max("url_canon").as("last_url"))
+        .orderBy("host", "wave")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -5163,6 +5205,20 @@ object SparkEntry {
     "q_url_dedup" -> urlDedupSql,
 
     "q_url_frontier" -> urlFrontierSql,
+
+    "q_url_frontier_polite" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    'h' || CAST(event_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url_canon,
+        |    'h' || CAST(event_id % 7 AS VARCHAR) || '.example.com' AS host
+        |  FROM events WHERE event_id < 3500),
+        |r AS (SELECT host, url_canon,
+        |        row_number() OVER (PARTITION BY host ORDER BY url_canon) AS rk FROM u)
+        |SELECT host,
+        |  CAST(CASE WHEN rk <= 150 THEN 1 WHEN rk <= 300 THEN 2
+        |            WHEN rk <= 450 THEN 3 ELSE 4 END AS BIGINT) AS wave,
+        |  count(*) AS n_pages, min(url_canon) AS first_url, max(url_canon) AS last_url
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q_stream_url_dedup" -> streamUrlDedupSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,

@@ -110,6 +110,21 @@ object UrlFrontier {
     * and the generation pointers (both lists, one commit) commit last.
     * Returns the landed frame.
     *
+    * Per-host politeness: `maxPerHost = Some(k)` caps the wave's fetch
+    * set at k URLs per canonical host — a real crawl must not hand a
+    * single host an unbounded wave (the behavior class is the
+    * reference's per-connector rate discipline,
+    * sources/chess/helpers.py). Selection is the k
+    * lexicographically-smallest unseen URLs per host, computed by the
+    * bounded [[graft.functions.MinK]] aggregator (buffer ≤ k strings per
+    * host per map partition — a hot host with millions of candidates
+    * never materializes its full list anywhere). Deterministic order
+    * makes the selection oracle-replayable as a rank-within-host.
+    * OVERFLOW CARRIES OVER for free: uncapped URLs are simply not
+    * fetched, so they never enter the seen-set and the next wave's
+    * anti-join re-presents them — fetch-exactly-once holds across waves
+    * with no extra state.
+    *
     * Single-writer per frontier, ENFORCED: the generation lists are
     * read-modify-write state, so a wave racing another wave (or a
     * compaction) could commit a list built from a stale read — dropping
@@ -120,15 +135,34 @@ object UrlFrontier {
     * LockHeldException instead of corrupting the pointer.
     */
   def runWave(spark: SparkSession, dest: String, state: StateStore,
-      planned: DataFrame, urlCol: String)(fetch: DataFrame => DataFrame): DataFrame =
+      planned: DataFrame, urlCol: String, maxPerHost: Option[Int] = None)(
+      fetch: DataFrame => DataFrame): DataFrame =
     graft.core.TableLock.withLock(spark, dest, s"url-frontier-wave:${java.util.UUID.randomUUID()}") {
-      runWaveLocked(spark, dest, state, planned, urlCol)(fetch)
+      runWaveLocked(spark, dest, state, planned, urlCol, maxPerHost)(fetch)
     }
 
+  /** Canonical host of a canonical URL (scheme already stripped by
+    * [[Url.canonicalize]]): everything before the first '/' or '?'.
+    */
+  private def hostOf(urlCanon: String): String =
+    urlCanon.takeWhile(c => c != '/' && c != '?')
+
   private def runWaveLocked(spark: SparkSession, dest: String, state: StateStore,
-      planned: DataFrame, urlCol: String)(fetch: DataFrame => DataFrame): DataFrame = {
+      planned: DataFrame, urlCol: String, maxPerHost: Option[Int])(
+      fetch: DataFrame => DataFrame): DataFrame = {
     val canon = planned.select(Url.canonicalize(col(urlCol)).as("url_canon")).distinct()
-    val todo = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    val unseen = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    val todo = maxPerHost match {
+      case None => unseen
+      case Some(k) =>
+        require(k > 0, s"maxPerHost must be positive, got $k")
+        import spark.implicits._
+        unseen.select(col("url_canon")).as[String]
+          .groupByKey(hostOf)
+          .agg(graft.functions.MinK.minK(k).name("urls"))
+          .flatMap(_._2)
+          .toDF("url_canon")
+    }
     val fetched = fetch(todo)
     require(fetched.columns.contains("url_canon"),
       "fetch must keep the url_canon column — it is the frontier key")

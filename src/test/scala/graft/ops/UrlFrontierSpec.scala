@@ -275,4 +275,56 @@ class UrlFrontierSpec extends SparkTestBase {
       (0 until 6).map(g => s"http://site$g.example.com/p/$g").toDF("url"), "url")(fetchCount(fetched))
     assert(w2.count() == 2 && fetched.get() == 6)
   }
+
+  test("per-host cap shapes each wave and overflow carries over to the next") {
+    val dest = tmpDir("frontier_polite")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    // host a: 5 urls, host b: 2, host c: 1 — cap 2 per host per wave
+    val urls = (Seq.tabulate(5)(i => s"http://a.test/p$i") ++
+      Seq("http://b.test/p0", "http://b.test/p1", "http://c.test/p0")).toDF("url")
+
+    def hosts(df: DataFrame): Map[String, Set[String]] =
+      df.select("url_canon").as[String].collect().toSet.groupBy(_.takeWhile(_ != '/'))
+
+    val w1 = hosts(UrlFrontier.runWave(spark, dest, state, urls, "url", Some(2))(fetchCount(fetched)))
+    // deterministic smallest-first selection, every host bounded at 2
+    assert(w1 == Map(
+      "a.test" -> Set("a.test/p0", "a.test/p1"),
+      "b.test" -> Set("b.test/p0", "b.test/p1"),
+      "c.test" -> Set("c.test/p0")))
+
+    // overflow (a.test/p2..p4) was never marked seen — wave 2 re-presents
+    // exactly it, again capped
+    val w2 = hosts(UrlFrontier.runWave(spark, dest, state, urls, "url", Some(2))(fetchCount(fetched)))
+    assert(w2 == Map("a.test" -> Set("a.test/p2", "a.test/p3")))
+
+    val w3 = hosts(UrlFrontier.runWave(spark, dest, state, urls, "url", Some(2))(fetchCount(fetched)))
+    assert(w3 == Map("a.test" -> Set("a.test/p4")))
+
+    // exactly-once across the capped waves: 8 distinct pages, 8 fetches
+    assert(fetched.get() == 8)
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 8)
+    assert(UrlFrontier.committedPages(spark, dest, state).count() == 8)
+
+    intercept[IllegalArgumentException] {
+      UrlFrontier.runWave(spark, dest, state, urls, "url", Some(0))(fetchCount(fetched))
+    }
+  }
+
+  test("MinK keeps the k smallest strings under any reduce/merge interleaving") {
+    val agg = graft.functions.MinK.minKAgg(3)
+    val items = Seq("m", "b", "z", "a", "q", "c", "b2")
+    // sequential reduce
+    val seq = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(seq) == Seq("a", "b", "b2"))
+    // split + merge in both orders
+    val (l, r) = items.splitAt(3)
+    val bl = l.foldLeft(agg.zero)(agg.reduce)
+    val br = r.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(bl, br)) == Seq("a", "b", "b2"))
+    assert(agg.finish(agg.merge(br, bl)) == Seq("a", "b", "b2"))
+    // fewer than k inputs
+    assert(agg.finish(Seq("x", "w").foldLeft(agg.zero)(agg.reduce)) == Seq("w", "x"))
+  }
 }
