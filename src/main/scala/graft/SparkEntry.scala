@@ -1493,8 +1493,12 @@ object SparkEntry {
       // container count scales with the corpus (a real crawl ships
       // thousands of ~fixed-size segments, and the file IS the parallel
       // unit for both the gzip encode here and the read): ~4000 docs per
-      // container, floor 8, cap 64
-      val nFiles = math.max(8, math.min(64, (docs.count() / 4000L).toInt))
+      // container, floor 8, cap 64 — clamped to the doc count so a tiny
+      // corpus still populates every doc_id % nFiles residue (doc_ids
+      // are contiguous from 0) and the container-count require holds
+      val nDocs = docs.count()
+      val nFiles = math.max(1L, math.min(nDocs,
+        math.max(8L, math.min(64L, nDocs / 4000L)))).toInt
       // land one wave's containers: group docs by container, encode one
       // gzip member per record executor-side, write one file per task
       // (local[32] shares the fs; a cluster build would write through
@@ -1530,7 +1534,10 @@ object SparkEntry {
       writeWave(1)
       val (r2, all2) = Warc.readNew(s, "crawl", warcDir, state)
       val run2 = r2.get.localCheckpoint(true)
-      require(run2.select("warc_file").distinct().count() == nFiles,
+      // expected container count = residues actually populated (equals
+      // nFiles for contiguous doc_ids; degrades gracefully otherwise)
+      val expectedFiles = docs.select((col("doc_id") % nFiles).as("r")).distinct().count()
+      require(run2.select("warc_file").distinct().count() == expectedFiles,
         "run 2 must read ONLY the wave-1 containers")
       FilesystemSource.commitSeen(state, "crawl", all2)
       val recs = run1.unionByName(run2)
@@ -2655,7 +2662,6 @@ object SparkEntry {
         Some(Auth.QueryParam("access_token", "tok_fixture")))
       var vnow = 0L // virtual clock driven by the poller's own sleeps
       def run(server: JobServer, days: Seq[LocalDate]): DataFrame = {
-        val transport = StaticPagesTransport(server.pages)
         // submit ALL days first, then poll them round-robin on one shared
         // timeline (AsyncJobPoller.awaitAll): each job still sees the
         // exact await schedule — checks at 0 / 10 s / 30 s, asserted per
@@ -2687,13 +2693,19 @@ object SparkEntry {
         // chain is serial within itself, but the ~75 reports are
         // independent, so the page fetch is max(), not Σ(days), matching
         // the poll fan-out above (previously a serial driver loop)
+        val fixturePages = server.pages
         val endpoints = days.map { day =>
           val ref = polled(day)
             .fold(reason => sys.error(s"insights job for $day failed: $reason"), identity)
           RestPagesV2.PlannedPages(client,
             EndpointConfig(s"$ref/insights", dataSelector = "data",
               paginator = Paginator.Cursor("paging.cursors.after", "after", pageSize = 20)),
-            Map.empty, () => transport)
+            // transport constructed INSIDE the factory: readMany runs the
+            // factory once per input partition, so each endpoint's chain
+            // gets its own instance — sharing one would require the
+            // transport to be thread-safe across concurrent partitions
+            // (only the serializable pages map is captured, not the server)
+            Map.empty, () => StaticPagesTransport(fixturePages))
         }
         val items = RestPagesV2.readMany(s, endpoints)
         require(items.rdd.getNumPartitions == days.size,

@@ -2,7 +2,7 @@ package graft.connectors.sources
 
 import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -43,13 +43,140 @@ final case class WarcRecord(
   * Spark's `binaryFile` source, which materializes whole files as rows),
   * records flow straight into the scan stage via `flatMap`, and the
   * heavy `payload` column is pruned before any shuffle by the usual
-  * column-pruning rules. JDK-only: `GZIPInputStream` reads concatenated
-  * members natively; its mid-member EOF/ZipException failure modes map
-  * to the quarantine row (same discipline as
-  * [[graft.connectors.rest.Transport]]'s truncation defense and
-  * [[graft.ops.Pdf]]'s corrupt-slice quarantine).
+  * column-pruning rules. JDK-only: concatenated members are inflated by
+  * [[MultiMemberGzipInputStream]] (hand-parsed RFC 1952 framing —
+  * unlike JDK `GZIPInputStream`, whose readTrailer silently swallows a
+  * malformed or short next-member header as clean EOF, ANY trailing
+  * bytes that do not begin a complete valid member raise IOException);
+  * every framing/inflate/CRC failure mode maps to the quarantine row
+  * (same discipline as [[graft.connectors.rest.Transport]]'s truncation
+  * defense and [[graft.ops.Pdf]]'s corrupt-slice quarantine).
   */
 object Warc {
+
+  /** Exact multi-member gzip inflate (RFC 1952). The JDK's
+    * `GZIPInputStream` handles concatenated members but treats any
+    * IOException while peeking the NEXT member's header as clean EOF —
+    * so a container truncated to fewer bytes than a gzip header
+    * (~10 B) past its last complete member reads clean, violating the
+    * "quarantine on ANY fault" contract. This stream parses the framing
+    * itself: per member it validates the header (magic/method, skips
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields), inflates with a raw
+    * `Inflater(nowrap)`, and verifies the trailer's CRC32 and ISIZE;
+    * at a member boundary either the stream ends exactly (clean EOF) or
+    * a full valid next header must follow — anything else throws.
+    */
+  private[sources] final class MultiMemberGzipInputStream(rawIn: InputStream) extends InputStream {
+    private val in = new BufferedInputStream(rawIn, 1 << 16)
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](8192)
+    // buf[lo, hi) = bytes read from `in` but not yet consumed (they are
+    // either ahead of the inflater or left over after it finished)
+    private var lo = 0
+    private var hi = 0
+    private var inMember = false
+    private var eos = false
+    private var memberBytesOut = 0L
+
+    /** Next raw byte, leftover-first; -1 on end of the underlying stream. */
+    private def nextByte(): Int =
+      if (lo < hi) { val b = buf(lo) & 0xff; lo += 1; b }
+      else in.read()
+
+    private def u8(what: String): Int = {
+      val b = nextByte()
+      if (b < 0) throw new EOFException(s"gzip member truncated in $what")
+      b
+    }
+
+    private def u16(what: String): Int = u8(what) | (u8(what) << 8)
+
+    private def u32(what: String): Long =
+      (u16(what).toLong) | (u16(what).toLong << 16)
+
+    /** Parse one member header. Returns false on clean EOF at the
+      * boundary (no more members); throws on anything else — including
+      * trailing bytes too short to be a header.
+      */
+    private def parseHeader(): Boolean = {
+      val b1 = nextByte()
+      if (b1 < 0) return false // clean end of the container
+      val b2 = nextByte()
+      if (b1 != 0x1f || b2 != 0x8b)
+        throw new java.io.IOException(
+          f"trailing bytes are not a gzip member (got 0x$b1%02x${if (b2 < 0) " then EOF" else f" 0x$b2%02x"})")
+      val method = u8("header")
+      if (method != 8)
+        throw new java.io.IOException(s"unsupported gzip compression method $method")
+      val flags = u8("header")
+      var i = 0
+      while (i < 6) { u8("header"); i += 1 } // MTIME(4) XFL OS
+      if ((flags & 4) != 0) { var n = u16("FEXTRA"); while (n > 0) { u8("FEXTRA"); n -= 1 } }
+      if ((flags & 8) != 0) while (u8("FNAME") != 0) ()
+      if ((flags & 16) != 0) while (u8("FCOMMENT") != 0) ()
+      if ((flags & 2) != 0) u16("FHCRC")
+      inf.reset(); crc.reset(); memberBytesOut = 0L
+      // hand any remaining leftover straight to the inflater; `hi` stays
+      // the region end so readTrailer can reclaim the unconsumed tail
+      // (buf[hi - remaining, hi)) when this member finishes
+      inf.setInput(buf, lo, hi - lo)
+      lo = hi
+      inMember = true
+      true
+    }
+
+    private def readTrailer(): Unit = {
+      // reclaim bytes the inflater over-read past the deflate stream
+      val rem = inf.getRemaining
+      lo = hi - rem
+      val expectCrc = u32("trailer")
+      val expectLen = u32("trailer")
+      if (expectCrc != crc.getValue)
+        throw new java.io.IOException(
+          f"gzip member CRC mismatch: expected 0x$expectCrc%08x, got 0x${crc.getValue}%08x")
+      if (expectLen != (memberBytesOut & 0xffffffffL))
+        throw new java.io.IOException(
+          s"gzip member ISIZE mismatch: expected $expectLen, inflated $memberBytesOut")
+      inMember = false
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (eos) return -1
+        if (!inMember) {
+          if (!parseHeader()) { eos = true; return -1 }
+        }
+        val n = inf.inflate(b, off, len)
+        if (n > 0) {
+          crc.update(b, off, n); memberBytesOut += n
+          // verify the trailer EAGERLY, before handing over the member's
+          // final bytes: a CRC/ISIZE mismatch must fault the read that
+          // delivers the corrupt data, not a later read that happens to
+          // cross the member boundary
+          if (inf.finished()) readTrailer()
+          return n
+        }
+        if (inf.finished()) readTrailer()
+        else if (inf.needsInput()) {
+          val k = in.read(buf)
+          if (k < 0) throw new EOFException("gzip member truncated mid-deflate")
+          inf.setInput(buf, 0, k)
+          lo = k; hi = k // region end = k, so readTrailer reclaims buf[k - remaining, k)
+        } else throw new java.io.IOException("gzip member needs a preset dictionary")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = { inf.end(); in.close() }
+  }
 
   // ------------------------------------------------------------- parse
 
@@ -91,7 +218,8 @@ object Warc {
         if (pending != null || finished) return
         try {
           if (in == null)
-            in = new BufferedInputStream(if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
+            in = new BufferedInputStream(
+              if (gzipped) new MultiMemberGzipInputStream(raw) else raw, 1 << 16)
           // skip inter-record blank lines (record trailer is CRLF CRLF)
           var line = readLine(in)
           while (line != null && line.isEmpty) line = readLine(in)
@@ -149,10 +277,22 @@ object Warc {
       new SerializableWritable(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(spark.sparkContext.parallelize(paths, paths.size))
       .mapPartitions { it =>
+        // the record iterator closes its stream on exhaustion or fault,
+        // but a consumer that stops EARLY (limit/take/first) abandons it
+        // mid-file — in a long-lived executor that leaks the open Hadoop
+        // input stream, so the task-completion listener closes whatever
+        // stream is still current when the task ends
+        var current: InputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (current != null) try current.close() catch { case _: Exception => () }
+        }
         it.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(conf.value.value)
-          parseStream(fs.open(hp), p, p.endsWith(".gz"))
+          val stream = fs.open(hp)
+          current = stream
+          parseStream(stream, p, p.endsWith(".gz"))
         }
       }
       .toDF()

@@ -112,4 +112,65 @@ class WarcSpec extends SparkTestBase {
     assert(rows.select(Warc.httpBody(col("payload"))).as[String].collect().toSeq ==
       Seq("body text", "bare conversion text"))
   }
+
+  test("trailing truncation SHORTER than a gzip header still quarantines (JDK swallows it)") {
+    // the JDK GZIPInputStream failure mode: readTrailer peeks the next
+    // member's header, catches the IOException on a short/garbage tail,
+    // and reports clean EOF — the exact hole the hand-parsed framing closes
+    val dir = tmpDir("warc_shorttail")
+    val whole = Warc.encodeFile((0 until 3).map(respRecord))
+    Files.write(Paths.get(dir, "s.warc.gz"), whole ++ Array[Byte](0x1f, 0x42, 7, 9))
+
+    val df = Warc.read(spark, Seq(s"$dir/s.warc.gz")).cache()
+    assert(df.filter(col("error").isNull).count() == 3, "complete members are all kept")
+    val q = df.filter(col("error").isNotNull).collect()
+    assert(q.length == 1, "the 4-byte garbage tail must quarantine, not read clean")
+    assert(q.head.getAs[String]("error").contains("not a gzip member"))
+    df.unpersist()
+  }
+
+  test("a flipped trailer CRC quarantines even though the deflate stream inflates") {
+    val dir = tmpDir("warc_crc")
+    val m0 = Warc.gzipMember(respRecord(0))
+    val m1 = Warc.gzipMember(respRecord(1))
+    m1(m1.length - 6) = (m1(m1.length - 6) ^ 0x7f).toByte // inside the 4-byte CRC32
+    Files.write(Paths.get(dir, "crc.warc.gz"), m0 ++ m1)
+
+    val df = Warc.read(spark, Seq(s"$dir/crc.warc.gz")).cache()
+    assert(df.filter(col("error").isNull).count() == 1)
+    val q = df.filter(col("error").isNotNull).collect()
+    assert(q.length == 1 && q.head.getAs[String]("error").contains("CRC mismatch"))
+    df.unpersist()
+  }
+
+  test("members with FNAME/FEXTRA/FCOMMENT header fields parse (CommonCrawl writers vary)") {
+    // graft's encoder writes bare headers; other writers set optional
+    // fields — synthesize one by patching FLG and splicing the fields in
+    val plain = Warc.gzipMember(respRecord(0))
+    val withFields = {
+      val header = plain.take(10)
+      header(3) = (4 | 8 | 16).toByte // FEXTRA | FNAME | FCOMMENT
+      val fextra = Array[Byte](3, 0, 'x', 'y', 'z')
+      val fname = "seg-00001.warc".getBytes(StandardCharsets.ISO_8859_1) :+ 0.toByte
+      val fcomment = "written by test".getBytes(StandardCharsets.ISO_8859_1) :+ 0.toByte
+      header ++ fextra ++ fname ++ fcomment ++ plain.drop(10)
+    }
+    val dir = tmpDir("warc_fields")
+    Files.write(Paths.get(dir, "f.warc.gz"), withFields ++ Warc.gzipMember(respRecord(1)))
+
+    val df = Warc.read(spark, Seq(s"$dir/f.warc.gz"))
+    assert(df.filter(col("error").isNotNull).count() == 0)
+    assert(df.select("url").as[String].collect().toSet ==
+      Set("http://site0.example.com/p/0", "http://site1.example.com/p/1"))
+  }
+
+  test("early-stopping consumers (limit) return correct rows without draining the file") {
+    val dir = tmpDir("warc_limit")
+    Files.write(Paths.get(dir, "l.warc.gz"), Warc.encodeFile((0 until 50).map(respRecord)))
+    // the task-completion listener closes the abandoned stream; the rows
+    // that ARE consumed must be correct
+    val first = Warc.read(spark, Seq(s"$dir/l.warc.gz"))
+      .select("url").limit(3).as[String].collect()
+    assert(first.toSeq == (0 until 3).map(i => s"http://site$i.example.com/p/$i"))
+  }
 }
