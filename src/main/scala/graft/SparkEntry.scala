@@ -3351,6 +3351,119 @@ object SparkEntry {
       s.table("q_stream_url_dedup_sink").select("url_canon").orderBy("url_canon")
     }),
 
+    // streaming WARC ingestion: the crawl landing as a CONTINUOUS file
+    // stream — containers arrive in a directory, the file source's
+    // checkpoint discovers only new ones per run (the streaming twin of
+    // Warc.readNew's seen-file state), and each micro-batch runs the
+    // composed batch path (quarantine → httpBody → Html.extract →
+    // Url.canonicalize) into a UrlFrontier wave, so canonical dedup and
+    // exactly-once hold ACROSS batches and across foreachBatch replays
+    // (a replayed batch's pages all hit the seen-set anti-join and land
+    // zero rows — asserted in-contract). The stream reads PATHS only
+    // (binaryFile prunes the content column), so record parsing stays in
+    // Warc.read's O(record) iterator, one partition per container.
+    "q_stream_warc" -> ((s, dir) => {
+      import graft.connectors.sources.Warc
+      import graft.ops.{Html, Url, UrlFrontier}
+      import s.implicits._
+      val warcDir = java.nio.file.Files.createTempDirectory("graft_swarc").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_swarc_ck").toString
+      val dest = java.nio.file.Files.createTempDirectory("graft_swarc_land").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 3000).select(col("doc_id"),
+        concat(lit("<html><body><ul><li><a href=/d"), col("doc_id"),
+          lit("><b>doc "), col("doc_id"), lit("</b></a></li></ul><p>"),
+          regexp_replace(col("text"), " ", "</p> <p>"),
+          lit("</p></body></html>")).as("html"))
+      val nDocsAll = docs.count()
+      def writeWave(wave: Int, keep: org.apache.spark.sql.Column): Unit = {
+        val slice = docs.filter(keep)
+        val nFiles = math.max(1L, math.min(slice.count(), 6L)).toInt
+        slice.as[(Long, String)].groupByKey(_._1 % nFiles).mapGroups { (fi, it) =>
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(warcDir, f"w${wave}_$fi%03d.warc.gz"))
+          try it.foreach { case (id, html) =>
+            val url =
+              if (wave == 0) s"http://site$id.example.com/p/$id?a=1&b=2"
+              else s"HTTPS://WWW.SITE$id.EXAMPLE.COM/p/$id?a=1&b=2&utm_source=feed"
+            out.write(Warc.gzipMember(Warc.encodeRecord("response", url,
+              "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+              Warc.httpResponse(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+          } finally out.close()
+          fi
+        }.collect()
+      }
+      val quarantined = new java.util.concurrent.atomic.AtomicLong()
+      // wave tag = stream RUN number, not micro-batch id: AvailableNow may
+      // legally split one run's files across several micro-batches, and
+      // the landed tag must not depend on that batching
+      val runNo = new java.util.concurrent.atomic.AtomicLong()
+      def landBatch(paths: Seq[String], tag: Long): Unit = if (paths.nonEmpty) {
+        val recs = Warc.read(s, paths)
+        quarantined.addAndGet(recs.filter(col("error").isNotNull).count())
+        val pages = recs.filter(col("error").isNull && col("warc_type") === "response")
+          .select(col("url"), Warc.httpBody(col("payload")).as("html"))
+        val ext = Html.extract(pages, "url", "html")
+          .select(Url.canonicalize(col("url")).as("url_canon"),
+            col("text"), col("n_chars"), col("link_density"))
+        UrlFrontier.runWave(s, dest, state, ext.select("url_canon"), "url_canon")(
+          todo => todo.join(ext, Seq("url_canon")).withColumn("wave", lit(tag)))
+      }
+      def runStream(): Unit = withFewShufflePartitions(s, 8) {
+        // binaryFile's fixed schema, stated explicitly (streaming sources
+        // do not infer); only `path` is ever selected, so the reader
+        // prunes `content` and no container is read twice
+        val files = s.readStream.format("binaryFile")
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+          .option("pathGlobFilter", "*.warc.gz").load(warcDir)
+        val tag = runNo.incrementAndGet()
+        val q = files.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            landBatch(batch.select("path").as[String].collect().toSeq, tag)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // wave 0: the low half of the corpus; one container gets a planted
+      // truncated trailing member (must quarantine, not kill the stream)
+      writeWave(0, col("doc_id") < 1500)
+      val junk = Warc.gzipMember(Warc.encodeRecord("response",
+        "http://junk.example.com/x", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", Warc.httpResponse("junk".getBytes)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "w0_000.warc.gz"),
+        junk.dropRight(junk.length / 3),
+        java.nio.file.StandardOpenOption.APPEND)
+      runStream()
+      require(quarantined.get() == 1,
+        s"expected the planted truncated member quarantined in run 1, got ${quarantined.get()}")
+      // wave 1: the WHOLE corpus under variant surface forms — only the
+      // high half is canonically new; the rest must dedup via the frontier
+      writeWave(1, lit(true))
+      runStream()
+      val afterRun2 = UrlFrontier.committedPages(s, dest, state).count()
+      require(afterRun2 == nDocsAll,
+        s"expected $nDocsAll canonical pages landed after run 2, got $afterRun2")
+      // replay-idempotence: re-deliver run 2's batch (same files, same
+      // composition) — every page hits the seen-set, zero new rows; and a
+      // third stream run over the same checkpoint discovers nothing new
+      landBatch(new java.io.File(warcDir).listFiles().map(_.getPath).toSeq
+        .filter(_.contains("w1_")).sorted, 99L)
+      runStream()
+      require(UrlFrontier.committedPages(s, dest, state).count() == afterRun2,
+        "replayed batch / idle stream run changed the landed archive")
+      UrlFrontier.committedPages(s, dest, state)
+        .select(
+          regexp_extract(col("url_canon"), "^site(\\d+)\\.", 1).cast("long").as("doc_id"),
+          col("url_canon"), col("wave"), col("text"), col("n_chars"), col("link_density"))
+        .orderBy("doc_id")
+    }),
+
     // streaming → merge landing: the continuous form of the reference's
     // pull-then-merge loop — each micro-batch flows through foreachBatch
     // into the merge writer (dedup_sort within the batch, upsert against
@@ -5252,6 +5365,16 @@ object SparkEntry {
         |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
         |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_stream_warc" ->
+      """SELECT doc_id,
+        |  'site' || doc_id || '.example.com/p/' || doc_id || '?a=1&b=2' AS url_canon,
+        |  CAST(CASE WHEN doc_id < 1500 THEN 1 ELSE 2 END AS BIGINT) AS wave,
+        |  'doc ' || doc_id || ' ' || text AS text,
+        |  CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
+        |  length('doc ' || doc_id) / CAST(length('doc ' || doc_id || ' ' || text) AS DOUBLE) AS link_density
+        |FROM documents WHERE doc_id < 3000 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_pdf_extract" ->
       """WITH wl AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
         |  FROM documents),
