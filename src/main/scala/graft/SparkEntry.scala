@@ -426,6 +426,55 @@ object SparkEntry {
         .orderBy("tbl", "k", "event_id")
     }),
 
+    // all-or-nothing multi-table finalize (SURVEY §7.4 hard part 4): a
+    // routed merge source runs under manifestCommit — run 2 CRASHES after
+    // both routed tables landed their new generations but before the
+    // pointer flip, and the manifest must still read run 1's state of
+    // EVERY table (no torn A-new/B-old window — require()d in-contract on
+    // a real snapshot aggregate); the retry publishes all tables in one
+    // commit and the oracle replays the final merged state
+    "q_manifest_commit" -> ((s, dir) => {
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val dest = java.nio.file.Files.createTempDirectory("graft_mani").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_mani_state").toString
+      val pipe = new Pipeline(s, "verify_mani", dest, stateDir, manifestCommit = true)
+      def slice(maxKey: Long, mult: Int) = t(s, dir, "orders")
+        .filter(col("o_orderkey") < maxKey)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * mult).as("price"))
+      def src(maxKey: Long, mult: Int, boom: Boolean) = SourceDef("s", Seq(
+        ResourceDef("ord",
+          TableHints("ord", Disposition.Merge, primaryKey = Seq("o_orderkey")),
+          _ => slice(maxKey, mult), routingColumn = Some("o_orderstatus")),
+        // fails AFTER the routed tables landed — the crash between finalizes
+        ResourceDef("late", TableHints("late", Disposition.Replace),
+          ctx => { import ctx.spark.implicits._
+            if (boom) sys.error("crash between finalizes") else Seq(1).toDF("x") }),
+      ))
+      pipe.run(src(20000, 1, boom = false))
+      val m = pipe.manifest
+      def snap(): (Long, Double) = {
+        val u = m.tables.filter(_.startsWith("ord_")).sorted
+          .map(n => m.read(n).get.select("price")).reduce(_ unionByName _)
+        (u.count(), u.agg(sum(col("price").cast(dec18_2)).cast("double")).head.getDouble(0))
+      }
+      val committed = snap()
+      val crashed =
+        try { pipe.run(src(30000, 2, boom = true)); false }
+        catch { case _: RuntimeException => true }
+      require(crashed, "the planted crash did not fire")
+      require(snap() == committed,
+        "crashed run leaked partially-finalized tables through the manifest")
+      pipe.run(src(30000, 2, boom = false))
+      m.tables.filter(_.startsWith("ord_")).sorted
+        .map(n => m.read(n).get.select(lit(n).as("tbl"), col("price")))
+        .reduce(_ unionByName _)
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast(dec18_2)).cast("double").as("sum_price"))
+        .orderBy("tbl")
+    }),
+
     // §2.9 timestamp scalar kit: truncation + exact decimal agg per day
     "q_scalar_ts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -5241,6 +5290,11 @@ object SparkEntry {
 
     "q_table_routing" ->
       "SELECT 'events_' || event_type AS _table, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_manifest_commit" ->
+      """SELECT 'ord_' || lower(o_orderstatus) AS tbl, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey < 30000 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_hint_variants" ->
       """SELECT * FROM (

@@ -81,9 +81,41 @@ final class Pipeline(
       * still holds: a level only starts after its parents' level finished.
       */
     parallelism: Int = 1,
+    /** All-or-nothing multi-table commit: every table's new content lands
+      * in a fresh generation dir first and ONE manifest write flips every
+      * pointer together ([[graft.core.TableManifest]]) — a crash between
+      * two tables' finalizes is invisible to manifest readers, where the
+      * default per-table staged swap would expose table A new / table B
+      * old until the re-run. Data commits BEFORE cursors: a crash between
+      * the two commits re-runs the batch against already-new tables, the
+      * property-tested idempotent-merge path — never the reverse (cursors
+      * advanced past data that never landed = silent loss). Readers must
+      * resolve tables through the manifest, not `destRoot/<table>`.
+      */
+    manifestCommit: Boolean = false,
 ) {
 
-  def run(source: SourceDef): Seq[LoadResult] = {
+  /** The destination manifest (only meaningful with `manifestCommit`). */
+  lazy val manifest: TableManifest = new TableManifest(spark, destRoot)
+
+  def run(source: SourceDef): Seq[LoadResult] =
+    if (!manifestCommit) runInner(source)
+    else
+      // single-writer per destination root for the WHOLE run: landings and
+      // the pointer flip must not interleave with another manifest writer's
+      // read-modify-write of the generation lists (the frontier's rule)
+      TableLock.withLock(spark, destRoot, s"manifest-run:${java.util.UUID.randomUUID()}") {
+        currentPublish = Some(manifest.publish())
+        try {
+          val out = runInner(source)
+          currentPublish = None
+          out
+        } finally currentPublish = None
+      }
+
+  private var currentPublish: Option[TableManifest#Publish] = None
+
+  private def runInner(source: SourceDef): Seq[LoadResult] = {
     // load id stamped on every row of this run (dlt's _dlt_load_id):
     // monotonically increasing, recorded in state for lineage
     val loadId = java.util.UUID.randomUUID().toString.take(8) + "-" + System.currentTimeMillis()
@@ -137,6 +169,9 @@ final class Pipeline(
       } finally pool.shutdown()
     }
 
+    // manifest mode: flip every table's pointer in ONE commit, BEFORE the
+    // cursor commit (crash between = idempotent re-run over new tables)
+    currentPublish.foreach(_.commit())
     pendingCursor.foreach { case (k, v) => state.put(k, v) }
     state.commit()
     results.toSeq
@@ -288,9 +323,16 @@ final class Pipeline(
       val childHints =
         if (name == Naming.normalize(hints.tableName)) hints.copy(tableName = name)
         else hints.copy(tableName = name, primaryKey = Seq(Normalize.DltId), dedupSort = None, hardDeleteCol = None)
-      TableWriter.write(spark, tdf, destRoot, childHints)
-      val rows = spark.read.parquet(s"$destRoot/$name").count()
-      LoadResult(name, rows)
+      currentPublish match {
+        case Some(pub) =>
+          // manifest mode: LAND only — nothing is reader-visible until the
+          // run's single pointer flip in run()
+          LoadResult(name, pub.land(tdf, childHints))
+        case None =>
+          TableWriter.write(spark, tdf, destRoot, childHints)
+          val rows = spark.read.parquet(s"$destRoot/$name").count()
+          LoadResult(name, rows)
+      }
     }
   }
 }
