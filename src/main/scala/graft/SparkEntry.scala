@@ -3448,13 +3448,19 @@ object SparkEntry {
       // the landed tag must not depend on that batching
       val runNo = new java.util.concurrent.atomic.AtomicLong()
       def landBatch(paths: Seq[String], tag: Long): Unit = if (paths.nonEmpty) {
-        val recs = Warc.read(s, paths)
+        // parse + extract ONCE per batch (eager local checkpoints): the
+        // quarantine count, the frontier anti-join and the landing write
+        // are separate actions, and without the pins each one re-inflates
+        // and re-parses every container and re-runs the regexp extract —
+        // measured 80 s -> 5.3 s for this contract at sf0.1
+        val recs = Warc.read(s, paths).localCheckpoint(true)
         quarantined.addAndGet(recs.filter(col("error").isNotNull).count())
         val pages = recs.filter(col("error").isNull && col("warc_type") === "response")
           .select(col("url"), Warc.httpBody(col("payload")).as("html"))
         val ext = Html.extract(pages, "url", "html")
           .select(Url.canonicalize(col("url")).as("url_canon"),
             col("text"), col("n_chars"), col("link_density"))
+          .localCheckpoint(true)
         UrlFrontier.runWave(s, dest, state, ext.select("url_canon"), "url_canon")(
           todo => todo.join(ext, Seq("url_canon")).withColumn("wave", lit(tag)))
       }

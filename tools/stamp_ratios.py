@@ -74,13 +74,20 @@ STAMPS = {
     "q_ga_report": 0.35, "q_redact": 0.20, "q_repetition": 0.11,
     "q_stream_merge": 0.78, "q_dedup_incremental": 3.11, "q_line_dedup": 0.35,
     "q_token_budget": 1.17, "q_stream_join": 2.94, "q_compact": 2.96,
-    "q_ann_ivfpq": 4.56, "q_ann_project": 1.17, "q_stream_dedup_corpus": 5.72,
+    # r16 re-tighten (ADVICE/VERDICT r15 wrong-note b): the round-4 stamp
+    # 4.56 predates later operator wins and r15 best ran 0.70 — far below
+    # it, so the regression gate had no sensitivity. Isolated min-of-2.
+    "q_ann_ivfpq": 0.98, "q_ann_project": 1.17, "q_stream_dedup_corpus": 5.72,
     "q_shared_spans": 1.93,
     # round-7 additions (isolated min-of-2, BASELINE.md round-7 notes)
     "q_embed_ivf": 0.89, "q_embed_lsh": 0.71, "q_image_dedup": 0.98,
     "q_image_clusters": 1.87, "q_ann_recall": 0.87,
     "q_semantic_dedup": 0.40, "q_cluster_sample": 0.77,
-    "q_decontaminate_bloom": 0.37, "q_rerank": 1.66,
+    "q_decontaminate_bloom": 0.37,
+    # r16 isolated re-stamp (VERDICT r15 wrong-note a): the r15 in-run 1.43
+    # was interference — isolated min-of-2 is 1.21 (original r7 stamp 1.66
+    # kept here for provenance; the move restores gate sensitivity)
+    "q_rerank": 1.21,
     "q_stream_embed_probe": 1.45,
     # round-8 additions (isolated min-of-2, BASELINE.md round-8 notes)
     "q_gopher_filter": 0.30, "q_token_sketch": 1.36,
@@ -116,7 +123,10 @@ STAMPS = {
     # r14 isolated re-stamp, NO code change — held 1.77x over the old 0.31
     # stamp across isolated min-of-2 (environment drift; in-run 3.42x was
     # interference on top of it)
-    "q_ann_lsh_probe": 0.55, "q_assoc_dedup": 0.18,
+    # r16 re-tighten (drift reversed: r15 best 0.29 was <0.6x of the r14
+    # drift-loosened 0.55): fresh isolated min-of-2. History 0.31 (r13) ->
+    # 0.55 (r14 drift) -> 0.44 (r16).
+    "q_ann_lsh_probe": 0.44, "q_assoc_dedup": 0.18,
     "q_audio_clusters_capped": 1.25, "q_cdc_stream": 0.25,
     "q_chunk_docs": 0.15, "q_corpus_pipeline": 1.98,
     "q_cursor_coalesce": 0.19, "q_custom_fields": 0.20,
@@ -164,6 +174,16 @@ STAMPS = {
     # r15 new contract: WARC containers, two incremental waves, quarantine,
     # extract + canonical dedup. Isolated min-of-2.
     "q_warc_pipeline": 1.70,
+    # r16 new contracts (isolated min-of-2, sf0.1, local[32]):
+    # q_fleet_config = config-as-data github pipeline (same oracle as
+    # q_fleet_pipeline); q_url_frontier_polite = 5 frontier waves with the
+    # per-host cap (wave lifecycle dominated, like q_url_frontier);
+    # q_stream_warc = 3 binaryFile stream runs + 4 frontier landings
+    # (streaming setup + wave lifecycle dominated; the parse/extract pins
+    # took it from 80 s to 5.3 s); q_manifest_commit = 3 manifest pipeline
+    # runs incl. a planted crash (merge rewrites x3 routed tables).
+    "q_fleet_config": 1.43, "q_url_frontier_polite": 3.84,
+    "q_stream_warc": 5.33, "q_manifest_commit": 6.63,
     # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
     "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
