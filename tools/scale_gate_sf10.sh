@@ -14,7 +14,8 @@
 # 24GB budget.
 #
 # Family choice: the sf1 gate's dedup/ANN/frontier/streaming-corpus core.
-# q_dedup_minhash_fast stays out (cap-engaged subset semantics, measured by
+# q_manifest_commit stays out (orders is not a tiled table — same note as
+# scale_gate.sh). q_dedup_minhash_fast stays out (cap-engaged subset semantics, measured by
 # the precision/coverage study instead — same note as scale_gate.sh).
 #
 # Usage: tools/scale_gate_sf10.sh   (env: SF10=/tmp/sf10 OUT=/tmp/verify_sf10 CPUS=32)
@@ -35,6 +36,26 @@ echo "[scale_gate_sf10] verifying family at sf10 (48g driver)"
 SPARK_GRAFT_ONLY="$FAMILY" SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
   sbt -batch "runMain graft.Verify $SF10 $OUT" 2>&1 | grep '\[verify\]' || true
 
-echo "[scale_gate_sf10] oracle compare (idle machine recommended)"
+echo "[scale_gate_sf10] oracle compare (idle machine recommended; per-query, timed)"
 mkdir -p /tmp/duck_spill
-python3 tools/compare_oracle.py "$SF10" "$OUT"
+# one process per query: isolates DuckDB OOM poisoning and times each
+# replay so the referee-CPU budget is a recorded artifact, not a guess
+fail=0
+for qdir in "$OUT"/q_*; do
+  q=$(basename "$qdir")
+  tmp=$(mktemp -d /tmp/sf10cmp_XXXX)
+  ln -s "$qdir" "$tmp/$q"
+  ln -s "$OUT/oracle_sql.json" "$tmp/oracle_sql.json"
+  t0=$(date +%s)
+  res=$(python3 tools/compare_oracle.py "$SF10" "$tmp" 2>&1 | grep -E "^OK: 1|^BAD: 0" | wc -l)
+  t1=$(date +%s)
+  if [ "$res" -eq 2 ]; then
+    echo "[sf10-gate] $q OK $((t1-t0))s"
+  else
+    echo "[sf10-gate] $q FAIL $((t1-t0))s"
+    fail=$((fail+1))
+  fi
+  rm -rf "$tmp"
+done
+echo "[scale_gate_sf10] failures: $fail"
+exit $fail
