@@ -47,10 +47,19 @@ for qdir in "$OUT"/q_*; do
   ln -s "$qdir" "$tmp/$q"
   ln -s "$OUT/oracle_sql.json" "$tmp/oracle_sql.json"
   t0=$(date +%s)
-  res=$(python3 tools/compare_oracle.py "$SF10" "$tmp" 2>&1 | grep -E "^OK: 1|^BAD: 0" | wc -l)
+  # || true: one query's crash/timeout must not kill the loop (set -e +
+  # pipefail otherwise aborts the whole gate on a grep miss). QUERY_BUDGET
+  # seconds per replay (default 1800) keeps a pathological oracle from
+  # eating the referee's whole session; a TIMEOUT row is a documented
+  # budget limit, not silent truncation.
+  res=$( (timeout "${QUERY_BUDGET:-1800}" python3 tools/compare_oracle.py "$SF10" "$tmp" 2>&1 || true) \
+    | grep -cE "^OK: 1|^BAD: 0" || true)
   t1=$(date +%s)
   if [ "$res" -eq 2 ]; then
     echo "[sf10-gate] $q OK $((t1-t0))s"
+  elif [ $((t1-t0)) -ge "${QUERY_BUDGET:-1800}" ]; then
+    echo "[sf10-gate] $q TIMEOUT $((t1-t0))s"
+    fail=$((fail+1))
   else
     echo "[sf10-gate] $q FAIL $((t1-t0))s"
     fail=$((fail+1))
