@@ -357,4 +357,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("doc_id.gte") && plan.contains("doc_id.lt"),
       s"range filter must be pushed into the document store:\n${plan.take(2000)}")
   }
+
+  test("polite frontier selection plans as a bounded aggregate, never a window sort or cartesian") {
+    // the per-host cap must ride MinK's bounded buffers (map-side
+    // combine, <= k strings per host per map task) — the naive
+    // row_number-window implementation would sort every candidate URL of
+    // every host through one exchange, and any join-back shape risks a
+    // cartesian under mis-specified keys
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = tmpDir("plan_polite")
+    val state = new graft.core.StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val urls = (0 until 40).map(i => s"http://h${i % 4}.test/p$i").toDF("url")
+    var selectionPlan = ""
+    graft.ops.UrlFrontier.runWave(spark, dest, state, urls, "url", Some(3)) { todo =>
+      todo.collect() // finalize AQE before reading the plan
+      selectionPlan = todo.queryExecution.executedPlan.toString
+      todo.select(col("url_canon"))
+    }
+    assert(!selectionPlan.contains("WindowExec") && !selectionPlan.toLowerCase.contains("window"),
+      s"polite selection must not sort hosts through a window:\n${selectionPlan.take(1500)}")
+    assert(!selectionPlan.contains("CartesianProduct"),
+      s"polite selection must never go all-pairs:\n${selectionPlan.take(1500)}")
+    assert(selectionPlan.toLowerCase.contains("aggregate"),
+      s"polite selection must reduce through the MinK aggregate:\n${selectionPlan.take(1500)}")
+  }
 }
