@@ -2530,6 +2530,70 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // RFC 5988 header_link pagination end-to-end (GitHub's ACTUAL protocol:
+    // page links live in the Link RESPONSE header, not the body): the same
+    // github source as q_fleet_config arrives as a config DOCUMENT naming
+    // "paginator": "header_link", pages chain via Link rel="next" headers,
+    // and the landed root+child tables must hash-match the same oracle —
+    // proving the header-borne protocol changes HOW pages are fetched, not
+    // WHAT lands (reference: dlt rest_api's header_link paginator, the
+    // cursor sibling at sources/pipedrive/rest_v2/__init__.py:158-162)
+    "q_fleet_header_link" -> ((s, dir) => {
+      import graft.connectors.rest.{RestConfig, RestEngine, StaticPagesTransport}
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      def issue(r: org.apache.spark.sql.Row) = {
+        val k = (r.getLong(2) % 3).toInt + 1
+        val labels = (0 until k).map(i => s"""{"name":"l$i"}""").mkString(",")
+        s"""{"id":${r.getLong(0)},"updated_at":"2024-01-01T00:00:00Z","lang":"${r.getString(1)}","labels":[$labels]}"""
+      }
+      val chunks = docs.toSeq.grouped(100).toSeq
+      val firstKey = "repos/octo/repo/issues?direction=asc&sort=updated&state=all"
+      def pageKey(i: Int) = if (i == 0) firstKey else s"repos/octo/repo/issues?page=${i + 1}"
+      def linkTo(i: Int) =
+        s"""<https://api.github.com/repos/octo/repo/issues?page=${i + 1}>; rel="next", """ +
+          s"""<https://api.github.com/repos/octo/repo/issues?page=${chunks.size}>; rel="last""""
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        pageKey(i) -> s"[${chunk.map(issue).mkString(",")}]"
+      }.toMap
+      // every page but the last carries a Link rel=next header; the last
+      // page's MISSING link — not an empty page — terminates the loop
+      val headers = chunks.indices.dropRight(1).map(i => pageKey(i) -> Map("link" -> linkTo(i + 1))).toMap
+      val src = RestConfig.fromJson("""
+        {"name": "github",
+         "client": {"base_url": "https://api.github.com",
+                    "headers": {"Accept": "application/vnd.github+json"}},
+         "resources": [
+           {"name": "issues",
+            "endpoint": {"path": "repos/octo/repo/issues",
+                         "params": {"state": "all", "sort": "updated", "direction": "asc",
+                                    "since": "{incremental.start_value}"},
+                         "paginator": "header_link",
+                         "incremental": {"cursor_path": "updated_at"}},
+            "primary_key": "id",
+            "write_disposition": "merge"}
+         ]}""")
+      val issuesRes = src.resources.find(_.name == "issues").get
+      val dest = java.nio.file.Files.createTempDirectory("graft_flink").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_flstate").toString
+      val pipe = new Pipeline(s, "verify_ghlink", dest, stateDir)
+      val resource = ResourceDef(
+        name = "issues",
+        hints = issuesRes.hints,
+        build = ctx => RestEngine.readResource(ctx.spark, src, issuesRes,
+          StaticPagesTransport(pages, headers), Some(ctx.state)),
+      )
+      pipe.run(SourceDef(src.name, Seq(resource)))
+      val root = s.read.parquet(s"$dest/issues")
+      val labels = s.read.parquet(s"$dest/issues__labels")
+      root.select(col("lang"), col("_dlt_id"))
+        .join(labels.select(col("_dlt_parent_id")), col("_dlt_id") === col("_dlt_parent_id"))
+        .groupBy("lang")
+        .agg(countDistinct(col("_dlt_id")).as("n_issues"), count(lit(1)).as("n_labels"))
+        .orderBy("lang")
+    }),
+
     // training-corpus PII scrubbing: deterministic emails/phones/IPs are
     // injected into each document and the codegen'd regexp passes must
     // count and redact them exactly as DuckDB's RE2 replays of the same
@@ -6246,6 +6310,10 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_fleet_config" ->
+      """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
+        |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_fleet_header_link" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 

@@ -55,19 +55,38 @@ import scala.jdk.CollectionConverters._
   *
   * Paginator `type` values accepted (dlt names first, graft aliases in
   * parens): `offset`, `page_number`, `cursor`, `json_link` (`json_response`,
-  * `next_url`), `start_time`, `single_page`. `header_link` and `auto` are
-  * rejected with an explicit error — the transport's [[HttpResponse]] does
-  * not expose response headers, and "auto" runtime sniffing would make the
-  * plan non-deterministic.
+  * `next_url`), `header_link` (RFC 5988 `Link: <…>; rel="next"` — GitHub's
+  * protocol, followed via [[HttpResponse.headers]]), `start_time`,
+  * `single_page`. `auto` is rejected with an explicit error — runtime
+  * protocol sniffing would make the plan non-deterministic.
+  *
+  * The loader is STRICT: an unknown key at any level (root, client, auth,
+  * paginator, resource, endpoint, incremental, write_disposition) fails
+  * loudly naming the key and its location — dlt validates configs against
+  * typed dicts, and a config-as-data surface that silently ignores a
+  * typo'd `"paginater"` (yielding single-page) or a misplaced
+  * `"incremental"` (silently non-incremental) would burn real users.
+  * Container-valued params/headers are rejected the same way.
   */
 object RestConfig {
 
   def fromJson(json: String): RestSource = fromNode(Json.parse(json))
 
   def fromNode(root: JsonNode): RestSource = {
+    checkKeys(root, "config root", Set("name", "client", "resource_defaults", "resources"))
     val clientNode = req(root, "client", "config root")
     val client = parseClient(clientNode)
     val defaults = Option(root.get("resource_defaults"))
+    defaults.foreach(checkKeys(_, "resource_defaults", ResourceKeys - "name" - "include_from_parent"))
+    // validate the defaults' endpoint EAGERLY, not just when a resource
+    // consumes it — a typo in defaults must fail even with zero resources
+    defaults.flatMap(d => Option(d.get("endpoint"))).filter(_.isObject).foreach { de =>
+      checkKeys(de, "resource_defaults endpoint", EndpointKeys)
+      Option(de.get("paginator")).foreach(parsePaginator)
+      Option(de.get("incremental")).foreach(
+        checkKeys(_, "resource_defaults incremental", IncrementalKeys))
+      strMap(de, "params", "resource_defaults endpoint")
+    }
     val resourcesNode = req(root, "resources", "config root")
     require(resourcesNode.isArray, "config 'resources' must be an array")
     val resources = resourcesNode.elements().asScala.toSeq.map(parseResource(_, defaults))
@@ -80,19 +99,25 @@ object RestConfig {
 
   // ----------------------------------------------------------------- client
 
-  private def parseClient(n: JsonNode): ClientConfig = ClientConfig(
-    baseUrl = reqStr(n, "base_url", "client"),
-    auth = Option(n.get("auth")).map(parseAuth),
-    headers = strMap(n, "headers"),
-  )
+  private def parseClient(n: JsonNode): ClientConfig = {
+    checkKeys(n, "client", Set("base_url", "auth", "headers"))
+    ClientConfig(
+      baseUrl = reqStr(n, "base_url", "client"),
+      auth = Option(n.get("auth")).map(parseAuth),
+      headers = strMap(n, "headers", "client"),
+    )
+  }
 
   /** Auth dicts per the reference dialect: `api_key` with a `location`
     * (sources/pipedrive/rest_v2/__init__.py:141-145), `bearer`,
     * `http_basic`, `oauth2_client_credentials`.
     */
   def parseAuth(n: JsonNode): Auth = reqStr(n, "type", "auth") match {
-    case "bearer" => Auth.Bearer(reqStr(n, "token", "bearer auth"))
+    case "bearer" =>
+      checkKeys(n, "bearer auth", Set("type", "token"))
+      Auth.Bearer(reqStr(n, "token", "bearer auth"))
     case "api_key" =>
+      checkKeys(n, "api_key auth", Set("type", "name", "api_key", "location"))
       val name = str(n, "name").getOrElse("Authorization")
       val key = reqStr(n, "api_key", "api_key auth")
       str(n, "location").getOrElse("header") match {
@@ -101,8 +126,11 @@ object RestConfig {
         case other    => fail(s"api_key auth location '$other' (expected 'query' or 'header')")
       }
     case "http_basic" =>
+      checkKeys(n, "http_basic auth", Set("type", "username", "password"))
       Auth.Basic(reqStr(n, "username", "http_basic auth"), reqStr(n, "password", "http_basic auth"))
     case "oauth2_client_credentials" =>
+      checkKeys(n, "oauth2_client_credentials auth", Set("type", "access_token_url",
+        "token_url", "client_id", "client_secret", "refresh_token", "scope", "scopes"))
       new Auth.OAuth2(
         tokenUrl = str(n, "access_token_url").orElse(str(n, "token_url"))
           .getOrElse(fail("oauth2_client_credentials auth requires 'access_token_url'")),
@@ -130,41 +158,57 @@ object RestConfig {
     parsePaginatorType(reqStr(n, "type", "paginator"), n)
   }
 
-  private def parsePaginatorType(tpe: String, n: JsonNode): Paginator = tpe match {
-    case "offset" => Paginator.Offset(
-        offsetParam = str(n, "offset_param").getOrElse("offset"),
-        limitParam = str(n, "limit_param").getOrElse("limit"),
-        pageSize = int(n, "limit").orElse(int(n, "page_size")).getOrElse(100),
-        totalPath = str(n, "total_path"),
-      )
-    case "page_number" => Paginator.PageNumber(
-        pageParam = str(n, "page_param").getOrElse("page"),
-        sizeParam = str(n, "size_param").getOrElse("per_page"),
-        pageSize = int(n, "page_size").getOrElse(100),
-        totalPath = str(n, "total_path"),
-      )
-    case "cursor" => Paginator.Cursor(
-        cursorPath = reqStr(n, "cursor_path", "cursor paginator"),
-        cursorParam = str(n, "cursor_param").getOrElse("cursor"),
-        pageSize = int(n, "page_size").getOrElse(100),
-        sizeParam = str(n, "size_param").getOrElse("limit"),
-      )
-    case "json_link" | "json_response" | "next_url" =>
-      Paginator.NextUrl(str(n, "next_url_path").getOrElse("next"))
-    case "start_time" => Paginator.StartTime(
-        nextStartPath = reqStr(n, "next_start_path", "start_time paginator"),
-        startParam = reqStr(n, "start_param", "start_time paginator"),
-        endOfStreamPath = str(n, "end_of_stream_path").getOrElse("end_of_stream"),
-      )
-    case "single_page" => Paginator.Single
-    case "header_link" =>
-      fail("paginator type 'header_link' is unsupported: HttpResponse does not expose response headers")
-    case "auto" =>
-      fail("paginator type 'auto' is unsupported: declare the protocol explicitly " +
-        "(offset | page_number | cursor | json_link | start_time | single_page)")
-    case other =>
-      fail(s"unknown paginator type '$other' " +
-        "(expected offset | page_number | cursor | json_link | start_time | single_page)")
+  private def parsePaginatorType(tpe: String, n: JsonNode): Paginator = {
+    def keys(allowed: String*): Unit =
+      if (n.isObject) checkKeys(n, s"$tpe paginator", allowed.toSet + "type")
+    tpe match {
+      case "offset" =>
+        keys("offset_param", "limit_param", "limit", "page_size", "total_path")
+        Paginator.Offset(
+          offsetParam = str(n, "offset_param").getOrElse("offset"),
+          limitParam = str(n, "limit_param").getOrElse("limit"),
+          pageSize = int(n, "limit").orElse(int(n, "page_size")).getOrElse(100),
+          totalPath = str(n, "total_path"),
+        )
+      case "page_number" =>
+        keys("page_param", "size_param", "page_size", "total_path")
+        Paginator.PageNumber(
+          pageParam = str(n, "page_param").getOrElse("page"),
+          sizeParam = str(n, "size_param").getOrElse("per_page"),
+          pageSize = int(n, "page_size").getOrElse(100),
+          totalPath = str(n, "total_path"),
+        )
+      case "cursor" =>
+        keys("cursor_path", "cursor_param", "page_size", "size_param")
+        Paginator.Cursor(
+          cursorPath = reqStr(n, "cursor_path", "cursor paginator"),
+          cursorParam = str(n, "cursor_param").getOrElse("cursor"),
+          pageSize = int(n, "page_size").getOrElse(100),
+          sizeParam = str(n, "size_param").getOrElse("limit"),
+        )
+      case "json_link" | "json_response" | "next_url" =>
+        keys("next_url_path")
+        Paginator.NextUrl(str(n, "next_url_path").getOrElse("next"))
+      case "header_link" =>
+        keys("links_next_key")
+        Paginator.HeaderLink(str(n, "links_next_key").getOrElse("next"))
+      case "start_time" =>
+        keys("next_start_path", "start_param", "end_of_stream_path")
+        Paginator.StartTime(
+          nextStartPath = reqStr(n, "next_start_path", "start_time paginator"),
+          startParam = reqStr(n, "start_param", "start_time paginator"),
+          endOfStreamPath = str(n, "end_of_stream_path").getOrElse("end_of_stream"),
+        )
+      case "single_page" =>
+        keys()
+        Paginator.Single
+      case "auto" =>
+        fail("paginator type 'auto' is unsupported: declare the protocol explicitly " +
+          "(offset | page_number | cursor | json_link | header_link | start_time | single_page)")
+      case other =>
+        fail(s"unknown paginator type '$other' " +
+          "(expected offset | page_number | cursor | json_link | header_link | start_time | single_page)")
+    }
   }
 
   // --------------------------------------------------------------- resource
@@ -174,12 +218,20 @@ object RestConfig {
     */
   private val ParentRef = """\{resources\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)\}""".r
 
+  private val ResourceKeys = Set("name", "endpoint", "primary_key", "merge_key",
+    "write_disposition", "table_name", "max_table_nesting", "include_from_parent")
+  private val EndpointKeys = Set("path", "params", "data_selector", "paginator",
+    "incremental", "max_pages")
+  private val IncrementalKeys = Set("cursor_path", "start_param", "initial_value",
+    "end_param", "end_value", "newest_first", "lag_days", "lag")
+
   private def parseResource(n: JsonNode, defaults: Option[JsonNode]): RestResource = {
     // string shorthand: "deals" == {"name": "deals", "endpoint": {"path": "deals"}}
     val (node, name, pathOpt): (JsonNode, String, Option[String]) =
       if (n.isTextual) (Json.parse("{}"), n.asText(), Some(n.asText()))
       else {
         val nm = reqStr(n, "name", "resource")
+        checkKeys(n, s"resource '$nm'", ResourceKeys)
         val ep = Option(n.get("endpoint"))
         val p = ep.flatMap {
           case e if e.isTextual => Some(e.asText()) // endpoint string shorthand = path
@@ -189,7 +241,9 @@ object RestConfig {
       }
 
     val epNode = Option(node.get("endpoint")).filter(_.isObject)
+    epNode.foreach(checkKeys(_, s"resource '$name' endpoint", EndpointKeys))
     val defEp = defaults.flatMap(d => Option(d.get("endpoint"))).filter(_.isObject)
+    defEp.foreach(checkKeys(_, "resource_defaults endpoint", EndpointKeys))
 
     val rawPath = pathOpt
       .orElse(defEp.flatMap(str(_, "path")))
@@ -197,17 +251,27 @@ object RestConfig {
 
     // defaults merge: resource params override default params key-wise
     // (reference semantics — rest_v2 merges endpoint_config over defaults)
-    val rawParams = strMap2(defEp, "params") ++ strMap2(epNode, "params")
+    val rawParams = strMap2(defEp, "params", "resource_defaults endpoint") ++
+      strMap2(epNode, "params", s"resource '$name' endpoint")
 
     // parent-child: collect {resources.parent.field} refs from the path and
-    // the param VALUES (the engine interpolates both), rewrite to {field}
+    // the param VALUES (the engine interpolates both), rewrite to {field};
+    // include_from_parent (sources/pipedrive/rest_v2/__init__.py:127-128,
+    // settings.py:100) carries the listed PARENT fields into child rows as
+    // `_<parent>_<field>` columns (the reference's own composite-key
+    // spelling, settings.py:96-99)
+    val includeFromParent = Option(node.get("include_from_parent"))
+      .map(strList).getOrElse(Nil)
     val refs = (ParentRef.findAllMatchIn(rawPath) ++
       rawParams.valuesIterator.flatMap(ParentRef.findAllMatchIn(_))).toSeq
     val parents = refs.map(_.group(1)).distinct
     require(parents.size <= 1,
       s"resource '$name' references multiple parents: ${parents.mkString(", ")}")
+    if (includeFromParent.nonEmpty && parents.isEmpty)
+      fail(s"resource '$name' has include_from_parent but no " +
+        "{resources.<parent>.<field>} reference binding a parent")
     val parent = parents.headOption.map { p =>
-      ParentBinding(p, refs.map(_.group(2)).distinct)
+      ParentBinding(p, refs.map(_.group(2)).distinct, includeFromParent)
     }
     def rewrite(s: String) = ParentRef.replaceAllIn(s, m => s"{${m.group(2)}}")
     val path = rewrite(rawPath)
@@ -221,6 +285,7 @@ object RestConfig {
     val endParamFromPlaceholder =
       rawParams.collectFirst { case (k, v) if v == "{incremental.end_value}" => k }
     val incremental = incNode.map { i =>
+      checkKeys(i, s"resource '$name' incremental", IncrementalKeys)
       IncrementalBinding(
         cursorPath = reqStr(i, "cursor_path", s"resource '$name' incremental"),
         startParam = str(i, "start_param").orElse(startParamFromPlaceholder)
@@ -272,6 +337,7 @@ object RestConfig {
       case Some(d) if d.isTextual => (parseDisposition(d.asText()), false)
       // dict form: {"disposition": "merge", "strategy": "scd2"} (dlt merge strategies)
       case Some(d) =>
+        checkKeys(d, s"resource '$name' write_disposition", Set("disposition", "strategy"))
         val base = parseDisposition(reqStr(d, "disposition", "write_disposition"))
         val strat = str(d, "strategy")
         strat match {
@@ -303,6 +369,18 @@ object RestConfig {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"rest config: $msg")
 
+  /** Strict-key validation: any key outside `allowed` fails loudly naming
+    * the key and its location — a typo must never silently change the
+    * plan (a misspelled "paginater" would otherwise yield single-page).
+    */
+  private def checkKeys(n: JsonNode, where: String, allowed: Set[String]): Unit =
+    if (n.isObject) {
+      val unknown = n.fieldNames().asScala.filterNot(allowed).toSeq.sorted
+      if (unknown.nonEmpty)
+        fail(s"unknown key(s) ${unknown.mkString("'", "', '", "'")} in $where " +
+          s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+    }
+
   private def req(n: JsonNode, k: String, where: String): JsonNode =
     Option(n.get(k)).getOrElse(fail(s"$where requires '$k'"))
 
@@ -331,15 +409,20 @@ object RestConfig {
 
   /** JSON object → Map[String,String]; non-string scalars (numbers, bools —
     * the reference writes `"limit": 500`) render through their JSON text.
+    * Container values (objects/arrays) FAIL loudly: Jackson's container
+    * asText() returns "", so a nested object would otherwise silently
+    * become an empty-string request param instead of a config error.
     */
-  private def strMap(n: JsonNode, k: String): Map[String, String] =
+  private def strMap(n: JsonNode, k: String, where: String): Map[String, String] =
     Option(n.get(k)).filter(_.isObject).map { o =>
       o.properties().asScala.map { e =>
         val v = e.getValue
+        if (v.isContainerNode)
+          fail(s"$where '$k.${e.getKey}' must be a scalar, got ${v.getNodeType.toString.toLowerCase}")
         e.getKey -> (if (v.isTextual) v.asText() else v.asText(v.toString))
       }.toMap
     }.getOrElse(Map.empty)
 
-  private def strMap2(n: Option[JsonNode], k: String): Map[String, String] =
-    n.map(strMap(_, k)).getOrElse(Map.empty)
+  private def strMap2(n: Option[JsonNode], k: String, where: String): Map[String, String] =
+    n.map(strMap(_, k, where)).getOrElse(Map.empty)
 }

@@ -57,8 +57,36 @@ object RestEngine {
       */
     final case class StartTime(nextStartPath: String, startParam: String,
         endOfStreamPath: String = "end_of_stream") extends Paginator
+    /** RFC 5988 `Link: <url>; rel="next"` response-HEADER pagination —
+      * GitHub's actual protocol (and half of real REST's), and dlt
+      * rest_api's `header_link` paginator (the cursor sibling of the same
+      * enum the config dialect names, sources/pipedrive/rest_v2/__init__.py:158-162).
+      * Follows like [[NextUrl]] — the link carries its own query; a
+      * relative link resolves against the current request URL.
+      */
+    final case class HeaderLink(linksNextKey: String = "next") extends Paginator
     /** One request, no paging. */
     case object Single extends Paginator
+  }
+
+  /** Parse an RFC 5988 `Link` header into relation -> target URL. Handles
+    * multiple comma-separated link-values, quoted or bare `rel` params,
+    * and space-separated relation lists (`rel="next last"`); the first
+    * link per relation wins. Param values containing a comma or '<' are
+    * out of scope (pagination rels never carry them).
+    */
+  private[rest] def parseLinkHeader(h: String): Map[String, String] = {
+    val LinkValue = """<([^>]*)>((?:\s*;[^,<]*)*)""".r
+    val Rel = """(?i)rel\s*=\s*"?([^";,]+)"?""".r
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (m <- LinkValue.findAllMatchIn(h)) {
+      val target = m.group(1)
+      for {
+        r <- Rel.findFirstMatchIn(Option(m.group(2)).getOrElse(""))
+        rel <- r.group(1).trim.split("\\s+")
+      } if (!out.contains(rel)) out(rel) = target
+    }
+    out.toMap
   }
 
   /** Incremental binding: cursor column in the items + request param
@@ -88,8 +116,18 @@ object RestEngine {
   /** Parent-child binding: `pathTemplate` with `{field}` placeholders
     * resolved per parent row (reference `{resources.parent.id}`
     * interpolation, sources/pipedrive/rest_v2/__init__.py:116-136).
+    *
+    * `includeFields` are ADDITIONAL parent fields carried into every child
+    * row — the reference's `include_from_parent`
+    * (sources/pipedrive/rest_v2/__init__.py:127-128, used at
+    * sources/pipedrive/settings.py:100). Column naming follows the
+    * reference's own composite-key spelling `_<parentName>_<field>`
+    * (settings.py:96-99 keys deal_followers on `_deals_id`), so a dlt
+    * config's primary_key referencing the carried column works unchanged.
+    * Interpolation keys keep their separate `_parent_<key>` columns.
     */
-  final case class ParentBinding(parentName: String, keyFields: Seq[String])
+  final case class ParentBinding(parentName: String, keyFields: Seq[String],
+      includeFields: Seq[String] = Nil)
 
   final case class EndpointConfig(
       path: String, // may contain {field} placeholders when parent-bound
@@ -226,6 +264,15 @@ object RestEngine {
             case Some(next) if !eos => pageParams = pageParams + (p.startParam -> next)
             case _                  => done = true
           }
+        case p: Paginator.HeaderLink =>
+          resp.header("link").map(parseLinkHeader).flatMap(_.get(p.linksNextKey)) match {
+            case Some(next) if next.nonEmpty =>
+              // relative targets resolve against the current request URL
+              // (RFC 3986); absolute ones pass through, like a NextUrl hop
+              url = new java.net.URI(url).resolve(next).toString
+              pageParams = Map.empty // the link carries its own query
+            case _ => done = true
+          }
       }
       if (items.isEmpty) done = true
     }
@@ -359,22 +406,47 @@ object RestEngine {
   ): DataFrame = {
     val binding = resource.parentBindingOrFail
     val keyFields = binding.keyFields
+    val includeFields = binding.includeFields
+    val parentName = binding.parentName
     val client = source.client
     val endpoint = resource.endpoint
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
 
-    val keys: Dataset[Seq[String]] = parentDf
-      .selectExpr(keyFields.map(f => s"cast(`$f` as string)"): _*)
-      .distinct()
-      .map(r => (0 until r.length).map(i => r.getString(i)))
+    // one fetch per distinct KEY tuple stays the law even with carried
+    // include fields. An include that is ALSO an interpolation key (the
+    // pipedrive shape: include_from_parent ["id"] on deals/{id}/followers)
+    // is already in the tuple; genuinely extra fields ride along via a
+    // deterministic min per key (parent keys are primary keys in practice,
+    // so min IS the value; if a key somehow repeats with divergent
+    // includes, the choice is stable rather than partition-order-dependent)
+    val extraFields = includeFields.filterNot(keyFields.contains)
+    val keys: Dataset[Seq[String]] =
+      if (extraFields.isEmpty)
+        parentDf
+          .selectExpr(keyFields.map(f => s"cast(`$f` as string)"): _*)
+          .distinct()
+          .map(r => (0 until r.length).map(i => r.getString(i)))
+      else
+        parentDf
+          .selectExpr((keyFields ++ extraFields).map(f => s"cast(`$f` as string) as `$f`"): _*)
+          .groupBy(keyFields.map(col): _*)
+          .agg(min(col(extraFields.head)).as(extraFields.head),
+            extraFields.tail.map(f => min(col(f)).as(f)): _*)
+          .select((keyFields ++ extraFields).map(col): _*)
+          .map(r => (0 until r.length).map(i => r.getString(i)))
 
     val items: Dataset[String] = keys.mapPartitions { it =>
       val transport = transportFactory()
-      it.flatMap { keyVals =>
+      it.flatMap { vals =>
+        val (keyVals, extraVals) = vals.splitAt(keyFields.length)
         val vars = keyFields.zip(keyVals).toMap
+        val byField = vars ++ extraFields.zip(extraVals).toMap
+        val includes = includeFields.map(f => f -> byField(f)).toMap
         fetchPages(client, endpoint, transport, pathVars = vars)
-          // carry the parent key(s) into each child row for joins
-          .map(body => attachParentKeys(body, vars))
+          // carry the parent key(s) + include_from_parent fields into each
+          // child row for joins / composite keys
+          .map(body => attachParentFields(body, vars, includes, parentName))
       }
     }
     // schema inference + row conversion stay distributed — the fetched
@@ -385,11 +457,14 @@ object RestEngine {
     spark.read.json(items.localCheckpoint(true))
   }
 
-  private def attachParentKeys(body: String, vars: Map[String, String]): String = {
+  private def attachParentFields(body: String, vars: Map[String, String],
+      includes: Map[String, String], parentName: String): String = {
     val node = Json.parse(body)
     node match {
       case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
         vars.foreach { case (k, v) => obj.put(s"_parent_$k", v) }
+        // reference naming: settings.py:96-99 keys on `_deals_id`
+        includes.foreach { case (k, v) => obj.put(s"_${parentName}_$k", v) }
         obj.toString
       case other => other.toString
     }

@@ -3,8 +3,18 @@ package graft.connectors.rest
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets
 
-/** HTTP response: status + body. */
-final case class HttpResponse(status: Int, body: String)
+/** HTTP response: status + body + response headers. Header NAMES are
+  * lowercased (HTTP headers are case-insensitive; one canonical casing
+  * keeps lookups deterministic) and repeated headers are joined with
+  * ", " (RFC 7230's list rule — `Link` headers legally combine this
+  * way). Headers power the protocol surfaces a body cannot express:
+  * RFC 5988 `Link` pagination ([[RestEngine.Paginator.HeaderLink]]).
+  */
+final case class HttpResponse(status: Int, body: String,
+    headers: Map[String, String] = Map.empty) {
+  /** Case-insensitive header lookup (names are stored lowercased). */
+  def header(name: String): Option[String] = headers.get(name.toLowerCase)
+}
 
 /** Pluggable transport so the engine is testable offline and swappable for
   * a pooled client in production. Implementations must be serializable:
@@ -36,6 +46,16 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
       */
     maxBodyBytes: Int = 256 << 20)
     extends HttpTransport {
+
+  /** Response headers, lowercased; multi-valued joined per RFC 7230.
+    * The JDK exposes the status line under a null key — skipped.
+    */
+  private def responseHeaders(conn: HttpURLConnection): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase -> vs.asScala.mkString(", ")
+    }.toMap
+  }
 
   private def readBounded(in: java.io.InputStream): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -108,7 +128,7 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
     try {
       conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
       val status = conn.getResponseCode
-      HttpResponse(status, readBody(conn, status))
+      HttpResponse(status, readBody(conn, status), responseHeaders(conn))
     } finally conn.disconnect()
   }
 
@@ -124,7 +144,7 @@ final class UrlConnectionTransport(connectTimeoutMs: Int = 10000, readTimeoutMs:
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     try {
       val status = conn.getResponseCode
-      HttpResponse(status, readBody(conn, status))
+      HttpResponse(status, readBody(conn, status), responseHeaders(conn))
     } finally conn.disconnect()
   }
 }

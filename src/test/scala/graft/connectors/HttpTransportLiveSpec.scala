@@ -170,6 +170,32 @@ class HttpTransportLiveSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3))
   }
 
+  test("header_link pagination over live sockets: RFC 5988 Link rel=next followed to exhaustion") {
+    // GitHub's actual protocol: page links live in the Link RESPONSE
+    // header, not the body — exercises the transport's header surfacing
+    // (lowercased names) and the engine's HeaderLink follow end-to-end
+    server.createContext("/linked", (ex: HttpExchange) => {
+      LiveHits.inc("linked")
+      val page = params(ex).getOrElse("page", "1").toInt
+      val items = ((page - 1) * 2 + 1 to math.min(page * 2, 5))
+        .map(i => s"""{"id":$i}""").mkString(",")
+      val hs =
+        if (page < 3) Map("Link" ->
+          s"""<$base/linked?page=${page + 1}>; rel="next", <$base/linked?page=3>; rel="last"""")
+        else Map.empty[String, String]
+      respond(ex, 200, s"[$items]", headers = hs)
+    })
+    val live = new UrlConnectionTransport()
+    // transport surfaces headers with lowercase names
+    val probe = live.get(s"$base/linked", Map.empty, Map.empty)
+    assert(probe.header("link").exists(_.contains("rel=\"next\"")), probe.headers)
+    LiveHits.reset()
+    val items = fetchPages(ClientConfig(base),
+      EndpointConfig("linked", paginator = Paginator.HeaderLink()), live)
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3, 4, 5))
+    assert(LiveHits.get("linked") == 3, "exactly one request per page")
+  }
+
   test("pipeline lifecycle over live HTTP: extract -> merge -> cursor commit; second run loads only the delta") {
     import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
     import graft.core.{Incremental, StateStore}

@@ -116,7 +116,7 @@ class RestConfigSpec extends SparkTestBase {
     assert(flow.endpoint.params("sort_by") == "update_time")
   }
 
-  test("every paginator family parses; header_link/auto/unknown are rejected") {
+  test("every paginator family parses; auto/unknown are rejected") {
     def pag(j: String): Paginator = RestConfig.parsePaginator(Json.parse(j))
     assert(pag("""{"type":"offset","limit":50,"total_path":"meta.total"}""") ==
       Paginator.Offset("offset", "limit", 50, Some("meta.total")))
@@ -127,13 +127,79 @@ class RestConfigSpec extends SparkTestBase {
     assert(pag("""{"type":"json_link","next_url_path":"paging.next.link"}""") ==
       Paginator.NextUrl("paging.next.link"))
     assert(pag("""{"type":"json_response"}""") == Paginator.NextUrl("next"))
+    assert(pag("""{"type":"header_link"}""") == Paginator.HeaderLink("next"))
+    assert(pag("""{"type":"header_link","links_next_key":"nextpage"}""") ==
+      Paginator.HeaderLink("nextpage"))
+    assert(pag("\"header_link\"") == Paginator.HeaderLink())
     assert(pag("""{"type":"start_time","next_start_path":"end_time","start_param":"start_time"}""") ==
       Paginator.StartTime("end_time", "start_time", "end_of_stream"))
     assert(pag("\"single_page\"") == Paginator.Single)
     assert(pag("\"offset\"") == Paginator.Offset())
-    intercept[IllegalArgumentException](pag("""{"type":"header_link"}"""))
     intercept[IllegalArgumentException](pag("""{"type":"auto"}"""))
     intercept[IllegalArgumentException](pag("""{"type":"zigzag"}"""))
+  }
+
+  test("strict keys: a typo at any level fails loudly naming the key and its location") {
+    def bad(cfg: String, mustName: String*): Unit = {
+      val e = intercept[IllegalArgumentException](RestConfig.fromJson(cfg))
+      mustName.foreach(s => assert(e.getMessage.contains(s), s"'$s' not in: ${e.getMessage}"))
+    }
+    // typo'd paginator key: previously silently yielded Paginator.Single
+    bad("""{"client": {"base_url": "https://x"},
+           "resources": [{"name": "r", "endpoint": {"path": "r", "paginater": {"type": "offset"}}}]}""",
+      "paginater", "resource 'r' endpoint")
+    // misplaced incremental (resource level, not endpoint): previously silently non-incremental
+    bad("""{"client": {"base_url": "https://x"},
+           "resources": [{"name": "r", "endpoint": {"path": "r"},
+                          "incremental": {"cursor_path": "u", "start_param": "since"}}]}""",
+      "incremental", "resource 'r'")
+    bad("""{"client": {"base_url": "https://x", "bse_url": "oops"}, "resources": []}""",
+      "bse_url", "client")
+    bad("""{"client": {"base_url": "https://x"}, "resorces": []}""", "resorces", "config root")
+    bad("""{"client": {"base_url": "https://x", "auth": {"type": "bearer", "tokn": "t"}},
+           "resources": []}""", "tokn", "bearer auth")
+    bad("""{"client": {"base_url": "https://x"}, "resource_defaults": {"primary_key": "id",
+           "endpoint": {"paginator": {"type": "cursor", "cursor_path": "c", "cursor_parm": "x"}}},
+           "resources": []}""", "cursor_parm", "cursor paginator")
+    bad("""{"client": {"base_url": "https://x"},
+           "resources": [{"name": "r", "endpoint": {"path": "r",
+             "incremental": {"cursor_path": "u", "start_param": "s", "initialvalue": "0"}}}]}""",
+      "initialvalue", "resource 'r' incremental")
+    bad("""{"client": {"base_url": "https://x"},
+           "resources": [{"name": "r", "endpoint": "r",
+             "write_disposition": {"disposition": "merge", "stragety": "scd2"}}]}""",
+      "stragety", "write_disposition")
+    // container-valued param: Jackson's asText() would render "" silently
+    bad("""{"client": {"base_url": "https://x"},
+           "resources": [{"name": "r", "endpoint": {"path": "r",
+             "params": {"filter": {"op": "gt"}}}}]}""", "params.filter", "scalar")
+    bad("""{"client": {"base_url": "https://x", "headers": {"X-List": ["a","b"]}},
+           "resources": []}""", "headers.X-List", "scalar")
+  }
+
+  test("include_from_parent carries parent fields; orphan include is rejected") {
+    // the pipedrive deal_followers shape (sources/pipedrive/settings.py:96-101):
+    // composite key on user_id + the carried _deals_id column
+    val cfg = """
+      {"client": {"base_url": "https://acme.pipedrive.com/api/v2/"},
+       "resources": [
+         {"name": "deal_followers",
+          "endpoint": {"path": "deals/{resources.deals.id}/followers"},
+          "primary_key": ["user_id", "_deals_id"],
+          "include_from_parent": ["id", "title"]}
+       ]}"""
+    val r = RestConfig.fromJson(cfg).resources.head
+    assert(r.endpoint.parent.contains(
+      ParentBinding("deals", Seq("id"), Seq("id", "title"))))
+    assert(r.hints.primaryKey == Seq("user_id", "_deals_id"))
+
+    val orphan = """
+      {"client": {"base_url": "https://x"},
+       "resources": [
+         {"name": "r", "endpoint": {"path": "r"}, "include_from_parent": ["id"]}
+       ]}"""
+    val e = intercept[IllegalArgumentException](RestConfig.fromJson(orphan))
+    assert(e.getMessage.contains("include_from_parent"))
   }
 
   test("auth dialects: bearer, api_key header/query, http_basic, oauth2") {

@@ -157,6 +157,64 @@ class RestEngineSpec extends SparkTestBase {
     assert(df.where($"_parent_id" === "1").count() == 2)
   }
 
+  test("include_from_parent carries parent fields into child rows as _<parent>_<field>") {
+    import spark.implicits._
+    val t = new FakeTransport(Map(
+      "deals/1/followers?" -> """{"data":[{"user_id":10},{"user_id":11}]}""",
+      "deals/2/followers?" -> """{"data":[{"user_id":20}]}""",
+    ))
+    // "id" is both the interpolation key AND an include (the pipedrive
+    // shape, settings.py:100); "title" is a genuinely extra carried field
+    val parents = Seq((1L, "d1"), (2L, "d2"), (2L, "d2")).toDF("id", "title")
+    val res = RestResource("deal_followers",
+      EndpointConfig("deals/{id}/followers", dataSelector = "data",
+        parent = Some(ParentBinding("deals", Seq("id"), Seq("id", "title")))),
+      TableHints("deal_followers", Disposition.Append))
+    val df = readChildResource(spark, RestSource("s", client, Seq(res)), res, parents, () => t)
+    assert(df.count() == 3, "duplicate parent rows must not duplicate fetches")
+    assert(df.columns.toSet.intersect(Set("_parent_id", "_deals_id", "_deals_title")) ==
+      Set("_parent_id", "_deals_id", "_deals_title"))
+    assert(df.where($"_deals_id" === "2").select("_deals_title")
+      .collect().map(_.getString(0)).toSeq == Seq("d2"))
+    assert(df.where($"_deals_id" === "1").count() == 2)
+  }
+
+  test("parseLinkHeader: multi-value, quoted/bare rel, rel lists, relative targets") {
+    assert(parseLinkHeader("""<https://x/p?page=2>; rel="next"""") ==
+      Map("next" -> "https://x/p?page=2"))
+    assert(parseLinkHeader(
+      """<https://x/p?page=2>; rel="next", <https://x/p?page=9>; rel="last"""") ==
+      Map("next" -> "https://x/p?page=2", "last" -> "https://x/p?page=9"))
+    // bare rel, extra params, relative URL, and a space-separated rel list
+    assert(parseLinkHeader("""</p?page=3>; title=pg; rel=next""") == Map("next" -> "/p?page=3"))
+    assert(parseLinkHeader("""<https://x/a>; rel="next last"""") ==
+      Map("next" -> "https://x/a", "last" -> "https://x/a"))
+    // first link per rel wins; no rel param means no entry
+    assert(parseLinkHeader("""<https://x/1>; rel="next", <https://x/2>; rel="next"""") ==
+      Map("next" -> "https://x/1"))
+    assert(parseLinkHeader("""<https://x/1>""") == Map.empty)
+  }
+
+  test("header_link paginator follows Link rel=next across pages and stops without it") {
+    val pages = Map(
+      "issues?per_page=2" -> """[{"id":1},{"id":2}]""",
+      "issues?page=2&per_page=2" -> """[{"id":3},{"id":4}]""",
+      "issues?page=3&per_page=2" -> """[{"id":5}]""",
+    )
+    val headers = Map(
+      "issues?per_page=2" ->
+        Map("link" -> """<https://api.example.test/issues?page=2&per_page=2>; rel="next""""),
+      "issues?page=2&per_page=2" ->
+        // relative target: must resolve against the current request URL
+        Map("link" -> """</issues?page=3&per_page=2>; rel="next", <https://api.example.test/issues?page=3&per_page=2>; rel="last""""),
+    )
+    val t = StaticPagesTransport(pages, headers)
+    val items = fetchPages(client,
+      EndpointConfig("issues", params = Map("per_page" -> "2"),
+        paginator = Paginator.HeaderLink()), t)
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3, 4, 5))
+  }
+
   test("start-time/stream protocol follows next start until end_of_stream") {
     val t = new FakeTransport(Map(
       "exports?" -> """{"data":[{"id":1}],"end_time":"1000","end_of_stream":false}""",
