@@ -200,7 +200,12 @@ object Warc {
     * single quarantine row and stops the file (records already yielded
     * are kept; there is no reliable resync point inside gzip).
     */
-  private[sources] def parseStream(raw: InputStream, file: String, gzipped: Boolean): Iterator[WarcRecord] =
+  private[sources] def parseStream(raw: InputStream, file: String, gzipped: Boolean,
+      /** Invoked with the WRAPPING stream when it is built: early-stop
+        * cleanup must close the wrapper (ending the gzip Inflater's
+        * native state), not just the raw fd.
+        */
+      onStream: InputStream => Unit = _ => ()): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private var in: InputStream = _
       private var idx = 0L
@@ -217,9 +222,11 @@ object Warc {
       private def advance(): Unit = {
         if (pending != null || finished) return
         try {
-          if (in == null)
+          if (in == null) {
             in = new BufferedInputStream(
               if (gzipped) new MultiMemberGzipInputStream(raw) else raw, 1 << 16)
+            onStream(in)
+          }
           // skip inter-record blank lines (record trailer is CRLF CRLF)
           var line = readLine(in)
           while (line != null && line.isEmpty) line = readLine(in)
@@ -280,8 +287,12 @@ object Warc {
         // the record iterator closes its stream on exhaustion or fault,
         // but a consumer that stops EARLY (limit/take/first) abandons it
         // mid-file — in a long-lived executor that leaks the open Hadoop
-        // input stream, so the task-completion listener closes whatever
-        // stream is still current when the task ends
+        // input stream AND the gzip Inflater's native zlib state, so the
+        // task-completion listener closes whatever stream is current when
+        // the task ends. `current` is upgraded from the raw fd to the
+        // WRAPPING stream once parseStream builds it: closing the wrapper
+        // chains to Inflater.end() + the fd; closing only the fd would
+        // leave the native inflate buffers to GC finalization
         var current: InputStream = null
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
@@ -292,7 +303,7 @@ object Warc {
           val fs = hp.getFileSystem(conf.value.value)
           val stream = fs.open(hp)
           current = stream
-          parseStream(stream, p, p.endsWith(".gz"))
+          parseStream(stream, p, p.endsWith(".gz"), onStream = s => current = s)
         }
       }
       .toDF()

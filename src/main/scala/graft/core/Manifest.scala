@@ -30,13 +30,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class TableManifest(spark: SparkSession, root: String) {
   import TableManifest._
 
-  private val state = new StateStore(java.nio.file.Paths.get(root, "_manifest.json"))
+  // the manifest file rides java.nio atomic-rename and the generation
+  // dirs ride Hadoop FileSystem — on a non-local root (hdfs://, s3a://)
+  // those would silently split state, and object stores don't give the
+  // atomic rename the commit guarantee rests on. Refuse loudly.
+  private val rootUri = new org.apache.hadoop.fs.Path(root).toUri
+  require(rootUri.getScheme == null || rootUri.getScheme == "file",
+    s"manifestCommit supports local filesystem roots only (got '$root'): the atomic " +
+      "manifest flip is a local rename — use the per-table staged-swap path for remote roots")
+  private val localRoot =
+    if (rootUri.getScheme == null) root else java.nio.file.Paths.get(rootUri).toString
+
+  private val state = new StateStore(java.nio.file.Paths.get(localRoot, "_manifest.json"))
 
   /** Tables with a committed generation list. */
   def tables: Seq[String] = state.keys.filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix))
 
   /** Committed generation dirs of one table (empty = table unknown). */
   def gens(name: String): Seq[String] = state.getList(Prefix + name)
+
+  /** Committed per-generation row counts, aligned with [[gens]]; None =
+    * unknown (a pre-counts manifest) — callers fall back to footer reads.
+    */
+  private def committedCounts(name: String): Option[Seq[Long]] = {
+    val c = state.getList(CountsPrefix + name)
+    if (c.nonEmpty && c.size == gens(name).size && c.forall(s => s.nonEmpty && s.forall(_.isDigit)))
+      Some(c.map(_.toLong))
+    else None
+  }
+
+  /** Row count of one generation dir from parquet FOOTER metadata —
+    * driver-side metadata reads, ZERO Spark jobs. This is what keeps
+    * [[Publish.land]] O(1) jobs on an append-heavy table: the old
+    * per-generation `spark.read.parquet(...).count()` cost G jobs per
+    * land, O(G²) per run across appends.
+    */
+  private def footerRowCount(dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** The committed table, resolved THROUGH the manifest. mergeSchema:
     * append deltas may carry evolved (added-column) schemas.
@@ -74,6 +112,11 @@ final class TableManifest(spark: SparkSession, root: String) {
   final class Publish private[TableManifest] () {
     // table -> the generation list to commit (replaces the committed one)
     private val pending = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    // table -> per-generation row counts aligned with pending(table)
+    private val pendingCounts = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    // "<table>/<gen>" -> rows, memoized footer reads (for committed
+    // generations of pre-counts manifests)
+    private val countCache = scala.collection.mutable.Map.empty[String, Long]
     private var committed = false
 
     // crash orphans from previous failed publishes die before their
@@ -95,9 +138,21 @@ final class TableManifest(spark: SparkSession, root: String) {
       s"g${if (nums.isEmpty) 1L else nums.max + 1L}"
     }
 
+    private def genCount(name: String, gen: String): Long =
+      countCache.getOrElseUpdate(s"$name/$gen", footerRowCount(s"$root/$name/$gen"))
+
+    /** Per-generation counts of the table's CURRENT content (pending if
+      * landed this publish, else committed counts, else one footer sweep).
+      */
+    private def currentCounts(name: String): Seq[Long] =
+      pendingCounts.getOrElse(name,
+        committedCounts(name).getOrElse(gens(name).map(genCount(name, _))))
+
     /** Land one table's updates under its disposition; nothing becomes
       * reader-visible until [[commit]]. Returns the table's row count as
-      * of this landing (committed + pending content).
+      * of this landing (committed + pending content), derived from
+      * parquet footer metadata — O(1) Spark jobs per land regardless of
+      * how many generations the table has accumulated.
       */
     def land(updates: DataFrame, hints: TableHints): Long = synchronized {
       require(!committed, "publish already committed")
@@ -113,6 +168,7 @@ final class TableManifest(spark: SparkSession, root: String) {
       def landFull(df: DataFrame): Unit = {
         df.write.mode("overwrite").parquet(genPath)
         pending(name) = Seq(gen)
+        pendingCounts(name) = Seq(genCount(name, gen))
       }
       hints.disposition match {
         case Disposition.Append =>
@@ -124,8 +180,10 @@ final class TableManifest(spark: SparkSession, root: String) {
               if (widened) landFull(MergeEngine.unionEvolved(existing, updates))
               else {
                 // O(batch): the delta lands alone and JOINS the list
+                val baseCounts = currentCounts(name)
                 MergeEngine.alignTo(updates, target).write.mode("overwrite").parquet(genPath)
                 pending(name) = currentDirs(name) :+ gen
+                pendingCounts(name) = baseCounts :+ genCount(name, gen)
               }
           }
         case Disposition.Replace =>
@@ -133,28 +191,47 @@ final class TableManifest(spark: SparkSession, root: String) {
         case Disposition.Merge =>
           landFull(MergeEngine.mergePlan(readCurrent(name), updates, hints))
         case Disposition.Scd2 =>
-          val loadTs = hints.scd2LoadTs
-            .getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+          // NO wall-clock default here: a manifest-committed scd2 table
+          // must be byte-identical when re-run from the same inputs
+          val loadTs = hints.scd2LoadTs.getOrElse(throw new IllegalArgumentException(
+            s"manifest-committed scd2 table '$name' requires hints.scd2LoadTs — a " +
+              "wall-clock default would make identical runs land different valid_from stamps"))
           landFull(MergeEngine.scd2Apply(readCurrent(name), updates, hints.keyColumns, loadTs))
       }
-      pending(name).map(g => spark.read.parquet(s"$root/$name/$g").count()).sum
+      pendingCounts(name).sum
     }
 
     /** Flip every landed table's committed pointer in ONE atomic manifest
       * write. Before this call, readers see the previous state of EVERY
-      * table; after it, the new state of every table.
+      * table; after it, the new state of every table. Per-generation row
+      * counts commit alongside the lists, so future publishes never
+      * re-derive them.
       */
     def commit(): Unit = synchronized {
       require(!committed, "publish already committed")
       pending.foreach { case (name, list) => state.putList(Prefix + name, list) }
+      pendingCounts.foreach { case (name, cs) =>
+        state.putList(CountsPrefix + name, cs.map(_.toString))
+      }
       state.commit()
       committed = true
     }
   }
 
-  def publish(): Publish = new Publish()
+  /** Start a publish cycle. Re-reads the on-disk committed manifest
+    * FIRST: the TableLock is held per RUN, not per TableManifest
+    * instance, so a long-lived Pipeline alternating with another writer
+    * process would otherwise sweep the other writer's committed
+    * generation dirs (absent from its stale cached lists) and commit
+    * stale lists over theirs — silent data loss despite correct locking.
+    */
+  def publish(): Publish = {
+    state.rollback()
+    new Publish()
+  }
 }
 
 object TableManifest {
   private val Prefix = "tables."
+  private val CountsPrefix = "rowcounts."
 }

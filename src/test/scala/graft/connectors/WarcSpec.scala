@@ -46,6 +46,27 @@ class WarcSpec extends SparkTestBase {
       .select("rec_index").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("early-stop cleanup targets the WRAPPING stream: closing it ends the inflate chain") {
+    // a consumer that stops early (limit/take) abandons the iterator; the
+    // task-completion listener closes whatever parseStream registered via
+    // onStream — which must be the wrapper, so Inflater.end() runs and the
+    // raw fd closes through the chain (ADVICE r16: closing only the raw
+    // stream left native zlib state to GC finalization)
+    val bytes = Warc.encodeFile((0 until 3).map(respRecord))
+    var rawClosed = false
+    val raw = new java.io.ByteArrayInputStream(bytes) {
+      override def close(): Unit = { rawClosed = true; super.close() }
+    }
+    var wrapper: java.io.InputStream = null
+    val it = Warc.parseStream(raw, "f.warc.gz", gzipped = true, onStream = wrapper = _)
+    assert(it.hasNext)
+    it.next() // consume ONE record, then abandon mid-file
+    assert(wrapper != null, "parseStream must register the wrapping stream")
+    assert(!rawClosed, "mid-file: nothing closed yet")
+    wrapper.close()
+    assert(rawClosed, "closing the wrapper must chain through the gzip stream to the raw fd")
+  }
+
   test("a truncated final member quarantines the remainder and keeps every prior record") {
     val dir = tmpDir("warc_trunc")
     val whole = Warc.encodeFile((0 until 4).map(respRecord))

@@ -100,6 +100,78 @@ class ManifestCommitSpec extends SparkTestBase {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("land is O(1) Spark jobs regardless of accumulated generations (footer counts)") {
+    val dest = tmpDir("mani-o1")
+    val pipe = new Pipeline(spark, "p", dest, tmpDir("mani-o1-state"), manifestCommit = true)
+    def append(tag: String) = SourceDef("s", Seq(ResourceDef("logs",
+      TableHints("logs", Disposition.Append), _ => rows(3, tag))))
+
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    pipe.run(append("r1"))
+    val early = jobsFor("mani-land-early") { pipe.run(append("r2")) }
+    (3 to 9).foreach(i => pipe.run(append(s"r$i")))
+    assert(pipe.manifest.gens("logs").size == 9)
+    // the 10th land sums 9 prior generations: with the old per-generation
+    // count() this run would cost 9 extra jobs; footer metadata costs none
+    val late = jobsFor("mani-land-late") { pipe.run(append("r10")) }
+    assert(late <= early,
+      s"land over 9 generations ran $late jobs vs $early over 1 — count jobs scale with G")
+    // and the footer-derived running total is exact
+    assert(pipe.manifest.read("logs").get.count() == 30)
+  }
+
+  test("manifest-committed scd2 is deterministic: same inputs twice = identical bytes; no wall-clock default") {
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    def runInto(dest: String): Seq[org.apache.spark.sql.Row] = {
+      val pipe = new Pipeline(spark, "p", dest, tmpDir("mani-scd2-state"), manifestCommit = true)
+      val src = SourceDef("s", Seq(ResourceDef("dim",
+        TableHints("dim", Disposition.Scd2, primaryKey = Seq("id"),
+          scd2LoadTs = Some(T("2024-03-01 00:00:00"))),
+        _ => rows(4, "x"))))
+      pipe.run(src)
+      pipe.manifest.read("dim").get.drop("_dlt_load_id")
+        .orderBy("id").collect().toSeq
+    }
+    val a = runInto(tmpDir("mani-scd2-a"))
+    val b = runInto(tmpDir("mani-scd2-b"))
+    assert(a == b, "identical scd2 runs through the manifest must land identical rows")
+    assert(a.nonEmpty)
+
+    // without the explicit load timestamp the land must fail loud, not
+    // silently stamp wall-clock
+    val pipe = new Pipeline(spark, "p", tmpDir("mani-scd2-c"), tmpDir("mani-scd2-cs"),
+      manifestCommit = true)
+    val bad = SourceDef("s", Seq(ResourceDef("dim",
+      TableHints("dim", Disposition.Scd2, primaryKey = Seq("id")), _ => rows(2, "x"))))
+    val e = intercept[Exception] { pipe.run(bad) }
+    assert(e.getMessage.contains("scd2LoadTs"), e.getMessage)
+  }
+
+  test("a long-lived pipeline reloads the manifest per publish: another writer's tables survive") {
+    // the r16-ADVICE medium: writer A's TableManifest caches state at
+    // construction; writer B commits between A's runs; without a reload
+    // A's next publish would sweep B's committed generation dirs (absent
+    // from A's stale lists) and commit lists that LOSE B's table
+    val dest = tmpDir("mani-two-writers")
+    val pipeA = new Pipeline(spark, "pa", dest, tmpDir("mani-tw-sa"), manifestCommit = true)
+    val pipeB = new Pipeline(spark, "pb", dest, tmpDir("mani-tw-sb"), manifestCommit = true)
+    def src(table: String, tag: String) = SourceDef("s", Seq(ResourceDef(table,
+      TableHints(table, Disposition.Replace), _ => rows(3, tag))))
+
+    pipeA.run(src("a", "v1")) // A's manifest instance now has state in memory
+    pipeB.run(src("b", "v1")) // B commits table b on disk, unseen by A's cache
+    pipeA.run(src("a", "v2")) // A must publish from the RELOADED manifest
+
+    val m = new TableManifest(spark, dest) // fresh reader
+    assert(m.tables.toSet == Set("a", "b"), s"table b lost: ${m.tables}")
+    assert(m.read("b").get.count() == 3, "b's generation dirs were swept by A's stale publish")
+    assert(m.read("a").get.select("tag").distinct().as[String].collect().toSet == Set("v2"))
+  }
+
   test("concurrent manifest writers to one root are excluded by the lease") {
     val dest = tmpDir("mani-lock")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("mani-lock-state"), manifestCommit = true)
