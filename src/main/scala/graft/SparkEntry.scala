@@ -1444,6 +1444,49 @@ object SparkEntry {
         .orderBy("host", "wave")
     }),
 
+    // crawl politeness in TIME on the frontier's logical wave clock: with
+    // minWaveGapPerHost = 1 every host fetched in wave W sits out wave
+    // W+1, so under a constant plan the capped waves alternate fetch/
+    // silence — odd waves take each host's next ≤150 URLs, even waves are
+    // REQUIRED empty in-contract (every host is inside its gap window),
+    // and excluded URLs carry over with no extra state. The oracle replays
+    // the whole schedule as rank-within-host (ranks 1-150 → wave 1,
+    // 151-300 → wave 3, …), proving the exclusion window, the cap, and
+    // fetch-exactly-once across all nine waves in one hash
+    "q_url_frontier_gap" -> ((s, dir) => {
+      import graft.ops.UrlFrontier
+      val cap = 150
+      val dest = java.nio.file.Files.createTempDirectory("graft_gap").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      val planned = t(s, dir, "events").filter(col("event_id") < 3500)
+        .select(concat(
+          when(col("event_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://www.")),
+          lit("h"), (col("event_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
+      def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
+        todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
+      (1 to 9).foreach { w =>
+        val landed = UrlFrontier.runWave(s, dest, state, planned, "url",
+          maxPerHost = Some(cap), minWaveGapPerHost = 1)(fetchWave(w))
+        if (w % 2 == 0)
+          require(landed.isEmpty,
+            s"wave $w fetched ${landed.count()} URLs — every host is inside its gap window")
+        else if (w < 9) {
+          val worst = landed
+            .groupBy(regexp_extract(col("url_canon"), "^[^/?]+", 0)).count()
+            .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+          require(worst <= cap, s"wave $w fetched $worst URLs from one host (cap $cap)")
+        } else require(landed.isEmpty, "frontier not drained by wave 7 (500 URLs/host at 150/wave)")
+      }
+      UrlFrontier.committedPages(s, dest, state)
+        .select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host"),
+          col("wave"), col("url_canon"))
+        .groupBy("host", "wave")
+        .agg(count(lit(1)).as("n_pages"),
+          min("url_canon").as("first_url"), max("url_canon").as("last_url"))
+        .orderBy("host", "wave")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -5466,6 +5509,21 @@ object SparkEntry {
         |SELECT host,
         |  CAST(CASE WHEN rk <= 150 THEN 1 WHEN rk <= 300 THEN 2
         |            WHEN rk <= 450 THEN 3 ELSE 4 END AS BIGINT) AS wave,
+        |  count(*) AS n_pages, min(url_canon) AS first_url, max(url_canon) AS last_url
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    // gap 1 under a constant plan: odd waves fetch, even waves silent —
+    // rank r within host lands in wave 2*ceil(r/150) - 1
+    "q_url_frontier_gap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    'h' || CAST(event_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url_canon,
+        |    'h' || CAST(event_id % 7 AS VARCHAR) || '.example.com' AS host
+        |  FROM events WHERE event_id < 3500),
+        |r AS (SELECT host, url_canon,
+        |        row_number() OVER (PARTITION BY host ORDER BY url_canon) AS rk FROM u)
+        |SELECT host,
+        |  CAST(2 * CEIL(rk / 150.0) - 1 AS BIGINT) AS wave,
         |  count(*) AS n_pages, min(url_canon) AS first_url, max(url_canon) AS last_url
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q_stream_url_dedup" -> streamUrlDedupSql,

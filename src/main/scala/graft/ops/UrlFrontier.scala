@@ -36,8 +36,21 @@ import graft.core.StateStore
 object UrlFrontier {
   private val SeenKey  = "frontier.generations"
   private val PagesKey = "frontier.pages.generations"
+  /** Logical wave clock: increments once per committed wave. */
+  private val WaveKey  = "frontier.wave"
+  /** Committed per-wave host dirs (`hosts/w<N>`), retained only for the
+    * trailing exclusion window.
+    */
+  private val HostsKey = "frontier.hosts.generations"
 
   private val GenName = "^g([0-9]+)$".r
+  private val WaveName = "^w([0-9]+)$".r
+
+  private def waveNum(w: String): Long = w match {
+    case WaveName(n) => n.toLong
+    case _ => throw new IllegalStateException(
+      s"malformed wave name '$w' in state list '$HostsKey' — expected w<N>")
+  }
 
   /** Numeric suffix of a generation name ("g12" -> 12), validated: a
     * hand-edited or corrupted state list must fail with a message naming
@@ -125,6 +138,21 @@ object UrlFrontier {
     * anti-join re-presents them — fetch-exactly-once holds across waves
     * with no extra state.
     *
+    * Politeness in TIME: `minWaveGapPerHost = g` excludes every host
+    * fetched within the last g waves from this wave — a host fetched in
+    * wave W gets g full waves of silence and is eligible again at wave
+    * W+g+1 (the behavior class of the reference's per-connector
+    * retry/backoff discipline, sources/facebook_ads/helpers.py:188-221,
+    * expressed on the frontier's own LOGICAL clock — the committed wave
+    * counter — so it is deterministic and oracle-replayable). Exclusion
+    * composes with `maxPerHost` (gap first, then the per-wave cap) and
+    * costs nothing when 0: per-wave host sets land columnar under
+    * `dest/hosts/w<N>` only while a gap is in use, the state retains only
+    * the trailing g dirs, and excluded URLs never enter the seen-set so
+    * they carry over exactly like cap overflow. A frontier that changes
+    * its gap mid-life degrades gracefully: history older than the
+    * retained window reads as "not recently fetched".
+    *
     * Single-writer per frontier, ENFORCED: the generation lists are
     * read-modify-write state, so a wave racing another wave (or a
     * compaction) could commit a list built from a stale read — dropping
@@ -135,10 +163,11 @@ object UrlFrontier {
     * LockHeldException instead of corrupting the pointer.
     */
   def runWave(spark: SparkSession, dest: String, state: StateStore,
-      planned: DataFrame, urlCol: String, maxPerHost: Option[Int] = None)(
+      planned: DataFrame, urlCol: String, maxPerHost: Option[Int] = None,
+      minWaveGapPerHost: Int = 0)(
       fetch: DataFrame => DataFrame): DataFrame =
     graft.core.TableLock.withLock(spark, dest, s"url-frontier-wave:${java.util.UUID.randomUUID()}") {
-      runWaveLocked(spark, dest, state, planned, urlCol, maxPerHost)(fetch)
+      runWaveLocked(spark, dest, state, planned, urlCol, maxPerHost, minWaveGapPerHost)(fetch)
     }
 
   /** Canonical host of a canonical URL (scheme already stripped by
@@ -148,16 +177,37 @@ object UrlFrontier {
     urlCanon.takeWhile(c => c != '/' && c != '?')
 
   private def runWaveLocked(spark: SparkSession, dest: String, state: StateStore,
-      planned: DataFrame, urlCol: String, maxPerHost: Option[Int])(
+      planned: DataFrame, urlCol: String, maxPerHost: Option[Int],
+      minWaveGapPerHost: Int)(
       fetch: DataFrame => DataFrame): DataFrame = {
+    val wave = state.getLong(WaveKey).getOrElse(0L) + 1L
     val canon = planned.select(Url.canonicalize(col(urlCol)).as("url_canon")).distinct()
     val unseen = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    // gap exclusion FIRST (an excluded host fetches nothing this wave),
+    // then the per-wave cap on what remains
+    val eligible =
+      if (minWaveGapPerHost <= 0) unseen
+      else {
+        val recent = state.getList(HostsKey).filter(waveNum(_) >= wave - minWaveGapPerHost)
+        if (recent.isEmpty) unseen
+        else {
+          // hosts fetched within the gap window: a bounded frame (one row
+          // per recently-fetched host), anti-joined distributively — at
+          // corpus scale it broadcasts, never collects
+          val recentHosts = spark.read.parquet(recent.map(w => s"$dest/hosts/$w"): _*)
+            .select(col("host")).distinct()
+          unseen
+            .withColumn("host", regexp_extract(col("url_canon"), "^[^/?]+", 0))
+            .join(recentHosts, Seq("host"), "left_anti")
+            .select("url_canon")
+        }
+      }
     val todo = maxPerHost match {
-      case None => unseen
+      case None => eligible
       case Some(k) =>
         require(k > 0, s"maxPerHost must be positive, got $k")
         import spark.implicits._
-        unseen.select(col("url_canon")).as[String]
+        eligible.select(col("url_canon")).as[String]
           .groupByKey(hostOf)
           .agg(graft.functions.MinK.minK(k).name("urls"))
           .flatMap(_._2)
@@ -181,13 +231,38 @@ object UrlFrontier {
     // unboundedly at corpus scale
     landed.select("url_canon").distinct()
       .write.mode("overwrite").parquet(s"$dest/seen/$gen")
+    // gap tracking: land this wave's host set (one row per host — tiny)
+    // under the same crash discipline as seen/pages: dir first, pointer
+    // in the same commit below. A crash orphan with this wave number is
+    // overwritten on the retry (the wave clock never committed).
+    val droppedHostDirs: Seq[String] =
+      if (minWaveGapPerHost <= 0) Nil
+      else {
+        landed.select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host")).distinct()
+          .write.mode("overwrite").parquet(s"$dest/hosts/w$wave")
+        // retain exactly the trailing window the NEXT wave's exclusion
+        // reads (num > wave - gap); older dirs leave the committed list
+        // and are deleted after the commit (hosts dirs are only ever read
+        // under this lease, so no reader grace is needed)
+        val (keep, dropped) = (state.getList(HostsKey) :+ s"w$wave")
+          .partition(waveNum(_) > wave - minWaveGapPerHost)
+        state.putList(HostsKey, keep)
+        dropped
+      }
     // snapshot BOTH lists before mutating either: the pages fallback
     // resolves through the seen list on pre-PagesKey state, so writing
     // SeenKey first would double-count the new generation
     val (seenBefore, pagesBefore) = (seenGens(state), pagesGens(state))
     state.putList(SeenKey, seenBefore :+ gen)
     state.putList(PagesKey, pagesBefore :+ gen)
+    state.put(WaveKey, wave)
     state.commit()
+    if (droppedHostDirs.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      droppedHostDirs.foreach(w =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dest/hosts/$w"), true))
+    }
     landed
   }
 
@@ -340,6 +415,7 @@ object UrlFrontier {
     }
     sweep("seen", seenGens(state).toSet) ++
       (if (state.keys.contains(PagesKey)) sweep("pages", state.getList(PagesKey).toSet)
-       else Nil)
+       else Nil) ++
+      sweep("hosts", state.getList(HostsKey).toSet)
   }
 }

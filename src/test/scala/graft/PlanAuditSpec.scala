@@ -382,4 +382,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(selectionPlan.toLowerCase.contains("aggregate"),
       s"polite selection must reduce through the MinK aggregate:\n${selectionPlan.take(1500)}")
   }
+
+  test("wave-gap host exclusion plans as a distributed anti-join, never a collect or cartesian") {
+    // the recently-fetched host set is a bounded columnar frame; the
+    // exclusion must be a left_anti join against it (broadcastable at
+    // scale), never a driver-side host list or an all-pairs shape
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = tmpDir("plan_gap")
+    val state = new graft.core.StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val urls = (0 until 40).map(i => s"http://h${i % 4}.test/p$i").toDF("url")
+    graft.ops.UrlFrontier.runWave(spark, dest, state, urls.limit(20), "url",
+      minWaveGapPerHost = 1)(todo => todo.select(col("url_canon")))
+    var exclusionPlan = ""
+    graft.ops.UrlFrontier.runWave(spark, dest, state, urls, "url",
+      minWaveGapPerHost = 1) { todo =>
+      todo.collect() // finalize AQE before reading the plan
+      exclusionPlan = todo.queryExecution.executedPlan.toString
+      todo.select(col("url_canon"))
+    }
+    assert(exclusionPlan.contains("LeftAnti"),
+      s"gap exclusion must be an anti-join:\n${exclusionPlan.take(1500)}")
+    assert(!exclusionPlan.contains("CartesianProduct"),
+      s"gap exclusion must never go all-pairs:\n${exclusionPlan.take(1500)}")
+  }
 }

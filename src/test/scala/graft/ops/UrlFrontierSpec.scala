@@ -312,6 +312,57 @@ class UrlFrontierSpec extends SparkTestBase {
     }
   }
 
+  test("wave-gap politeness: hosts fetched in wave W sit out the next g waves on the logical clock") {
+    val dest = tmpDir("frontier_gap")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def urls(hosts: Seq[String], perHost: Int): DataFrame =
+      hosts.flatMap(h => (0 until perHost).map(i => s"http://$h.test/p$i")).toDF("url")
+    def hostsOf(df: DataFrame): Set[String] =
+      df.select("url_canon").as[String].collect().map(_.takeWhile(_ != '.')).toSet
+
+    // wave 1 plans only a,b — both fetched and marked on the wave clock
+    val w1 = UrlFrontier.runWave(spark, dest, state, urls(Seq("a", "b"), 2), "url",
+      minWaveGapPerHost = 1)(fetchCount(fetched))
+    assert(hostsOf(w1) == Set("a", "b"))
+
+    // wave 2 plans a,b,c with MORE urls for a,b — a,b are excluded (gap 1),
+    // only the new host c fetches; a,b's new urls carry over unseen
+    val all = urls(Seq("a", "b", "c"), 3)
+    val w2 = UrlFrontier.runWave(spark, dest, state, all, "url",
+      minWaveGapPerHost = 1)(fetchCount(fetched))
+    assert(hostsOf(w2) == Set("c"), s"gap must exclude a,b: got ${hostsOf(w2)}")
+    assert(w2.count() == 3)
+
+    // wave 3: a,b served their one-wave silence and drain their carry-over;
+    // c (fetched in wave 2) now sits out
+    val w3 = UrlFrontier.runWave(spark, dest, state, all, "url",
+      minWaveGapPerHost = 1)(fetchCount(fetched))
+    assert(hostsOf(w3) == Set("a", "b"))
+    assert(w3.count() == 2, "only the carry-over urls — earlier fetches stay seen")
+
+    // exactly-once held throughout: 9 distinct pages, 9 fetches
+    assert(fetched.get() == 9)
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 9)
+
+    // retention: only the trailing window's host dirs remain on disk
+    val hostDirs = new java.io.File(s"$dest/hosts").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(hostDirs == Set("w3"), s"trailing-window prune failed: $hostDirs")
+
+    // a gap of 2 excludes both recent waves: w3's a,b AND (empty) w4 —
+    // then everything is eligible again and the frontier is drained
+    val w4 = UrlFrontier.runWave(spark, dest, state, all, "url",
+      minWaveGapPerHost = 2)(fetchCount(fetched))
+    assert(w4.isEmpty, "a,b fetched in wave 3 must sit out under gap 2")
+    val w5 = UrlFrontier.runWave(spark, dest, state, all, "url",
+      minWaveGapPerHost = 2)(fetchCount(fetched))
+    assert(w5.isEmpty, "wave 5 still inside a,b's gap-2 window")
+    val w6 = UrlFrontier.runWave(spark, dest, state, all, "url",
+      minWaveGapPerHost = 2)(fetchCount(fetched))
+    assert(w6.isEmpty && fetched.get() == 9, "frontier already drained — gap must not re-fetch")
+  }
+
   test("MinK keeps the k smallest strings under any reduce/merge interleaving") {
     val agg = graft.functions.MinK.minKAgg(3)
     val items = Seq("m", "b", "z", "a", "q", "c", "b2")
