@@ -25,7 +25,7 @@ cd "$(dirname "$0")/.."
 SF10="${SF10:-/tmp/sf10}"
 OUT="${OUT:-/tmp/verify_sf10}"
 CPUS="${CPUS:-32}"
-FAMILY=${FAMILY:-q_dedup_exact,q_dedup_minhash,q_dedup_pipeline,q_dedup_clusters,q_dedup_incremental,q_substring_dedup,q_line_dedup,q_url_dedup,q_url_frontier,q_url_frontier_polite,q_semantic_dedup,q_cluster_sample,q_ann_cosine,q_ann_lsh,q_ann_ivf,q_ann_ivfpq,q_embed_ann,q_stream_dedup_corpus,q_stream_url_dedup,q_warc_pipeline,q_stream_warc,q_token_budget,q_tokens_bpe}
+FAMILY=${FAMILY:-q_dedup_exact,q_dedup_minhash,q_dedup_pipeline,q_dedup_clusters,q_dedup_incremental,q_substring_dedup,q_line_dedup,q_url_dedup,q_url_frontier,q_url_frontier_polite,q_url_frontier_gap,q_semantic_dedup,q_cluster_sample,q_ann_cosine,q_ann_lsh,q_ann_ivf,q_ann_ivfpq,q_embed_ann,q_stream_dedup_corpus,q_stream_url_dedup,q_warc_pipeline,q_stream_warc,q_token_budget,q_tokens_bpe}
 
 if [ ! -d "$SF10/documents.parquet" ]; then
   echo "[scale_gate_sf10] tiling sf0.1 x100 -> $SF10"
@@ -41,8 +41,27 @@ mkdir -p /tmp/duck_spill
 # one process per query: isolates DuckDB OOM poisoning and times each
 # replay so the referee-CPU budget is a recorded artifact, not a guess
 fail=0
+# the three replays that exceed referee limits as corpus-wide SQL
+# (~31B pair decisions: DuckDB segfault / >71GB spill / OOM) verify via
+# tools/sampled_oracle_sf10.py instead: the SAME per-decision formulas,
+# replayed exactly on deterministic samples of the decision space
+# (per-group semantic replay + assignment spot-check; per-bucket minhash
+# replay + drop/survivor BFS audits; per-query ANN re-score + refutation
+# sweep). Exhaustively self-checked at sf0.01 (sample mods = 1).
+SAMPLED="q_semantic_dedup q_stream_dedup_corpus q_embed_ann"
+for q in $SAMPLED; do
+  [ -d "$OUT/$q" ] || continue
+  t0=$(date +%s)
+  if (timeout "${QUERY_BUDGET:-1800}" python3 tools/sampled_oracle_sf10.py "$SF10" "$OUT" "$q"); then
+    t1=$(date +%s); echo "[sf10-gate] $q OK-SAMPLED $((t1-t0))s"
+  else
+    t1=$(date +%s); echo "[sf10-gate] $q FAIL-SAMPLED $((t1-t0))s"
+    fail=$((fail+1))
+  fi
+done
 for qdir in "$OUT"/q_*; do
   q=$(basename "$qdir")
+  case " $SAMPLED " in *" $q "*) continue ;; esac
   tmp=$(mktemp -d /tmp/sf10cmp_XXXX)
   ln -s "$qdir" "$tmp/$q"
   ln -s "$OUT/oracle_sql.json" "$tmp/oracle_sql.json"
