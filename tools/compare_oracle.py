@@ -37,14 +37,19 @@ def run(sql):
     try:
         return con.execute(sql).df()
     except Exception as e:
-        if 'Out of Memory' not in str(e):
+        msg = str(e)
+        # 'already been closed' = a previous heal died mid-swap (its
+        # fresh connect() OOM'd after closing the old one) — heal that
+        # the same way instead of cascading a dead connection forever
+        if 'Out of Memory' not in msg and 'already been closed' not in msg:
             raise
-        print(f'  [oom-retry on fresh 8-thread connection: {str(e)[:80]}]')
+        print(f'  [oom-retry on fresh 8-thread connection: {msg[:80]}]')
+        old = con
+        con = connect(threads=8)  # build the fresh connection FIRST
         try:
-            con.close()
+            old.close()
         except Exception:
             pass
-        con = connect(threads=8)
         return con.execute(sql).df()
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
@@ -52,7 +57,11 @@ ok, bad = [], []
 for q in sorted(os.listdir(out)):
     d = f'{out}/{q}'
     if not os.path.isdir(d): continue
-    got = run(f"SELECT * FROM '{d}/*.parquet'")
+    try:
+        got = run(f"SELECT * FROM '{d}/*.parquet'")
+    except Exception as e:
+        # one query's crash must not kill the remaining comparisons
+        bad.append(f'{q}: ENGINE-READ ERROR {e}'); continue
     if q not in oracle:
         ok.append(f'{q} (rows-only: {len(got)})' if len(got) > 0 else f'{q} ROWS-ONLY EMPTY!')
         continue
