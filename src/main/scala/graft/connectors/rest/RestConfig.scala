@@ -57,8 +57,13 @@ import scala.jdk.CollectionConverters._
   * parens): `offset`, `page_number`, `cursor`, `json_link` (`json_response`,
   * `next_url`), `header_link` (RFC 5988 `Link: <…>; rel="next"` — GitHub's
   * protocol, followed via [[HttpResponse.headers]]), `start_time`,
-  * `single_page`. `auto` is rejected with an explicit error — runtime
-  * protocol sniffing would make the plan non-deterministic.
+  * `single_page`, `auto`. The paginator may also sit at the CLIENT level
+  * as a source-wide default (endpoint and resource_defaults override it);
+  * with every level silent the endpoint resolves at runtime exactly like
+  * dlt — [[RestEngine.Paginator.Auto]] probes the FIRST response (body
+  * next-link, then `Link` header, then total-count, else single page)
+  * and stays resolved for the rest of the chain, so the same API shape
+  * always yields the same plan.
   *
   * The loader is STRICT: an unknown key at any level (root, client, auth,
   * paginator, resource, endpoint, incremental, write_disposition) fails
@@ -76,6 +81,11 @@ object RestConfig {
     checkKeys(root, "config root", Set("name", "client", "resource_defaults", "resources"))
     val clientNode = req(root, "client", "config root")
     val client = parseClient(clientNode)
+    // client-level paginator = the source-wide default (dlt rest_api's
+    // ClientConfig.paginator); endpoint/resource_defaults paginators
+    // override it, and with ALL levels silent the endpoint detects at
+    // runtime (Paginator.Auto — dlt's own default)
+    val clientPaginator = Option(clientNode.get("paginator")).map(parsePaginator)
     val defaults = Option(root.get("resource_defaults"))
     defaults.foreach(checkKeys(_, "resource_defaults", ResourceKeys - "name" - "include_from_parent"))
     // validate the defaults' endpoint EAGERLY, not just when a resource
@@ -89,7 +99,13 @@ object RestConfig {
     }
     val resourcesNode = req(root, "resources", "config root")
     require(resourcesNode.isArray, "config 'resources' must be an array")
-    val resources = resourcesNode.elements().asScala.toSeq.map(parseResource(_, defaults))
+    // parse EVERY resource (a typo in a deselected resource still fails
+    // loudly), then honor `selected: false` — dlt's per-resource opt-out
+    val parsed = resourcesNode.elements().asScala.toSeq
+      .map(rn => rn -> parseResource(rn, defaults, clientPaginator))
+    val resources = parsed.collect {
+      case (rn, r) if !rn.isObject || Option(rn.get("selected")).forall(s => !s.isBoolean || s.asBoolean) => r
+    }
     RestSource(
       name = str(root, "name").getOrElse("rest_api"),
       client = client,
@@ -100,7 +116,7 @@ object RestConfig {
   // ----------------------------------------------------------------- client
 
   private def parseClient(n: JsonNode): ClientConfig = {
-    checkKeys(n, "client", Set("base_url", "auth", "headers"))
+    checkKeys(n, "client", Set("base_url", "auth", "headers", "paginator"))
     ClientConfig(
       baseUrl = reqStr(n, "base_url", "client"),
       auth = Option(n.get("auth")).map(parseAuth),
@@ -203,11 +219,11 @@ object RestConfig {
         keys()
         Paginator.Single
       case "auto" =>
-        fail("paginator type 'auto' is unsupported: declare the protocol explicitly " +
-          "(offset | page_number | cursor | json_link | header_link | start_time | single_page)")
+        keys()
+        Paginator.Auto
       case other =>
         fail(s"unknown paginator type '$other' " +
-          "(expected offset | page_number | cursor | json_link | header_link | start_time | single_page)")
+          "(expected offset | page_number | cursor | json_link | header_link | start_time | single_page | auto)")
     }
   }
 
@@ -219,13 +235,20 @@ object RestConfig {
   private val ParentRef = """\{resources\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)\}""".r
 
   private val ResourceKeys = Set("name", "endpoint", "primary_key", "merge_key",
-    "write_disposition", "table_name", "max_table_nesting", "include_from_parent")
+    "write_disposition", "table_name", "max_table_nesting", "include_from_parent",
+    // `selected: false` excludes the resource (dlt's opt-out; honored in
+    // fromNode). `parallelized` is accepted as a no-op: dlt uses it to move
+    // a generator onto a thread pool, while graft's endpoint reads are
+    // already partition-parallel (RestPagesV2.readMany plans one input
+    // partition per endpoint, page-parallel under a total count).
+    "selected", "parallelized")
   private val EndpointKeys = Set("path", "params", "data_selector", "paginator",
     "incremental", "max_pages")
   private val IncrementalKeys = Set("cursor_path", "start_param", "initial_value",
     "end_param", "end_value", "newest_first", "lag_days", "lag")
 
-  private def parseResource(n: JsonNode, defaults: Option[JsonNode]): RestResource = {
+  private def parseResource(n: JsonNode, defaults: Option[JsonNode],
+      clientPaginator: Option[Paginator] = None): RestResource = {
     // string shorthand: "deals" == {"name": "deals", "endpoint": {"path": "deals"}}
     val (node, name, pathOpt): (JsonNode, String, Option[String]) =
       if (n.isTextual) (Json.parse("{}"), n.asText(), Some(n.asText()))
@@ -303,10 +326,14 @@ object RestConfig {
       .filterNot { case (_, v) => v == "{incremental.start_value}" || v == "{incremental.end_value}" }
       .map { case (k, v) => k -> rewrite(v) }
 
+    // precedence: endpoint > resource_defaults > client > Auto (runtime
+    // detection against the first response — dlt rest_api's default when
+    // every level is silent)
     val paginator = epNode.flatMap(e => Option(e.get("paginator")))
       .orElse(defEp.flatMap(e => Option(e.get("paginator"))))
       .map(parsePaginator)
-      .getOrElse(Paginator.Single)
+      .orElse(clientPaginator)
+      .getOrElse(Paginator.Auto)
 
     val dataSelector = epNode.flatMap(str(_, "data_selector"))
       .orElse(defEp.flatMap(str(_, "data_selector")))
@@ -369,16 +396,41 @@ object RestConfig {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"rest config: $msg")
 
+  /** dlt rest_api keys graft RECOGNIZES but does not implement. Still a
+    * hard failure (fail-loud is the point of strict keys — a silently
+    * dropped `response_actions` would change error behavior, not just
+    * cosmetics), but the error names the key as a known dlt feature with
+    * the reason, so a ported config fails with guidance instead of an
+    * anonymous unknown-key error.
+    */
+  private val KnownUnsupported: Map[String, String] = Map(
+    "method" -> "the REST engine is GET-only (POST-shaped APIs are the GraphQL connector's territory)",
+    "json" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
+    "data" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
+    "response_actions" -> ("per-status-code ignore/retry hooks are not implemented; the transport " +
+      "retries 429/5xx uniformly (RetryingTransport) and fails loudly otherwise"),
+    "processing_steps" -> ("map/filter steps are not implemented; apply DataFrame transforms " +
+      "on the returned frame instead"),
+  )
+
   /** Strict-key validation: any key outside `allowed` fails loudly naming
     * the key and its location — a typo must never silently change the
     * plan (a misspelled "paginater" would otherwise yield single-page).
+    * Keys dlt defines but graft does not implement get a pointed message.
     */
   private def checkKeys(n: JsonNode, where: String, allowed: Set[String]): Unit =
     if (n.isObject) {
       val unknown = n.fieldNames().asScala.filterNot(allowed).toSeq.sorted
-      if (unknown.nonEmpty)
-        fail(s"unknown key(s) ${unknown.mkString("'", "', '", "'")} in $where " +
-          s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+      if (unknown.nonEmpty) {
+        val (recognized, alien) = unknown.partition(KnownUnsupported.contains)
+        val notes = recognized.map(k => s"'$k' is a dlt rest_api key graft does not support " +
+          s"(${KnownUnsupported(k)})")
+        val head = if (alien.nonEmpty)
+          s"unknown key(s) ${alien.mkString("'", "', '", "'")} in $where " +
+            s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})"
+        else s"unsupported key(s) in $where"
+        fail((head +: notes).mkString("; "))
+      }
     }
 
   private def req(n: JsonNode, k: String, where: String): JsonNode =

@@ -67,6 +67,53 @@ object RestEngine {
     final case class HeaderLink(linksNextKey: String = "next") extends Paginator
     /** One request, no paging. */
     case object Single extends Paginator
+    /** Runtime paginator detection — dlt-core rest_api's DEFAULT when a
+      * config omits `paginator` (every config in the reference spells its
+      * paginator explicitly, e.g. sources/pipedrive/rest_v2/__init__.py:158-162,
+      * but a user porting a config that omits the key gets detection
+      * there, so graft matches). Resolved ONCE from the first response by
+      * [[RestEngine.detectPaginator]], in documented precedence: a
+      * next-link URL in the body (→ [[NextUrl]]), an RFC 5988 `Link`
+      * rel="next" header (→ [[HeaderLink]]), a numeric total-count key
+      * alongside a non-empty page (→ [[Offset]] strided by the observed
+      * first-page size), else [[Single]]. Deterministic given the
+      * response — the same API shape always resolves the same way.
+      */
+    case object Auto extends Paginator
+  }
+
+  /** Body paths probed by [[Paginator.Auto]] for a next-page link. A hit
+    * must LOOK like a link (absolute URL or rooted path) — a bare cursor
+    * token stored under `next` must not be fetched as a URL.
+    */
+  private[rest] val AutoNextPaths: Seq[String] = Seq(
+    "next", "next_url", "next_page_url", "pagination.next", "paging.next", "links.next")
+
+  /** Body paths probed by [[Paginator.Auto]] for a numeric total count. */
+  private[rest] val AutoTotalPaths: Seq[String] = Seq(
+    "total", "total_count", "count", "pagination.total", "meta.total")
+
+  /** Resolve [[Paginator.Auto]] against the first response (shape only —
+    * never consumes data). See the precedence on [[Paginator.Auto]].
+    */
+  private[rest] def detectPaginator(root: JsonNode, resp: HttpResponse,
+      firstPageItems: Int): Paginator = {
+    def linkish(v: String) =
+      v.startsWith("http://") || v.startsWith("https://") || v.startsWith("/")
+    val bodyNext = AutoNextPaths.iterator.flatMap { p =>
+      Json.selectString(root, p).filter(v => v.nonEmpty && linkish(v))
+        .map(_ => Paginator.NextUrl(p): Paginator)
+    }.nextOption()
+    def headerNext = resp.header("link").map(parseLinkHeader).flatMap(_.get("next"))
+      .map(_ => Paginator.HeaderLink(): Paginator)
+    def totalBased = AutoTotalPaths.iterator.flatMap { p =>
+      Json.select(root, p).headOption.filter(n => n.isNumber && firstPageItems > 0)
+        // stride = the server's OBSERVED page size: assuming a configured
+        // default (100) against a server paging at 25 would skip 3 of
+        // every 4 pages
+        .map(_ => Paginator.Offset(pageSize = firstPageItems, totalPath = Some(p)): Paginator)
+    }.nextOption()
+    bodyNext.orElse(headerNext).orElse(totalBased).getOrElse(Paginator.Single)
   }
 
   /** Parse an RFC 5988 `Link` header into relation -> target URL. Handles
@@ -202,6 +249,8 @@ object RestEngine {
     var page = 0
     var done = false
     var url = url0
+    // effective paginator: Auto resolves against the first response
+    var pag: Paginator = endpoint.paginator
     // Seed the limit/size (and offset) params on the FIRST request too —
     // if the server's default page size differs from the configured one,
     // the short-page check would otherwise terminate after page 1 (silent
@@ -234,7 +283,13 @@ object RestEngine {
       page += 1
       if (items.nonEmpty && pageStop(items)) done = true
 
-      endpoint.paginator match {
+      // Auto resolves to a concrete protocol on the FIRST response and
+      // stays resolved — re-detecting per page could flip protocol
+      // mid-chain on a sparse page (e.g. a missing Link header) and
+      // silently truncate
+      if (pag == Paginator.Auto) pag = detectPaginator(root, resp, items.size)
+
+      pag match {
         case _ if done        => ()
         case Paginator.Single => done = true
         case p: Paginator.Offset =>
@@ -268,13 +323,27 @@ object RestEngine {
           resp.header("link").map(parseLinkHeader).flatMap(_.get(p.linksNextKey)) match {
             case Some(next) if next.nonEmpty =>
               // relative targets resolve against the current request URL
-              // (RFC 3986); absolute ones pass through, like a NextUrl hop
-              url = new java.net.URI(url).resolve(next).toString
+              // (RFC 3986); absolute ones pass through, like a NextUrl hop.
+              // Servers legally emit targets with unencoded-but-common
+              // characters (spaces, '|') that URI rejects — name the
+              // offending Link value instead of surfacing a bare
+              // URISyntaxException with no protocol context.
+              url = try new java.net.URI(url).resolve(next).toString
+                catch {
+                  case e: Exception => throw new RuntimeException(
+                    s"header_link: cannot resolve Link rel=\"${p.linksNextKey}\" target '$next' " +
+                      s"against '$url' (is the target URL-encoded?): ${e.getMessage}", e)
+                }
               pageParams = Map.empty // the link carries its own query
             case _ => done = true
           }
       }
-      if (items.isEmpty) done = true
+      // Empty page = end-of-data for body-driven protocols. For
+      // header_link the absence of rel=next is the SOLE terminator (RFC
+      // 5988): APIs legally emit empty middle pages that still carry a
+      // next link (sparse shards), and stopping on them would silently
+      // truncate. maxPages bounds a pathological always-next server.
+      if (items.isEmpty && !pag.isInstanceOf[Paginator.HeaderLink]) done = true
     }
     out.toSeq
   }

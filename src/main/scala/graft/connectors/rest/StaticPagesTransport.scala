@@ -3,8 +3,12 @@ package graft.connectors.rest
 /** Transport serving canned bodies keyed by `path?k=v&...` (params sorted)
   * with a bare-`path` fallback. Used by specs and the driver-verified REST
   * end-to-end query; also the pattern for record/replay fixtures.
-  * `headers` (same key scheme, lowercase header names) lets fixtures model
-  * header-borne protocols — RFC 5988 `Link` pagination.
+  * `headers` (same key scheme) lets fixtures model header-borne
+  * protocols — RFC 5988 `Link` pagination. Header NAMES are lowercased
+  * here, not by the fixture author: HttpResponse.header lowercases only
+  * the LOOKUP name, so a fixture keyed "Link" in natural casing would
+  * otherwise silently yield no next link and truncate pagination to one
+  * page with no error.
   */
 final case class StaticPagesTransport(pages: Map[String, String],
     headers: Map[String, Map[String, String]] = Map.empty) extends HttpTransport {
@@ -16,7 +20,9 @@ final case class StaticPagesTransport(pages: Map[String, String],
     val hit = pages.get(key).map(key -> _)
       .orElse(if (params.isEmpty) pages.get(path).map(path -> _) else None)
     hit match {
-      case Some((k, body)) => HttpResponse(200, body, headers.getOrElse(k, Map.empty))
+      case Some((k, body)) =>
+        HttpResponse(200, body,
+          headers.getOrElse(k, Map.empty).map { case (hk, hv) => hk.toLowerCase -> hv })
       case None            => HttpResponse(404, s"""{"error":"no page for $key"}""")
     }
   }

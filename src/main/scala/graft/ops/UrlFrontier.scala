@@ -151,7 +151,10 @@ object UrlFrontier {
     * the trailing g dirs, and excluded URLs never enter the seen-set so
     * they carry over exactly like cap overflow. A frontier that changes
     * its gap mid-life degrades gracefully: history older than the
-    * retained window reads as "not recently fetched".
+    * retained window reads as "not recently fetched", and a gap=0 wave
+    * DRAINS the host-set archive entirely (dirs + state entries) — so
+    * host history accumulates only across consecutive gap>0 waves, and
+    * re-raising the gap later starts its exclusion window fresh.
     *
     * Single-writer per frontier, ENFORCED: the generation lists are
     * read-modify-write state, so a wave racing another wave (or a
@@ -236,8 +239,18 @@ object UrlFrontier {
     // in the same commit below. A crash orphan with this wave number is
     // overwritten on the retry (the wave clock never committed).
     val droppedHostDirs: Seq[String] =
-      if (minWaveGapPerHost <= 0) Nil
-      else {
+      if (minWaveGapPerHost <= 0) {
+        // gap turned off: drain the whole host-set archive now rather than
+        // letting stale hosts/w<N> dirs (and their HostsKey entries) linger
+        // until an explicit gc(). Consequence, documented on runWave: host
+        // history only accumulates across CONSECUTIVE gap>0 waves — a
+        // later re-increase of the gap starts its exclusion window fresh
+        // (which is also what gap=0 waves imply, since they record no
+        // hosts of their own).
+        val stale = state.getList(HostsKey)
+        if (stale.nonEmpty) state.putList(HostsKey, Nil)
+        stale
+      } else {
         landed.select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host")).distinct()
           .write.mode("overwrite").parquet(s"$dest/hosts/w$wave")
         // retain exactly the trailing window the NEXT wave's exclusion

@@ -116,7 +116,7 @@ class RestConfigSpec extends SparkTestBase {
     assert(flow.endpoint.params("sort_by") == "update_time")
   }
 
-  test("every paginator family parses; auto/unknown are rejected") {
+  test("every paginator family parses; unknown types are rejected") {
     def pag(j: String): Paginator = RestConfig.parsePaginator(Json.parse(j))
     assert(pag("""{"type":"offset","limit":50,"total_path":"meta.total"}""") ==
       Paginator.Offset("offset", "limit", 50, Some("meta.total")))
@@ -135,8 +135,71 @@ class RestConfigSpec extends SparkTestBase {
       Paginator.StartTime("end_time", "start_time", "end_of_stream"))
     assert(pag("\"single_page\"") == Paginator.Single)
     assert(pag("\"offset\"") == Paginator.Offset())
-    intercept[IllegalArgumentException](pag("""{"type":"auto"}"""))
+    assert(pag("""{"type":"auto"}""") == Paginator.Auto)
+    assert(pag("\"auto\"") == Paginator.Auto)
     intercept[IllegalArgumentException](pag("""{"type":"zigzag"}"""))
+    // auto takes no other keys — a stray param is a config error, not a hint
+    intercept[IllegalArgumentException](pag("""{"type":"auto","page_size":5}"""))
+  }
+
+  test("paginator precedence: endpoint > resource_defaults > client > Auto") {
+    def src(cfg: String) = RestConfig.fromJson(cfg)
+    // all levels silent -> runtime detection, dlt's own default
+    val silent = src("""{"client": {"base_url": "https://x"},
+                         "resources": [{"name": "r", "endpoint": {"path": "r"}}]}""")
+    assert(silent.resources.head.endpoint.paginator == Paginator.Auto)
+    // client-level default applies source-wide
+    val clientLvl = src("""{"client": {"base_url": "https://x",
+                            "paginator": {"type": "page_number", "page_size": 7}},
+                            "resources": ["a", {"name": "b", "endpoint": {"path": "b"}}]}""")
+    assert(clientLvl.resources.map(_.endpoint.paginator).distinct ==
+      Seq(Paginator.PageNumber(pageSize = 7)))
+    // endpoint overrides client
+    val epWins = src("""{"client": {"base_url": "https://x", "paginator": "single_page"},
+                         "resources": [{"name": "r", "endpoint": {"path": "r",
+                           "paginator": {"type": "offset", "limit": 9}}}]}""")
+    assert(epWins.resources.head.endpoint.paginator == Paginator.Offset(pageSize = 9))
+    // resource_defaults overrides client too
+    val defWins = src("""{"client": {"base_url": "https://x", "paginator": "single_page"},
+                          "resource_defaults": {"endpoint": {"paginator": "header_link"}},
+                          "resources": [{"name": "r", "endpoint": {"path": "r"}}]}""")
+    assert(defWins.resources.head.endpoint.paginator == Paginator.HeaderLink())
+  }
+
+  test("selected: false excludes a resource but still validates it; parallelized is a no-op") {
+    val cfg = """{"client": {"base_url": "https://x"},
+                  "resources": [
+                    {"name": "on", "endpoint": {"path": "on"}, "parallelized": true},
+                    {"name": "off", "endpoint": {"path": "off"}, "selected": false}]}"""
+    assert(RestConfig.fromJson(cfg).resources.map(_.name) == Seq("on"))
+    // a typo inside a DESELECTED resource still fails loudly — deselection
+    // is an opt-out from loading, not from validation
+    val typo = """{"client": {"base_url": "https://x"},
+                   "resources": [{"name": "off", "selected": false,
+                     "endpoint": {"path": "off", "paginater": "single_page"}}]}"""
+    val e = intercept[IllegalArgumentException](RestConfig.fromJson(typo))
+    assert(e.getMessage.contains("paginater"))
+  }
+
+  test("recognized-but-unsupported dlt keys fail with a pointed message") {
+    def err(cfg: String): String =
+      intercept[IllegalArgumentException](RestConfig.fromJson(cfg)).getMessage
+    val m = err("""{"client": {"base_url": "https://x"},
+                    "resources": [{"name": "r", "endpoint": {"path": "r", "method": "POST"}}]}""")
+    assert(m.contains("method") && m.contains("dlt rest_api key"), m)
+    val ra = err("""{"client": {"base_url": "https://x"},
+                     "resources": [{"name": "r",
+                       "endpoint": {"path": "r", "response_actions": []}}]}""")
+    assert(ra.contains("response_actions") && ra.contains("RetryingTransport"), ra)
+    val ps = err("""{"client": {"base_url": "https://x"},
+                     "resources": [{"name": "r", "endpoint": {"path": "r"},
+                       "processing_steps": []}]}""")
+    assert(ps.contains("processing_steps") && ps.contains("DataFrame"), ps)
+    // mixed: the alien typo AND the recognized key both appear
+    val mix = err("""{"client": {"base_url": "https://x"},
+                      "resources": [{"name": "r",
+                        "endpoint": {"path": "r", "method": "POST", "pth": "x"}}]}""")
+    assert(mix.contains("pth") && mix.contains("method"), mix)
   }
 
   test("strict keys: a typo at any level fails loudly naming the key and its location") {

@@ -415,4 +415,82 @@ class RestEngineSpec extends SparkTestBase {
     val employees = src.resources.find(_.name == "employees").get
     assert(fetchPages(src.client, employees.endpoint, t).isEmpty) // empty page, auth exercised
   }
+
+  // ----------------------------------------------------- auto detection
+
+  test("auto: a body next-link resolves to json_link and the chain is followed") {
+    val t = new FakeTransport(Map(
+      "items" -> """{"data":[{"id":1}],"next":"https://api.example.test/items2"}""",
+      "items2" -> """{"data":[{"id":2}],"next":null}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Auto)
+    assert(fetchPages(client, ep, t).map(Json.parse(_).get("id").asInt()) == Seq(1, 2))
+  }
+
+  test("auto: a Link rel=next header resolves to header_link (and natural-cased fixture keys work)") {
+    // fixture headers keyed "Link" in NATURAL casing — StaticPagesTransport
+    // must lowercase them, or detection (and pagination) silently misses
+    val pages = Map(
+      "items" -> """[{"id":1},{"id":2}]""",
+      "items?page=2" -> """[{"id":3}]""",
+    )
+    val headers = Map(
+      "items" -> Map("Link" -> """<https://api.example.test/items?page=2>; rel="next""""))
+    val ep = EndpointConfig("items", paginator = Paginator.Auto)
+    val items = fetchPages(client, ep, StaticPagesTransport(pages, headers))
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3))
+  }
+
+  test("auto: a numeric total count resolves to offset strided by the OBSERVED page size") {
+    // server pages at 2 regardless of what a config default would claim;
+    // detection must stride by the observed 2, not a configured 100
+    val t = new FakeTransport(Map(
+      "items" -> """{"data":[{"id":1},{"id":2}],"total":5}""",
+      "items?limit=2&offset=2" -> """{"data":[{"id":3},{"id":4}],"total":5}""",
+      "items?limit=2&offset=4" -> """{"data":[{"id":5}],"total":5}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Auto)
+    assert(fetchPages(client, ep, t).map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("auto: a plain body (and a non-URL cursor under 'next') resolve to single page") {
+    val t = new FakeTransport(Map("items" -> """{"data":[{"id":1}]}"""))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Auto)
+    assert(fetchPages(client, ep, t).size == 1)
+    assert(t.calls.size == 1) // exactly one request — no probing beyond page one
+    // a bare cursor token under 'next' must NOT be fetched as a URL
+    val t2 = new FakeTransport(Map(
+      "items" -> """{"data":[{"id":1}],"next":"b64cursorXYZ","total":"not-a-number"}"""))
+    assert(fetchPages(client, ep, t2).size == 1)
+    assert(t2.calls.size == 1)
+  }
+
+  test("header_link continues past an empty MIDDLE page that still carries rel=next") {
+    // sparse shards legally emit empty pages mid-chain; rel=next absence —
+    // not emptiness — is the terminator (RFC 5988)
+    val pages = Map(
+      "items" -> """[{"id":1}]""",
+      "items?page=2" -> """[]""",
+      "items?page=3" -> """[{"id":2}]""",
+    )
+    val headers = Map(
+      "items" -> Map("link" -> """<https://api.example.test/items?page=2>; rel="next""""),
+      "items?page=2" -> Map("link" -> """<https://api.example.test/items?page=3>; rel="next""""),
+    )
+    val ep = EndpointConfig("items", paginator = Paginator.HeaderLink())
+    val items = fetchPages(client, ep, StaticPagesTransport(pages, headers))
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2))
+  }
+
+  test("header_link names the offending Link value when the target cannot resolve") {
+    val pages = Map("items" -> """[{"id":1}]""")
+    val headers = Map(
+      "items" -> Map("link" -> """</items?q=a b|c>; rel="next"""")) // unencoded space and '|'
+    val ep = EndpointConfig("items", paginator = Paginator.HeaderLink())
+    val e = intercept[RuntimeException](
+      fetchPages(client, ep, StaticPagesTransport(pages, headers)))
+    assert(e.getMessage.contains("header_link"), e.getMessage)
+    assert(e.getMessage.contains("/items?q=a b|c"), e.getMessage)
+    assert(e.getMessage.contains("URL-encoded"), e.getMessage)
+  }
 }

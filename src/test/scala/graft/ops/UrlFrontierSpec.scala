@@ -363,6 +363,37 @@ class UrlFrontierSpec extends SparkTestBase {
     assert(w6.isEmpty && fetched.get() == 9, "frontier already drained — gap must not re-fetch")
   }
 
+  test("gap=0 wave drains the host-set archive instead of leaving stale dirs for gc") {
+    val dest = tmpDir("frontier_gap0")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    def urls(us: String*): DataFrame = us.toDF("url")
+
+    // two gap waves accumulate host dirs + HostsKey entries
+    UrlFrontier.runWave(spark, dest, state, urls("http://a.test/1"), "url",
+      minWaveGapPerHost = 3)(fetchCount(fetched))
+    UrlFrontier.runWave(spark, dest, state, urls("http://b.test/1"), "url",
+      minWaveGapPerHost = 3)(fetchCount(fetched))
+    def hostDirs: Set[String] = Option(new java.io.File(s"$dest/hosts").listFiles())
+      .map(_.filter(_.isDirectory).map(_.getName).toSet).getOrElse(Set.empty)
+    assert(hostDirs == Set("w1", "w2"))
+
+    // gap turned off: the wave must clear the archive (dirs AND state) now,
+    // not leave them lingering until an explicit gc()
+    UrlFrontier.runWave(spark, dest, state, urls("http://c.test/1"), "url",
+      minWaveGapPerHost = 0)(fetchCount(fetched))
+    assert(hostDirs.isEmpty, s"stale host dirs survived a gap=0 wave: $hostDirs")
+
+    // re-raising the gap starts its window FRESH (documented): hosts a,b,c
+    // are all eligible; this wave records its own host set again
+    val w4 = UrlFrontier.runWave(spark, dest, state,
+      urls("http://a.test/2", "http://c.test/2"), "url",
+      minWaveGapPerHost = 3)(fetchCount(fetched))
+    assert(w4.count() == 2, "post-drain window must start fresh")
+    assert(hostDirs == Set("w4"))
+    assert(fetched.get() == 5)
+  }
+
   test("MinK keeps the k smallest strings under any reduce/merge interleaving") {
     val agg = graft.functions.MinK.minKAgg(3)
     val items = Seq("m", "b", "z", "a", "q", "c", "b2")
