@@ -23,9 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Generation lists let append stay O(batch): an append lands a DELTA
   * dir and the new list is `old :+ delta`; merge/replace/scd2 land a
   * full rewrite and the list shrinks to one entry. Unreferenced dirs
-  * (crash orphans, superseded generations) are swept at the START of the
-  * next publish — a full publish interval of reader grace, same policy
-  * as the frontier's compaction sweep.
+  * (crash orphans, superseded generations) are swept PER TABLE at the
+  * next publish's first land into that table, under the table's lease —
+  * a full publish interval of reader grace (the frontier's compaction
+  * sweep policy), and never a concurrent publisher's uncommitted
+  * landings (its tables are leased).
   */
 final class TableManifest(spark: SparkSession, root: String) {
   import TableManifest._
@@ -85,31 +87,27 @@ final class TableManifest(spark: SparkSession, root: String) {
     else Some(spark.read.option("mergeSchema", "true").parquet(gs.map(g => s"$root/$name/$g"): _*))
   }
 
-  /** Sweep every `<root>/<table>/g*` dir not referenced by a committed
-    * list (and not in `alsoKeep` — the current publish's own landings).
-    */
-  private def sweepUnreferenced(alsoKeep: Map[String, Seq[String]]): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return
-    fs.listStatus(rootPath).filter(_.isDirectory).foreach { t =>
-      val table = t.getPath.getName
-      val keep = (gens(table) ++ alsoKeep.getOrElse(table, Nil)).toSet
-      fs.listStatus(t.getPath).filter(_.isDirectory).foreach { g =>
-        val gen = g.getPath.getName
-        if (gen.matches("^g[0-9]+$") && !keep.contains(gen)) fs.delete(g.getPath, true)
-      }
-    }
-  }
-
   /** One all-or-nothing publish cycle over any number of tables. Callers
     * [[Publish.land]] each table's updates (any disposition) as the run
     * progresses (thread-safe — Pipeline's level-parallel mode lands from
     * several threads), then [[Publish.commit]] once — the single point
-    * where ANY of it becomes visible. Single-writer per root is the CALLER's
-    * responsibility (Pipeline holds the root's TableLock for the run).
+    * where ANY of it becomes visible.
+    *
+    * CONCURRENCY (per-table, not per-root): the first land into a table
+    * takes that TABLE's lease (`<root>/<table>__lock.e<N>`), held through
+    * commit — so two pipelines landing DISJOINT tables under one root run
+    * fully concurrently, while a second writer touching the SAME table
+    * fails fast with LockHeldException at its first land (lands are
+    * read-modify-write of that table's generation list). The shared
+    * manifest file itself is flipped inside a millisecond-scale critical
+    * section (`<root>/_manifest__lock`): re-read the on-disk manifest,
+    * overlay ONLY this publish's tables, one atomic write — so commits of
+    * disjoint publishes serialize for the flip, not for the run, and
+    * neither can lose the other's tables. Overlapping table sets landed
+    * in opposite orders cannot deadlock: lease acquisition is fail-fast,
+    * so one writer errors instead of waiting.
     */
-  final class Publish private[TableManifest] () {
+  final class Publish private[TableManifest] (owner: String) {
     // table -> the generation list to commit (replaces the committed one)
     private val pending = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     // table -> per-generation row counts aligned with pending(table)
@@ -118,10 +116,64 @@ final class TableManifest(spark: SparkSession, root: String) {
     // generations of pre-counts manifests)
     private val countCache = scala.collection.mutable.Map.empty[String, Long]
     private var committed = false
+    // table -> its held lease (first land through commit/abort)
+    private val leases = scala.collection.mutable.LinkedHashMap.empty[String, TableLock.Lease]
+    // renew every held lease well inside staleness — a publish is often
+    // data-dependent-long (a big merge rewrite) and must not be exposed
+    // to stale takeover mid-landing
+    @volatile private var renewer: Thread = null
 
-    // crash orphans from previous failed publishes die before their
-    // numbers can be re-minted (the frontier's entry-sweep rule)
-    sweepUnreferenced(Map.empty)
+    /** First touch of a table in this publish: take the table lease, then
+      * refresh the committed view from disk (under OUR lease this table's
+      * committed list is now stable — only lease holders change it) and
+      * sweep the table's crash orphans before their numbers can be
+      * re-minted (the frontier's entry-sweep rule, now per table so it
+      * can never delete a CONCURRENT publisher's uncommitted landings —
+      * those sit under tables whose leases the other writer holds).
+      */
+    private def leaseTable(name: String): Unit = if (!leases.contains(name)) {
+      val l = TableLock.acquire(spark, s"$localRoot/$name", s"manifest-publish:$owner")
+      leases.synchronized { leases(name) = l }
+      if (renewer == null) {
+        renewer = new Thread(() => {
+          try while (true) {
+            Thread.sleep(5L * 60 * 1000 / 3)
+            leases.synchronized(leases.values.toSeq).foreach { l =>
+              try l.renew() catch { case _: java.io.IOException => () } // keep beating
+            }
+          } catch { case _: InterruptedException => () }
+        }, s"graft-manifest-lease-renewer:$owner")
+        renewer.setDaemon(true)
+        renewer.start()
+      }
+      state.rollback()
+      sweepTable(name)
+    }
+
+    private def sweepTable(table: String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$table")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return
+      val keep = (gens(table) ++ pending.getOrElse(table, Nil)).toSet
+      fs.listStatus(dir).filter(_.isDirectory).foreach { g =>
+        val gen = g.getPath.getName
+        if (gen.matches("^g[0-9]+$") && !keep.contains(gen)) fs.delete(g.getPath, true)
+      }
+    }
+
+    private def releaseAll(): Unit = {
+      if (renewer != null) { renewer.interrupt(); renewer = null }
+      leases.synchronized {
+        leases.values.foreach(_.release())
+        leases.clear()
+      }
+    }
+
+    /** Release every table lease WITHOUT committing — the failed run's
+      * landed dirs become orphans the next lease holder sweeps. No-op
+      * after commit (which releases on its own).
+      */
+    def abort(): Unit = synchronized { if (!committed) releaseAll() }
 
     private def currentDirs(name: String): Seq[String] =
       pending.getOrElse(name, gens(name))
@@ -160,6 +212,7 @@ final class TableManifest(spark: SparkSession, root: String) {
         "bucketed merge commits per-bucket in place and cannot ride a manifest publish — " +
           "use bucketCount = None for manifest-committed tables")
       val name = Naming.normalize(hints.tableName)
+      leaseTable(name)
       val gen = nextGen(name)
       val genPath = s"$root/$name/$gen"
       // overwrite: a crashed publish's orphan with the same number was
@@ -206,28 +259,45 @@ final class TableManifest(spark: SparkSession, root: String) {
       * table; after it, the new state of every table. Per-generation row
       * counts commit alongside the lists, so future publishes never
       * re-derive them.
+      *
+      * The flip runs inside the root's `_manifest` critical section:
+      * re-read the on-disk manifest (a concurrent DISJOINT publish may
+      * have committed since we last read), overlay only THIS publish's
+      * tables, write once — a read-merge-write that would otherwise lose
+      * the other writer's tables to last-write-wins. The section is
+      * milliseconds (one JSON read + write), so contenders poll-wait
+      * rather than fail: the 60 s bound is ~4 orders of magnitude above
+      * the section's cost and exists only to surface a wedged filesystem
+      * loudly.
       */
     def commit(): Unit = synchronized {
       require(!committed, "publish already committed")
-      pending.foreach { case (name, list) => state.putList(Prefix + name, list) }
-      pendingCounts.foreach { case (name, cs) =>
-        state.putList(CountsPrefix + name, cs.map(_.toString))
+      TableLock.withLock(spark, s"$localRoot/_manifest",
+        s"manifest-commit:$owner", waitMs = 60000L) {
+        state.rollback()
+        pending.foreach { case (name, list) => state.putList(Prefix + name, list) }
+        pendingCounts.foreach { case (name, cs) =>
+          state.putList(CountsPrefix + name, cs.map(_.toString))
+        }
+        state.commit()
       }
-      state.commit()
       committed = true
+      releaseAll()
     }
   }
 
   /** Start a publish cycle. Re-reads the on-disk committed manifest
-    * FIRST: the TableLock is held per RUN, not per TableManifest
-    * instance, so a long-lived Pipeline alternating with another writer
+    * FIRST: a long-lived Pipeline alternating with another writer
     * process would otherwise sweep the other writer's committed
     * generation dirs (absent from its stale cached lists) and commit
-    * stale lists over theirs — silent data loss despite correct locking.
+    * stale lists over theirs — silent data loss. (Each table's view is
+    * re-read AGAIN under its lease at first land, and the whole manifest
+    * once more inside the commit critical section — this early read just
+    * keeps [[Publish]] helpers honest between those points.)
     */
   def publish(): Publish = {
     state.rollback()
-    new Publish()
+    new Publish(java.util.UUID.randomUUID().toString.take(8))
   }
 }
 

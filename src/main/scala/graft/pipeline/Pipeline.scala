@@ -100,18 +100,21 @@ final class Pipeline(
 
   def run(source: SourceDef): Seq[LoadResult] =
     if (!manifestCommit) runInner(source)
-    else
-      // single-writer per destination root for the WHOLE run: landings and
-      // the pointer flip must not interleave with another manifest writer's
-      // read-modify-write of the generation lists (the frontier's rule)
-      TableLock.withLock(spark, destRoot, s"manifest-run:${java.util.UUID.randomUUID()}") {
-        currentPublish = Some(manifest.publish())
-        try {
-          val out = runInner(source)
-          currentPublish = None
-          out
-        } finally currentPublish = None
+    else {
+      // exclusion is PER TABLE, taken inside the publish at each table's
+      // first land and held through the commit flip — two pipelines
+      // landing disjoint tables under one root run concurrently; a
+      // same-table writer fails fast with LockHeldException (the commit
+      // itself merges into the shared manifest inside a millisecond
+      // critical section, so neither writer can lose the other's tables)
+      val pub = manifest.publish()
+      currentPublish = Some(pub)
+      try runInner(source)
+      finally {
+        currentPublish = None
+        pub.abort() // releases leases iff the run died before commit
       }
+    }
 
   private var currentPublish: Option[TableManifest#Publish] = None
 

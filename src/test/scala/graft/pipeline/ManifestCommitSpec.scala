@@ -172,15 +172,78 @@ class ManifestCommitSpec extends SparkTestBase {
     assert(m.read("a").get.select("tag").distinct().as[String].collect().toSet == Set("v2"))
   }
 
-  test("concurrent manifest writers to one root are excluded by the lease") {
+  test("concurrent manifest writers to one TABLE are excluded by the per-table lease") {
     val dest = tmpDir("mani-lock")
     val pipe = new Pipeline(spark, "p", dest, tmpDir("mani-lock-state"), manifestCommit = true)
     val src = SourceDef("s", Seq(ResourceDef("t",
       TableHints("t", Disposition.Replace), _ => rows(2, "x"))))
-    val lease = TableLock.acquire(spark, dest, "other-writer")
+    // another writer holds TABLE t's lease (not the whole root): this
+    // pipeline's first land into t must fail fast, not interleave
+    val lease = TableLock.acquire(spark, s"$dest/t", "other-writer")
     try intercept[TableLock.LockHeldException] { pipe.run(src) }
     finally lease.release()
     pipe.run(src)
     assert(pipe.manifest.read("t").get.count() == 2)
+    // and the failed run's lease bookkeeping healed: the table is writable
+    pipe.run(src)
+    assert(pipe.manifest.read("t").get.count() == 2)
+  }
+
+  test("overlapping publishes of DISJOINT tables both survive, whichever commits first") {
+    // the lost-update shape: A and B open publishes from the same manifest
+    // snapshot, land different tables, commit in sequence — a last-write-
+    // wins manifest flip would lose the first committer's table
+    val dest = tmpDir("mani-disjoint")
+    val mA = new TableManifest(spark, dest)
+    val mB = new TableManifest(spark, dest)
+    val pA = mA.publish()
+    val pB = mB.publish() // both publishes open before either lands
+
+    pA.land(rows(3, "va"), TableHints("a", Disposition.Replace))
+    pB.land(rows(4, "vb"), TableHints("b", Disposition.Replace)) // disjoint: no exclusion
+    // same-table while A's publish is in flight: B must be thrown out at
+    // its first land, BEFORE writing into a's generation space
+    intercept[TableLock.LockHeldException] {
+      pB.land(rows(1, "evil"), TableHints("a", Disposition.Append))
+    }
+    pB.commit()
+    pA.commit() // A's flip must MERGE over B's committed manifest, not replace it
+
+    val m = new TableManifest(spark, dest)
+    assert(m.tables.toSet == Set("a", "b"), s"lost a table: ${m.tables}")
+    assert(m.read("a").get.count() == 3)
+    assert(m.read("b").get.count() == 4)
+    // leases fully released: both tables writable again
+    val p2 = m.publish()
+    p2.land(rows(1, "v2"), TableHints("a", Disposition.Append))
+    p2.land(rows(1, "v2"), TableHints("b", Disposition.Append))
+    p2.commit()
+    assert(m.read("a").get.count() == 4 && m.read("b").get.count() == 5)
+  }
+
+  test("two THREADED pipelines land disjoint tables under one root concurrently") {
+    val dest = tmpDir("mani-threads")
+    // both builds block on the barrier, so the two publish windows are
+    // forced to overlap in real time (not just logically)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def src(table: String, tag: String) = SourceDef("s", Seq(ResourceDef(table,
+      TableHints(table, Disposition.Replace),
+      _ => { gate.await(30, java.util.concurrent.TimeUnit.SECONDS); rows(3, tag) })))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = new Pipeline(spark, "pa", dest, tmpDir("mani-th-sa"),
+          manifestCommit = true).run(src("a", "va"))
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = new Pipeline(spark, "pb", dest, tmpDir("mani-th-sb"),
+          manifestCommit = true).run(src("b", "vb"))
+      })
+      fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    val m = new TableManifest(spark, dest)
+    assert(m.tables.toSet == Set("a", "b"), s"a concurrent commit was lost: ${m.tables}")
+    assert(m.read("a").get.count() == 3 && m.read("b").get.count() == 3)
   }
 }

@@ -47,20 +47,30 @@ object ManifestLandBench {
     println(s"[mlb] appending $gens generations (~$slice rows each) via manifest publishes")
     var lastLandMs = 0.0
     var firstLandMs = 0.0
+    var commitMsSum = 0.0
+    val tAll = System.nanoTime()
     (0 until gens).foreach { g =>
       val pub = manifest.publish()
       val t0 = System.nanoTime()
       val rows = pub.land(batch(g), hints)
       val ms = (System.nanoTime() - t0) / 1e6
+      val tC = System.nanoTime()
       pub.commit()
+      commitMsSum += (System.nanoTime() - tC) / 1e6
       if (g == 0) firstLandMs = ms
       if (g == gens - 1) {
         lastLandMs = ms
         println(f"[mlb] land at G=${g + 1}%d: $ms%.0f ms (returned $rows rows)")
       }
     }
+    val allMs = (System.nanoTime() - tAll) / 1e6
     println(f"[mlb] land at G=1: $firstLandMs%.0f ms; land at G=$gens%d: $lastLandMs%.0f ms " +
       f"(flat = O(1) jobs holds)")
+    // prices the per-table lease + _manifest critical section added in
+    // r18: each cycle = table-lease acquire + land + commit-lock +
+    // read-merge-write flip + lease release
+    println(f"[mlb] mean commit (lease flip incl.): ${commitMsSum / gens}%.1f ms; " +
+      f"whole $gens%d-publish run: $allMs%.0f ms")
 
     // the OLD return statement's work at depth G, priced in isolation:
     // one spark.read.parquet(...).count() per committed generation
