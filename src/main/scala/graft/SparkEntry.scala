@@ -1487,6 +1487,55 @@ object SparkEntry {
         .orderBy("host", "wave")
     }),
 
+    // robots.txt politeness on the frontier (RFC 9309 prefix subset,
+    // completing the behavior family: seen-set = exactly-once, cap =
+    // politeness in COUNT, gap = politeness in TIME, robots = per-host
+    // exclusion RULES). Seven hosts publish seven rule shapes — blanket
+    // disallow, digit-prefix disallow, disallow-all-with-allow-override
+    // (longest prefix wins), an agent-specific group that shadows a
+    // blanket '*' group (exact agent beats '*'), a wildcard rule that
+    // must be SKIPPED not literalized, an empty disallow (= allow all),
+    // and no robots.txt at all. Wave 1 crawls under the rules; wave 2
+    // lifts them and drains exactly the held-back URLs — disallowed
+    // pages never entered the seen-set, the same carry-over semantics
+    // as cap overflow. The oracle replays every verdict per URL in one
+    // hash (wave = 1 if allowed, 2 if held back), proving the parser,
+    // the longest-prefix/allow-tie decision, and exactly-once across
+    // the rule change
+    "q_url_frontier_robots" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.UrlFrontier
+      val dest = java.nio.file.Files.createTempDirectory("graft_robots").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      val planned = t(s, dir, "events").filter(col("event_id") < 3500)
+        .select(concat(lit("http://h"), (col("event_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
+      val bodies = Seq(
+        ("h0.example.com", "User-agent: *\nDisallow: /\n"),
+        ("h1.example.com", "# block the 1-prefixed pages\nUser-agent: *\nDisallow: /p/1\n"),
+        ("h2.example.com", "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"),
+        ("h3.example.com",
+          "User-agent: graftbot\nDisallow: /p/3\n\nUser-agent: *\nDisallow: /\n"),
+        ("h4.example.com", "User-agent: *\nDisallow: /p/*4\nDisallow: /p/4\n"),
+        ("h5.example.com", "User-agent: *\nDisallow:\n"),
+        // h6 publishes no robots.txt at all
+      ).toDF("host", "robots_txt")
+      val rules = UrlFrontier.robotsRules(bodies, agent = "graftbot")
+      def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
+        todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
+      UrlFrontier.runWave(s, dest, state, planned, "url",
+        robots = Some(rules))(fetchWave(1))
+      // the sites relax their rules: wave 2 drains exactly the held-back
+      // URLs (they never entered the seen-set)
+      UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(2))
+      require(UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(3)).isEmpty,
+        "frontier not drained after the rules lifted")
+      UrlFrontier.committedPages(s, dest, state)
+        .select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host"),
+          col("wave"), col("url_canon"))
+        .orderBy("url_canon")
+    }),
+
     // Model-based quality classification (CCNet fastText / GPT-3 LR
     // filter): an integer-quantized Naive Bayes trained on the
     // doc_id % 3 seed labeled en-vs-rest scores EVERY document in whole
@@ -5526,6 +5575,27 @@ object SparkEntry {
         |  CAST(2 * CEIL(rk / 150.0) - 1 AS BIGINT) AS wave,
         |  count(*) AS n_pages, min(url_canon) AS first_url, max(url_canon) AS last_url
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // per-URL robots verdict replay: wave 1 iff the host's rules allow
+    // the path (longest prefix wins, allow wins ties, wildcard rules
+    // skipped, exact-agent group shadows '*'), wave 2 otherwise
+    "q_url_frontier_robots" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    'h' || CAST(event_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url_canon,
+        |    CAST(event_id % 7 AS BIGINT) AS h,
+        |    CAST(event_id AS VARCHAR) AS ids
+        |  FROM events WHERE event_id < 3500)
+        |SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE
+        |    WHEN h = 0 THEN 2
+        |    WHEN h = 1 AND ids LIKE '1%' THEN 2
+        |    WHEN h = 2 AND ids NOT LIKE '2%' THEN 2
+        |    WHEN h = 3 AND ids LIKE '3%' THEN 2
+        |    WHEN h = 4 AND ids LIKE '4%' THEN 2
+        |    ELSE 1 END AS BIGINT) AS wave,
+        |  url_canon
+        |FROM u ORDER BY url_canon""".stripMargin.replaceAll("\n", " "),
+
     "q_stream_url_dedup" -> streamUrlDedupSql,
     "q_c4_lines" -> c4LinesSql,
     "q_curation_v2" -> curationV2Sql,

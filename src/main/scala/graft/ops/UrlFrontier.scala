@@ -167,10 +167,21 @@ object UrlFrontier {
     */
   def runWave(spark: SparkSession, dest: String, state: StateStore,
       planned: DataFrame, urlCol: String, maxPerHost: Option[Int] = None,
-      minWaveGapPerHost: Int = 0)(
+      minWaveGapPerHost: Int = 0,
+      /** Per-host allow/disallow prefix rules ([[robotsRules]] schema:
+        * host, rule, prefix) applied as a hard exclusion BEFORE budget
+        * selection — robots semantics (RFC 9309 prefix subset): longest
+        * matching prefix wins, allow wins length ties, no match =
+        * allowed. Disallowed URLs never fetch and never enter the
+        * seen-set, so a later rule change makes them eligible again —
+        * the same carry-over semantics as cap overflow and gap
+        * exclusion.
+        */
+      robots: Option[DataFrame] = None)(
       fetch: DataFrame => DataFrame): DataFrame =
     graft.core.TableLock.withLock(spark, dest, s"url-frontier-wave:${java.util.UUID.randomUUID()}") {
-      runWaveLocked(spark, dest, state, planned, urlCol, maxPerHost, minWaveGapPerHost)(fetch)
+      runWaveLocked(spark, dest, state, planned, urlCol, maxPerHost, minWaveGapPerHost,
+        robots)(fetch)
     }
 
   /** Canonical host of a canonical URL (scheme already stripped by
@@ -179,13 +190,116 @@ object UrlFrontier {
   private def hostOf(urlCanon: String): String =
     urlCanon.takeWhile(c => c != '/' && c != '?')
 
+  // ------------------------------------------------------------- robots
+
+  /** Parse ONE robots.txt body into (rule, path-prefix) pairs for `agent`
+    * — the RFC 9309 prefix subset: group selection by user-agent (the
+    * most specific match wins — an exact agent group beats `*`, and ALL
+    * groups naming that agent merge, per the RFC), `allow`/`disallow`
+    * path prefixes taken verbatim, empty `Disallow:` ignored (it means
+    * allow-all), comments and unrelated directives (crawl-delay, sitemap)
+    * skipped. Wildcard rules (a `*` or `$` anywhere in the value) are
+    * OUT of this subset and dropped individually — a prefix engine
+    * silently treating a star-pattern as its literal prefix would
+    * disallow nothing it should and block paths it shouldn't.
+    */
+  private[ops] def parseRobotsTxt(body: String, agent: String): Seq[(String, String)] = {
+    final case class Group(agents: Seq[String], rules: Seq[(String, String)])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[(String, String)]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inRules = false
+    }
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            // consecutive user-agent lines share one group; a user-agent
+            // line after rules starts the NEXT group
+            if (inRules) flush()
+            agents :+= value.toLowerCase
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+            // empty Disallow: = allow-all (no rule); star/dollar wildcard
+            // patterns sit outside the prefix subset and are skipped
+            if (value.nonEmpty && !value.exists(c => c == '*' || c == '$'))
+              rules :+= (key -> value)
+          case _ => if (agents.nonEmpty) inRules = true
+        }
+      }
+    }
+    flush()
+    val wanted = agent.toLowerCase
+    val exact = groups.filter(_.agents.contains(wanted))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toSeq
+  }
+
+  /** Explode per-host robots.txt bodies into the columnar rule table
+    * [[applyRobots]] consumes: (host, rule, prefix). `bodies` needs
+    * `host` and `robots_txt` string columns; hosts whose body yields no
+    * rules for `agent` simply emit no rows (= everything allowed).
+    */
+  def robotsRules(bodies: DataFrame, agent: String = "*"): DataFrame = {
+    val spark = bodies.sparkSession
+    import spark.implicits._
+    bodies.select(col("host").cast("string"), col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseRobotsTxt(Option(txt).getOrElse(""), agent).map { case (rule, prefix) =>
+          (host, rule, prefix)
+        }
+      }
+      .toDF("host", "rule", "prefix")
+  }
+
+  /** Drop URLs whose robots verdict is disallow. Longest matching prefix
+    * wins; allow wins length ties; a URL matching no rule passes. The
+    * rule table is per-host and bounded (a few rules per crawled host),
+    * so the host equi-join broadcasts at corpus scale while the
+    * candidate side never collects; the verdict aggregation is a
+    * bounded max-struct per matched URL, not a window.
+    */
+  def applyRobots(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    // path of a canonical URL: everything from the first '/' (robots
+    // paths always start with '/'); a bare host matches only via "/"
+    val slash = locate("/", col(urlCol))
+    val path = when(slash > 0, expr(s"substring($urlCol, locate('/', $urlCol))"))
+      .otherwise(lit("/"))
+    val cand = df.withColumn("__robots_host", regexp_extract(col(urlCol), "^[^/?]+", 0))
+      .withColumn("__robots_path", path)
+    val r = rules.select(col("host").as("__robots_host"), col("rule"), col("prefix"))
+    val disallowed = cand
+      .join(r, Seq("__robots_host"))
+      .filter(col("__robots_path").startsWith(col("prefix")))
+      .groupBy(col(urlCol))
+      // verdict = the most specific match: longest prefix first, allow
+      // over disallow on equal length (struct max orders field-wise)
+      .agg(max(struct(length(col("prefix")).as("l"),
+        when(col("rule") === "allow", 1).otherwise(0).as("a"))).as("m"))
+      .filter(col("m.a") === 0)
+      .select(col(urlCol))
+    df.join(disallowed, Seq(urlCol), "left_anti")
+  }
+
   private def runWaveLocked(spark: SparkSession, dest: String, state: StateStore,
       planned: DataFrame, urlCol: String, maxPerHost: Option[Int],
-      minWaveGapPerHost: Int)(
+      minWaveGapPerHost: Int,
+      robots: Option[DataFrame] = None)(
       fetch: DataFrame => DataFrame): DataFrame = {
     val wave = state.getLong(WaveKey).getOrElse(0L) + 1L
     val canon = planned.select(Url.canonicalize(col(urlCol)).as("url_canon")).distinct()
-    val unseen = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    val unseen0 = canon.join(seenSet(spark, dest, state), Seq("url_canon"), "left_anti")
+    // robots exclusion is the HARDEST rule: applied before the gap and
+    // the per-host budget so a disallowed URL never consumes either
+    val unseen = robots.map(applyRobots(unseen0, "url_canon", _)).getOrElse(unseen0)
     // gap exclusion FIRST (an excluded host fetches nothing this wave),
     // then the per-wave cap on what remains
     val eligible =

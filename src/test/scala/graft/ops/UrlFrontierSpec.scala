@@ -394,6 +394,82 @@ class UrlFrontierSpec extends SparkTestBase {
     assert(fetched.get() == 5)
   }
 
+  test("parseRobotsTxt: group selection, merge, empty disallow, wildcards, comments") {
+    val body =
+      """# corp robots
+        |User-agent: bigbot
+        |Disallow: /private/
+        |Allow: /private/pub
+        |
+        |User-agent: *
+        |Disallow: /tmp/
+        |Crawl-delay: 10
+        |Disallow:
+        |Disallow: /cgi/*.cgi
+        |Sitemap: https://x/map.xml
+        |
+        |User-agent: bigbot
+        |Disallow: /beta/   # trailing comment
+        |""".stripMargin
+    // exact agent: BOTH bigbot groups merge; '*' group ignored
+    assert(UrlFrontier.parseRobotsTxt(body, "BigBot").toSet ==
+      Set("disallow" -> "/private/", "allow" -> "/private/pub", "disallow" -> "/beta/"))
+    // no exact group: fall back to '*'; empty disallow and the wildcard
+    // rule contribute nothing; crawl-delay/sitemap are not rules
+    assert(UrlFrontier.parseRobotsTxt(body, "otherbot") == Seq("disallow" -> "/tmp/"))
+    assert(UrlFrontier.parseRobotsTxt("", "any").isEmpty)
+    // a rules line before any user-agent group is ignored (no group)
+    assert(UrlFrontier.parseRobotsTxt("Disallow: /x\n", "any").isEmpty)
+  }
+
+  test("applyRobots: longest prefix wins, allow wins ties, no-match passes") {
+    val rules = Seq(
+      ("a.test", "disallow", "/private/"),
+      ("a.test", "allow", "/private/pub/"),
+      ("a.test", "disallow", "/private/pub/"), // tie with the allow: allow wins
+      ("b.test", "disallow", "/"),
+      ("b.test", "allow", "/ok/"),
+    ).toDF("host", "rule", "prefix")
+    val urls = Seq(
+      "a.test/private/x",       // disallow /private/
+      "a.test/private/pub/x",   // allow (longest + tie rule)
+      "a.test/open/x",          // no match
+      "a.test",                 // bare host: path '/', no match on a.test
+      "b.test/anything",        // disallow /
+      "b.test/ok/page",         // allow /ok/ beats disallow /
+      "c.test/x",               // host with no rules at all
+    ).toDF("url_canon")
+    val kept = UrlFrontier.applyRobots(urls, "url_canon", rules)
+      .as[String].collect().toSet
+    assert(kept == Set("a.test/private/pub/x", "a.test/open/x", "a.test",
+      "b.test/ok/page", "c.test/x"), kept)
+  }
+
+  test("runWave honors robots: disallowed URLs never fetch, never enter seen, and heal on rule change") {
+    val dest = tmpDir("frontier_robots")
+    val state = new StateStore(java.nio.file.Paths.get(dest, "s.json"))
+    val fetched = new java.util.concurrent.atomic.AtomicLong()
+    val urls = Seq("http://a.test/keep/1", "http://a.test/no/1", "http://b.test/x").toDF("url")
+    val bodies = Seq(("a.test", "User-agent: *\nDisallow: /no/\n")).toDF("host", "robots_txt")
+    val rules = UrlFrontier.robotsRules(bodies)
+
+    val w1 = UrlFrontier.runWave(spark, dest, state, urls, "url",
+      robots = Some(rules))(fetchCount(fetched))
+    assert(w1.select("url_canon").as[String].collect().toSet ==
+      Set("a.test/keep/1", "b.test/x"))
+    assert(UrlFrontier.seenSet(spark, dest, state).count() == 2,
+      "a disallowed URL must not enter the seen-set")
+
+    // the site relaxes its robots: the held-back URL becomes eligible —
+    // carry-over semantics, same as cap overflow
+    val w2 = UrlFrontier.runWave(spark, dest, state, urls, "url",
+      robots = Some(UrlFrontier.robotsRules(
+        Seq(("a.test", "User-agent: *\nDisallow:\n")).toDF("host", "robots_txt"))))(
+      fetchCount(fetched))
+    assert(w2.select("url_canon").as[String].collect().toSet == Set("a.test/no/1"))
+    assert(fetched.get() == 3, "exactly-once across rule changes")
+  }
+
   test("MinK keeps the k smallest strings under any reduce/merge interleaving") {
     val agg = graft.functions.MinK.minKAgg(3)
     val items = Seq("m", "b", "z", "a", "q", "c", "b2")

@@ -191,6 +191,12 @@ STAMPS = {
     # URLs/host at 150/wave) — wave lifecycle dominated like its polite
     # sibling (~1.07 s/wave incl. the per-wave host-set landings).
     "q_fleet_header_link": 1.26, "q_url_frontier_gap": 9.62,
+    # r18 new contract (isolated min-of-2, sf0.1, local[32]):
+    # q_url_frontier_robots = THREE frontier waves (rules wave + lifted
+    # wave + drained-empty wave) over 7 robots shapes — wave lifecycle
+    # dominated like its polite/gap siblings; the rules join itself is a
+    # bounded broadcast equi-join.
+    "q_url_frontier_robots": 5.40,
     # r17 environment-drift re-stamps: the three events-reading
     # sub-second contracts inflated together (isolated min-of-2
     # q_cursor_coalesce 0.28 / q_asof_join 0.45 / q_cdc_stream 0.65 vs
