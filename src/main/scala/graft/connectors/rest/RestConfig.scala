@@ -96,6 +96,8 @@ object RestConfig {
       Option(de.get("incremental")).foreach(
         checkKeys(_, "resource_defaults incremental", IncrementalKeys))
       strMap(de, "params", "resource_defaults endpoint")
+      Option(de.get("response_actions")).foreach(
+        parseResponseActions(_, "resource_defaults endpoint"))
     }
     val resourcesNode = req(root, "resources", "config root")
     require(resourcesNode.isArray, "config 'resources' must be an array")
@@ -243,7 +245,7 @@ object RestConfig {
     // partition per endpoint, page-parallel under a total count).
     "selected", "parallelized")
   private val EndpointKeys = Set("path", "params", "data_selector", "paginator",
-    "incremental", "max_pages")
+    "incremental", "max_pages", "response_actions")
   private val IncrementalKeys = Set("cursor_path", "start_param", "initial_value",
     "end_param", "end_value", "newest_first", "lag_days", "lag")
 
@@ -339,6 +341,10 @@ object RestConfig {
       .orElse(defEp.flatMap(str(_, "data_selector")))
       .getOrElse("$")
 
+    val responseActions = epNode.flatMap(e => Option(e.get("response_actions")))
+      .orElse(defEp.flatMap(e => Option(e.get("response_actions"))))
+      .map(parseResponseActions(_, s"resource '$name'")).getOrElse(Nil)
+
     val endpoint = EndpointConfig(
       path = path,
       params = params,
@@ -347,6 +353,7 @@ object RestConfig {
       incremental = incremental,
       parent = parent,
       maxPages = int2(epNode, "max_pages").orElse(int2(defEp, "max_pages")).getOrElse(10000),
+      responseActions = responseActions,
     )
 
     RestResource(name, endpoint, parseHints(name, node, defaults))
@@ -385,6 +392,24 @@ object RestConfig {
     )
   }
 
+  /** `response_actions` array — dicts of `status_code` / `content` /
+    * `action` (only `"ignore"`, dlt's JSON-expressible action; see
+    * [[RestEngine.ResponseAction]]).
+    */
+  private def parseResponseActions(n: JsonNode, where: String): Seq[ResponseAction] = {
+    if (!n.isArray) fail(s"$where response_actions must be an array")
+    n.elements().asScala.toSeq.map { a =>
+      checkKeys(a, s"$where response_action", Set("status_code", "content", "action"))
+      try ResponseAction(
+        statusCode = int(a, "status_code"),
+        contentSubstring = str(a, "content"),
+        action = str(a, "action").getOrElse("ignore"))
+      catch {
+        case e: IllegalArgumentException => fail(s"$where response_action: ${e.getMessage}")
+      }
+    }
+  }
+
   private def parseDisposition(s: String): Disposition = s match {
     case "append"  => Disposition.Append
     case "replace" => Disposition.Replace
@@ -407,8 +432,6 @@ object RestConfig {
     "method" -> "the REST engine is GET-only (POST-shaped APIs are the GraphQL connector's territory)",
     "json" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
     "data" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
-    "response_actions" -> ("per-status-code ignore/retry hooks are not implemented; the transport " +
-      "retries 429/5xx uniformly (RetryingTransport) and fails loudly otherwise"),
     "processing_steps" -> ("map/filter steps are not implemented; apply DataFrame transforms " +
       "on the returned frame instead"),
   )

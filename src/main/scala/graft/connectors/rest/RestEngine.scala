@@ -176,6 +176,29 @@ object RestEngine {
   final case class ParentBinding(parentName: String, keyFields: Seq[String],
       includeFields: Seq[String] = Nil)
 
+  /** dlt rest_api `response_actions` entry, the JSON-expressible subset:
+    * a response matching ALL the present fields (status code equality,
+    * body substring) with `action = "ignore"` is treated as clean
+    * end-of-data — no error, no items — instead of a failure. The
+    * reference fleet never uses these (verified by grep over
+    * sources/), but dlt-core documents them and a ported config that
+    * declares a 404-ignore (a deleted parent's children endpoint) must
+    * keep that behavior.
+    */
+  final case class ResponseAction(
+      statusCode: Option[Int] = None,
+      contentSubstring: Option[String] = None,
+      action: String = "ignore",
+  ) {
+    require(statusCode.nonEmpty || contentSubstring.nonEmpty,
+      "response_action needs a status_code or a content substring to match on")
+    require(action == "ignore",
+      s"response_action '$action' is not supported: only 'ignore' is expressible " +
+        "in a config document (dlt's other actions are Python callables)")
+    def matches(r: HttpResponse): Boolean =
+      statusCode.forall(_ == r.status) && contentSubstring.forall(r.body.contains)
+  }
+
   final case class EndpointConfig(
       path: String, // may contain {field} placeholders when parent-bound
       params: Map[String, String] = Map.empty,
@@ -184,6 +207,7 @@ object RestEngine {
       incremental: Option[IncrementalBinding] = None,
       parent: Option[ParentBinding] = None,
       maxPages: Int = 10000,
+      responseActions: Seq[ResponseAction] = Nil,
   )
 
   final case class ClientConfig(
@@ -275,6 +299,13 @@ object RestEngine {
           transport.get(url, rp, rh)
         case _ => first
       }
+      // response_actions (dlt rest_api): a matching `ignore` rule treats
+      // this response as clean end-of-data instead of an error — the
+      // JSON-expressible subset of dlt's hooks (callables cannot ride a
+      // config document). Checked BEFORE the status guard so a declared
+      // 404 (a deleted parent's children, a feature-gated endpoint) ends
+      // the chain quietly; an unmatched error still fails loudly.
+      if (endpoint.responseActions.exists(_.matches(resp))) return out.toSeq
       if (resp.status < 200 || resp.status >= 300)
         throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
       val root = Json.parse(resp.body)

@@ -187,10 +187,6 @@ class RestConfigSpec extends SparkTestBase {
     val m = err("""{"client": {"base_url": "https://x"},
                     "resources": [{"name": "r", "endpoint": {"path": "r", "method": "POST"}}]}""")
     assert(m.contains("method") && m.contains("dlt rest_api key"), m)
-    val ra = err("""{"client": {"base_url": "https://x"},
-                     "resources": [{"name": "r",
-                       "endpoint": {"path": "r", "response_actions": []}}]}""")
-    assert(ra.contains("response_actions") && ra.contains("RetryingTransport"), ra)
     val ps = err("""{"client": {"base_url": "https://x"},
                      "resources": [{"name": "r", "endpoint": {"path": "r"},
                        "processing_steps": []}]}""")
@@ -200,6 +196,37 @@ class RestConfigSpec extends SparkTestBase {
                       "resources": [{"name": "r",
                         "endpoint": {"path": "r", "method": "POST", "pth": "x"}}]}""")
     assert(mix.contains("pth") && mix.contains("method"), mix)
+  }
+
+  test("response_actions parse: ignore rules, strict keys, non-ignore actions rejected") {
+    val src = RestConfig.fromJson("""
+      {"client": {"base_url": "https://x"},
+       "resources": [{"name": "r", "endpoint": {"path": "r",
+         "response_actions": [
+           {"status_code": 404, "action": "ignore"},
+           {"status_code": 410, "content": "Gone", "action": "ignore"},
+           {"content": "no access"}]}}]}""")
+    assert(src.resources.head.endpoint.responseActions == Seq(
+      ResponseAction(Some(404), None),
+      ResponseAction(Some(410), Some("Gone")),
+      ResponseAction(None, Some("no access"))))
+    def bad(cfg: String): String =
+      intercept[IllegalArgumentException](RestConfig.fromJson(cfg)).getMessage
+    // dlt's callable actions cannot ride a config document
+    assert(bad("""{"client": {"base_url": "https://x"},
+                   "resources": [{"name": "r", "endpoint": {"path": "r",
+                     "response_actions": [{"status_code": 404, "action": "retry"}]}}]}""")
+      .contains("only 'ignore'"))
+    // a rule with nothing to match on is a config error, not match-all
+    assert(bad("""{"client": {"base_url": "https://x"},
+                   "resources": [{"name": "r", "endpoint": {"path": "r",
+                     "response_actions": [{"action": "ignore"}]}}]}""")
+      .contains("status_code or a content"))
+    // strict keys inside the action dicts too
+    assert(bad("""{"client": {"base_url": "https://x"},
+                   "resources": [{"name": "r", "endpoint": {"path": "r",
+                     "response_actions": [{"statuscode": 404}]}}]}""")
+      .contains("statuscode"))
   }
 
   test("strict keys: a typo at any level fails loudly naming the key and its location") {

@@ -482,6 +482,37 @@ class RestEngineSpec extends SparkTestBase {
     assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2))
   }
 
+  test("response_actions: a declared ignore ends the chain quietly, unmatched errors stay loud") {
+    val ignore404 = Seq(ResponseAction(statusCode = Some(404)))
+    // mid-chain 404 with a declared ignore: keep the pages already read
+    val t = new FakeTransport(Map(
+      "items" -> """{"data":[{"id":1}],"next":"https://api.example.test/items2"}"""))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.NextUrl("next"), responseActions = ignore404)
+    assert(fetchPages(client, ep, t).size == 1) // items2 404s -> clean stop
+    // without the rule the same 404 is an error
+    val epLoud = ep.copy(responseActions = Nil)
+    val e = intercept[RuntimeException](fetchPages(client, epLoud, t))
+    assert(e.getMessage.contains("404"), e.getMessage)
+    // content matching composes with status (AND): both must hit
+    val t2 = new FakeTransport(Map.empty) // everything 404s with a body naming the key
+    val epBoth = EndpointConfig("missing", dataSelector = "data",
+      responseActions = Seq(ResponseAction(Some(404), Some("no fixture"))))
+    assert(fetchPages(client, epBoth, t2).isEmpty)
+    val epMismatch = EndpointConfig("missing", dataSelector = "data",
+      responseActions = Seq(ResponseAction(Some(404), Some("some other body"))))
+    intercept[RuntimeException](fetchPages(client, epMismatch, t2))
+    // the classic shape: per-parent child endpoints where some parents 404
+    val t3 = new FakeTransport(Map(
+      "deals/1/files" -> """{"data":[{"f":"a"},{"f":"b"}]}""",
+      "deals/3/files" -> """{"data":[{"f":"c"}]}"""))
+    val child = EndpointConfig("deals/{id}/files", dataSelector = "data",
+      responseActions = ignore404)
+    val rows = Seq("1", "2", "3").flatMap(id =>
+      fetchPages(client, child, t3, pathVars = Map("id" -> id)))
+    assert(rows.size == 3) // deal 2's 404 yields nothing instead of failing the run
+  }
+
   test("header_link names the offending Link value when the target cannot resolve") {
     val pages = Map("items" -> """[{"id":1}]""")
     val headers = Map(
