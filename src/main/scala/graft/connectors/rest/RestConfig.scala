@@ -244,8 +244,11 @@ object RestConfig {
     // already partition-parallel (RestPagesV2.readMany plans one input
     // partition per endpoint, page-parallel under a total count).
     "selected", "parallelized")
+  // `method` is allowed ONLY as an explicit "GET"/"get" (the default
+  // spelled out — a real dlt config shape); any other verb fails in
+  // parseResource with the pointed GET-only message
   private val EndpointKeys = Set("path", "params", "data_selector", "paginator",
-    "incremental", "max_pages", "response_actions")
+    "incremental", "max_pages", "response_actions", "method")
   private val IncrementalKeys = Set("cursor_path", "start_param", "initial_value",
     "end_param", "end_value", "newest_first", "lag_days", "lag")
 
@@ -340,6 +343,12 @@ object RestConfig {
     val dataSelector = epNode.flatMap(str(_, "data_selector"))
       .orElse(defEp.flatMap(str(_, "data_selector")))
       .getOrElse("$")
+
+    epNode.flatMap(str(_, "method")).orElse(defEp.flatMap(str(_, "method"))).foreach { m =>
+      if (!m.equalsIgnoreCase("GET"))
+        fail(s"resource '$name' endpoint method '$m': the REST engine is GET-only " +
+          "(POST-shaped APIs are the GraphQL connector's territory)")
+    }
 
     val responseActions = epNode.flatMap(e => Option(e.get("response_actions")))
       .orElse(defEp.flatMap(e => Option(e.get("response_actions"))))

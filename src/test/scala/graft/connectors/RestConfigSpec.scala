@@ -184,18 +184,23 @@ class RestConfigSpec extends SparkTestBase {
   test("recognized-but-unsupported dlt keys fail with a pointed message") {
     def err(cfg: String): String =
       intercept[IllegalArgumentException](RestConfig.fromJson(cfg)).getMessage
+    // explicit GET (the default spelled out) is accepted; any other verb
+    // fails with the pointed GET-only message
+    assert(RestConfig.fromJson("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r", "method": "GET"}}]}""")
+      .resources.head.endpoint.path == "r")
     val m = err("""{"client": {"base_url": "https://x"},
                     "resources": [{"name": "r", "endpoint": {"path": "r", "method": "POST"}}]}""")
-    assert(m.contains("method") && m.contains("dlt rest_api key"), m)
+    assert(m.contains("method 'POST'") && m.contains("GET-only"), m)
     val ps = err("""{"client": {"base_url": "https://x"},
                      "resources": [{"name": "r", "endpoint": {"path": "r"},
                        "processing_steps": []}]}""")
     assert(ps.contains("processing_steps") && ps.contains("DataFrame"), ps)
-    // mixed: the alien typo AND the recognized key both appear
+    // mixed: the alien typo AND a recognized key both appear in one error
     val mix = err("""{"client": {"base_url": "https://x"},
                       "resources": [{"name": "r",
-                        "endpoint": {"path": "r", "method": "POST", "pth": "x"}}]}""")
-    assert(mix.contains("pth") && mix.contains("method"), mix)
+                        "endpoint": {"path": "r", "json": {}, "pth": "x"}}]}""")
+    assert(mix.contains("pth") && mix.contains("json"), mix)
   }
 
   test("response_actions parse: ignore rules, strict keys, non-ignore actions rejected") {
