@@ -2687,6 +2687,69 @@ object SparkEntry {
     }),
 
     // training-corpus PII scrubbing: deterministic emails/phones/IPs are
+    // auto paginator detection end-to-end (dlt's default when a config
+    // OMITS the paginator key): the q_fleet_header_link pipeline with NO
+    // paginator declared anywhere — the engine probes the first response
+    // (array body, no next-link keys) and resolves header_link from the
+    // Link rel=next header, then lands tables hash-identical to the same
+    // oracle. A user porting a paginator-less dlt config gets detection,
+    // not silent single-page truncation
+    "q_fleet_auto" -> ((s, dir) => {
+      import graft.connectors.rest.{RestConfig, RestEngine, StaticPagesTransport}
+      import graft.pipeline.{Pipeline, ResourceDef, SourceDef}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      def issue(r: org.apache.spark.sql.Row) = {
+        val k = (r.getLong(2) % 3).toInt + 1
+        val labels = (0 until k).map(i => s"""{"name":"l$i"}""").mkString(",")
+        s"""{"id":${r.getLong(0)},"updated_at":"2024-01-01T00:00:00Z","lang":"${r.getString(1)}","labels":[$labels]}"""
+      }
+      val chunks = docs.toSeq.grouped(100).toSeq
+      val firstKey = "repos/octo/repo/issues?direction=asc&sort=updated&state=all"
+      def pageKey(i: Int) = if (i == 0) firstKey else s"repos/octo/repo/issues?page=${i + 1}"
+      def linkTo(i: Int) =
+        s"""<https://api.github.com/repos/octo/repo/issues?page=${i + 1}>; rel="next", """ +
+          s"""<https://api.github.com/repos/octo/repo/issues?page=${chunks.size}>; rel="last""""
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        pageKey(i) -> s"[${chunk.map(issue).mkString(",")}]"
+      }.toMap
+      val headers = chunks.indices.dropRight(1).map(i => pageKey(i) -> Map("link" -> linkTo(i + 1))).toMap
+      // NOTE: no "paginator" key at ANY level — this is the contract
+      val src = RestConfig.fromJson("""
+        {"name": "github",
+         "client": {"base_url": "https://api.github.com",
+                    "headers": {"Accept": "application/vnd.github+json"}},
+         "resources": [
+           {"name": "issues",
+            "endpoint": {"path": "repos/octo/repo/issues",
+                         "params": {"state": "all", "sort": "updated", "direction": "asc",
+                                    "since": "{incremental.start_value}"},
+                         "incremental": {"cursor_path": "updated_at"}},
+            "primary_key": "id",
+            "write_disposition": "merge"}
+         ]}""")
+      val issuesRes = src.resources.find(_.name == "issues").get
+      require(issuesRes.endpoint.paginator == RestEngine.Paginator.Auto,
+        "a paginator-less config must carry Auto into the engine")
+      val dest = java.nio.file.Files.createTempDirectory("graft_fauto").toString
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_fastate").toString
+      val pipe = new Pipeline(s, "verify_ghauto", dest, stateDir)
+      val resource = ResourceDef(
+        name = "issues",
+        hints = issuesRes.hints,
+        build = ctx => RestEngine.readResource(ctx.spark, src, issuesRes,
+          StaticPagesTransport(pages, headers), Some(ctx.state)),
+      )
+      pipe.run(SourceDef(src.name, Seq(resource)))
+      val root = s.read.parquet(s"$dest/issues")
+      val labels = s.read.parquet(s"$dest/issues__labels")
+      root.select(col("lang"), col("_dlt_id"))
+        .join(labels.select(col("_dlt_parent_id")), col("_dlt_id") === col("_dlt_parent_id"))
+        .groupBy("lang")
+        .agg(countDistinct(col("_dlt_id")).as("n_issues"), count(lit(1)).as("n_labels"))
+        .orderBy("lang")
+    }),
+
     // injected into each document and the codegen'd regexp passes must
     // count and redact them exactly as DuckDB's RE2 replays of the same
     // patterns (the patterns are deliberately RE2-compatible)
@@ -6442,6 +6505,10 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     "q_fleet_header_link" ->
+      """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
+        |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+
+    "q_fleet_auto" ->
       """SELECT lang, count(*) AS n_issues, CAST(sum(n_chars % 3 + 1) AS BIGINT) AS n_labels
         |FROM documents WHERE doc_id < 250 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 

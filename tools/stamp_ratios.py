@@ -197,6 +197,10 @@ STAMPS = {
     # dominated like its polite/gap siblings; the rules join itself is a
     # bounded broadcast equi-join.
     "q_url_frontier_robots": 5.40,
+    # q_fleet_auto = the header_link github pipeline with NO paginator
+    # declared — auto-detection resolves header_link from the first
+    # response's Link header; same oracle as q_fleet_config.
+    "q_fleet_auto": 1.74,
     # r17 environment-drift re-stamps: the three events-reading
     # sub-second contracts inflated together (isolated min-of-2
     # q_cursor_coalesce 0.28 / q_asof_join 0.45 / q_cdc_stream 0.65 vs
