@@ -1487,21 +1487,22 @@ object SparkEntry {
         .orderBy("host", "wave")
     }),
 
-    // robots.txt politeness on the frontier (RFC 9309 prefix subset,
-    // completing the behavior family: seen-set = exactly-once, cap =
-    // politeness in COUNT, gap = politeness in TIME, robots = per-host
-    // exclusion RULES). Seven hosts publish seven rule shapes — blanket
-    // disallow, digit-prefix disallow, disallow-all-with-allow-override
-    // (longest prefix wins), an agent-specific group that shadows a
-    // blanket '*' group (exact agent beats '*'), a wildcard rule that
-    // must be SKIPPED not literalized, an empty disallow (= allow all),
-    // and no robots.txt at all. Wave 1 crawls under the rules; wave 2
-    // lifts them and drains exactly the held-back URLs — disallowed
-    // pages never entered the seen-set, the same carry-over semantics
-    // as cap overflow. The oracle replays every verdict per URL in one
-    // hash (wave = 1 if allowed, 2 if held back), proving the parser,
-    // the longest-prefix/allow-tie decision, and exactly-once across
-    // the rule change
+    // robots.txt politeness on the frontier (RFC 9309, completing the
+    // behavior family: seen-set = exactly-once, cap = politeness in
+    // COUNT, gap = politeness in TIME, robots = per-host exclusion
+    // RULES). Seven hosts publish seven rule shapes — blanket disallow,
+    // digit-prefix disallow, disallow-all-with-allow-override (longest
+    // pattern wins), an agent-specific group that shadows a blanket '*'
+    // group, a WILDCARD rule (`/p/*4` — matched per the RFC's full
+    // pattern grammar, widening its plain-prefix sibling to any id
+    // containing a 4), an empty disallow (= allow all), and no
+    // robots.txt at all. Wave 1 crawls under the rules; wave 2 lifts
+    // them and drains exactly the held-back URLs — disallowed pages
+    // never entered the seen-set, the same carry-over semantics as cap
+    // overflow. The oracle replays every verdict per URL in one hash
+    // (wave = 1 if allowed, 2 if held back), proving the parser, the
+    // most-specific/allow-tie decision, and exactly-once across the
+    // rule change
     "q_url_frontier_robots" -> ((s, dir) => {
       import s.implicits._
       import graft.ops.UrlFrontier
@@ -1527,6 +1528,55 @@ object SparkEntry {
         robots = Some(rules))(fetchWave(1))
       // the sites relax their rules: wave 2 drains exactly the held-back
       // URLs (they never entered the seen-set)
+      UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(2))
+      require(UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(3)).isEmpty,
+        "frontier not drained after the rules lifted")
+      UrlFrontier.committedPages(s, dest, state)
+        .select(regexp_extract(col("url_canon"), "^[^/?]+", 0).as("host"),
+          col("wave"), col("url_canon"))
+        .orderBy("url_canon")
+    }),
+
+    // robots.txt politeness, FULL RFC 9309 pattern grammar: the wildcard
+    // and end-anchor shapes real-world rule tables lean on (`/*?sid=`
+    // session-id bans, `/*.html$` suffix bans, allow-override with
+    // written-length specificity `/p/*2$` vs `/p/`, multi-star
+    // `/p/*sid=*3`, `/p/*0$` vs allow `/p/*00$`), PLUS product-token
+    // user-agent selection: the crawler identifies as `graftbot/1.0`,
+    // and the groups it must resolve are `graftbot` (longest prefix,
+    // beats both `graft` and `*` on w3) and `graftling` (NOT a prefix
+    // of the token — w6's only group, so w6 has no rules at all). Three
+    // path shapes per host (plain /p/<id>, query /p/<id>?sid=<id>,
+    // suffix /a/<id>.html) make every wildcard bite differently. Same
+    // two-wave carry-over proof as q_url_frontier_robots: the oracle
+    // replays each URL's verdict semantically in one hash
+    "q_url_frontier_robots_wild" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.UrlFrontier
+      val dest = java.nio.file.Files.createTempDirectory("graft_robots_wild").toString
+      val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
+      val ids = col("event_id").cast("string")
+      val path = when(col("event_id") % 3 === 0, concat(lit("/p/"), ids))
+        .when(col("event_id") % 3 === 1, concat(lit("/p/"), ids, lit("?sid="), ids))
+        .otherwise(concat(lit("/a/"), ids, lit(".html")))
+      val planned = t(s, dir, "events").filter(col("event_id") < 3500)
+        .select(concat(lit("http://w"), (col("event_id") % 7).cast("string"),
+          lit(".example.com"), path).as("url"))
+      val bodies = Seq(
+        ("w0.example.com", "User-agent: graftbot\nDisallow: /*?sid=\n"),
+        ("w1.example.com", "User-agent: *\nDisallow: /*.html$\n"),
+        ("w2.example.com", "User-agent: *\nDisallow: /p/\nAllow: /p/*2$\n"),
+        ("w3.example.com",
+          "User-agent: graft\nDisallow: /p/\n\nUser-agent: graftbot\nDisallow: /a/\n\nUser-agent: *\nDisallow: /\n"),
+        ("w4.example.com", "User-agent: graftbot\nDisallow: /p/*sid=*3\n"),
+        ("w5.example.com", "User-agent: graftbot\nDisallow: /p/*0$\nAllow: /p/*00$\n"),
+        ("w6.example.com", "User-agent: graftling\nDisallow: /\n"),
+      ).toDF("host", "robots_txt")
+      val rules = UrlFrontier.robotsRules(bodies, agent = "graftbot/1.0")
+      def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
+        todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
+      UrlFrontier.runWave(s, dest, state, planned, "url",
+        robots = Some(rules))(fetchWave(1))
       UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(2))
       require(UrlFrontier.runWave(s, dest, state, planned, "url")(fetchWave(3)).isEmpty,
         "frontier not drained after the rules lifted")
@@ -5639,8 +5689,9 @@ object SparkEntry {
         |  count(*) AS n_pages, min(url_canon) AS first_url, max(url_canon) AS last_url
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // per-URL robots verdict replay: wave 1 iff the host's rules allow
-    // the path (longest prefix wins, allow wins ties, wildcard rules
-    // skipped, exact-agent group shadows '*'), wave 2 otherwise
+    // the path (most specific pattern wins, allow wins ties, `/p/*4`
+    // matched per the full RFC grammar = any id containing a 4,
+    // agent-named group shadows '*'), wave 2 otherwise
     "q_url_frontier_robots" ->
       """WITH u AS (
         |  SELECT DISTINCT
@@ -5654,9 +5705,32 @@ object SparkEntry {
         |    WHEN h = 1 AND ids LIKE '1%' THEN 2
         |    WHEN h = 2 AND ids NOT LIKE '2%' THEN 2
         |    WHEN h = 3 AND ids LIKE '3%' THEN 2
-        |    WHEN h = 4 AND ids LIKE '4%' THEN 2
+        |    WHEN h = 4 AND ids LIKE '%4%' THEN 2
         |    ELSE 1 END AS BIGINT) AS wave,
         |  url_canon
+        |FROM u ORDER BY url_canon""".stripMargin.replaceAll("\n", " "),
+    // full-grammar verdict replay: each host's wildcard/anchor/UA shape
+    // restated semantically over the three path forms (m = event_id % 3)
+    "q_url_frontier_robots_wild" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    CAST(event_id % 7 AS BIGINT) AS h,
+        |    CAST(event_id % 3 AS BIGINT) AS m,
+        |    CAST(event_id AS VARCHAR) AS ids
+        |  FROM events WHERE event_id < 3500)
+        |SELECT 'w' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE
+        |    WHEN h = 0 AND m = 1 THEN 2
+        |    WHEN h = 1 AND m = 2 THEN 2
+        |    WHEN h = 2 AND m <> 2 AND ids NOT LIKE '%2' THEN 2
+        |    WHEN h = 3 AND m = 2 THEN 2
+        |    WHEN h = 4 AND m = 1 AND ids LIKE '%3%' THEN 2
+        |    WHEN h = 5 AND m <> 2 AND ids LIKE '%0' AND ids NOT LIKE '%00' THEN 2
+        |    ELSE 1 END AS BIGINT) AS wave,
+        |  'w' || CAST(h AS VARCHAR) || '.example.com' ||
+        |    CASE WHEN m = 0 THEN '/p/' || ids
+        |         WHEN m = 1 THEN '/p/' || ids || '?sid=' || ids
+        |         ELSE '/a/' || ids || '.html' END AS url_canon
         |FROM u ORDER BY url_canon""".stripMargin.replaceAll("\n", " "),
 
     "q_stream_url_dedup" -> streamUrlDedupSql,

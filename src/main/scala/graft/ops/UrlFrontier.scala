@@ -168,14 +168,15 @@ object UrlFrontier {
   def runWave(spark: SparkSession, dest: String, state: StateStore,
       planned: DataFrame, urlCol: String, maxPerHost: Option[Int] = None,
       minWaveGapPerHost: Int = 0,
-      /** Per-host allow/disallow prefix rules ([[robotsRules]] schema:
-        * host, rule, prefix) applied as a hard exclusion BEFORE budget
-        * selection — robots semantics (RFC 9309 prefix subset): longest
-        * matching prefix wins, allow wins length ties, no match =
-        * allowed. Disallowed URLs never fetch and never enter the
-        * seen-set, so a later rule change makes them eligible again —
-        * the same carry-over semantics as cap overflow and gap
-        * exclusion.
+      /** Per-host allow/disallow rules ([[robotsRules]] schema: host,
+        * rule, pattern) applied as a hard exclusion BEFORE budget
+        * selection — RFC 9309 semantics, full pattern grammar (`*`
+        * wildcards, trailing-`$` end anchor): the most specific
+        * (longest-as-written) matching pattern wins, allow wins length
+        * ties, no match = allowed. Disallowed URLs never fetch and
+        * never enter the seen-set, so a later rule change makes them
+        * eligible again — the same carry-over semantics as cap overflow
+        * and gap exclusion.
         */
       robots: Option[DataFrame] = None)(
       fetch: DataFrame => DataFrame): DataFrame =
@@ -192,18 +193,33 @@ object UrlFrontier {
 
   // ------------------------------------------------------------- robots
 
-  /** Parse ONE robots.txt body into (rule, path-prefix) pairs for `agent`
-    * — the RFC 9309 prefix subset: group selection by user-agent (the
-    * most specific match wins — an exact agent group beats `*`, and ALL
-    * groups naming that agent merge, per the RFC), `allow`/`disallow`
-    * path prefixes taken verbatim, empty `Disallow:` ignored (it means
-    * allow-all), comments and unrelated directives (crawl-delay, sitemap)
-    * skipped. Wildcard rules (a `*` or `$` anywhere in the value) are
-    * OUT of this subset and dropped individually — a prefix engine
-    * silently treating a star-pattern as its literal prefix would
-    * disallow nothing it should and block paths it shouldn't.
+  /** Parse ONE robots.txt body into (rule, path-pattern) pairs for
+    * `agent` — the full RFC 9309 grammar:
+    *
+    *  - GROUP SELECTION is product-token matching (§2.2.1): the
+    *    crawler's product token is its agent string up to the first
+    *    non-token octet (letters, `-`, `_` — so `graftbot/1.0` has
+    *    token `graftbot`), a group's user-agent value matches when its
+    *    own token is a case-insensitive PREFIX of the crawler token
+    *    (`User-agent: graftbot` matches agent `graftbot/1.0`;
+    *    `User-agent: graft` matches too), the LONGEST matching value
+    *    wins (`graftbot` beats `graft` beats `*`), and ALL groups
+    *    naming the winning value merge. No named match falls back to
+    *    the `*` groups.
+    *  - RULE VALUES are kept verbatim as match patterns: `*` matches
+    *    any octet sequence, one trailing `$` anchors at end-of-path
+    *    (any other `$` is literal), and a pattern without `$` is a
+    *    prefix pattern — see [[graft.functions.RobotsMatchUtil]].
+    *    Empty `Disallow:` is ignored (it means allow-all), and a value
+    *    starting with neither `/` nor `*` is outside the RFC's
+    *    path-pattern grammar (`path-pattern = "*" / "/" ...`) and
+    *    dropped per its unparseable-line rule.
+    *  - Comments and unrelated directives (crawl-delay, sitemap) skip.
     */
   private[ops] def parseRobotsTxt(body: String, agent: String): Seq[(String, String)] = {
+    /** Leading RFC product token of an agent-ish string, lowercased. */
+    def tokenOf(a: String): String =
+      a.takeWhile(c => c.isLetter || c == '-' || c == '_').toLowerCase
     final case class Group(agents: Seq[String], rules: Seq[(String, String)])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Vector.empty[String]
@@ -227,23 +243,34 @@ object UrlFrontier {
             agents :+= value.toLowerCase
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
-            // empty Disallow: = allow-all (no rule); star/dollar wildcard
-            // patterns sit outside the prefix subset and are skipped
-            if (value.nonEmpty && !value.exists(c => c == '*' || c == '$'))
+            // empty Disallow: = allow-all (no rule); a value outside the
+            // RFC path-pattern grammar (starts with neither '/' nor '*')
+            // is an unparseable line and skipped
+            if (value.nonEmpty && (value.charAt(0) == '/' || value.charAt(0) == '*'))
               rules :+= (key -> value)
           case _ => if (agents.nonEmpty) inRules = true
         }
       }
     }
     flush()
-    val wanted = agent.toLowerCase
-    val exact = groups.filter(_.agents.contains(wanted))
-    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    val wanted = tokenOf(agent)
+    // longest group-value token that prefixes the crawler token wins;
+    // every group carrying a value of that winning length merges
+    val best = (for {
+      g <- groups; a <- g.agents; at = tokenOf(a)
+      if at.nonEmpty && wanted.startsWith(at)
+    } yield at.length).maxOption
+    val chosen = best match {
+      case Some(len) => groups.filter(_.agents.exists(a => {
+        val at = tokenOf(a); at.length == len && wanted.startsWith(at)
+      }))
+      case None => groups.filter(_.agents.contains("*"))
+    }
     chosen.flatMap(_.rules).toSeq
   }
 
   /** Explode per-host robots.txt bodies into the columnar rule table
-    * [[applyRobots]] consumes: (host, rule, prefix). `bodies` needs
+    * [[applyRobots]] consumes: (host, rule, pattern). `bodies` needs
     * `host` and `robots_txt` string columns; hosts whose body yields no
     * rules for `agent` simply emit no rows (= everything allowed).
     */
@@ -253,21 +280,27 @@ object UrlFrontier {
     bodies.select(col("host").cast("string"), col("robots_txt").cast("string"))
       .as[(String, String)]
       .flatMap { case (host, txt) =>
-        parseRobotsTxt(Option(txt).getOrElse(""), agent).map { case (rule, prefix) =>
-          (host, rule, prefix)
+        parseRobotsTxt(Option(txt).getOrElse(""), agent).map { case (rule, pattern) =>
+          (host, rule, pattern)
         }
       }
-      .toDF("host", "rule", "prefix")
+      .toDF("host", "rule", "pattern")
   }
 
-  /** Drop URLs whose robots verdict is disallow. Longest matching prefix
-    * wins; allow wins length ties; a URL matching no rule passes. The
-    * rule table is per-host and bounded (a few rules per crawled host),
-    * so the host equi-join broadcasts at corpus scale while the
-    * candidate side never collects; the verdict aggregation is a
-    * bounded max-struct per matched URL, not a window.
+  /** Drop URLs whose robots verdict is disallow. RFC 9309 precedence:
+    * the most specific matching rule wins, where specificity is the
+    * pattern's octet length AS WRITTEN (`*` and `$` count — the same
+    * tiebreak the reference robots.txt parsers use); allow wins exact
+    * ties; a URL matching no rule passes. Matching is the full-grammar
+    * [[graft.functions.RobotsMatch]] codegen predicate (wildcards,
+    * end-anchor), evaluated on the host equi-join's output. The rule
+    * table is per-host and bounded (a few rules per crawled host), so
+    * the join broadcasts at corpus scale while the candidate side never
+    * collects; the verdict aggregation is a bounded max-struct per
+    * matched URL, not a window.
     */
   def applyRobots(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    import graft.functions.RobotsMatch.robotsMatch
     // path of a canonical URL: everything from the first '/' (robots
     // paths always start with '/'); a bare host matches only via "/"
     val slash = locate("/", col(urlCol))
@@ -275,14 +308,14 @@ object UrlFrontier {
       .otherwise(lit("/"))
     val cand = df.withColumn("__robots_host", regexp_extract(col(urlCol), "^[^/?]+", 0))
       .withColumn("__robots_path", path)
-    val r = rules.select(col("host").as("__robots_host"), col("rule"), col("prefix"))
+    val r = rules.select(col("host").as("__robots_host"), col("rule"), col("pattern"))
     val disallowed = cand
       .join(r, Seq("__robots_host"))
-      .filter(col("__robots_path").startsWith(col("prefix")))
+      .filter(robotsMatch(col("__robots_path"), col("pattern")))
       .groupBy(col(urlCol))
-      // verdict = the most specific match: longest prefix first, allow
+      // verdict = the most specific match: longest pattern first, allow
       // over disallow on equal length (struct max orders field-wise)
-      .agg(max(struct(length(col("prefix")).as("l"),
+      .agg(max(struct(length(col("pattern")).as("l"),
         when(col("rule") === "allow", 1).otherwise(0).as("a"))).as("m"))
       .filter(col("m.a") === 0)
       .select(col(urlCol))

@@ -414,22 +414,55 @@ class UrlFrontierSpec extends SparkTestBase {
     // exact agent: BOTH bigbot groups merge; '*' group ignored
     assert(UrlFrontier.parseRobotsTxt(body, "BigBot").toSet ==
       Set("disallow" -> "/private/", "allow" -> "/private/pub", "disallow" -> "/beta/"))
-    // no exact group: fall back to '*'; empty disallow and the wildcard
-    // rule contribute nothing; crawl-delay/sitemap are not rules
-    assert(UrlFrontier.parseRobotsTxt(body, "otherbot") == Seq("disallow" -> "/tmp/"))
+    // product-token matching: the version suffix strips before matching
+    assert(UrlFrontier.parseRobotsTxt(body, "BigBot/2.1 (+https://x)").toSet ==
+      Set("disallow" -> "/private/", "allow" -> "/private/pub", "disallow" -> "/beta/"))
+    // no named group matches: fall back to '*'; empty disallow
+    // contributes nothing; wildcard rules are KEPT verbatim;
+    // crawl-delay/sitemap are not rules
+    assert(UrlFrontier.parseRobotsTxt(body, "otherbot") ==
+      Seq("disallow" -> "/tmp/", "disallow" -> "/cgi/*.cgi"))
     assert(UrlFrontier.parseRobotsTxt("", "any").isEmpty)
     // a rules line before any user-agent group is ignored (no group)
     assert(UrlFrontier.parseRobotsTxt("Disallow: /x\n", "any").isEmpty)
   }
 
-  test("applyRobots: longest prefix wins, allow wins ties, no-match passes") {
+  test("parseRobotsTxt: longest product-token prefix wins group selection") {
+    val body =
+      """User-agent: graft
+        |Disallow: /short/
+        |
+        |User-agent: graftbot
+        |Disallow: /long/
+        |
+        |User-agent: *
+        |Disallow: /star/
+        |""".stripMargin
+    // 'graftbot' (len 8) beats 'graft' (len 5) beats '*'
+    assert(UrlFrontier.parseRobotsTxt(body, "graftbot/1.0") ==
+      Seq("disallow" -> "/long/"))
+    // token 'graftbo' prefixes neither full value; 'graft' still matches
+    assert(UrlFrontier.parseRobotsTxt(body, "graftbo") ==
+      Seq("disallow" -> "/short/"))
+    // 'graftling' is not a prefix OF the token and the token is not a
+    // prefix of it either way that counts: group value must prefix the
+    // crawler token, so only '*' applies
+    assert(UrlFrontier.parseRobotsTxt(body, "graphbot") ==
+      Seq("disallow" -> "/star/"))
+    // grammar-invalid rule values (start with neither '/' nor '*') drop
+    assert(UrlFrontier.parseRobotsTxt(
+      "User-agent: *\nDisallow: cgi-bin\nDisallow: /ok\n", "any") ==
+      Seq("disallow" -> "/ok"))
+  }
+
+  test("applyRobots: longest pattern wins, allow wins ties, no-match passes") {
     val rules = Seq(
       ("a.test", "disallow", "/private/"),
       ("a.test", "allow", "/private/pub/"),
       ("a.test", "disallow", "/private/pub/"), // tie with the allow: allow wins
       ("b.test", "disallow", "/"),
       ("b.test", "allow", "/ok/"),
-    ).toDF("host", "rule", "prefix")
+    ).toDF("host", "rule", "pattern")
     val urls = Seq(
       "a.test/private/x",       // disallow /private/
       "a.test/private/pub/x",   // allow (longest + tie rule)
@@ -443,6 +476,30 @@ class UrlFrontierSpec extends SparkTestBase {
       .as[String].collect().toSet
     assert(kept == Set("a.test/private/pub/x", "a.test/open/x", "a.test",
       "b.test/ok/page", "c.test/x"), kept)
+  }
+
+  test("applyRobots: wildcard and $-anchored patterns score by written length") {
+    val rules = Seq(
+      ("a.test", "disallow", "/*?sid="),   // any path carrying ?sid=
+      ("a.test", "allow", "/pub/*?sid="),  // longer written pattern wins
+      ("b.test", "disallow", "/*.html$"),  // end-anchored suffix rule
+      ("c.test", "disallow", "/p/"),
+      ("c.test", "allow", "/p/*2$"),       // len 6 allow beats len 4 disallow
+    ).toDF("host", "rule", "pattern")
+    val urls = Seq(
+      "a.test/x?sid=1",        // disallowed by /*?sid=
+      "a.test/pub/x?sid=1",    // allowed: /pub/*?sid= (len 11) wins
+      "a.test/x?id=1",         // no match
+      "b.test/a/x.html",       // disallowed (anchored)
+      "b.test/a/x.html?q=1",   // NOT disallowed: $ anchor fails past .html
+      "c.test/p/12",           // allowed: ends with 2
+      "c.test/p/13",           // disallowed by /p/
+      "c.test/q/13",           // no match
+    ).toDF("url_canon")
+    val kept = UrlFrontier.applyRobots(urls, "url_canon", rules)
+      .as[String].collect().toSet
+    assert(kept == Set("a.test/pub/x?sid=1", "a.test/x?id=1",
+      "b.test/a/x.html?q=1", "c.test/p/12", "c.test/q/13"), kept)
   }
 
   test("runWave honors robots: disallowed URLs never fetch, never enter seen, and heal on rule change") {

@@ -25,7 +25,7 @@ cd "$(dirname "$0")/.."
 SF10="${SF10:-/tmp/sf10}"
 OUT="${OUT:-/tmp/verify_sf10}"
 CPUS="${CPUS:-32}"
-FAMILY=${FAMILY:-q_dedup_exact,q_dedup_minhash,q_dedup_pipeline,q_dedup_clusters,q_dedup_incremental,q_substring_dedup,q_line_dedup,q_url_dedup,q_url_frontier,q_url_frontier_polite,q_url_frontier_gap,q_url_frontier_robots,q_semantic_dedup,q_cluster_sample,q_ann_cosine,q_ann_lsh,q_ann_ivf,q_ann_ivfpq,q_embed_ann,q_stream_dedup_corpus,q_stream_url_dedup,q_warc_pipeline,q_stream_warc,q_token_budget,q_tokens_bpe}
+FAMILY=${FAMILY:-q_dedup_exact,q_dedup_minhash,q_dedup_pipeline,q_dedup_clusters,q_dedup_incremental,q_substring_dedup,q_line_dedup,q_url_dedup,q_url_frontier,q_url_frontier_polite,q_url_frontier_gap,q_url_frontier_robots,q_url_frontier_robots_wild,q_semantic_dedup,q_cluster_sample,q_ann_cosine,q_ann_lsh,q_ann_ivf,q_ann_ivfpq,q_embed_ann,q_stream_dedup_corpus,q_stream_url_dedup,q_warc_pipeline,q_stream_warc,q_token_budget,q_tokens_bpe}
 
 if [ ! -d "$SF10/documents.parquet" ]; then
   echo "[scale_gate_sf10] tiling sf0.1 x100 -> $SF10"
