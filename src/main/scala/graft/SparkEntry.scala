@@ -3561,6 +3561,82 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // POST-shaped REST endpoint (dlt rest_api's `method`/`json` dialect
+    // keys): the same documents as q_rest_pipeline served as a search
+    // API — query params ride the URL, the `json` template is the body,
+    // and the CURSOR paginator advances IN THE BODY (dlt's
+    // cursor-in-body shape for POST), so every page after the first is
+    // the template plus exactly the cursor key. Driven end-to-end from
+    // a config DOCUMENT through RestConfig.fromJson, and the result
+    // must hash-match q_rest_pipeline's oracle — same rows through a
+    // different protocol
+    "q_rest_post" -> ((s, dir) => {
+      import graft.connectors.rest.{RestConfig, RestEngine, StaticPagesTransport}
+      import RestEngine._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      val pageSize = 25
+      def item(r: org.apache.spark.sql.Row) =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      val template = """{"kind":"doc","limit":25}"""
+      def bodyFor(cursor: Option[String]) =
+        cursor.fold(template)(c => template.dropRight(1) + s""","cursor":"$c"}""")
+      val chunks = docs.toSeq.grouped(pageSize).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        val next = if (i + 1 < chunks.size) s""""c${i + 2}"""" else "null"
+        s"POST docs/search?v=1#${bodyFor(if (i == 0) None else Some(s"c${i + 1}"))}" ->
+          s"""{"data":[${chunk.map(item).mkString(",")}],"meta":{"next":$next}}"""
+      }.toMap
+      val src = RestConfig.fromJson(
+        """{"name": "fixture", "client": {"base_url": "https://fixture.test"},
+           "resources": [{"name": "docs", "endpoint": {
+             "path": "docs/search", "method": "POST", "params": {"v": "1"},
+             "json": {"kind": "doc", "limit": 25}, "data_selector": "data",
+             "paginator": {"type": "cursor", "cursor_path": "meta.next",
+                           "cursor_param": "cursor"}}}]}""")
+      val items = fetchPages(src.client, src.resources.head.endpoint,
+        StaticPagesTransport(pages))
+      jsonToDf(s, items)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // processing_steps (dlt rest_api's per-resource map/filter hooks,
+    // JSON-expressible subset): a config-level filter keeps only the
+    // longer documents and a drop_fields map strips a planted `secret`
+    // column BEFORE rows land — the landed frame proves both (the
+    // filter changes the row set, the drop changes the schema, either
+    // regression breaks the hash). Pagination is undisturbed: the
+    // filter drops items from full pages, yet every server page is
+    // still fetched
+    "q_rest_steps" -> ((s, dir) => {
+      import graft.connectors.rest.{RestConfig, RestEngine, StaticPagesTransport}
+      import RestEngine._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()
+      val pageSize = 25
+      def item(r: org.apache.spark.sql.Row) =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)},"secret":"s${r.getLong(0)}"}"""
+      val chunks = docs.toSeq.grouped(pageSize).toSeq
+      val pages = chunks.zipWithIndex.map { case (chunk, i) =>
+        s"docs?limit=$pageSize&offset=${i * pageSize}" -> s"""{"data":[${chunk.map(item).mkString(",")}]}"""
+      }.toMap + (s"docs?limit=$pageSize&offset=${chunks.size * pageSize}" -> """{"data":[]}""")
+      val src = RestConfig.fromJson(
+        """{"name": "fixture", "client": {"base_url": "https://fixture.test"},
+           "resources": [{"name": "docs",
+             "endpoint": {"path": "docs", "data_selector": "data",
+               "paginator": {"type": "offset", "limit": 25}},
+             "processing_steps": [
+               {"filter": {"field": "n_chars", "gt": 150}},
+               {"map": {"drop_fields": ["secret"]}}]}]}""")
+      val items = fetchPages(src.client, src.resources.head.endpoint,
+        StaticPagesTransport(pages))
+      val df = jsonToDf(s, items)
+      require(!df.columns.contains("secret"), "drop_fields must strip the planted column")
+      df.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     // pipeline driver: two incremental merge runs (split on ts) produce
     // exactly the full deduplicated table; cursor prunes the re-run
     "q_pipeline_incremental" -> ((s, dir) => {
@@ -6543,6 +6619,17 @@ object SparkEntry {
     "q_rest_pipeline" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    // same rows as q_rest_pipeline through the POST + cursor-in-body
+    // protocol — the oracle is deliberately identical
+    "q_rest_post" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    // the config-level filter replayed in SQL; the dropped `secret`
+    // column never existed in the oracle's source, so its survival on
+    // the Spark side would break the schema hash
+    "q_rest_steps" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 100 AND n_chars > 150 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_rest_parallel" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

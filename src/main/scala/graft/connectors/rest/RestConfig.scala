@@ -98,15 +98,27 @@ object RestConfig {
       strMap(de, "params", "resource_defaults endpoint")
       Option(de.get("response_actions")).foreach(
         parseResponseActions(_, "resource_defaults endpoint"))
+      Option(de.get("json")).filterNot(_.isObject).foreach(_ =>
+        fail("resource_defaults endpoint 'json' must be a JSON object"))
     }
+    defaults.flatMap(d => Option(d.get("processing_steps"))).foreach(
+      parseProcessingSteps(_, "resource_defaults"))
     val resourcesNode = req(root, "resources", "config root")
     require(resourcesNode.isArray, "config 'resources' must be an array")
     // parse EVERY resource (a typo in a deselected resource still fails
-    // loudly), then honor `selected: false` — dlt's per-resource opt-out
+    // loudly), then honor `selected: false` — dlt's per-resource opt-out.
+    // A non-boolean `selected` ("false" the string, 0, null) fails loudly
+    // like every other malformed key: silently loading a resource the
+    // user believed deselected is the exact failure strict keys exist for
     val parsed = resourcesNode.elements().asScala.toSeq
       .map(rn => rn -> parseResource(rn, defaults, clientPaginator))
     val resources = parsed.collect {
-      case (rn, r) if !rn.isObject || Option(rn.get("selected")).forall(s => !s.isBoolean || s.asBoolean) => r
+      case (rn, r) if !rn.isObject || (Option(rn.get("selected")) match {
+        case None => true
+        case Some(s) if s.isBoolean => s.asBoolean
+        case Some(s) => fail(s"resource '${r.name}' 'selected' must be a JSON boolean, " +
+          s"got ${s.getNodeType.toString.toLowerCase} ${s.toString.take(40)}")
+      }) => r
     }
     RestSource(
       name = str(root, "name").getOrElse("rest_api"),
@@ -243,12 +255,14 @@ object RestConfig {
     // a generator onto a thread pool, while graft's endpoint reads are
     // already partition-parallel (RestPagesV2.readMany plans one input
     // partition per endpoint, page-parallel under a total count).
-    "selected", "parallelized")
-  // `method` is allowed ONLY as an explicit "GET"/"get" (the default
-  // spelled out — a real dlt config shape); any other verb fails in
-  // parseResource with the pointed GET-only message
+    // `processing_steps` = the JSON-expressible filter/drop subset
+    // (RestEngine.ProcessingStep; callable-only steps fail loudly).
+    "selected", "parallelized", "processing_steps")
+  // `method` accepts GET (the default spelled out) and POST (body via the
+  // `json` key — dlt rest_api's POST-shaped endpoints); other verbs fail
+  // in parseResource with a pointed message
   private val EndpointKeys = Set("path", "params", "data_selector", "paginator",
-    "incremental", "max_pages", "response_actions", "method")
+    "incremental", "max_pages", "response_actions", "method", "json")
   private val IncrementalKeys = Set("cursor_path", "start_param", "initial_value",
     "end_param", "end_value", "newest_first", "lag_days", "lag")
 
@@ -344,15 +358,33 @@ object RestConfig {
       .orElse(defEp.flatMap(str(_, "data_selector")))
       .getOrElse("$")
 
-    epNode.flatMap(str(_, "method")).orElse(defEp.flatMap(str(_, "method"))).foreach { m =>
-      if (!m.equalsIgnoreCase("GET"))
-        fail(s"resource '$name' endpoint method '$m': the REST engine is GET-only " +
-          "(POST-shaped APIs are the GraphQL connector's territory)")
-    }
+    val method = epNode.flatMap(str(_, "method")).orElse(defEp.flatMap(str(_, "method")))
+      .map(_.toUpperCase).getOrElse("GET")
+    if (method != "GET" && method != "POST")
+      fail(s"resource '$name' endpoint method '$method': expected GET or POST " +
+        "(other verbs have no extract-and-load meaning in this dialect)")
+
+    // `json` = the POST body template, kept as raw object text (nested
+    // values pass through verbatim — coercing to strings would change
+    // the wire shape). Requires method POST: a GET with a body is a
+    // config contradiction, not a request to make.
+    val jsonBody = epNode.flatMap(e => Option(e.get("json")))
+      .orElse(defEp.flatMap(e => Option(e.get("json"))))
+      .map { b =>
+        if (!b.isObject) fail(s"resource '$name' endpoint 'json' must be a JSON object")
+        if (method != "POST")
+          fail(s"resource '$name' endpoint has a 'json' body but method " +
+            s"$method — request bodies require 'method': 'POST'")
+        b.toString
+      }
 
     val responseActions = epNode.flatMap(e => Option(e.get("response_actions")))
       .orElse(defEp.flatMap(e => Option(e.get("response_actions"))))
       .map(parseResponseActions(_, s"resource '$name'")).getOrElse(Nil)
+
+    val processingSteps = Option(node.get("processing_steps"))
+      .orElse(defaults.flatMap(d => Option(d.get("processing_steps"))))
+      .map(parseProcessingSteps(_, s"resource '$name'")).getOrElse(Nil)
 
     val endpoint = EndpointConfig(
       path = path,
@@ -363,6 +395,9 @@ object RestConfig {
       parent = parent,
       maxPages = int2(epNode, "max_pages").orElse(int2(defEp, "max_pages")).getOrElse(10000),
       responseActions = responseActions,
+      method = method,
+      jsonBody = jsonBody,
+      processingSteps = processingSteps,
     )
 
     RestResource(name, endpoint, parseHints(name, node, defaults))
@@ -419,6 +454,57 @@ object RestConfig {
     }
   }
 
+  /** `processing_steps` array — the JSON-expressible subset of dlt's
+    * per-resource map/filter hooks (see [[RestEngine.ProcessingStep]]).
+    * Each step is `{"filter": {"field": p, <op>: v}}` or
+    * `{"map": {"drop_fields": [...]}}`; dlt's native steps are Python
+    * callables a JSON document cannot carry, so anything outside the
+    * declarative shapes fails loudly naming what is and isn't
+    * expressible.
+    */
+  private def parseProcessingSteps(n: JsonNode, where: String): Seq[ProcessingStep] = {
+    if (!n.isArray) fail(s"$where processing_steps must be an array")
+    n.elements().asScala.toSeq.map { s =>
+      val keys = if (s.isObject) s.fieldNames().asScala.toSeq else Nil
+      keys match {
+        case Seq("filter") =>
+          val f = s.get("filter")
+          if (!f.isObject) fail(s"$where processing_steps filter must be an object " +
+            "(dlt's callable filters cannot ride a JSON config; use " +
+            s"{'field': <path>, <op>: <value>} with ops ${ProcessingStep.FilterOps.toSeq.sorted.mkString("/")})")
+          checkKeys(f, s"$where processing_steps filter",
+            ProcessingStep.FilterOps + "field")
+          val field = reqStr(f, "field", s"$where processing_steps filter")
+          val ops = ProcessingStep.FilterOps.toSeq.sorted.flatMap(op =>
+            Option(f.get(op)).map(op -> _))
+          ops match {
+            case Seq(("not_null", v)) =>
+              if (!v.isBoolean || !v.asBoolean)
+                fail(s"$where processing_steps filter not_null must be true")
+              ProcessingStep.Filter(field, "not_null", None)
+            case Seq((op, v)) =>
+              if (v.isContainerNode)
+                fail(s"$where processing_steps filter '$op' value must be a scalar")
+              ProcessingStep.Filter(field, op, Some(if (v.isTextual) v.asText() else v.toString))
+            case Seq() => fail(s"$where processing_steps filter needs exactly one op " +
+              s"(${ProcessingStep.FilterOps.toSeq.sorted.mkString(", ")})")
+            case many => fail(s"$where processing_steps filter has multiple ops " +
+              s"(${many.map(_._1).mkString(", ")}); declare one step per predicate")
+          }
+        case Seq("map") =>
+          val m = s.get("map")
+          if (!m.isObject || m.fieldNames().asScala.toSeq != Seq("drop_fields"))
+            fail(s"$where processing_steps map supports only {'drop_fields': [...]} — " +
+              "dlt's map steps are Python callables a JSON config cannot carry; " +
+              "apply DataFrame transforms on the returned frame instead")
+          ProcessingStep.DropFields(strList(m.get("drop_fields")))
+        case other =>
+          fail(s"$where processing_steps entry must be {'filter': ...} or {'map': ...}" +
+            (if (other.nonEmpty) s", got keys ${other.mkString("'", "', '", "'")}" else ""))
+      }
+    }
+  }
+
   private def parseDisposition(s: String): Disposition = s match {
     case "append"  => Disposition.Append
     case "replace" => Disposition.Replace
@@ -438,11 +524,8 @@ object RestConfig {
     * anonymous unknown-key error.
     */
   private val KnownUnsupported: Map[String, String] = Map(
-    "method" -> "the REST engine is GET-only (POST-shaped APIs are the GraphQL connector's territory)",
-    "json" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
-    "data" -> "request bodies imply a POST endpoint, which the REST engine does not implement",
-    "processing_steps" -> ("map/filter steps are not implemented; apply DataFrame transforms " +
-      "on the returned frame instead"),
+    "data" -> ("form-encoded request bodies are not implemented; POST endpoints " +
+      "carry a JSON body via the 'json' key"),
   )
 
   /** Strict-key validation: any key outside `allowed` fails loudly naming

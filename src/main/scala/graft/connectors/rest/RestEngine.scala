@@ -199,6 +199,69 @@ object RestEngine {
       statusCode.forall(_ == r.status) && contentSubstring.forall(r.body.contains)
   }
 
+  /** dlt rest_api `processing_steps`, the JSON-expressible subset. dlt's
+    * native steps are Python callables (`add_filter`/`add_map` lambdas),
+    * which a config DOCUMENT cannot carry — same boundary as
+    * [[ResponseAction]] — so graft implements the declaratively
+    * expressible shapes and the loader rejects anything else loudly:
+    *
+    *  - `{"filter": {"field": p, <op>: v}}` keeps items whose field at
+    *    JSONPath `p` satisfies the predicate; ops: `eq`, `ne`,
+    *    `contains`, `gt`, `lt`, `ge`, `le` (numeric compare when both
+    *    sides are numbers, else string compare), `not_null: true`. A
+    *    missing or JSON-null field fails every predicate — a filter on
+    *    an absent field drops the item rather than guessing.
+    *  - `{"map": {"drop_fields": [f, ...]}}` removes the named
+    *    top-level fields from each item (the declarative map shape;
+    *    arbitrary rewrites stay DataFrame transforms downstream).
+    *
+    * Steps run in declared order, on extracted items only — pagination
+    * decisions (short page, cursor advance, newest-first stop) always
+    * see the SERVER's items, so a filter can never starve the page loop
+    * into early termination or an infinite chain.
+    */
+  sealed trait ProcessingStep extends Serializable
+  object ProcessingStep {
+    final case class Filter(fieldPath: String, op: String, value: Option[String])
+        extends ProcessingStep {
+      require(FilterOps.contains(op), s"unknown filter op '$op'")
+      require(op == "not_null" || value.nonEmpty, s"filter op '$op' needs a value")
+    }
+    final case class DropFields(fields: Seq[String]) extends ProcessingStep
+    val FilterOps: Set[String] = Set("eq", "ne", "contains", "gt", "lt", "ge", "le", "not_null")
+
+    private def cmp(node: JsonNode, v: String): Int =
+      if (node.isNumber && v.toDoubleOption.isDefined)
+        java.lang.Double.compare(node.asDouble(), v.toDouble)
+      else node.asText().compareTo(v)
+
+    private[rest] def keeps(f: Filter, item: JsonNode): Boolean =
+      Json.select(item, f.fieldPath).headOption.filter(!_.isNull) match {
+        case None => false // missing/null fails every predicate
+        case Some(node) => f.op match {
+          case "not_null" => true
+          case "eq"       => cmp(node, f.value.get) == 0
+          case "ne"       => cmp(node, f.value.get) != 0
+          case "contains" => node.asText().contains(f.value.get)
+          case "gt"       => cmp(node, f.value.get) > 0
+          case "lt"       => cmp(node, f.value.get) < 0
+          case "ge"       => cmp(node, f.value.get) >= 0
+          case "le"       => cmp(node, f.value.get) <= 0
+        }
+      }
+
+    /** Run the steps over extracted items, in declared order. */
+    def run(steps: Seq[ProcessingStep], items: Seq[JsonNode]): Seq[JsonNode] =
+      steps.foldLeft(items) {
+        case (it, f: Filter) => it.filter(keeps(f, _))
+        case (it, DropFields(fields)) => it.map {
+          case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+            fields.foreach(obj.remove); obj
+          case other => other
+        }
+      }
+  }
+
   final case class EndpointConfig(
       path: String, // may contain {field} placeholders when parent-bound
       params: Map[String, String] = Map.empty,
@@ -208,7 +271,29 @@ object RestEngine {
       parent: Option[ParentBinding] = None,
       maxPages: Int = 10000,
       responseActions: Seq[ResponseAction] = Nil,
-  )
+      /** "GET" (default) or "POST" — dlt rest_api's POST-shaped
+        * endpoints (dialect anchor: the `method`/`json` endpoint keys,
+        * sources/pipedrive/rest_v2/__init__.py:138-168 documents the
+        * endpoint dict this mirrors). Query `params` stay query params
+        * either way (requests-library semantics dlt inherits); the JSON
+        * body rides [[jsonBody]].
+        */
+      method: String = "GET",
+      /** Raw JSON object text of the config's `json` key — the POST
+        * request body template. A [[Paginator.Cursor]] on a POST
+        * endpoint advances IN THE BODY (dlt's cursor paginator puts the
+        * cursor in the JSON body for POST requests), merged over this
+        * template per page; other paginators keep advancing in query
+        * params exactly like dlt's offset/page_number paginators.
+        */
+      jsonBody: Option[String] = None,
+      processingSteps: Seq[ProcessingStep] = Nil,
+  ) {
+    require(method == "GET" || method == "POST",
+      s"endpoint method '$method' (expected GET or POST)")
+    require(jsonBody.isEmpty || method == "POST",
+      "a json request body requires method POST")
+  }
 
   final case class ClientConfig(
       baseUrl: String,
@@ -273,30 +358,51 @@ object RestEngine {
     var page = 0
     var done = false
     var url = url0
+    val isPost = endpoint.method == "POST"
+    // POST body: the config's `json` template, with a cursor paginator's
+    // advancing value merged in per page (dlt's cursor-in-body shape for
+    // POST endpoints); query params stay query params either way
+    var bodyCursor: Option[(String, String)] = None
+    def currentBody(): String = {
+      val base = endpoint.jsonBody.map(Json.parse) match {
+        case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+        case Some(other) => throw new IllegalArgumentException(
+          s"endpoint json body must be a JSON object, got: ${other.toString.take(100)}")
+        case None => Json.mapper.createObjectNode()
+      }
+      bodyCursor.foreach { case (k, v) => base.put(k, v) }
+      base.toString
+    }
+    def issue(rp: Map[String, String], rh: Map[String, String]): HttpResponse =
+      if (isPost) transport.post(appendQuery(url, rp), currentBody(), rh)
+      else transport.get(url, rp, rh)
     // effective paginator: Auto resolves against the first response
     var pag: Paginator = endpoint.paginator
     // Seed the limit/size (and offset) params on the FIRST request too —
     // if the server's default page size differs from the configured one,
     // the short-page check would otherwise terminate after page 1 (silent
     // data loss) or the offset stride would mismatch (dupes/gaps). The
-    // reference does the same (zendesk talk_api.py:83-89).
+    // reference does the same (zendesk talk_api.py:83-89). A POST
+    // endpoint's cursor paginator is body-driven: the `json` template
+    // carries the page size, so nothing seeds (dlt's cursor paginator
+    // touches only the cursor, and only from page 2).
     var pageParams: Map[String, String] = endpoint.paginator match {
       case p: Paginator.Offset =>
         baseParams + (p.offsetParam -> "0") + (p.limitParam -> p.pageSize.toString)
-      case p: Paginator.PageNumber => baseParams + (p.sizeParam -> p.pageSize.toString)
-      case p: Paginator.Cursor     => baseParams + (p.sizeParam -> p.pageSize.toString)
-      case _                       => baseParams
+      case p: Paginator.PageNumber          => baseParams + (p.sizeParam -> p.pageSize.toString)
+      case p: Paginator.Cursor if !isPost   => baseParams + (p.sizeParam -> p.pageSize.toString)
+      case _                                => baseParams
     }
 
     while (!done && page < endpoint.maxPages) {
-      val first = { val (rp, rh) = authed(url, pageParams); transport.get(url, rp, rh) }
+      val first = { val (rp, rh) = authed(url, pageParams); issue(rp, rh) }
       val resp = client.auth match {
         case Some(o: Auth.OAuth2) if first.status == 401 =>
           // expired-early or revoked access token: force a refresh and
           // retry ONCE with a freshly minted token
           o.invalidate()
           val (rp, rh) = authed(url, pageParams)
-          transport.get(url, rp, rh)
+          issue(rp, rh)
         case _ => first
       }
       // response_actions (dlt rest_api): a matching `ignore` rule treats
@@ -307,10 +413,14 @@ object RestEngine {
       // the chain quietly; an unmatched error still fails loudly.
       if (endpoint.responseActions.exists(_.matches(resp))) return out.toSeq
       if (resp.status < 200 || resp.status >= 300)
-        throw new RuntimeException(s"GET $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
+        throw new RuntimeException(
+          s"${endpoint.method} $url -> HTTP ${resp.status}: ${resp.body.take(500)}")
       val root = Json.parse(resp.body)
+      // pagination below always sees the SERVER's items; processing
+      // steps shape only the output (a filter must never look like a
+      // short page or an empty chain to the paginator)
       val items = Json.items(root, endpoint.dataSelector)
-      out ++= items.map(_.toString)
+      out ++= ProcessingStep.run(endpoint.processingSteps, items).map(_.toString)
       page += 1
       if (items.nonEmpty && pageStop(items)) done = true
 
@@ -324,23 +434,49 @@ object RestEngine {
         case _ if done        => ()
         case Paginator.Single => done = true
         case p: Paginator.Offset =>
+          // When the response names a total (configured, or the very
+          // evidence Auto detection selected offset on), it BOUNDS the
+          // chain: a server that ignores offset/limit params returns the
+          // identical full page forever (never short), and without the
+          // bound the loop would append duplicates until maxPages —
+          // silently corrupted output instead of a clean stop.
+          val total = p.totalPath.flatMap(tp =>
+            Json.select(root, tp).headOption.filter(_.isNumber).map(_.asLong()))
           if (items.size < p.pageSize) done = true
+          else if (total.exists(t => page.toLong * p.pageSize >= t)) done = true
           else pageParams = pageParams ++
             Map(p.offsetParam -> (page * p.pageSize).toString, p.limitParam -> p.pageSize.toString)
         case p: Paginator.PageNumber =>
+          val total = p.totalPath.flatMap(tp =>
+            Json.select(root, tp).headOption.filter(_.isNumber).map(_.asLong()))
           if (items.size < p.pageSize) done = true
+          else if (total.exists(t => page.toLong * p.pageSize >= t)) done = true
           else pageParams = pageParams ++
             Map(p.pageParam -> (page + 1).toString, p.sizeParam -> p.pageSize.toString)
         case p: Paginator.Cursor =>
           Json.selectString(root, p.cursorPath) match {
             case Some(cur) if items.nonEmpty =>
-              pageParams = pageParams ++ Map(p.cursorParam -> cur, p.sizeParam -> p.pageSize.toString)
+              // POST endpoints advance the cursor IN THE BODY (dlt's
+              // cursor-in-body shape); GET endpoints echo it as a param
+              if (isPost) bodyCursor = Some(p.cursorParam -> cur)
+              else pageParams = pageParams ++
+                Map(p.cursorParam -> cur, p.sizeParam -> p.pageSize.toString)
             case _ => done = true
           }
         case p: Paginator.NextUrl =>
           Json.selectString(root, p.nextUrlPath) match {
             case Some(next) if next.nonEmpty =>
-              url = next
+              // relative body links ('/v2/items?page=2' — a common API
+              // shape) resolve against the current request URL like a
+              // HeaderLink hop; absolute ones pass through. Unresolvable
+              // targets name the link and the base instead of a bare
+              // URISyntaxException with no protocol context.
+              url = try new java.net.URI(url).resolve(next).toString
+                catch {
+                  case e: Exception => throw new RuntimeException(
+                    s"json_link: cannot resolve next-page link '$next' (at body path " +
+                      s"'${p.nextUrlPath}') against '$url' (is the target URL-encoded?): ${e.getMessage}", e)
+                }
               pageParams = Map.empty // next-url carries its own query
             case _ => done = true
           }
@@ -381,6 +517,20 @@ object RestEngine {
 
   private def interpolate(path: String, vars: Map[String, String]): String =
     vars.foldLeft(path) { case (p, (k, v)) => p.replace(s"{$k}", v) }
+
+  /** Query params appended to a URL for POST requests (GET transports
+    * encode internally; POST bodies ride separately from the query, so
+    * the engine pre-builds the full URL the same way the stock
+    * transport's GET does).
+    */
+  private def appendQuery(url: String, params: Map[String, String]): String =
+    if (params.isEmpty) url
+    else {
+      val q = params.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+      if (url.contains("?")) s"$url&$q" else s"$url?$q"
+    }
 
   // ------------------------------------------------------------- readers
 
@@ -458,7 +608,8 @@ object RestEngine {
       case o: Paginator.Offset     => o.totalPath.isDefined
       case p: Paginator.PageNumber => p.totalPath.isDefined
       case _                       => false
-    }) && !resource.endpoint.incremental.exists(_.newestFirst) && resource.endpoint.parent.isEmpty
+    }) && !resource.endpoint.incremental.exists(_.newestFirst) &&
+      resource.endpoint.parent.isEmpty && resource.endpoint.method == "GET"
     if (!splittable) return readResource(spark, source, resource, transportFactory(), state)
 
     val stateKey = s"${source.name}.${resource.name}.cursor"

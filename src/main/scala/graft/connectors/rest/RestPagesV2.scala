@@ -272,7 +272,8 @@ final case class RestPagesScan(key: String) extends Scan with Batch {
         val body = RestPagesV2.fetchBody(p.client, transport, url,
           RestPagesV2.pageParams(p.endpoint, p.extraParams, 0L))
         val root = Json.parse(body)
-        val page0 = Json.items(root, p.endpoint.dataSelector).map(_.toString)
+        val page0 = RestEngine.ProcessingStep.run(p.endpoint.processingSteps,
+          Json.items(root, p.endpoint.dataSelector)).map(_.toString)
         Json.selectString(root, tp).flatMap(_.toLongOption) match {
           case None => // no total in the body after all: finish serially
             Array(RestSerialPartition)
@@ -318,7 +319,8 @@ final case class RestPagesReaderFactory(endpoints: Seq[RestPagesV2.PlannedPages]
         val url = RestPagesV2.rootUrl(planned.client, planned.endpoint)
         val body = RestPagesV2.fetchBody(planned.client, transport, url,
           RestPagesV2.pageParams(planned.endpoint, planned.extraParams, i))
-        Json.items(Json.parse(body), planned.endpoint.dataSelector).map(_.toString).iterator
+        RestEngine.ProcessingStep.run(planned.endpoint.processingSteps,
+          Json.items(Json.parse(body), planned.endpoint.dataSelector)).map(_.toString).iterator
       case RestSerialPartition =>
         RestEngine.fetchPages(planned.client, planned.endpoint, planned.transportFactory(),
           planned.extraParams).iterator

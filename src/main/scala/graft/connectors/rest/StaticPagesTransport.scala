@@ -12,6 +12,23 @@ package graft.connectors.rest
   */
 final case class StaticPagesTransport(pages: Map[String, String],
     headers: Map[String, Map[String, String]] = Map.empty) extends HttpTransport {
+
+  /** POST fixtures key on `POST <path-with-query>#<body>` — the engine
+    * pre-appends query params to the URL for POST, and the body is part
+    * of the request identity (cursor-in-body pagination differs only by
+    * body between pages). Strict: no fallback, a missing key 404s.
+    */
+  override def post(url: String, body: String, headers0: Map[String, String]): HttpResponse = {
+    val path = url.replaceFirst("^https?://[^/]+/", "")
+    val key = s"POST $path#$body"
+    pages.get(key) match {
+      case Some(b) =>
+        HttpResponse(200, b,
+          headers.getOrElse(key, Map.empty).map { case (hk, hv) => hk.toLowerCase -> hv })
+      case None => HttpResponse(404, s"""{"error":"no page for $key"}""")
+    }
+  }
+
   override def get(url: String, params: Map[String, String], headers0: Map[String, String]): HttpResponse = {
     val path = url.replaceFirst("^https?://[^/]+/", "")
     val key = path + "?" + params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")

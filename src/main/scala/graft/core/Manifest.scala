@@ -45,17 +45,32 @@ final class TableManifest(spark: SparkSession, root: String) {
 
   private val state = new StateStore(java.nio.file.Paths.get(localRoot, "_manifest.json"))
 
+  /** Every touch of the SHARED StateStore serializes on this monitor —
+    * two in-flight [[Publish]] objects from one TableManifest instance
+    * share `state`, and without the monitor publish B's lease-time
+    * `rollback()` could interleave publish A's commit overlay (rollback +
+    * putList + commit run under the `_manifest` FILE lock, but that lock
+    * only excludes other processes' stores, not this JVM object's other
+    * users), wiping A's staged lists before A writes them. The monitor
+    * holds for microseconds (map reads, one JSON read/write); lock order
+    * is always TableLock -> stateLock, never the reverse, so it cannot
+    * deadlock against the file leases.
+    */
+  private val stateLock = new Object
+
   /** Tables with a committed generation list. */
-  def tables: Seq[String] = state.keys.filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix))
+  def tables: Seq[String] = stateLock.synchronized {
+    state.keys.filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix))
+  }
 
   /** Committed generation dirs of one table (empty = table unknown). */
-  def gens(name: String): Seq[String] = state.getList(Prefix + name)
+  def gens(name: String): Seq[String] = stateLock.synchronized(state.getList(Prefix + name))
 
   /** Committed per-generation row counts, aligned with [[gens]]; None =
     * unknown (a pre-counts manifest) — callers fall back to footer reads.
     */
   private def committedCounts(name: String): Option[Seq[Long]] = {
-    val c = state.getList(CountsPrefix + name)
+    val c = stateLock.synchronized(state.getList(CountsPrefix + name))
     if (c.nonEmpty && c.size == gens(name).size && c.forall(s => s.nonEmpty && s.forall(_.isDigit)))
       Some(c.map(_.toLong))
     else None
@@ -146,7 +161,7 @@ final class TableManifest(spark: SparkSession, root: String) {
         renewer.setDaemon(true)
         renewer.start()
       }
-      state.rollback()
+      stateLock.synchronized(state.rollback())
       sweepTable(name)
     }
 
@@ -274,12 +289,14 @@ final class TableManifest(spark: SparkSession, root: String) {
       require(!committed, "publish already committed")
       TableLock.withLock(spark, s"$localRoot/_manifest",
         s"manifest-commit:$owner", waitMs = 60000L) {
-        state.rollback()
-        pending.foreach { case (name, list) => state.putList(Prefix + name, list) }
-        pendingCounts.foreach { case (name, cs) =>
-          state.putList(CountsPrefix + name, cs.map(_.toString))
+        stateLock.synchronized {
+          state.rollback()
+          pending.foreach { case (name, list) => state.putList(Prefix + name, list) }
+          pendingCounts.foreach { case (name, cs) =>
+            state.putList(CountsPrefix + name, cs.map(_.toString))
+          }
+          state.commit()
         }
-        state.commit()
       }
       committed = true
       releaseAll()
@@ -296,7 +313,7 @@ final class TableManifest(spark: SparkSession, root: String) {
     * keeps [[Publish]] helpers honest between those points.)
     */
   def publish(): Publish = {
-    state.rollback()
+    stateLock.synchronized(state.rollback())
     new Publish(java.util.UUID.randomUUID().toString.take(8))
   }
 }

@@ -406,4 +406,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!exclusionPlan.contains("CartesianProduct"),
       s"gap exclusion must never go all-pairs:\n${exclusionPlan.take(1500)}")
   }
+
+  test("wildcard robots verdict stays a host equi-join with the codegen glob predicate — no cartesian, no regex") {
+    // the rule table is bounded per host and the match predicate must
+    // ride the equi-join's OUTPUT as the native robots_match expression
+    // (a regex/LIKE fallback on a non-foldable pattern column would
+    // recompile per row at corpus scale; a non-equi join condition
+    // would degrade to BroadcastNestedLoop)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rules = Seq(
+      ("h0.test", "disallow", "/*?sid="),
+      ("h0.test", "allow", "/pub/*?sid="),
+      ("h1.test", "disallow", "/p/*0$"),
+    ).toDF("host", "rule", "pattern")
+    val urls = (0 until 40).map(i => s"h${i % 4}.test/p/$i?sid=$i").toDF("url_canon")
+    val kept = graft.ops.UrlFrontier.applyRobots(urls, "url_canon", rules)
+    kept.collect() // finalize AQE before reading the plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("robots_match"),
+      s"verdict must evaluate the native robots_match predicate:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"robots verdict must stay an equi-join:\n${plan.take(2000)}")
+    // host extraction legitimately uses one anchored regexp_extract; the
+    // PATTERN match itself must never ride RLike/LIKE (non-foldable
+    // pattern columns recompile per row)
+    assert(!plan.toLowerCase.contains("rlike") && !plan.contains(" LIKE "),
+      s"pattern matching must not ride regex/LIKE machinery:\n${plan.take(2000)}")
+    assert(plan.contains("LeftAnti"),
+      s"disallowed URLs drop via anti-join:\n${plan.take(2000)}")
+  }
 }

@@ -179,28 +179,87 @@ class RestConfigSpec extends SparkTestBase {
                      "endpoint": {"path": "off", "paginater": "single_page"}}]}"""
     val e = intercept[IllegalArgumentException](RestConfig.fromJson(typo))
     assert(e.getMessage.contains("paginater"))
+    // a non-boolean `selected` fails loudly: "false" the STRING would
+    // otherwise silently load a resource the user believed deselected
+    val strSel = """{"client": {"base_url": "https://x"},
+                     "resources": [{"name": "off", "endpoint": {"path": "off"},
+                       "selected": "false"}]}"""
+    val se = intercept[IllegalArgumentException](RestConfig.fromJson(strSel))
+    assert(se.getMessage.contains("'selected' must be a JSON boolean"), se.getMessage)
   }
 
-  test("recognized-but-unsupported dlt keys fail with a pointed message") {
+  test("method POST + json body parse; other verbs and contradictions fail pointedly") {
     def err(cfg: String): String =
       intercept[IllegalArgumentException](RestConfig.fromJson(cfg)).getMessage
-    // explicit GET (the default spelled out) is accepted; any other verb
-    // fails with the pointed GET-only message
+    // explicit GET (the default spelled out) is accepted
     assert(RestConfig.fromJson("""{"client": {"base_url": "https://x"},
       "resources": [{"name": "r", "endpoint": {"path": "r", "method": "GET"}}]}""")
-      .resources.head.endpoint.path == "r")
+      .resources.head.endpoint.method == "GET")
+    // POST with a json body template parses; the body keeps raw JSON
+    // (nested values and numbers stay typed, not string-coerced)
+    val post = RestConfig.fromJson("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "search", "method": "post",
+        "json": {"query": {"kind": "doc"}, "limit": 50},
+        "paginator": {"type": "cursor", "cursor_path": "meta.next", "cursor_param": "cursor"}}}]}""")
+    val ep = post.resources.head.endpoint
+    assert(ep.method == "POST")
+    assert(ep.jsonBody.contains("""{"query":{"kind":"doc"},"limit":50}"""))
+    // other verbs fail with a pointed message
     val m = err("""{"client": {"base_url": "https://x"},
-                    "resources": [{"name": "r", "endpoint": {"path": "r", "method": "POST"}}]}""")
-    assert(m.contains("method 'POST'") && m.contains("GET-only"), m)
-    val ps = err("""{"client": {"base_url": "https://x"},
-                     "resources": [{"name": "r", "endpoint": {"path": "r"},
-                       "processing_steps": []}]}""")
-    assert(ps.contains("processing_steps") && ps.contains("DataFrame"), ps)
-    // mixed: the alien typo AND a recognized key both appear in one error
+                    "resources": [{"name": "r", "endpoint": {"path": "r", "method": "DELETE"}}]}""")
+    assert(m.contains("method 'DELETE'") && m.contains("GET or POST"), m)
+    // a json body on a GET endpoint is a contradiction, not a request
+    val g = err("""{"client": {"base_url": "https://x"},
+                    "resources": [{"name": "r", "endpoint": {"path": "r", "json": {"a": 1}}}]}""")
+    assert(g.contains("require 'method': 'POST'"), g)
+    // `data` (form bodies) stays recognized-but-unsupported with a reason
+    val d = err("""{"client": {"base_url": "https://x"},
+                    "resources": [{"name": "r", "endpoint": {"path": "r", "data": {"a": 1}}}]}""")
+    assert(d.contains("data") && d.contains("form-encoded"), d)
+    // alien typo still fails naming the key
     val mix = err("""{"client": {"base_url": "https://x"},
                       "resources": [{"name": "r",
-                        "endpoint": {"path": "r", "json": {}, "pth": "x"}}]}""")
-    assert(mix.contains("pth") && mix.contains("json"), mix)
+                        "endpoint": {"path": "r", "pth": "x"}}]}""")
+    assert(mix.contains("pth"), mix)
+  }
+
+  test("processing_steps: declarative filter/drop parse; callable-only shapes fail loudly") {
+    def err(cfg: String): String =
+      intercept[IllegalArgumentException](RestConfig.fromJson(cfg)).getMessage
+    val src = RestConfig.fromJson("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r"},
+        "processing_steps": [
+          {"filter": {"field": "status", "eq": "active"}},
+          {"filter": {"field": "meta.score", "gt": 10}},
+          {"filter": {"field": "id", "not_null": true}},
+          {"map": {"drop_fields": ["secret", "internal"]}}]}]}""")
+    assert(src.resources.head.endpoint.processingSteps == Seq(
+      ProcessingStep.Filter("status", "eq", Some("active")),
+      ProcessingStep.Filter("meta.score", "gt", Some("10")),
+      ProcessingStep.Filter("id", "not_null", None),
+      ProcessingStep.DropFields(Seq("secret", "internal"))))
+    // resource_defaults carry steps source-wide
+    val viaDefaults = RestConfig.fromJson("""{"client": {"base_url": "https://x"},
+      "resource_defaults": {"processing_steps": [{"filter": {"field": "ok", "eq": true}}]},
+      "resources": ["a"]}""")
+    assert(viaDefaults.resources.head.endpoint.processingSteps ==
+      Seq(ProcessingStep.Filter("ok", "eq", Some("true"))))
+    // a filter with zero or two ops is ambiguous, not guessable
+    assert(err("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r"},
+        "processing_steps": [{"filter": {"field": "x"}}]}]}""").contains("exactly one op"))
+    assert(err("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r"},
+        "processing_steps": [{"filter": {"field": "x", "eq": 1, "gt": 2}}]}]}""")
+      .contains("multiple ops"))
+    // map shapes beyond drop_fields are dlt callables — loud reject
+    assert(err("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r"},
+        "processing_steps": [{"map": {"rename": {"a": "b"}}}]}]}""").contains("drop_fields"))
+    // unknown step kinds name themselves
+    assert(err("""{"client": {"base_url": "https://x"},
+      "resources": [{"name": "r", "endpoint": {"path": "r"},
+        "processing_steps": [{"yield": "x"}]}]}""").contains("'yield'"))
   }
 
   test("response_actions parse: ignore rules, strict keys, non-ignore actions rejected") {

@@ -524,4 +524,128 @@ class RestEngineSpec extends SparkTestBase {
     assert(e.getMessage.contains("/items?q=a b|c"), e.getMessage)
     assert(e.getMessage.contains("URL-encoded"), e.getMessage)
   }
+
+  test("offset with a total stops at the total without requesting a trailing empty page") {
+    // the fixture has NO offset=4 page: requesting it would 404 and throw,
+    // so a green run proves the bound ended the chain
+    val t = new FakeTransport(Map(
+      "items?limit=2&offset=0" -> """{"data":[{"id":1},{"id":2}],"total":4}""",
+      "items?limit=2&offset=2" -> """{"data":[{"id":3},{"id":4}],"total":4}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 2, totalPath = Some("total")))
+    assert(fetchPages(client, ep, t).size == 4)
+    assert(t.calls.size == 2)
+  }
+
+  test("auto-detected offset is bounded by the total that selected it (offset-ignoring server)") {
+    // a server that ignores offset/limit returns the identical full page
+    // forever — never short. Detection picked offset BECAUSE a total was
+    // present; that same total must bound the chain (2 requests for
+    // total=4 at observed size 2), not maxPages' 10000 duplicate pages.
+    val page = """{"data":[{"id":1},{"id":2}],"total":4}"""
+    val t = new FakeTransport(Map(
+      "items" -> page,
+      "items?limit=2&offset=2" -> page, // same body: offset ignored
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.Auto)
+    val items = fetchPages(client, ep, t)
+    assert(t.calls.size == 2, t.calls)
+    assert(items.size == 4) // what the server actually returned for its claimed total
+  }
+
+  test("json_link resolves a RELATIVE body next-link against the current request URL") {
+    val t = new FakeTransport(Map(
+      "v2/items" -> """{"data":[{"id":1}],"next":"/v2/items?page=2"}""",
+      "v2/items?page=2" -> """{"data":[{"id":2}],"next":null}""",
+    ))
+    val ep = EndpointConfig("v2/items", dataSelector = "data",
+      paginator = Paginator.NextUrl("next"))
+    assert(fetchPages(client, ep, t).map(Json.parse(_).get("id").asInt()) == Seq(1, 2))
+    // auto detection accepts rooted next-links too — same resolution path
+    val t2 = new FakeTransport(Map(
+      "v2/items" -> """{"data":[{"id":1}],"next":"/v2/items?page=2"}""",
+      "v2/items?page=2" -> """{"data":[{"id":2}],"next":null}""",
+    ))
+    val epAuto = EndpointConfig("v2/items", dataSelector = "data", paginator = Paginator.Auto)
+    assert(fetchPages(client, epAuto, t2).map(Json.parse(_).get("id").asInt()) == Seq(1, 2))
+  }
+
+  test("json_link names the offending body link when the target cannot resolve") {
+    val t = new FakeTransport(Map(
+      "items" -> """{"data":[{"id":1}],"next":"/items?q=a b|c"}"""))
+    val ep = EndpointConfig("items", dataSelector = "data", paginator = Paginator.NextUrl("next"))
+    val e = intercept[RuntimeException](fetchPages(client, ep, t))
+    assert(e.getMessage.contains("json_link"), e.getMessage)
+    assert(e.getMessage.contains("/items?q=a b|c"), e.getMessage)
+  }
+
+  test("POST endpoint: cursor advances in the json body, params stay in the query") {
+    val posts = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val t = new HttpTransport {
+      override def get(url: String, params: Map[String, String],
+          headers: Map[String, String]): HttpResponse =
+        HttpResponse(500, "POST endpoint must not issue GETs")
+      override def post(url: String, body: String, headers: Map[String, String]): HttpResponse = {
+        posts += (url -> body)
+        val path = url.replaceFirst("^https?://[^/]+/", "")
+        (path, body) match {
+          case ("search?version=2", """{"query":"docs","limit":2}""") =>
+            HttpResponse(200, """{"data":[{"id":1},{"id":2}],"meta":{"next":"c2"}}""")
+          case ("search?version=2", """{"query":"docs","limit":2,"cursor":"c2"}""") =>
+            HttpResponse(200, """{"data":[{"id":3}],"meta":{"next":null}}""")
+          case _ => HttpResponse(404, s"""{"error":"no fixture for POST $path body=$body"}""")
+        }
+      }
+    }
+    val ep = EndpointConfig("search", params = Map("version" -> "2"),
+      dataSelector = "data", method = "POST",
+      jsonBody = Some("""{"query":"docs","limit":2}"""),
+      paginator = Paginator.Cursor(cursorPath = "meta.next", cursorParam = "cursor"))
+    val items = fetchPages(client, ep, t)
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 2, 3))
+    assert(posts.size == 2)
+    // page 1 sends the body template verbatim; page 2 merges ONLY the cursor
+    assert(posts.head._2 == """{"query":"docs","limit":2}""")
+    assert(posts.last._2 == """{"query":"docs","limit":2,"cursor":"c2"}""")
+    // query params rode the URL on both requests
+    assert(posts.forall(_._1.endsWith("search?version=2")), posts)
+  }
+
+  test("a json body on a GET endpoint is rejected at construction") {
+    val e = intercept[IllegalArgumentException](
+      EndpointConfig("items", jsonBody = Some("""{"a":1}""")))
+    assert(e.getMessage.contains("POST"), e.getMessage)
+  }
+
+  test("processing_steps filter and drop items without disturbing pagination") {
+    // page 2's items ALL fail the filter — the chain must still advance to
+    // page 3 (pagination sees the server's items, steps shape only output)
+    val t = new FakeTransport(Map(
+      "items?limit=2&offset=0" -> """{"data":[{"id":1,"s":"keep","x":9},{"id":2,"s":"drop","x":8}]}""",
+      "items?limit=2&offset=2" -> """{"data":[{"id":3,"s":"drop","x":7},{"id":4,"s":"drop","x":6}]}""",
+      "items?limit=2&offset=4" -> """{"data":[{"id":5,"s":"keep","x":5}]}""",
+    ))
+    val ep = EndpointConfig("items", dataSelector = "data",
+      paginator = Paginator.Offset(pageSize = 2),
+      processingSteps = Seq(
+        ProcessingStep.Filter("s", "eq", Some("keep")),
+        ProcessingStep.DropFields(Seq("x"))))
+    val items = fetchPages(client, ep, t)
+    assert(items.map(Json.parse(_).get("id").asInt()) == Seq(1, 5))
+    assert(items.forall(!_.contains("\"x\"")), items)
+  }
+
+  test("processing_steps predicates: numeric compare, contains, not_null, missing fails") {
+    import ProcessingStep._
+    def item(s: String) = Json.parse(s)
+    assert(keeps(Filter("n", "gt", Some("9")), item("""{"n":10}""")))
+    assert(!keeps(Filter("n", "gt", Some("9")), item("""{"n":"10"}"""))) // "10" < "9" as strings
+    assert(keeps(Filter("n", "le", Some("10")), item("""{"n":10}""")))
+    assert(keeps(Filter("s", "contains", Some("bc")), item("""{"s":"abcd"}""")))
+    assert(keeps(Filter("a.b", "eq", Some("x")), item("""{"a":{"b":"x"}}""")))
+    assert(keeps(Filter("s", "not_null", None), item("""{"s":""}""")))
+    assert(!keeps(Filter("s", "not_null", None), item("""{"s":null}""")))
+    assert(!keeps(Filter("missing", "ne", Some("v")), item("""{"s":1}"""))) // missing fails every op
+  }
 }

@@ -221,6 +221,39 @@ class ManifestCommitSpec extends SparkTestBase {
     assert(m.read("a").get.count() == 4 && m.read("b").get.count() == 5)
   }
 
+  test("two in-flight publishes from ONE TableManifest instance cannot wipe each other's commit") {
+    // the same-instance shape of the disjoint-tables race: both Publish
+    // objects share the instance's StateStore, so publish B's lease-time
+    // rollback() could interleave publish A's commit overlay (rollback +
+    // putList + commit) and wipe A's staged lists — the state monitor
+    // must serialize them. Threads force real overlap; several rounds
+    // give an unserialized interleaving room to reproduce.
+    val dest = tmpDir("mani-same-inst")
+    val m = new TableManifest(spark, dest)
+    (1 to 3).foreach { round =>
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      def run(table: String, n: Int): java.util.concurrent.Future[Unit] =
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val p = m.publish()
+            gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            p.land(rows(n, s"v$round"), TableHints(table, Disposition.Replace))
+            p.commit()
+          }
+        })
+      try {
+        val fa = run("a", 3)
+        val fb = run("b", 4)
+        fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdownNow()
+      assert(m.tables.toSet == Set("a", "b"), s"round $round lost a table: ${m.tables}")
+      assert(m.read("a").get.count() == 3 && m.read("b").get.count() == 4,
+        s"round $round read stale counts")
+    }
+  }
+
   test("two THREADED pipelines land disjoint tables under one root concurrently") {
     val dest = tmpDir("mani-threads")
     // both builds block on the barrier, so the two publish windows are
