@@ -394,13 +394,26 @@ object Dedup {
     // traversals per scan — the signature computation is the dominant
     // linear cost and would otherwise run 6+ times.
     val bandsU = bands.reduce(_.unionByName(_)).localCheckpoint(true)
+    // Pair self-joins are compute-dense and byte-light: a few KB of band
+    // rows fan out into m² within-bucket comparisons, so AQE's byte-based
+    // partition coalescing collapses exactly the stages that need every
+    // core (measured at sf0.1: the verify stage ran on 2 post-coalesce
+    // tasks carrying 7 s of task time). Each self-join input is therefore
+    // repartitioned BY NUMBER on its join key — a user-numbered exchange
+    // AQE never coalesces — at the session's shuffle width, which both
+    // sides of the self-join share (one exchange, reused). At corpus
+    // scale the band rows fill that width anyway, so this pins the
+    // non-AQE default rather than fighting it.
+    def fullWidth(df: DataFrame, keys: Column*): DataFrame =
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
     val overCap = bandsU
       .groupBy(col("band"), col("bucket_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
-    val sane = bandsU
+    val sane = fullWidth(bandsU
       .join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
-      .select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*)
+      .select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*),
+      col("band"), col("bucket_hash"))
     val sanePairs = sane.as("x")
       .join(sane.as("y"),
         col("x.band") === col("y.band") &&
@@ -432,7 +445,8 @@ object Dedup {
     // combination against its residual predicate, so filtering afterwards
     // would still pay m² predicate evaluations for a degenerate m-row
     // group even when the bounded output is linear
-    val smallSub = bigB.filter(col("__m") <= maxBucketSize)
+    val smallSub = fullWidth(bigB.filter(col("__m") <= maxBucketSize),
+      col("band"), col("bucket_hash"), col("__sub"))
     val smallPairs = smallSub.as("x")
       .join(smallSub.as("y"),
         col("x.band") === col("y.band") &&
@@ -470,7 +484,8 @@ object Dedup {
       .join(cellStats, Seq("band", "bucket_hash", "__sub", "__cell"))
       .select(Seq(col("band"), col("bucket_hash"), col("__sub"), col("__cell"),
         col("__id"), col("__cm"), col("__chub")) ++ szCols: _*)
-    val saneCell = overC.filter(col("__cm") <= maxBucketSize)
+    val saneCell = fullWidth(overC.filter(col("__cm") <= maxBucketSize),
+      col("band"), col("bucket_hash"), col("__sub"), col("__cell"))
     val cellPairs = saneCell.as("x")
       .join(saneCell.as("y"),
         col("x.band") === col("y.band") &&
@@ -501,8 +516,15 @@ object Dedup {
         greatest(col("a.__chub"), col("b.__chub")).as("id_b"))
     val rawCandidates = sanePairs.unionByName(smallPairs).unionByName(cellPairs)
       .unionByName(starPairs).unionByName(chainPairs)
-    // a pair can repeat only across bands — with one band it's already unique
-    if (numBands > 1) rawCandidates.distinct() else rawCandidates
+    // a pair can repeat only across bands — with one band it's already
+    // unique. The repartition ahead of the distinct pins the downstream
+    // VERIFY width too: the dedup reuses the user-numbered exchange (same
+    // keys), and the word-set fetch broadcasts onto its output, so the
+    // per-pair intersections inherit this width instead of whatever AQE
+    // coalesced the candidate bytes to.
+    if (numBands > 1)
+      fullWidth(rawCandidates, col("id_a"), col("id_b")).distinct()
+    else rawCandidates
   }
 
   /** Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs. */
