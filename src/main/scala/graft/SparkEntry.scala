@@ -662,7 +662,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
       val batch = docs.filter(col("doc_id") % 35 === 0)
       val corpus = docs.filter(col("doc_id") % 35 =!= 0)
+      // pinned: production reads the index from parquet (materialized
+      // once); the live frame otherwise recomputes the corpus signatures
+      // for every one of the operator's three index references
       val index = Dedup.lshIndexRows(corpus, "doc_id", "text", numHashes = 4, rowsPerBand = 2)
+        .localCheckpoint(true)
       Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
         numHashes = 4, rowsPerBand = 2, threshold = 0.8, maxBucketSize = 40)
         .orderBy("id_a", "id_b")

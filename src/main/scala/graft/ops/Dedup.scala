@@ -406,20 +406,52 @@ object Dedup {
     // non-AQE default rather than fighting it.
     def fullWidth(df: DataFrame, keys: Column*): DataFrame =
       df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+    // The shared sub-frames below (over-cap buckets, their rows, the
+    // refinement/cell statistics) are each referenced by several of the
+    // five pair branches; Catalyst expands every reference into a full
+    // copy of its lineage, which grew this operator's physical plan to
+    // ~490 operators and made PLANNING the dominant driver cost
+    // (measured: 6.7 s of between-job gaps vs 5.1 s of jobs for
+    // q_dedup_pipeline at sf0.1). Eagerly pinning them truncates the
+    // plan at bounded frames: overCap/subStats/cellStats are a few rows
+    // per degenerate bucket, and bigB/overC are subsets of the already-
+    // pinned bandsU (same byte-order defense as its scaladoc).
     val overCap = bandsU
       .groupBy(col("band"), col("bucket_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
-    val sane = fullWidth(bandsU
-      .join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
-      .select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*),
-      col("band"), col("bucket_hash"))
-    val sanePairs = sane.as("x")
-      .join(sane.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket_hash") === col("y.bucket_hash") &&
+      .localCheckpoint(true)
+    // Pinning overCap makes "did the cap engage at all" a cheap local
+    // probe — and when it did NOT (the common real-corpus case), the
+    // anti-join and all four over-cap branches are provably empty, so
+    // the whole operator collapses to the plain within-bucket pair join
+    // over bandsU: no anti-join, a fraction of the plan, none of the
+    // over-cap materializations.
+    val capEngaged = !overCap.isEmpty
+    def pairsWithin(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val w = fullWidth(df, keys.map(col): _*)
+      w.as("x").join(w.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
           col("x.__id") < col("y.__id") && ratioOk)
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    }
+    def dedupAcrossBands(raw: DataFrame): DataFrame =
+      // a pair can repeat only across bands — with one band it's already
+      // unique. The repartition ahead of the distinct pins the downstream
+      // VERIFY width too: the dedup reuses the user-numbered exchange
+      // (same keys), and the word-set fetch broadcasts onto its output,
+      // so the per-pair intersections inherit this width instead of
+      // whatever AQE coalesced the candidate bytes to.
+      if (numBands > 1) fullWidth(raw, col("id_a"), col("id_b")).distinct()
+      else raw
+    val sane =
+      if (!capEngaged)
+        bandsU.select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*)
+      else bandsU
+        .join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
+        .select(Seq(col("band"), col("bucket_hash"), col("__id")) ++ szCols: _*)
+    val sanePairs = pairsWithin(sane, Seq("band", "bucket_hash"))
+    if (!capEngaged) return dedupAcrossBands(sanePairs)
     // LEVEL 2 — over-cap rows regroup by the EXACT refinement value:
     // docs that also agree on the next band, i.e. on twice the minhash
     // evidence (adaptive band widening: a degenerate 2-row band escalates
@@ -440,20 +472,14 @@ object Dedup {
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
       .select(Seq(col("band"), col("bucket_hash"), col("__sub"), col("__id"),
         col("__m")) ++ szCols: _*)
+      .localCheckpoint(true)
     // branch decisions are applied BEFORE each self-join, not as post-join
     // filters: a hash join on the group key evaluates every within-key row
     // combination against its residual predicate, so filtering afterwards
     // would still pay m² predicate evaluations for a degenerate m-row
     // group even when the bounded output is linear
-    val smallSub = fullWidth(bigB.filter(col("__m") <= maxBucketSize),
-      col("band"), col("bucket_hash"), col("__sub"))
-    val smallPairs = smallSub.as("x")
-      .join(smallSub.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket_hash") === col("y.bucket_hash") &&
-          col("x.__sub") === col("y.__sub") &&
-          col("x.__id") < col("y.__id") && ratioOk)
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    val smallPairs = pairsWithin(bigB.filter(col("__m") <= maxBucketSize),
+      Seq("band", "bucket_hash", "__sub"))
     // LEVEL 3 — refinement groups STILL over the cap (minhash saturation:
     // a tiny shared vocabulary gives thousands of docs identical
     // signatures, so no signature-derived key can split them further, yet
@@ -480,20 +506,14 @@ object Dedup {
     val cellStats = overG
       .groupBy(col("band"), col("bucket_hash"), col("__sub"), col("__cell"))
       .agg(count(lit(1)).as("__cm"), min(col("__id")).as("__chub"))
+      .localCheckpoint(true)
     val overC = overG
       .join(cellStats, Seq("band", "bucket_hash", "__sub", "__cell"))
       .select(Seq(col("band"), col("bucket_hash"), col("__sub"), col("__cell"),
         col("__id"), col("__cm"), col("__chub")) ++ szCols: _*)
-    val saneCell = fullWidth(overC.filter(col("__cm") <= maxBucketSize),
-      col("band"), col("bucket_hash"), col("__sub"), col("__cell"))
-    val cellPairs = saneCell.as("x")
-      .join(saneCell.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket_hash") === col("y.bucket_hash") &&
-          col("x.__sub") === col("y.__sub") &&
-          col("x.__cell") === col("y.__cell") &&
-          col("x.__id") < col("y.__id") && ratioOk)
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .localCheckpoint(true)
+    val cellPairs = pairsWithin(overC.filter(col("__cm") <= maxBucketSize),
+      Seq("band", "bucket_hash", "__sub", "__cell"))
     // freak over-cap cell (possible only via extreme hash skew): star
     // around the cell's min id keeps the output linear
     val cellHubs = overC.filter(col("__cm") > maxBucketSize && col("__id") === col("__chub"))
@@ -516,15 +536,7 @@ object Dedup {
         greatest(col("a.__chub"), col("b.__chub")).as("id_b"))
     val rawCandidates = sanePairs.unionByName(smallPairs).unionByName(cellPairs)
       .unionByName(starPairs).unionByName(chainPairs)
-    // a pair can repeat only across bands — with one band it's already
-    // unique. The repartition ahead of the distinct pins the downstream
-    // VERIFY width too: the dedup reuses the user-numbered exchange (same
-    // keys), and the word-set fetch broadcasts onto its output, so the
-    // per-pair intersections inherit this width instead of whatever AQE
-    // coalesced the candidate bytes to.
-    if (numBands > 1)
-      fullWidth(rawCandidates, col("id_a"), col("id_b")).distinct()
-    else rawCandidates
+    dedupAcrossBands(rawCandidates)
   }
 
   /** Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs. */
@@ -642,10 +654,15 @@ object Dedup {
     val nBatchRows = nBandRows / math.max(1, numBands)
     // index bucket sizes via one partially-aggregated pass; only buckets
     // OVER the cap survive, so the stats frame is tiny and broadcasts
+    // pinned: overCap/subStats are tiny (rows only for over-cap buckets)
+    // but referenced by three branches each — unpinned, every reference
+    // re-aggregates the full index and the plan re-expands its lineage
+    // (the same planning-cost defense as nearDupPairs' pinned stats)
     val overCap = index
       .groupBy(col("band"), col("bucket_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
+      .localCheckpoint(true)
     val saneIdx = index.join(broadcast(overCap), Seq("band", "bucket_hash"), "left_anti")
     val sanePairs = saneIdx
       .join(gated(bBands, nBandRows, broadcastRowCap), Seq("band", "bucket_hash"))
@@ -656,6 +673,7 @@ object Dedup {
     val subStats = bigIdx
       .groupBy(col("band"), col("bucket_hash"), col("__sub"))
       .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
     val bigIdxM = bigIdx
       .join(broadcast(subStats), Seq("band", "bucket_hash", "__sub"))
     // the batch doc probes the refinement group its own next-band hash
@@ -1112,12 +1130,24 @@ object Dedup {
     // component through the hub, so bounded work costs recall only for
     // the rare non-identical over-cap co-residents. overCap is tiny by
     // construction and broadcasts; sane buckets pay nothing new.
+    // pinned + width-pinned like the text path's cappedCandidatePairs:
+    // overCap is referenced by both branches (unpinned it re-aggregates
+    // bandRows per reference), and the within-bucket pair join is
+    // compute-dense but byte-light, so AQE's byte-based coalescing would
+    // collapse it to 1-2 tasks; a user-numbered repartition on the join
+    // key pins the non-AQE width instead.
     val overCap = bandRows
       .groupBy(col("__band"), col("__key"), col("__bkt"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .select(col("__band"), col("__key"), col("__bkt"))
-    val sane = bandRows.join(broadcast(overCap), Seq("__band", "__key", "__bkt"), "left_anti")
+      .localCheckpoint(true)
+    val capEngaged = !overCap.isEmpty
+    val sane0 = if (!capEngaged) bandRows
+      else bandRows.join(broadcast(overCap), Seq("__band", "__key", "__bkt"), "left_anti")
+    val sane = sane0.repartition(
+      sane0.sparkSession.sessionState.conf.numShufflePartitions,
+      col("__band"), col("__key"), col("__bkt"))
     val sanePairs = sane.as("x")
       .join(sane.as("y"),
         col("x.__band") === col("y.__band") &&
@@ -1135,7 +1165,7 @@ object Dedup {
       .join(hashed.select(col("__id").as("id_a"), col("__bands").as("__ba")), Seq("id_a"))
       .join(hashed.select(col("__id").as("id_b"), col("__bands").as("__bb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("__ba"), col("__bb"))
-    sanePairs.unionByName(starPairs)
+    (if (capEngaged) sanePairs.unionByName(starPairs) else sanePairs)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         expr("aggregate(zip_with(__ba, __bb, (a, b) -> bit_count(a ^ b)), 0, (s, v) -> s + v)")
