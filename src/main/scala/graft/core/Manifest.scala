@@ -82,16 +82,8 @@ final class TableManifest(spark: SparkSession, root: String) {
     * per-generation `spark.read.parquet(...).count()` cost G jobs per
     * land, O(G²) per run across appends.
     */
-  private def footerRowCount(dir: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map { st =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
+  private def footerRowCount(dir: String): Long =
+    ParquetFooters.rowCount(spark, dir)
 
   /** The committed table, resolved THROUGH the manifest. mergeSchema:
     * append deltas may carry evolved (added-column) schemas.
@@ -321,4 +313,36 @@ final class TableManifest(spark: SparkSession, root: String) {
 object TableManifest {
   private val Prefix = "tables."
   private val CountsPrefix = "rowcounts."
+}
+
+/** Row counts from parquet FOOTER metadata — driver-side metadata reads,
+  * ZERO Spark jobs. Shared by the manifest land path (its O(1)-jobs
+  * guarantee) and the pipeline's non-manifest LoadResult counting, which
+  * previously paid a full-table scan job per table per run just to
+  * report a row count. File count per table dir is bounded by the
+  * write's own partitioning, so the listing stays a cheap driver read
+  * at scale — the same defense as [[TableManifest.Publish.land]].
+  */
+private[graft] object ParquetFooters {
+  def rowCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    // recurse into partition subdirs (bucketed tables land _bucket=N/
+    // dirs); skip hidden/marker paths by Spark's own convention — a
+    // leading '_' or '.' is hidden unless it's a partition dir ("=")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    walk(root).map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

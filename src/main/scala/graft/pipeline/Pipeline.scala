@@ -333,8 +333,9 @@ final class Pipeline(
           LoadResult(name, pub.land(tdf, childHints))
         case None =>
           TableWriter.write(spark, tdf, destRoot, childHints)
-          val rows = spark.read.parquet(s"$destRoot/$name").count()
-          LoadResult(name, rows)
+          // footer metadata, not a scan: the old full-table count() here
+          // was one extra whole-table job per table per run
+          LoadResult(name, graft.core.ParquetFooters.rowCount(spark, s"$destRoot/$name"))
       }
     }
   }
