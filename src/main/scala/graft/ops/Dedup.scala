@@ -113,9 +113,16 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
+    // Pin the slim (idA, idB) projection ONCE: both the edge set and the
+    // node set below derive from `pairs`, and `pairs` is typically the
+    // whole LSH-candidate + exact-verify pipeline — unpinned, the node
+    // derivation re-executed all of it a second time (measured at sf0.1:
+    // two ~40 s-of-task-time jobs doing identical verify work in
+    // q_curation_v3).
+    val p0 = pairs.select(col(idA).as("__pa"), col(idB).as("__pb")).localCheckpoint(true)
     // canonical directed edges larger → smaller, no self-loops
-    var edges = pairs
-      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+    var edges = p0
+      .select(greatest(col("__pa"), col("__pb")).as("u"), least(col("__pa"), col("__pb")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -172,7 +179,7 @@ object Dedup {
     // a maxIter cutoff safe
     val roots = edges.groupBy("u").agg(min("v").as("cluster"))
       .select(col("u").as("id"), col("cluster"))
-    val nodes = pairs.select(col(idA).as("id")).union(pairs.select(col(idB).as("id"))).distinct()
+    val nodes = p0.select(col("__pa").as("id")).union(p0.select(col("__pb").as("id"))).distinct()
     nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
