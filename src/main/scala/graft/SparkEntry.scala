@@ -61,6 +61,22 @@ object SparkEntry {
     */
   private val TileOff = 100000000L
 
+  /** Round-robin spread + pin for expression-heavy NARROW passes whose
+    * input is a single-file fixture scan: the regex/line kernels between
+    * the scan and the first exchange otherwise run as ONE task while the
+    * session idles (guide §2.5's unsplittable-input shape). The eager
+    * localCheckpoint pins the spread so multi-consumer queries don't
+    * re-execute the exchange per action. No-op once the input already
+    * carries enough partitions (a real multi-split corpus). Apply only
+    * where the narrow segment dominates — for join/aggregate-bound
+    * queries the extra exchange measured as a net loss (q_curation_v2).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p).localCheckpoint(true)
+  }
+
   /** BMP fixture for the image-dedup family: one blob per event (< 400
     * per tile copy), in groups of five near-identical variants — same
     * base gradient, a +0..4 gray offset that wraps at 256 — synthesized
@@ -1203,6 +1219,9 @@ object SparkEntry {
     // times), same discipline as q_curation_pipeline
     "q_curation_v2" -> ((s, dir) => {
       import graft.ops.{Dsir, LanguageModel}
+      // spread() measured NEGATIVE here (min-of-3 JVMs 7.15 vs 6.07 s):
+      // v2 is join/groupBy-bound (LM training, span grams, DSIR), not
+      // narrow-regex-bound like v3 — left unspread deliberately
       val docs = t(s, dir, "documents")
       val s1 = TextAnalysis.gopherFilter(docs, "text")
         .filter(col("pass") === 1)
@@ -1237,7 +1256,10 @@ object SparkEntry {
     // final split hash replays bit-for-bit.
     "q_curation_v3" -> ((s, dir) => {
       import graft.ops.{Classifier, Redact}
-      val docs = t(s, dir, "documents")
+      // spread: the single-file documents scan otherwise feeds the C4
+      // line pass and the 8-regex PII scrub — v3's dominant narrow
+      // kernels — to ONE task (min-of-3 JVMs: 6.94 spread vs 8.06 s not)
+      val docs = spread(t(s, dir, "documents"))
       val lined = docs.select(col("doc_id"),
         when(col("doc_id") % 97 === 5, lit("all bad\nno punct here\nshort."))
           .otherwise(concat(
