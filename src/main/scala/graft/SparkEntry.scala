@@ -1381,17 +1381,10 @@ object SparkEntry {
       import graft.ops.UrlFrontier
       val dest = java.nio.file.Files.createTempDirectory("graft_frontier").toString
       val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
-      // pin the widest event slice ONCE: each wave re-plans its candidate
-      // frame, and deriving it from a pinned 4000-row frame instead of a
-      // fresh events scan + ts-normalize chain cuts both the per-wave scan
-      // job and the per-wave driver planning (the dominant cost of the
-      // frontier family at bench scale — ~half its wall is driver gaps)
-      val baseIds = t(s, dir, "events").filter(col("event_id") < 4000)
-        .select("event_id").localCheckpoint(true)
       def listing(maxId: Long) = {
         val g = expr("event_id div 5").cast("string")
         val v = col("event_id") % 5
-        baseIds.filter(col("event_id") < maxId)
+        t(s, dir, "events").filter(col("event_id") < maxId)
           .select(col("event_id"),
             when(v === 0, concat(lit("http://site"), g, lit(".example.com/p/"), g, lit("?a=1&b=2")))
               .when(v === 1, concat(lit("HTTPS://WWW.SITE"), g, lit(".EXAMPLE.COM/p/"), g, lit("?a=1&b=2")))
@@ -1449,14 +1442,11 @@ object SparkEntry {
       val cap = 150
       val dest = java.nio.file.Files.createTempDirectory("graft_polite").toString
       val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
-      // pinned: the same candidate frame feeds all five waves — without
-      // the pin every wave re-scans events and re-plans the synthesis
       val planned = t(s, dir, "events").filter(col("event_id") < 3500)
         .select(concat(
           when(col("event_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://www.")),
           lit("h"), (col("event_id") % 7).cast("string"),
           lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
-        .localCheckpoint(true)
       def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
         todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
       (1 to 3).foreach { w =>
@@ -1494,13 +1484,11 @@ object SparkEntry {
       val cap = 150
       val dest = java.nio.file.Files.createTempDirectory("graft_gap").toString
       val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
-      // pinned: nine waves share this frame (see q_url_frontier_polite)
       val planned = t(s, dir, "events").filter(col("event_id") < 3500)
         .select(concat(
           when(col("event_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://www.")),
           lit("h"), (col("event_id") % 7).cast("string"),
           lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
-        .localCheckpoint(true)
       def fetchWave(wave: Int)(todo: DataFrame): DataFrame =
         todo.select(col("url_canon"), lit(wave.toLong).as("wave"))
       (1 to 9).foreach { w =>
@@ -1546,11 +1534,9 @@ object SparkEntry {
       import graft.ops.UrlFrontier
       val dest = java.nio.file.Files.createTempDirectory("graft_robots").toString
       val state = new StateStore(java.nio.file.Paths.get(dest, "state.json"))
-      // pinned: three waves share this frame (see q_url_frontier_polite)
       val planned = t(s, dir, "events").filter(col("event_id") < 3500)
         .select(concat(lit("http://h"), (col("event_id") % 7).cast("string"),
           lit(".example.com/p/"), col("event_id").cast("string")).as("url"))
-        .localCheckpoint(true)
       val bodies = Seq(
         ("h0.example.com", "User-agent: *\nDisallow: /\n"),
         ("h1.example.com", "# block the 1-prefixed pages\nUser-agent: *\nDisallow: /p/1\n"),
@@ -1599,11 +1585,9 @@ object SparkEntry {
       val path = when(col("event_id") % 3 === 0, concat(lit("/p/"), ids))
         .when(col("event_id") % 3 === 1, concat(lit("/p/"), ids, lit("?sid="), ids))
         .otherwise(concat(lit("/a/"), ids, lit(".html")))
-      // pinned: three waves share this frame (see q_url_frontier_polite)
       val planned = t(s, dir, "events").filter(col("event_id") < 3500)
         .select(concat(lit("http://w"), (col("event_id") % 7).cast("string"),
           lit(".example.com"), path).as("url"))
-        .localCheckpoint(true)
       val bodies = Seq(
         ("w0.example.com", "User-agent: graftbot\nDisallow: /*?sid=\n"),
         ("w1.example.com", "User-agent: *\nDisallow: /*.html$\n"),
