@@ -221,6 +221,10 @@ object Lexical {
         .select(col("term"), col("id"), col("tf"), col("crank"))
     }
 
+    private def dfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+
     /** Sub-table dir of the current committed generation (spec access). */
     private[graft] def subDir(spark: org.apache.spark.sql.SparkSession,
         path: String, sub: String): String =
@@ -231,28 +235,17 @@ object Lexical {
       val spark = docs.sparkSession
       val gen = graft.core.Generations.next(spark, path)
       def d(sub: String) = graft.core.Generations.dir(path, sub, gen)
-      // ONE corpus tokenize: the postings feed the champion rank, its
-      // join-back AND the df derivation (postings are (term, id)-distinct,
-      // so df per term is just its posting-row count). Unpersisted, every
-      // one of those references re-exploded the whole corpus — four
-      // tokenize passes per build. persist, NOT localCheckpoint: the
-      // frame is corpus-sized and persist keeps lineage (same defense as
-      // topKDocs' postings cache).
-      val p = postingsOf(docs, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        withCrank(p, championSize)
-          .withColumn("__ab", lit(-1L))
-          .withColumn("__tb", termBucket(col("term")))
-          .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(d("postings"))
-        p.groupBy(col("term")).agg(count(lit(1)).as("df")).withColumn("__ab", lit(-1L))
-          .write.mode("overwrite").partitionBy("__ab").parquet(d("idf"))
-        spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
-          .withColumn("__ab", lit(-1L))
-          .write.mode("overwrite").partitionBy("__ab").parquet(d("meta"))
-        graft.core.Generations.commit(spark, path, gen)
-        graft.core.Generations.gc(spark, path, gen)
-      } finally p.unpersist()
+      withCrank(postingsOf(docs, idCol, textCol), championSize)
+        .withColumn("__ab", lit(-1L))
+        .withColumn("__tb", termBucket(col("term")))
+        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(d("postings"))
+      dfOf(docs, idCol, textCol).withColumn("__ab", lit(-1L))
+        .write.mode("overwrite").partitionBy("__ab").parquet(d("idf"))
+      spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
+        .withColumn("__ab", lit(-1L))
+        .write.mode("overwrite").partitionBy("__ab").parquet(d("meta"))
+      graft.core.Generations.commit(spark, path, gen)
+      graft.core.Generations.gc(spark, path, gen)
     }
 
     /** Append a document batch under its own `__ab = appendId`
@@ -277,27 +270,22 @@ object Lexical {
       // existing files are never rewritten) — the generation only flips
       // on build/optimize
       def d(sub: String) = graft.core.Generations.resolve(spark, path, sub)
-      // one batch tokenize, shared by the postings land and the df delta
-      // (df per term = posting-row count; same reasoning as build)
-      val p = postingsOf(batch, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        p.withColumn("crank", lit(0L)) // pending: candidate until optimize
-          .withColumn("__ab", lit(appendId))
-          .withColumn("__tb", termBucket(col("term")))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__ab", "__tb").parquet(d("postings"))
-        p.groupBy(col("term")).agg(count(lit(1)).as("df")).withColumn("__ab", lit(appendId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__ab").parquet(d("idf"))
-        spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
-          .withColumn("__ab", lit(appendId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__ab").parquet(d("meta"))
-      } finally p.unpersist()
+      postingsOf(batch, idCol, textCol)
+        .withColumn("crank", lit(0L)) // pending: candidate until optimize
+        .withColumn("__ab", lit(appendId))
+        .withColumn("__tb", termBucket(col("term")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab", "__tb").parquet(d("postings"))
+      dfOf(batch, idCol, textCol).withColumn("__ab", lit(appendId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab").parquet(d("idf"))
+      spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
+        .withColumn("__ab", lit(appendId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ab").parquet(d("meta"))
     }
 
     /** Recompute champion ranks over the full postings and compact every
