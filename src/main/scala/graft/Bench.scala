@@ -93,11 +93,31 @@ object Bench {
         .mkString(",\"errors\":{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
-    // stdout capture has proven lossy for 87 per-query entries (BENCH_r04
-    // recorded a truncated tail and "parsed": null) — also write the line
-    // to a file the driver can ingest whole
+    // The contractual line above outgrew the driver's ~2 KB stdout tail
+    // at 167 queries (BENCH_r15..r19 all "parsed": null). ADDITIVE
+    // recovery channels, the line itself unchanged:
+    // (1) per-query millisecond-int chunk lines AFTER the full line —
+    //     each a self-contained valid JSON object under 1.5 KB, so
+    //     whatever suffix of stdout survives still carries whole,
+    //     parseable per-query chunks;
+    val chunkMax = 1400
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+    val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      if (acc.last.map(_.length + 1).sum + e.length > chunkMax) acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"bench_chunk":${i + 1},"of":${chunks.size},"unit":"ms","queries_ms":${c.mkString("{", ",", "}")}}""")
+    }
+    // (2) the whole line written to a file the driver (and the
+    //     stamp_ratios recovery path) can ingest; ALSO to a per-core
+    //     sibling so the driver's follow-up low-core run doesn't clobber
+    //     the main run's line before recovery reads it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_LOCAL_c$cpus.json"), json + "\n")
     spark.stop()
   }
 }

@@ -65,9 +65,16 @@ object JobProbe {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       val wallMs = (System.nanoTime() - t0) / 1e6
-      // listener bus is async — give it a beat to drain before reading
-      Thread.sleep(300)
+      // listener bus is async — poll until every recorded job has its
+      // end event (bounded), instead of a fixed sleep that under load
+      // reported dur=0 for late-arriving ends and inflated the gap
+      // attribution this tool exists to measure
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          jobs.values.toArray(Array.empty[JobRec]).exists(_.end < 0)) Thread.sleep(50)
       val recs = jobs.values.toArray(Array.empty[JobRec]).sortBy(_.start)
+      recs.filter(_.end < 0).foreach(r =>
+        println(s"[jobprobe]   WARNING job ${r.id} has no end event after 5 s — dur/gap untrusted"))
       var prevEnd = -1L
       var jobMs = 0L; var gapMs = 0L
       println(f"[jobprobe] $q%s wall=$wallMs%.0f ms rows=$n%d jobs=${recs.length}%d")

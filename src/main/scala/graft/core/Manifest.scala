@@ -339,7 +339,14 @@ private[graft] object ParquetFooters {
         else if (n.endsWith(".parquet")) Seq(st)
         else Nil
       }
-    walk(root).map { st =>
+    val files = walk(root)
+    // a table dir that was just written should hold at least one parquet
+    // file — the old scan path failed loudly on a missing/misrouted
+    // table, so don't let that failure class silently become rows=0
+    if (files.isEmpty)
+      System.err.println(s"[graft] ParquetFooters: no parquet files under $dir — " +
+        "reporting rows=0 (misrouted or failed write?)")
+    files.map { st =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       try r.getRecordCount finally r.close()

@@ -221,10 +221,6 @@ object Lexical {
         .select(col("term"), col("id"), col("tf"), col("crank"))
     }
 
-    private def dfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-      docs.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-
     /** Sub-table dir of the current committed generation (spec access). */
     private[graft] def subDir(spark: org.apache.spark.sql.SparkSession,
         path: String, sub: String): String =
@@ -235,17 +231,66 @@ object Lexical {
       val spark = docs.sparkSession
       val gen = graft.core.Generations.next(spark, path)
       def d(sub: String) = graft.core.Generations.dir(path, sub, gen)
-      withCrank(postingsOf(docs, idCol, textCol), championSize)
-        .withColumn("__ab", lit(-1L))
-        .withColumn("__tb", termBucket(col("term")))
-        .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(d("postings"))
-      dfOf(docs, idCol, textCol).withColumn("__ab", lit(-1L))
-        .write.mode("overwrite").partitionBy("__ab").parquet(d("idf"))
-      spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
-        .withColumn("__ab", lit(-1L))
-        .write.mode("overwrite").partitionBy("__ab").parquet(d("meta"))
+      // ONE corpus tokenize+shuffle total: raw postings are staged to
+      // parquet inside the uncommitted generation, and every later
+      // reference — withCrank's champion reduction AND its join-back,
+      // plus the df aggregation — reads the staged files instead of
+      // re-expanding the tokenize lineage (previously 3 full corpus
+      // passes per build). Durable read-back, not persist(): the
+      // InMemoryRelation boundary was A/B'd 2x slower here in r19, and
+      // staged parquet adds no executor-memory pin and no lineage
+      // truncation. The stage dir lives under the generation namespace
+      // (invisible until commit; a crashed build's leftover is
+      // overwritten by the retry and swept by GC) and is deleted before
+      // the commit marker.
+      val stage = d("stage")
+      val raw = postingsOf(docs, idCol, textCol)
+      raw.write.mode("overwrite").parquet(stage)
+      // explicit schema: an empty corpus writes a file-less dir, which
+      // schema inference would refuse to read
+      val staged = spark.read.schema(raw.schema).parquet(stage)
+      // the three sub-table writes are independent of each other and all
+      // land BEFORE the atomic generation commit, so they overlap (guide
+      // §2.6: actions are only sequential because the driver calls them
+      // sequentially — the idf/meta jobs back-fill executors the postings
+      // write's tail leaves idle)
+      concurrently(
+        () => withCrank(staged, championSize)
+          .withColumn("__ab", lit(-1L))
+          .withColumn("__tb", termBucket(col("term")))
+          .write.mode("overwrite").partitionBy("__ab", "__tb").parquet(d("postings")),
+        // df(term) = the staged postings' per-term row count — postings
+        // are (term, id)-distinct by construction, so this is exactly the
+        // old dfOf(docs) without the second corpus tokenize
+        () => staged.groupBy("term").agg(count(lit(1)).as("df")).withColumn("__ab", lit(-1L))
+          .write.mode("overwrite").partitionBy("__ab").parquet(d("idf")),
+        () => spark.createDataFrame(Seq(Tuple1(docs.count()))).toDF("n_docs")
+          .withColumn("__ab", lit(-1L))
+          .write.mode("overwrite").partitionBy("__ab").parquet(d("meta")))
+      deleteDir(spark, stage)
       graft.core.Generations.commit(spark, path, gen)
       graft.core.Generations.gc(spark, path, gen)
+    }
+
+    /** Run independent write actions concurrently (Pipeline's pool
+      * pattern); failures propagate after all complete or fail.
+      */
+    private def concurrently(fs: (() => Unit)*): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+      try {
+        val futures = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f()
+        }))
+        futures.foreach(_.get()) // propagate failures
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
+
+    private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try { fs.delete(p, true); () } catch { case _: java.io.IOException => () }
     }
 
     /** Append a document batch under its own `__ab = appendId`
@@ -270,22 +315,32 @@ object Lexical {
       // existing files are never rewritten) — the generation only flips
       // on build/optimize
       def d(sub: String) = graft.core.Generations.resolve(spark, path, sub)
-      postingsOf(batch, idCol, textCol)
+      val pb = postingsOf(batch, idCol, textCol)
         .withColumn("crank", lit(0L)) // pending: candidate until optimize
         .withColumn("__ab", lit(appendId))
         .withColumn("__tb", termBucket(col("term")))
-        .write.mode("overwrite")
+      pb.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__ab", "__tb").parquet(d("postings"))
-      dfOf(batch, idCol, textCol).withColumn("__ab", lit(appendId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__ab").parquet(d("idf"))
-      spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
-        .withColumn("__ab", lit(appendId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__ab").parquet(d("meta"))
+      // ONE batch tokenize: df(term) derives from the just-written
+      // postings partition (a same-id retry overwrote it, so the
+      // read-back is exactly this batch's postings and the crash
+      // contract above is unchanged — postings first, then idf/meta;
+      // idf and meta are mutually independent, so they overlap).
+      // Explicit schema: an empty-corpus build + empty batch leave a
+      // file-less dir that schema inference would refuse to read.
+      concurrently(
+        () => batch.sparkSession.read.schema(pb.schema).parquet(d("postings"))
+          .filter(col("__ab") === appendId)
+          .groupBy("term").agg(count(lit(1)).as("df")).withColumn("__ab", lit(appendId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__ab").parquet(d("idf")),
+        () => spark.createDataFrame(Seq(Tuple1(batch.count()))).toDF("n_docs")
+          .withColumn("__ab", lit(appendId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__ab").parquet(d("meta")))
     }
 
     /** Recompute champion ranks over the full postings and compact every

@@ -38,19 +38,54 @@ def load_bench(path):
     parsed = d.get("parsed") or {}
     if parsed.get("queries"):
         return parsed["queries"], parsed.get("errors", {}), None
-    sib = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_LOCAL.json")
-    if not os.path.exists(sib):
-        raise SystemExit(f"{path}: tail-truncated and no sibling BENCH_LOCAL.json to recover from")
-    full = open(sib).read().strip()
-    # the artifact's tail is the JSON line's surviving suffix followed by
-    # the sbt epilogue — the fragment before the first newline must appear
-    # byte-for-byte in the full line, or the sibling is a DIFFERENT run
-    frag = d["tail"].split("\n")[0]
-    if not frag or frag not in full:
-        raise SystemExit(f"{path}: tail fragment does not match sibling BENCH_LOCAL.json — "
-                         "the sibling is from a different run; re-run Bench")
-    j = json.loads(full)
-    return j.get("queries", {}), j.get("errors", {}), f"recovered full map from {sib}"
+    tail = d["tail"]
+    # Since r20 Bench prints, AFTER the full line, per-query millisecond
+    # chunk lines (each a whole <=1.5 KB JSON object), so a truncated
+    # stdout tail still carries whole parseable chunks. Merge them first.
+    chunk_ms, n_chunks_seen, n_chunks_of = {}, 0, None
+    for line in tail.split("\n"):
+        line = line.strip()
+        if not line.startswith('{"bench_chunk"'):
+            continue
+        try:
+            c = json.loads(line)
+        except ValueError:
+            continue
+        chunk_ms.update(c.get("queries_ms", {}))
+        n_chunks_seen += 1
+        n_chunks_of = c.get("of", n_chunks_of)
+    # candidate same-run siblings: the canonical BENCH_LOCAL.json plus the
+    # per-core copies (the driver's follow-up low-core run clobbers the
+    # canonical file; BENCH_LOCAL_c<N>.json survives it)
+    import glob
+    here = os.path.dirname(os.path.abspath(path))
+    sibs = [p for p in [os.path.join(here, "BENCH_LOCAL.json")] +
+            sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_c*.json")))
+            if os.path.exists(p)]
+    frag = tail.split("\n")[0]
+    for sib in sibs:
+        full = open(sib).read().strip()
+        try:
+            j = json.loads(full)
+        except ValueError:
+            continue
+        qs = j.get("queries", {})
+        # same-run proof: either the artifact's surviving first-line
+        # fragment appears byte-for-byte in the sibling line, or every
+        # recovered chunk entry matches the sibling's value at ms precision
+        frag_ok = bool(frag) and frag in full
+        chunk_ok = bool(chunk_ms) and all(
+            k in qs and round(qs[k] * 1000) == v for k, v in chunk_ms.items())
+        if frag_ok or chunk_ok:
+            return qs, j.get("errors", {}), f"recovered full map from {sib}"
+    if chunk_ms:
+        # no sibling matched, but whole chunk lines survived in the tail —
+        # use the partial ms map directly (better than nothing)
+        part = {k: v / 1000.0 for k, v in chunk_ms.items()}
+        return part, {}, (f"partial map from {n_chunks_seen}/{n_chunks_of} "
+                          "surviving tail chunks (no same-run sibling found)")
+    raise SystemExit(f"{path}: tail fragment does not match any sibling BENCH_LOCAL*.json — "
+                     "the siblings are from different runs; re-run Bench")
 
 # BASELINE.md stamps (sf0.1, local[32], warmed). Source: the round-1 table
 # and the round-4 re-stamp table, plus later re-stamps where BASELINE.md
