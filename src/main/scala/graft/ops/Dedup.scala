@@ -113,18 +113,13 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
-    // Cache the slim (idA, idB) projection ONCE: both the edge set and
-    // the node set below derive from `pairs`, and `pairs` is typically
-    // the whole LSH-candidate + exact-verify pipeline — uncached, the
-    // node derivation re-executed all of it a second time (measured at
-    // sf0.1: two ~40 s-of-task-time jobs doing identical verify work in
-    // q_curation_v3). persist, NOT localCheckpoint: the pair set is
-    // bounded only by near-dup density (not a stats frame), so keep the
-    // lineage for executor-loss recovery — and RELEASE it below once the
-    // bounded edge/node frames are pinned, so billion-edge inputs don't
-    // hold executor storage for the session's lifetime.
-    val p0 = pairs.select(col(idA).as("__pa"), col(idB).as("__pb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pin the slim (idA, idB) projection ONCE: both the edge set and the
+    // node set below derive from `pairs`, and `pairs` is typically the
+    // whole LSH-candidate + exact-verify pipeline — unpinned, the node
+    // derivation re-executed all of it a second time (measured at sf0.1:
+    // two ~40 s-of-task-time jobs doing identical verify work in
+    // q_curation_v3).
+    val p0 = pairs.select(col(idA).as("__pa"), col(idB).as("__pb")).localCheckpoint(true)
     // canonical directed edges larger → smaller, no self-loops
     var edges = p0
       .select(greatest(col("__pa"), col("__pb")).as("u"), least(col("__pa"), col("__pb")).as("v"))
@@ -143,17 +138,8 @@ object Dedup {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _                                                          => false
     }
-    if (driverable && edges.count() <= driverMaxEdges) {
-      val out = driverUnionFind(edges, idType) // builds from driver rows
-      p0.unpersist(false)
-      return out
-    }
-    // node set pinned (bounded: <= 2x distinct pair ids) so p0 can be
-    // released before the contraction loop
-    val nodes = p0.select(col("__pa").as("id")).union(p0.select(col("__pb").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    p0.unpersist(false)
+    if (driverable && edges.count() <= driverMaxEdges)
+      return driverUnionFind(edges, idType)
     // fixpoint signature: (edge count, hash sum) in ONE aggregate — no
     // join-based change detection
     def sig(df: DataFrame) =
@@ -193,6 +179,7 @@ object Dedup {
     // a maxIter cutoff safe
     val roots = edges.groupBy("u").agg(min("v").as("cluster"))
       .select(col("u").as("id"), col("cluster"))
+    val nodes = p0.select(col("__pa").as("id")).union(p0.select(col("__pb").as("id"))).distinct()
     nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }

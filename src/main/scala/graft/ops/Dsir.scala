@@ -40,25 +40,15 @@ object Dsir {
     * distribution: one row for EVERY bucket 0..B-1 (unseen buckets get
     * the smoothed-floor cost), so scoring joins are total functions.
     */
-  def hashedBits(slice: DataFrame, textCol: String, buckets: Int): DataFrame =
-    hashedBitsFromCounts(
-      slice.sparkSession,
-      slice.select(explode(split(col(textCol), " ")).as("__t"))
-        .select(bucketOf(col("__t"), buckets).as("__b"))
-        .groupBy("__b").agg(count(lit(1)).as("__c")),
-      buckets)
-
-  /** (bucket, bits) cost table from an already-aggregated (__b, __c)
-    * bucket-count frame — the shared tail of [[hashedBits]] and the
-    * single-pass [[importanceBits]].
-    */
-  private def hashedBitsFromCounts(spark: org.apache.spark.sql.SparkSession,
-      bucketCounts: DataFrame, buckets: Int): DataFrame = {
+  def hashedBits(slice: DataFrame, textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
-    val counts = bucketCounts
+    val counts = slice
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .select(bucketOf(col("__t"), buckets).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // <= B rows; N below reads it, not the slice
     val n = counts.agg(coalesce(sum("__c"), lit(0L))).head.getLong(0)
-    spark.range(buckets).select(col("id").as("__b"))
+    slice.sparkSession.range(buckets).select(col("id").as("__b"))
       .join(counts, Seq("__b"), "left")
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .withColumn("__m", expr(s"(${n + buckets}L + __c) div (__c + 1L)"))
@@ -80,29 +70,14 @@ object Dsir {
       buckets: Int,
   ): DataFrame = {
     val tb = hashedBits(target, textCol, buckets).withColumnRenamed("bits", "__tb")
-    // ONE tokenize+hash pass over the pool (previously two: the raw cost
-    // table tokenized the pool, then scoring tokenized it again): per-doc
-    // bucket counts are aggregated once, the raw distribution is their
-    // bucket-level sum, and scoring weights each (doc, bucket) row by its
-    // count — sum(__n * (rb - tb)) ≡ the per-token sum, exactly.
-    // persist, NOT localCheckpoint: the frame is corpus-sized (docs ×
-    // distinct buckets per doc), and persist keeps the lineage so a lost
-    // executor recomputes blocks instead of failing the job (same trade
-    // as Lexical.topKDocs' postings cache).
-    val docBuckets = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val rb = hashedBits(docs, textCol, buckets).withColumnRenamed("bits", "__rb")
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .select(col(idCol), bucketOf(col("__t"), buckets).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
-    val rb = hashedBitsFromCounts(docs.sparkSession,
-      docBuckets.groupBy("__b").agg(sum("__n").as("__c")), buckets)
-      .withColumnRenamed("bits", "__rb")
-    docBuckets
       .join(broadcast(tb), Seq("__b"))
       .join(broadcast(rb), Seq("__b"))
       .groupBy(col(idCol))
-      .agg(sum(col("__n") * (col("__rb") - col("__tb"))).as("weight_bits"),
-        sum(col("__n")).as("n_tokens"))
+      .agg(sum(col("__rb") - col("__tb")).as("weight_bits"),
+        count(lit(1)).as("n_tokens"))
   }
 
   /** The selection: top-k raw documents by (weight desc, id asc) —
